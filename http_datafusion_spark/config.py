@@ -1,0 +1,118 @@
+"""YAML config model.
+
+Mirrors the reference's config shape (reference src/model.rs:3-34):
+``Config { sources: [Source] }``,
+``Source { name, url, method?, pagination?, sql? }``,
+``Pagination { start_page?, end_page?, page_size?, page_param?,
+page_size_param?, page_size_default? }``.
+
+Defaults match ``Pagination::default`` (reference src/model.rs:48-59):
+start_page=1, end_page=10, page_size=10, page_param="page",
+page_size_param="limit", page_size_default=10.
+
+Unlike the reference — whose binary path hard-wires pagination off
+(src/main.rs:41 passes None) and whose paginated-request builder is
+dead code (src/datasources.rs:286-316) — this engine honors the
+declared Pagination fields for real (see sources/http_json.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+import yaml
+
+from http_datafusion_spark.errors import ConfigError, IoError
+
+_ALLOWED_METHODS = {"GET", "POST"}
+
+
+@dataclass
+class Pagination:
+    start_page: int = 1
+    end_page: int | None = 10
+    page_size: int = 10
+    page_param: str = "page"
+    page_size_param: str = "limit"
+    page_size_default: int = 10
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> Pagination:
+        known = {f.name for f in fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"unknown pagination keys: {sorted(unknown)}")
+        kwargs = {k: v for k, v in raw.items() if v is not None}
+        return cls(**kwargs)
+
+
+@dataclass
+class Source:
+    name: str
+    url: str
+    method: str = "GET"
+    pagination: Pagination | None = None
+    sql: str | None = None
+
+    def __post_init__(self) -> None:
+        if not self.name:
+            raise ConfigError("source requires a non-empty 'name'")
+        if not self.url:
+            raise ConfigError(f"source {self.name!r} requires a 'url'")
+        self.method = (self.method or "GET").upper()
+        # Reference allows only GET/POST (src/datasources.rs:217-223).
+        if self.method not in _ALLOWED_METHODS:
+            raise ConfigError(
+                f"source {self.name!r}: method {self.method!r} not supported "
+                f"(allowed: {sorted(_ALLOWED_METHODS)})"
+            )
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> Source:
+        if not isinstance(raw, dict):
+            raise ConfigError(f"source entry must be a mapping, got {type(raw).__name__}")
+        known = {f.name for f in fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"source has unknown keys: {sorted(unknown)}")
+        pag = raw.get("pagination")
+        return cls(
+            name=raw.get("name", ""),
+            url=raw.get("url", ""),
+            method=raw.get("method") or "GET",
+            pagination=Pagination.from_dict(pag) if pag is not None else None,
+            sql=raw.get("sql"),
+        )
+
+
+@dataclass
+class Config:
+    sources: list[Source] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> Config:
+        if not isinstance(raw, dict) or "sources" not in raw:
+            raise ConfigError("config must be a mapping with a 'sources' list")
+        srcs = raw["sources"]
+        if not isinstance(srcs, list):
+            raise ConfigError("'sources' must be a list")
+        return cls(sources=[Source.from_dict(s) for s in srcs])
+
+    @classmethod
+    def from_yaml(cls, text: str) -> Config:
+        try:
+            raw = yaml.safe_load(text)
+        except yaml.YAMLError as e:
+            raise ConfigError(f"invalid YAML: {e}") from e
+        return cls.from_dict(raw)
+
+
+def load_config(path: str) -> Config:
+    """Load and validate a config.yaml (reference src/main.rs:25-28)."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    except OSError as e:
+        raise IoError(f"cannot read config {path!r}: {e}") from e
+    return Config.from_yaml(text)

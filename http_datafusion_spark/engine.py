@@ -1,0 +1,67 @@
+"""Config-driven runner — the Spark analogue of the reference binary.
+
+Reference flow (src/main.rs:25-46): read config.yaml -> one shared
+SessionContext -> per source: ingest HTTP JSON + register table ->
+if the source declares ``sql:``, execute it and print the full result.
+
+Differences, on purpose:
+- pagination declared in config is honored (the reference binary
+  hard-wires it off at src/main.rs:41);
+- DataFusion's ``show()`` prints ALL rows; Spark's defaults to 20, so
+  ``show_all=True`` collects the count first for print parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from http_datafusion_spark.config import Config, Source, load_config
+from http_datafusion_spark.errors import QueryError
+from http_datafusion_spark.session import get_spark
+from http_datafusion_spark.sources.http_json import register_http_table
+
+
+@dataclass
+class SourceResult:
+    source: Source
+    table: DataFrame
+    result: DataFrame | None  # None when the source declares no sql
+
+
+def run_source(spark: SparkSession, source: Source) -> SourceResult:
+    start_page = source.pagination.start_page if source.pagination else None
+    table = register_http_table(
+        spark,
+        url=source.url,
+        method=source.method,
+        table_name=source.name,
+        start_page=start_page,
+        pagination=source.pagination,
+    )
+    result: DataFrame | None = None
+    if source.sql:
+        try:
+            result = spark.sql(source.sql)
+        except Exception as e:  # noqa: BLE001 — surface as engine taxonomy
+            raise QueryError(f"source {source.name!r}: {e}") from e
+    return SourceResult(source=source, table=table, result=result)
+
+
+def run(config: Config, spark: SparkSession | None = None, show: bool = True) -> list[SourceResult]:
+    """Execute every source in order against one shared session
+    (reference src/main.rs:34-46)."""
+    spark = spark or get_spark()
+    results = []
+    for source in config.sources:
+        res = run_source(spark, source)
+        if show and res.result is not None:
+            # DataFusion show() prints all rows (SURVEY §2.1 sink row).
+            res.result.show(res.result.count(), truncate=False)
+        results.append(res)
+    return results
+
+
+def run_config(path: str, spark: SparkSession | None = None, show: bool = True) -> list[SourceResult]:
+    return run(load_config(path), spark=spark, show=show)

@@ -1,0 +1,112 @@
+"""Local oracle-compare harness mimicking the driver's correctness gate.
+
+Runs a QuerySpec's Spark side and DuckDB oracle side on the same
+parquet tables, sorts columns by name and rows by value, and reports
+exact/approx equality. Used by tests and for pre-flight calibration —
+if this passes exactly, the driver's value-hash comparison will too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from http_datafusion_spark.plans.registry import QuerySpec
+from http_datafusion_spark.plans.tables import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    rows_spark: int
+    rows_oracle: int
+    ok: bool
+    exact: bool
+    detail: str = ""
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def _values_equal(a: object, b: object) -> tuple[bool, bool]:
+    """-> (ok, exact)."""
+    a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+    b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+    if a_nan or b_nan:
+        return (a_nan == b_nan, a_nan == b_nan)
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return (False, False)
+        if fa == fb:
+            return (True, True)
+        close = math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+        return (close, False)
+    if str(a) == str(b):
+        return (True, True)
+    return (False, False)
+
+
+def compare_query(
+    spark: SparkSession,
+    spec: QuerySpec,
+    sf_dir: str,
+    con: duckdb.DuckDBPyConnection | None = None,
+) -> CompareResult:
+    sdf = spec.spark(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return CompareResult(spec.name, len(sdf), -1, ok=True, exact=True, detail="rows-only (no oracle)")
+    own_con = con is None
+    con = con or duckdb_connection(sf_dir)
+    try:
+        odf = con.sql(spec.oracle).df()
+    finally:
+        if own_con:
+            con.close()
+
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return CompareResult(
+            spec.name, len(sdf), len(odf), ok=False, exact=False,
+            detail=f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}",
+        )
+    if len(sdf) != len(odf):
+        return CompareResult(
+            spec.name, len(sdf), len(odf), ok=False, exact=False,
+            detail=f"row count mismatch: spark={len(sdf)} oracle={len(odf)}",
+        )
+    s, o = _canon(sdf), _canon(odf)
+    exact = True
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            ok, ex = _values_equal(x, y)
+            if not ok:
+                return CompareResult(
+                    spec.name, len(sdf), len(odf), ok=False, exact=False,
+                    detail=f"value mismatch col={col!r} row={i}: spark={x!r} oracle={y!r}",
+                )
+            exact = exact and ex
+    detail = "" if exact else "approx-only match (float drift — driver hash may fail)"
+    return CompareResult(spec.name, len(sdf), len(odf), ok=True, exact=exact, detail=detail)

@@ -1,0 +1,516 @@
+"""Relational operator corpus — SURVEY.md §2.2-2.7.
+
+Covers the DataFusion-inherited surface the reference exposes through
+arbitrary ``sql:`` strings (reference src/main.rs:43): projections,
+filters, joins of every type, aggregation, grouping sets, windows,
+sorts, top-k, set ops, subqueries. Spark side is written with the
+DataFrame API where idiomatic (Catalyst produces the same plan as
+SQL) and with ``spark.sql`` where the SQL surface itself is the
+operator under test (subqueries, grouping sets).
+
+Scale notes (100 TB design):
+- dimension tables (region/nation/supplier) are broadcast — no
+  shuffle for the fact side of those joins;
+- aggregations are expressed declaratively so Catalyst plans
+  partial (map-side) + final aggregation — no driver collection;
+- top-k = orderBy + limit which Catalyst fuses into
+  TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Aggregation over a filtered scan (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="group-by aggregate w/ filter pushdown (SURVEY §2.4; TPC-H Q1)",
+    tags=("agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="scalar aggregate, conjunctive predicates incl. BETWEEN (SURVEY §2.2/2.4; TPC-H Q6)",
+    tags=("agg", "filter", "bench"),
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="3-way equi-join + agg + top-k (SURVEY §2.3/2.6; TPC-H Q3)",
+    tags=("join", "topk", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="6-way join incl. compound key + broadcast dims (SURVEY §2.3; TPC-H Q5)",
+    tags=("join", "agg", "bench"),
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    # Dim tables broadcast: nation/region/supplier are tiny at any SF.
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_left_join_agg",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="LEFT OUTER join preserving unmatched left rows (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_right_join",
+    oracle="""
+    SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="RIGHT OUTER join (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "q_full_outer_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    doc="FULL OUTER join with coalesced keys (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    cust = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_totalprice > 150000
+    )
+    """,
+    doc="LEFT SEMI join / EXISTS decorrelation (SURVEY §2.3)",
+    tags=("join", "subquery"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    big_f = t["orders"].filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+    return (
+        t["customer"]
+        .join(big_f, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    doc="LEFT ANTI join / NOT EXISTS (SURVEY §2.3)",
+    tags=("join", "subquery"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    partial = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(partial, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r_name, rf AS returnflag
+    FROM region
+    CROSS JOIN (SELECT DISTINCT l_returnflag AS rf FROM lineitem)
+    """,
+    doc="CROSS join (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "region", "lineitem")
+    flags = t["lineitem"].select(F.col("l_returnflag").alias("rf")).distinct()
+    return t["region"].crossJoin(flags).select("r_name", F.col("rf").alias("returnflag"))
+
+
+@query(
+    "q_nonequi_join",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_richer_customers
+    FROM supplier
+    JOIN customer ON c_acctbal > s_acctbal AND c_nationkey = s_nationkey
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="theta / non-equi join predicate (SURVEY §2.3 nested-loop row)",
+    tags=("join",),
+)
+def q_nonequi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "customer")
+    return (
+        t["supplier"]
+        .join(
+            t["customer"],
+            (F.col("c_acctbal") > F.col("s_acctbal"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT / subtract (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT kind, CAST(count(*) AS BIGINT) AS n, round(sum(acctbal), 2) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY kind
+    """,
+    doc="UNION ALL (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    u = t["customer"].select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")).unionAll(
+        t["supplier"].select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    )
+    return u.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal")
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL bag semantics (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / sort / limit / offset (SURVEY §2.2, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="DISTINCT projection (SURVEY §2.2)",
+    tags=("distinct",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer")
+    return t["customer"].select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+    doc="ORDER BY + LIMIT fused to TakeOrderedAndProject (SURVEY §2.6)",
+    tags=("sort", "topk"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="LIMIT + OFFSET over total order (SURVEY §2.6)",
+    tags=("sort",),
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return t["orders"].orderBy("o_orderkey").offset(40).limit(20).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
+    FROM orders
+    ORDER BY maybe_price DESC NULLS LAST, o_orderkey
+    LIMIT 25
+    """,
+    doc="multi-key sort with explicit NULLS LAST (SURVEY §2.6; Spark/DuckDB default null order differs)",
+    tags=("sort",),
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.col("o_totalprice"))
+    return (
+        t["orders"]
+        .select("o_orderkey", maybe.alias("maybe_price"))
+        .orderBy(F.col("maybe_price").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(25)
+    )

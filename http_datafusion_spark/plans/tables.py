@@ -1,0 +1,41 @@
+"""Test-data table loader.
+
+Loads the driver-generated parquet star schema (TESTDATA.md) and
+registers each table as a temp view, so queries can use either the
+DataFrame API or ``spark.sql``. Plain ``spark.read.parquet`` — no
+caching — so Catalyst's predicate pushdown and column pruning reach
+the parquet scan (check with ``.explain``: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> dict[str, DataFrame]:
+    """Read the requested tables (all when none named) and register
+    same-named temp views. Returns name -> DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode (`local[N]`) is the test/bench harness; the configs below
+are chosen so the same code runs unmodified on a multi-executor
+cluster at 100 TB scale:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  re-selection) — the single most important knob for unknown data
+  distributions at scale;
+- shuffle partitions sized to cores locally; at cluster scale AQE's
+  coalescing makes the initial number far less sensitive;
+- Arrow transfer enabled so the Pandas-UDF operators (dedup,
+  similarity, multimodal) move batches, not rows;
+- UTC session timezone so results are reproducible and comparable
+  with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "http_datafusion_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,192 @@
+"""HTTP JSON ingestion — the reference's bespoke layer, Spark-first.
+
+Reference behavior being re-created (for parity, with the bugs fixed):
+
+- fetch JSON from a REST endpoint with GET/POST only; non-2xx is an
+  error (reference src/datasources.rs:212-268);
+- array body -> N rows, object body -> 1 row
+  (src/datasources.rs:177-190);
+- optional pagination: ``?page=N`` starting at ``start_page``,
+  incrementing until the endpoint is exhausted
+  (src/datasources.rs:119-161). The reference stops only on JSON
+  ``null`` — an endpoint returning ``[]`` past the last page loops
+  forever (src/datasources.rs:139-142). We keep the *intent* (fetch
+  until exhausted) and stop on ``null`` **or** ``[]``;
+- the reference's ``Pagination`` config (page_param/page_size_param/
+  end_page…, src/model.rs:20-34) is only consumed by dead code
+  (src/datasources.rs:286-316); here it is honored for real;
+- empty first fetch panics in the reference
+  (``data.first().unwrap()``, src/datasources.rs:195); here it yields
+  an empty DataFrame;
+- schema: the reference infers from the FIRST record only
+  (src/datasources.rs:318-343); Spark's full-scan inference is
+  strictly more robust, so the default is full-scan with an opt-in
+  ``schema_mode="first_record"`` for bit-parity experiments.
+
+Scale note: this module stages rows on the driver — exactly what the
+reference does (src/datasources.rs:192-198) and appropriate for
+config-driven API ingest (bounded payloads). For large paginated APIs
+use sources/datasource.py, which fetches pages in parallel on
+executors (one partition per page) and never materializes the dataset
+on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import requests
+from pyspark.sql import DataFrame, SparkSession
+
+from http_datafusion_spark.config import Pagination
+from http_datafusion_spark.errors import HttpError
+
+_ALLOWED_METHODS = {"GET", "POST"}
+_DEFAULT_TIMEOUT = 30.0
+
+
+def fetch_json(url: str, method: str = "GET", timeout: float = _DEFAULT_TIMEOUT) -> Any:
+    """One HTTP request -> parsed JSON (reference src/datasources.rs:212-268).
+
+    Only GET/POST are allowed, mirroring the reference's method gate
+    (src/datasources.rs:217-223). Non-2xx raises HttpError
+    (src/datasources.rs:265-267). A ``null`` body returns None.
+    """
+    method = (method or "GET").upper()
+    if method not in _ALLOWED_METHODS:
+        raise HttpError(f"No Method Available: {method!r} (allowed: GET, POST)")
+    try:
+        resp = requests.request(method, url, timeout=timeout)
+    except requests.RequestException as e:
+        raise HttpError(f"request execution failed for {url!r}: {e}") from e
+    if not (200 <= resp.status_code < 300):
+        raise HttpError(
+            f"HTTP request failed with status code: {resp.status_code} ({url})"
+        )
+    try:
+        return resp.json()
+    except ValueError as e:
+        raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+
+
+def _extend_rows(rows: list[dict | Any], body: Any) -> None:
+    """Array body extends, object body appends one row, null adds nothing
+    (reference src/datasources.rs:177-190)."""
+    if body is None:
+        return
+    if isinstance(body, list):
+        rows.extend(body)
+    else:
+        rows.append(body)
+
+
+def build_page_url(url: str, pagination: Pagination, page: int) -> str:
+    """Compose the page URL from the Pagination config.
+
+    The reference's live path hard-codes ``?page=N``
+    (src/datasources.rs:125) while its config model declares
+    page_param/page_size_param (src/model.rs:20-34); we honor the
+    config, defaulting to the same ``page``/``limit`` names
+    (src/model.rs:48-59).
+    """
+    sep = "&" if "?" in url else "?"
+    size = pagination.page_size or pagination.page_size_default
+    return f"{url}{sep}{pagination.page_param}={page}&{pagination.page_size_param}={size}"
+
+
+def fetch_rows(
+    url: str,
+    method: str = "GET",
+    start_page: int | str | None = None,
+    pagination: Pagination | None = None,
+    timeout: float = _DEFAULT_TIMEOUT,
+) -> list[Any]:
+    """Fetch all rows from an endpoint, paginating if requested
+    (reference populate_data, src/datasources.rs:110-199).
+
+    Pagination stops on a ``null`` body (reference behavior,
+    src/datasources.rs:139-142) or an empty array (bug-fix — the
+    reference loops forever on ``[]``), or at ``pagination.end_page``
+    when configured.
+    """
+    rows: list[Any] = []
+    if start_page is None and pagination is None:
+        _extend_rows(rows, fetch_json(url, method, timeout))
+        return rows
+
+    pag = pagination or Pagination()
+    if start_page is not None:
+        # Non-numeric start pages parse to 0 in the reference
+        # (src/datasources.rs:159-160); here they are an error.
+        page = int(start_page)
+    else:
+        page = pag.start_page
+    while True:
+        if pag.end_page is not None and page > pag.end_page:
+            break
+        body = fetch_json(build_page_url(url, pag, page), method, timeout)
+        if body is None or (isinstance(body, list) and not body):
+            break
+        _extend_rows(rows, body)
+        if not isinstance(body, list):
+            break  # single-object page: nothing further to paginate
+        page += 1
+    return rows
+
+
+def json_rows_to_df(
+    spark: SparkSession,
+    rows: list[Any],
+    schema_mode: str = "full",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Stage JSON rows as a DataFrame.
+
+    ``schema_mode="full"`` (default): Spark infers over all rows —
+    strictly more robust than the reference. ``"first_record"``:
+    infer from row 1 only, dropping later-only fields, mirroring
+    reference src/datasources.rs:195-196 + 318-343.
+
+    Empty input yields an empty 0-column DataFrame instead of the
+    reference's panic (src/datasources.rs:195).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema="struct<>")
+    if num_partitions is None:
+        num_partitions = max(1, min(len(rows) // 5000 + 1, spark.sparkContext.defaultParallelism))
+    lines = [json.dumps(r, ensure_ascii=False) for r in rows]
+    rdd = spark.sparkContext.parallelize(lines, num_partitions)
+    if schema_mode == "first_record":
+        first = spark.sparkContext.parallelize(lines[:1], 1)
+        schema = spark.read.json(first).schema
+        return spark.read.schema(schema).json(rdd)
+    if schema_mode != "full":
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    return spark.read.json(rdd)
+
+
+def register_http_table(
+    spark: SparkSession,
+    url: str,
+    method: str = "GET",
+    table_name: str = "http_table",
+    start_page: int | str | None = None,
+    pagination: Pagination | None = None,
+    schema_mode: str = "full",
+    cache: bool = True,
+) -> DataFrame:
+    """Fetch + register a named temp view — the Spark analogue of
+    ``dataframe::url`` (reference src/dataframe.rs:7-24).
+
+    The reference re-serializes and re-parses the staged JSON on every
+    query execution (src/execution.rs:173-202); we ``cache()`` the
+    ingested DataFrame instead so repeat queries hit the in-memory
+    columnar form.
+    """
+    rows = fetch_rows(url, method, start_page, pagination)
+    df = json_rows_to_df(spark, rows, schema_mode=schema_mode)
+    if cache and rows:
+        df = df.cache()
+    df.createOrReplaceTempView(table_name)
+    return df
