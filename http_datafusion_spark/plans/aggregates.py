@@ -1,0 +1,286 @@
+"""Aggregation corpus — SURVEY.md §2.4.
+
+count/sum/avg/min/max, DISTINCT aggregates, statistical aggregates,
+exact percentiles/median, ordered string_agg, bool/bit aggregates,
+HAVING, ROLLUP/CUBE/GROUPING SETS with grouping() flags, and
+pivot-style conditional aggregation.
+
+Oracle-compat rules applied throughout: integer-valued aggregates are
+CAST to BIGINT on both sides (DuckDB's sum(INTEGER) yields HUGEINT,
+Spark's yields BIGINT); float aggregates are rounded; approximate
+aggregates (approx_count_distinct / percentile_approx / HLL) are
+exercised in tests, not oracle-compared, since the sketches differ by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)              AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 2)           AS total,
+           round(avg(o_totalprice), 4)           AS avg_price,
+           round(min(o_totalprice), 2)           AS min_price,
+           round(max(o_totalprice), 2)           AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="core aggregates incl. count(DISTINCT) (SURVEY §2.4)",
+    tags=("agg", "bench"),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)               AS sd_qty,
+           round(stddev_pop(l_quantity), 6)                AS sdp_qty,
+           round(var_samp(l_quantity), 6)                  AS var_qty,
+           round(var_pop(l_quantity), 6)                   AS varp_qty,
+           round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates: stddev/variance/corr/covar (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT l_linestatus,
+           round(median(l_extendedprice), 4)                 AS median_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4)    AS p25,
+           round(quantile_cont(l_extendedprice, 0.90), 4)    AS p90
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="exact median and continuous percentiles (SURVEY §2.4; approx variants tested separately)",
+    tags=("agg",),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+@query(
+    "q_agg_string_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="ordered string_agg / collect_list+sort (SURVEY §2.4 array_agg/string_agg row)",
+    tags=("agg",),
+)
+def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@query(
+    "q_agg_bool_bit",
+    oracle="""
+    SELECT c_nationkey,
+           bool_and(c_acctbal > 0)                 AS all_positive,
+           bool_or(c_acctbal > 9000)               AS any_rich,
+           CAST(bit_and(c_custkey) AS BIGINT)      AS band,
+           CAST(bit_or(c_custkey) AS BIGINT)       AS bor,
+           CAST(bit_xor(c_custkey) AS BIGINT)      AS bxor,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="bool_and/bool_or, bit_and/or/xor, conditional count (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bit_and("c_custkey").alias("band"),
+        F.bit_or("c_custkey").alias("bor"),
+        F.bit_xor("c_custkey").alias("bxor"),
+        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("n_building"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_extendedprice), 2) AS supp_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_extendedprice) > 100000 AND count(*) > 10
+    """,
+    doc="HAVING post-aggregation filter (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum("l_extendedprice").alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter((F.col("_rev") > 100000) & (F.col("n_items") > 10))
+        .select("l_suppkey", F.round("_rev", 2).alias("supp_revenue"), "n_items")
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(grouping(l_returnflag) AS BIGINT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT)  AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping() flags (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(*) AS BIGINT)    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           round(sum(c_acctbal), 2) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    doc="GROUPING SETS (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               round(sum(c_acctbal), 2) AS total_bal,
+               count(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "q_pivot_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)          AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="pivot via conditional aggregation (SURVEY §2.4; portable pivot form)",
+    tags=("agg",),
+)
+def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 2).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 2).alias("qty_filled"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+@query(
+    "q_sum_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="sum(DISTINCT) + count(DISTINCT) together (SURVEY §2.4)",
+    tags=("agg",),
+)
+def q_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )

@@ -56,8 +56,12 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.multimodal  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
+    import http_datafusion_spark.plans.aggregates  # noqa: F401
     import http_datafusion_spark.plans.events  # noqa: F401
     import http_datafusion_spark.plans.relational  # noqa: F401
+    import http_datafusion_spark.plans.scalar_funcs  # noqa: F401
+    import http_datafusion_spark.plans.subqueries  # noqa: F401
+    import http_datafusion_spark.plans.windows  # noqa: F401
     import http_datafusion_spark.streaming.queries  # noqa: F401
 
     return dict(REGISTRY)

@@ -32,10 +32,20 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Read the requested tables (all when none named) and register
     same-named temp views. Returns name -> DataFrame."""
+    from pyspark.sql import functions as F
+
     out: dict[str, DataFrame] = {}
     for name in names or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
+        if name == "events":
+            # ts is TIMESTAMP(NANOS) in parquet, read as int64 ns via
+            # spark.sql.legacy.parquet.nanosAsLong (session.py); restore a
+            # real timestamp at µs precision (the data carries none finer).
+            from pyspark.sql.types import LongType
+
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
