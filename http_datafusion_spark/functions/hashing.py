@@ -1,0 +1,44 @@
+"""Portable deterministic hashing — identical values in Spark and DuckDB.
+
+The LLM-pipeline operators (MinHash, SimHash, fingerprinting) need
+hash functions that the DuckDB oracle can reproduce bit-for-bit. MD5
+is the common denominator: both engines produce identical hex digests,
+and a 15-hex-char prefix parses into a non-negative 60-bit BIGINT on
+both sides:
+
+- Spark:  ``conv(substr(md5(s), 1, 15), 16, 10)::bigint``
+- DuckDB: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``
+
+"Permutations" for MinHash are salted hashes ``md5(i || '|' || s)``
+rather than the classic ``(a*h+b) mod p`` — same independence
+property, no 64-bit overflow concerns, and trivially portable.
+
+Scale note: md5 on short strings is a JVM-side codegen'd expression in
+Spark (no Python boundary), so these run at full whole-stage-codegen
+speed on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int(col: Column, nchars: int = 15) -> Column:
+    """Spark: first `nchars` hex chars of md5 as a BIGINT (≤60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("bigint")
+
+
+def md5_int_sql(expr: str, nchars: int = 15) -> str:
+    """DuckDB fragment computing the same value as :func:`md5_int`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {nchars})) AS BIGINT)"
+
+
+def salted_hash(col: Column, salt: int, nchars: int = 15) -> Column:
+    """Spark: md5-derived hash of ``salt || '|' || col`` (MinHash permutation i)."""
+    return md5_int(F.concat(F.lit(f"{salt}|"), col), nchars)
+
+
+def salted_hash_sql(expr: str, salt: int, nchars: int = 15) -> str:
+    """DuckDB fragment matching :func:`salted_hash`."""
+    return md5_int_sql(f"concat('{salt}|', {expr})", nchars)

@@ -1,1 +1,416 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents``/``embeddings`` —
+north-star extension (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+All variants are expressed as compositions of built-in DataFrame ops
+(split / explode / groupBy-min / self-join) — no Python UDFs — so they
+whole-stage-codegen and scale horizontally:
+
+- exact dedup = hash-groupBy: one shuffle on the 128-bit fingerprint;
+- MinHash: shingle explode is map-side; the signature is ONE shuffle
+  (groupBy doc_id); LSH banding turns the quadratic all-pairs problem
+  into an equi-join on (band, key) — the join key is what bounds the
+  shuffle, and only near-dup candidates ever materialize;
+- SimHash: token explode + per-bit majority vote, then byte-banding
+  for candidate generation (hamming ≤ K verified with bit_count);
+- n-gram Jaccard: inverted-index self-join on shingle — the exact
+  (verification) counterpart to MinHash's approximation;
+- embedding cosine: exact pairwise here (fine to ~10⁴ vectors);
+  the scale path is the IVF/LSH bucketing in operators/similarity.py.
+
+Hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted_hash, salted_hash_sql
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+N_MINHASH = 8  # permutations
+N_BANDS = 4  # bands of 2 -> candidate recall ~J^2 per band
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"
+)
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def _shingles(words: Column) -> Column:
+    """Distinct word-3-gram shingles (1-based slice, mirrors the oracle)."""
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        )
+    )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded — shared first stage of the near-dup family."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = _words(F.col("text"))
+    return (
+        d.select("doc_id", _shingles(words).alias("shingles"), F.size(words).alias("n_words"))
+        .filter(F.col("n_words") >= 3)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> DataFrame:
+    """One row per doc with k min-hash components h0..h{k-1}.
+
+    Single shuffle: explode is map-side, groupBy(doc_id) does a
+    partial (map-side combine) min before exchanging — scales linearly.
+    """
+    sh = shingled_docs(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(salted_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def _minhash_signature_sql(k: int = N_MINHASH) -> str:
+    mins = ",\n           ".join(
+        f"min({salted_hash_sql('shingle', i)}) AS h{i}" for i in range(k)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT doc_id,
+           {mins}
+    FROM sh
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT)    AS group_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    doc="exact dedup: hash-groupBy on normalized-text fingerprint, min-id survivor (north-star dedup)",
+    tags=("dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=_minhash_signature_sql(),
+    doc="MinHash signatures: k=8 salted-md5 permutations over word-3-gram shingles (north-star dedup)",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature(spark, sf_dir)
+
+
+def _minhash_pairs_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat(h{2 * j}, '_', h{2 * j + 1}) AS key FROM sig"
+        for j in range(N_BANDS)
+    )
+    matches = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
+    return f"""
+    WITH sig AS ({_minhash_signature_sql()}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({matches}) / {N_MINHASH}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = doc_a
+    JOIN sig b ON b.doc_id = doc_b
+    WHERE ({matches}) >= {N_MINHASH // 2}
+    """
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_minhash_pairs_sql(),
+    doc="MinHash-LSH near-dup pairs: 4 bands x 2 rows banding join, signature-agreement filter (north-star dedup)",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws("_", f"h{2 * j}", f"h{2 * j + 1}").alias("key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= N_MINHASH // 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_match") / float(N_MINHASH), 4).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
+    """,
+    doc="exact n-gram Jaccard near-dup pairs via inverted-index self-join (north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_docs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+N_SIMHASH_BITS = 60  # md5_int yields 60 usable bits; 32 is too few to
+N_SIMHASH_BANDS = 4  # separate near-dups on a shared-vocabulary corpus
+SIMHASH_BAND_BITS = N_SIMHASH_BITS // N_SIMHASH_BANDS
+SIMHASH_HAMMING_MAX = 10
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc: per-bit majority vote over token hashes
+    (all token occurrences — natural TF weighting)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w")).select(
+        "doc_id", md5_int(F.col("w")).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(N_SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    h = md5_int_sql("w")
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(N_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    doc="SimHash 32-bit signatures: per-bit majority vote over token hashes (north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS chunk
+      FROM sig, unnest(range(0, {N_SIMHASH_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sig_a, y.simhash AS sig_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup pairs: {SIMHASH_BAND_BITS}-bit banding candidates + hamming<={SIMHASH_HAMMING_MAX} verification (north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("chunk", F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return cand.filter(hamming <= SIMHASH_HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) > 0.4
+    """,
+    doc="embedding-cosine near-dup pairs, exact pairwise (scale path: similarity.py IVF/LSH) (north-star dedup)",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") > 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

@@ -1,1 +1,198 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over the ``documents`` table — north-star
+extension (beyond the reference's surface; see build brief + FIXTURES.md).
+
+Everything here is built from JVM-side expressions (split, regexp,
+aggregate over arrays) — no Python UDFs in the hot path — so the same
+code whole-stage-codegens on a cluster at 100 TB. Each operator has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+# Stopword lists for the n-gram/stopword language heuristic. The
+# documents fixture has synthetic vocab, so the heuristic is defined on
+# function-word frequency *ratios* and remains fully deterministic.
+_EN_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Split on whitespace runs; empty string -> empty array."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def bpe_ish_token_estimate(col: Column) -> Column:
+    """Rough BPE token count: word-piece regex (letter runs, digit runs,
+    single punctuation) — the standard ~GPT-2 pre-tokenizer shape."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS BIGINT)  AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT)                                                           AS n_chars,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')), 1), 4) AS chars_per_token
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex tokenizer (north-star text analysis)",
+    tags=("text", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = whitespace_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        bpe_ish_token_estimate(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> list_contains({list(_EN_STOPWORDS)!r}, lower(w)))) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           round(n_punct / greatest(n_chars, 1), 6)              AS punct_ratio,
+           round(n_stop / greatest(CAST(n_words AS DOUBLE), 1), 6) AS stopword_ratio,
+           round(n_chars / greatest(CAST(n_words AS DOUBLE), 1), 4) AS avg_word_len,
+           (n_words >= 5 AND n_chars / greatest(CAST(n_words AS DOUBLE), 1) BETWEEN 2 AND 12) AS passes_quality
+    FROM t
+    """,
+    doc="quality scoring: length/punctuation/stopword ratios + pass flag (north-star text analysis)",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = whitespace_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(toks).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), F.lit(0))).cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast("double")
+    n_words_d = n_words.cast("double")
+    avg_word_len = n_chars / F.greatest(n_words_d, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_words_d, F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        ((n_words >= 5) & avg_word_len.between(2.0, 12.0)).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(words, w -> list_contains({list(_EN_STOPWORDS)!r}, w))) AS DOUBLE)
+               / greatest(len(words), 1) AS en_score,
+             CAST(len(list_filter(words, w -> length(w) > 6)) AS DOUBLE)
+               / greatest(len(words), 1) AS long_word_ratio
+      FROM t
+    )
+    SELECT doc_id, lang,
+           round(en_score, 6) AS en_score,
+           round(long_word_ratio, 6) AS long_word_ratio,
+           CASE WHEN en_score >= 0.05 THEN 'en-like'
+                WHEN long_word_ratio >= 0.4 THEN 'agglutinative-like'
+                ELSE 'other' END AS lang_guess
+    FROM scored
+    """,
+    doc="language-ID heuristic: function-word + word-shape n-gram scores (north-star text analysis)",
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = whitespace_tokens(F.lower(F.col("text")))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    denom = F.greatest(F.size(words), F.lit(1)).cast("double")
+    en_score = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / denom
+    long_ratio = F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("double") / denom
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(en_score, 6).alias("en_score"),
+        F.round(long_ratio, 6).alias("long_word_ratio"),
+        F.when(en_score >= 0.05, "en-like")
+        .when(long_ratio >= 0.4, "agglutinative-like")
+        .otherwise("other")
+        .alias("lang_guess"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))            AS fp_md5,
+           CAST(concat('0x', substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT)
+                                                                               AS fp_int,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8) AS fp_short
+    FROM documents
+    """,
+    doc="document fingerprinting: normalized-text digest, 60-bit int form (north-star text analysis)",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        md5_int(norm).alias("fp_int"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_short"),
+    )
+
+
+@query(
+    "text_per_source_profile",
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)              AS total_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 4)    AS avg_chars,
+           round(median(CAST(n_chars AS DOUBLE)), 1) AS median_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="corpus profiling: per-source/lang document statistics (north-star text analysis)",
+    tags=("text",),
+)
+def text_per_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.round(F.median(F.col("n_chars").cast("double")), 1).alias("median_chars"),
+    )

@@ -1,1 +1,189 @@
-"""Placeholder — filled in as operators land."""
+"""Event-table corpus — time-series operators over ``events``
+(FIXTURES.md): tumbling/sliding bucket aggregation, per-user ordering,
+batch sessionization. The streaming twins live in streaming/queries.py.
+
+Bucketing is expressed as ``floor(epoch/width)`` rather than
+``F.window``/``time_bucket`` so the bucket key is a plain BIGINT both
+engines compute identically (window-origin conventions differ between
+engines; epoch math doesn't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+
+@query(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket_5m,
+           event_type,
+           CAST(count(*) AS BIGINT)        AS n,
+           round(sum(value), 4)            AS total_value,
+           round(avg(value), 6)            AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 5-minute window aggregation (epoch-bucketed) (FIXTURES events corpus)",
+    tags=("events", "bench"),
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.withColumn("bucket_5m", F.floor(F.unix_timestamp("ts") / 300).cast("bigint"))
+        .groupBy("bucket_5m", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_sliding_agg",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS b, value
+      FROM events
+    ), offsets AS (
+      SELECT b + o AS win_start_bucket, value
+      FROM buckets, unnest([0, 1]) AS t(o)
+    )
+    SELECT win_start_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM offsets
+    GROUP BY 1
+    """,
+    doc="sliding window (10 min window, 5 min slide) via bucket-offset expansion (FIXTURES events corpus)",
+    tags=("events",),
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A 10-minute window sliding every 5 minutes = each event lands in 2
+    # 5-minute-aligned windows; explode the two memberships then re-agg
+    # (exactly how Spark's F.window(slide) physically expands, but with a
+    # portable integer bucket key).
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.withColumn("b", F.floor(F.unix_timestamp("ts") / 300).cast("bigint"))
+        .withColumn("o", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("win_start_bucket", F.col("b") + F.col("o"))
+        .groupBy("win_start_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           round(value - lag(value)  OVER w, 6)  AS delta_prev,
+           round(lead(value) OVER w - value, 6)  AS delta_next,
+           CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="per-user lag/lead deltas and inter-event gaps (FIXTURES events corpus)",
+    tags=("events", "window"),
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        ep.alias("ts_sec"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+        (ep - F.unix_timestamp(F.lag("ts").over(w))).cast("bigint").alias("gap_sec"),
+    )
+
+
+_SESSION_GAP_SEC = 1800  # 30 minutes
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value, floor(epoch(ts)) AS es,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_SESSION_GAP_SEC}
+                  OR lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, value, es,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)       AS session_id,
+           CAST(count(*) AS BIGINT)         AS n_events,
+           CAST(max(es) - min(es) AS BIGINT) AS duration_sec,
+           round(sum(value), 4)             AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc=f"batch sessionization: {_SESSION_GAP_SEC // 60}-min-gap sessions via lag+cumsum (FIXTURES events corpus; streaming twin uses session_window)",
+    tags=("events", "window", "bench"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    prev = F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(prev.isNull() | ((es - prev) > _SESSION_GAP_SEC), 1).otherwise(0)
+    wcum = W.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        e.select("user_id", "event_id", "value", es.alias("es"), is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("es") - F.min("es")).cast("bigint").alias("duration_sec"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select("user_id", F.col("session_id").cast("bigint").alias("session_id"), "n_events", "duration_sec", "session_value")
+    )
+
+
+@query(
+    "events_rate_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / greatest(max(floor(epoch(ts))) - min(floor(epoch(ts))), 1), 6) AS events_per_sec,
+           round(quantile_cont(value, 0.95), 6) AS p95_value,
+           round(quantile_cont(value, 0.99), 6) AS p99_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="per-type event-rate + tail-latency profile (exact p95/p99) (FIXTURES events corpus)",
+    tags=("events",),
+)
+def events_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    ep = F.unix_timestamp("ts")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.count(F.lit(1)) / F.greatest(F.max(ep) - F.min(ep), F.lit(1)).cast("double"), 6
+        ).alias("events_per_sec"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_value"),
+    )

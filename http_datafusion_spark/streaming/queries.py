@@ -1,1 +1,142 @@
-"""Placeholder — filled in as operators land."""
+"""Structured Streaming operators over ``events`` — the streaming
+extension (SURVEY §2.9: the reference is bounded-only; this is the
+Spark-native upgrade path described in SURVEY §7/M4).
+
+Each query drives a real streaming pipeline: ``readStream`` on the
+events parquet, event-time processing with watermarks/windows, memory
+sink, ``processAllAvailable`` — so the result is deterministic and
+(for the aggregations) equal to its batch twin, which is exactly what
+the DuckDB oracle runs.
+
+Complete output mode is used for the oracle-checked aggregations so
+the final state is independent of watermark progress (append-mode
+emission timing is exercised in tests/test_streaming.py instead).
+
+Scale note: in production these run against Kafka with the same code
+minus the source swap; state is partitioned by the groupBy keys
+(bucket/user), so state size is bounded by key cardinality, and
+watermarks bound it in event time.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; stage one holding a
+    symlink to the (read-only) events parquet."""
+    name = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_{name}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a file-source stream.
+
+    Schema comes from a batch read (a stream can't infer), including
+    the TIMESTAMP(NANOS) -> µs normalization from the loader.
+    """
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_dir(sf_dir))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+    return stream
+
+
+def run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming aggregation to completion via a memory sink."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hds_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return agg.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket_5m,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling window agg (watermark + F.window, complete mode) == batch twin (streaming extension)",
+    tags=("streaming",),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_to_memory(agg, "complete")
+    # F.window aligns to the epoch, so window.start/300 IS the bucket id.
+    return out.select(
+        F.floor(F.unix_timestamp("w.start") / 300).cast("bigint").alias("bucket_5m"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value, epoch(ts) AS es,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                  OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, value, es,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming session_window(30 min gap) == batch lag+cumsum sessionization (streaming extension)",
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select("user_id", "n_events", "session_value")
