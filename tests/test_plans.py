@@ -1,0 +1,84 @@
+"""Physical-plan assertions — lock in the plan shapes that matter at
+100 TB (SURVEY §4): predicate pushdown into parquet scans, column
+pruning, broadcast joins for dimension tables, TopK fusion, and
+partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import all_queries
+from http_datafusion_spark.plans.tables import load_tables
+
+QS = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    s = formatted(df)
+    assert "PushedFilters" in s and "GreaterThan(l_quantity" in s
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    df = li.select("l_orderkey", "l_quantity")
+    s = formatted(df)
+    read_schema = next(line for line in s.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns never read
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    s = plan_of(QS["q5_region_volume"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s  # nothing should fall back to SMJ here
+
+
+def test_topk_fused_to_take_ordered(spark, sf_dir):
+    s = plan_of(QS["q_topk_orders"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s  # no global sort materialization
+
+
+def test_partial_aggregation_planned(spark, sf_dir):
+    s = plan_of(QS["q1_pricing_summary"].spark(spark, sf_dir))
+    # Two-phase agg: map-side partial + final after exchange.
+    assert s.count("HashAggregate") >= 2
+    assert "partial_" in s
+
+
+def test_semi_join_planned_for_exists(spark, sf_dir):
+    s = plan_of(QS["q_semi_join"].spark(spark, sf_dir))
+    assert "LeftSemi" in s
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # '*(n)' prefixes mark whole-stage-codegen spans; AQE only finalizes
+    # the plan (and inserts codegen stages) once the query has run.
+    df = QS["q1_pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # count() would plan a different query; collect executes THIS one
+    s = plan_of(df)
+    assert "isFinalPlan=true" in s and "*(1)" in s
+
+
+def test_minhash_signature_single_shuffle(spark, sf_dir):
+    # explode+groupBy(doc_id) must not add exchanges beyond the doc_id
+    # repartition/window and the final agg — no join, no extra sorts.
+    s = plan_of(QS["dedup_minhash_signature"].spark(spark, sf_dir))
+    assert "Join" not in s
