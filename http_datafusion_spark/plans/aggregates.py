@@ -29,7 +29,7 @@ from http_datafusion_spark.plans.tables import load_tables
            CAST(count(*) AS BIGINT)              AS n_orders,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            round(sum(o_totalprice), 2)           AS total,
-           round(avg(o_totalprice), 4)           AS avg_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
            round(min(o_totalprice), 2)           AS min_price,
            round(max(o_totalprice), 2)           AS max_price
     FROM orders
@@ -44,7 +44,7 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )

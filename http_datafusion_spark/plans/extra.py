@@ -1,0 +1,298 @@
+"""Coverage completion — remaining SURVEY.md §2 rows: LIKE/IN
+predicates, USING/NATURAL joins, arg-extrema aggregates, UNION
+distinct, struct/map scalar families, the registered-UDF surface, and
+two more TPC-H-shaped bench heads (Q7/Q10 analogues).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+
+@query(
+    "q_like_in_predicates",
+    oracle="""
+    SELECT p_partkey, p_type, p_brand
+    FROM part
+    WHERE (p_type LIKE '%BRUSHED%' OR p_type ILIKE 'standard%')
+      AND p_brand NOT LIKE 'Brand#4%'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND p_retailprice IS NOT NULL
+    """,
+    doc="LIKE / ILIKE / NOT LIKE / IN-list / IS NOT NULL predicates (SURVEY §2.2)",
+    tags=("filter",),
+)
+def q_like_in_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(
+            (F.col("p_type").like("%BRUSHED%") | F.col("p_type").ilike("standard%"))
+            & ~F.col("p_brand").like("Brand#4%")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_type", "p_brand")
+    )
+
+
+@query(
+    "q_join_using",
+    oracle="""
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer)
+    JOIN (SELECT s_nationkey AS nationkey, s_suppkey FROM supplier) USING (nationkey)
+    GROUP BY nationkey
+    """,
+    doc="JOIN ... USING named-column join (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "supplier")
+    return spark.sql(
+        """
+        SELECT nationkey, count(*) AS n_pairs
+        FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer)
+        JOIN (SELECT s_nationkey AS nationkey, s_suppkey FROM supplier) USING (nationkey)
+        GROUP BY nationkey
+        """
+    )
+
+
+@query(
+    "q_natural_join",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, n_regionkey AS rk FROM nation)
+    NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)
+    """,
+    doc="NATURAL JOIN on shared column names (SURVEY §2.3)",
+    tags=("join",),
+)
+def q_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        SELECT n_name, r_name
+        FROM (SELECT n_name, n_regionkey AS rk FROM nation)
+        NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)
+        """
+    )
+
+
+@query(
+    "q_agg_arg_extrema",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, c_custkey)  AS newest_customer,
+           min_by(c_name, c_custkey)  AS oldest_customer,
+           round(max(c_acctbal), 2)   AS max_bal,
+           any_value(c_mktsegment ORDER BY c_custkey) AS a_segment
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="max_by/min_by arg-extrema + deterministic any_value (SURVEY §2.4 first/last_value row)",
+    tags=("agg",),
+)
+def q_agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    # Spark's any_value has no ORDER BY — min_by on the unique key gives
+    # the same deterministic "first by custkey" semantics.
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.min_by("c_mktsegment", "c_custkey").alias("a_segment"),
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="UNION with set (distinct) semantics (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'prio': o_orderpriority}.status          AS s_status,
+           {'status': o_orderstatus, 'prio': o_orderpriority}.prio            AS s_prio,
+           to_json({'k': o_orderkey, 'p': round(o_totalprice, 2)})            AS s_json,
+           {'outer': {'inner': o_orderstatus}}.outer.inner                    AS nested_field
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+    doc="struct/named_struct build + field access + nested access + to_json (SURVEY §2.8 struct family)",
+    tags=("scalar",),
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    s = F.struct(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("prio"))
+    nested = F.struct(F.struct(F.col("o_orderstatus").alias("inner")).alias("outer"))
+    return o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("prio").alias("s_prio"),
+        F.to_json(
+            F.struct(F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("p"))
+        ).alias("s_json"),
+        nested.getField("outer").getField("inner").alias("nested_field"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1]  AS m_name,
+           array_to_string(list_sort(map_keys(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]))), ',') AS keys_csv,
+           CAST(cardinality(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS BIGINT) AS m_size
+    FROM nation
+    """,
+    doc="map build + element access + map_keys + cardinality (SURVEY §2.8 map family)",
+    tags=("scalar",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("m_name"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(m).cast("bigint").alias("m_size"),
+    )
+
+
+@query(
+    "q_registered_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charged
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="UDF surface (SURVEY §2.10, extension): Arrow pandas_udf registered into SQL; oracle is the plain expression",
+    tags=("udf",),
+)
+def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    spark.udf.register("udf_charge", charge)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(udf_charge(l_extendedprice, l_discount, l_tax)), 2) AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume by year (SURVEY §2.3/2.4)",
+    tags=("join", "agg", "bench"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.round(F.sum(F.col("volume").cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           round(max(c_acctbal), 2) AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top returned-item revenue customers (SURVEY §2.3/2.4/2.6)",
+    tags=("join", "agg", "topk", "bench"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -52,12 +52,14 @@ def query(
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
+    import http_datafusion_spark.operators.asof  # noqa: F401
     import http_datafusion_spark.operators.dedup  # noqa: F401
     import http_datafusion_spark.operators.multimodal  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
     import http_datafusion_spark.plans.aggregates  # noqa: F401
     import http_datafusion_spark.plans.events  # noqa: F401
+    import http_datafusion_spark.plans.extra  # noqa: F401
     import http_datafusion_spark.plans.relational  # noqa: F401
     import http_datafusion_spark.plans.scalar_funcs  # noqa: F401
     import http_datafusion_spark.plans.subqueries  # noqa: F401
