@@ -165,7 +165,9 @@ def _minhash_pairs_sql() -> str:
     tags=("dedup", "bench"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signature(spark, sf_dir)
+    # The signature feeds four plan branches (both band sides + both
+    # verify sides); cache it so the shingle+hash stage runs once.
+    sig = minhash_signature(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -234,7 +236,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_docs(spark, sf_dir)
+    sh = shingled_docs(spark, sf_dir).cache()  # reused by sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         sh.alias("a")
@@ -340,7 +342,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash_signatures(spark, sf_dir)
+    sig = simhash_signatures(spark, sf_dir).cache()  # reused by both band sides
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         "doc_id",

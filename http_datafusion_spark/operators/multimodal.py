@@ -107,6 +107,69 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for the 'video' modality — one output row per
+    sampled frame (doc_id, frame_idx, frame_bytes).
+
+    A real implementation would seek keyframes via a codec; the
+    deterministic stand-in slices the payload every ``every_n_bytes``.
+    The Spark-side shape is the real thing: explode-style fan-out in
+    Arrow batches, payload chunks stay off the driver, downstream
+    stages see (id, idx, bytes) exactly as a decoder would emit.
+    """
+    out_schema = "doc_id bigint, frame_idx bigint, frame_bytes binary, frame_len bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, lens = [], [], [], []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type != "video":
+                    continue
+                for j in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    chunk = bytes(payload[j * every_n_bytes : (j + 1) * every_n_bytes])
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(chunk)
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames, "frame_len": lens}
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize — requires a codec; stubbed per the build brief."""
+    raise NotImplementedError("image codecs unavailable; resize is plumbing-only here")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             least(8, greatest(octet_length(encode(text)) // 64, 1)) AS nf
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT)            AS n_frames,
+           CAST(least(nb, nf * 64) AS BIGINT) AS n_bytes
+    FROM m
+    """,
+    doc="video frame sampling: mapInPandas fan-out, frame counts oracle-checked (north-star multimodal)",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(media_table(spark, sf_dir))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").cast("bigint").alias("n_bytes"),
+    )
+
+
 @query(
     "multimodal_metadata",
     oracle="""

@@ -27,6 +27,22 @@ TABLES = [
 ]
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must behave identically on a session we didn't build
+    (the driver harness creates its own): pin the runtime-settable
+    confs the corpus depends on."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),  # timestamp-string determinism
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),  # events TIMESTAMP(NANOS)
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable on some builds; best effort
+            pass
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, *names: str
 ) -> dict[str, DataFrame]:
@@ -34,6 +50,7 @@ def load_tables(
     same-named temp views. Returns name -> DataFrame."""
     from pyspark.sql import functions as F
 
+    _ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in names or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,64 @@
+"""Approximate aggregates (sketch-based, tested with tolerance instead
+of an oracle hash — SURVEY §2.4 approx rows), nondeterministic scalars
+(uuid/random — format/range checks), and file-source coverage for the
+formats the reference ships latently (SURVEY §2.1: parquet/CSV/JSON).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.tables import load_tables
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    row = li.select(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert row.approx == pytest.approx(row.exact, rel=0.02)
+
+
+def test_uuid_and_random(spark):
+    row = spark.range(1).select(F.expr("uuid()").alias("u"), F.rand(42).alias("r")).collect()[0]
+    assert len(row.u) == 36 and row.u.count("-") == 4
+    assert 0.0 <= row.r < 1.0
+
+
+def test_csv_json_roundtrip_sources(spark, sf_dir, tmp_path):
+    # Reference ships CSV/JSON readers latently (Cargo.lock features,
+    # SURVEY §2.1) — demonstrate the same capability end-to-end.
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.write.mode("overwrite").json(json_dir)
+    back_csv = spark.read.option("header", True).option("inferSchema", True).csv(csv_dir)
+    back_json = spark.read.json(json_dir)
+    assert back_csv.count() == n.count() == back_json.count()
+    assert {r.n_name for r in back_csv.collect()} == {r.n_name for r in n.collect()}
+
+
+def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
+    # Partition-pruned reads: the layout strategy for 100 TB fact tables.
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    out = str(tmp_path / "orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    part = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    expected = o.filter(F.col("o_orderstatus") == "F").count()
+    assert part.count() == expected
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        part.explain()
+    assert "PartitionFilters" in buf.getvalue()
