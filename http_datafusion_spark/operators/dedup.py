@@ -372,6 +372,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_near_apply",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()})
+    SELECT d.doc_id, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """,
+    doc="apply near-dedup: drop the higher-id member of every MinHash near-dup pair, keep survivors (north-star dedup end-to-end)",
+    tags=("dedup",),
+)
+def dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy survivor selection (anti-join on the pair's doc_b side) —
+    # one pass, no iterative connected components; at scale this is an
+    # anti-join against the (small) candidate-pair set.
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return (
+        d.join(pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (

@@ -140,6 +140,36 @@ _IVF_ASSIGN_SQL = f"""
 
 
 @query(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c_dim1,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c_dim2,
+           round(avg(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label centroid components + mean norm (vector aggregation shape for k-means-style refits) (north-star similarity)",
+    tags=("similarity",),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    return (
+        e.select("label", emb.alias("emb"), _norm(emb).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.element_at("emb", 1)), 6).alias("c_dim1"),
+            F.round(F.avg(F.element_at("emb", 2)), 6).alias("c_dim2"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+@query(
     "sim_ivf_buckets",
     oracle=f"""
     WITH {_IVF_ASSIGN_SQL}
