@@ -432,6 +432,24 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT ALL bag semantics (SURVEY §2.7)",
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@query(
     "q_intersect_all",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
