@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.plans.relational  # noqa: F401
     import http_datafusion_spark.plans.scalar_funcs  # noqa: F401
     import http_datafusion_spark.plans.subqueries  # noqa: F401
+    import http_datafusion_spark.plans.tpch_more  # noqa: F401
     import http_datafusion_spark.plans.windows  # noqa: F401
     import http_datafusion_spark.streaming.queries  # noqa: F401
 
