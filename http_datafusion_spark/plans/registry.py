@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.asof  # noqa: F401
     import http_datafusion_spark.operators.dedup  # noqa: F401
     import http_datafusion_spark.operators.multimodal  # noqa: F401
+    import http_datafusion_spark.operators.range_join  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
     import http_datafusion_spark.plans.aggregates  # noqa: F401
