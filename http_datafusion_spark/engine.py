@@ -30,16 +30,38 @@ class SourceResult:
     result: DataFrame | None  # None when the source declares no sql
 
 
-def run_source(spark: SparkSession, source: Source) -> SourceResult:
-    start_page = source.pagination.start_page if source.pagination else None
-    table = register_http_table(
-        spark,
-        url=source.url,
-        method=source.method,
-        table_name=source.name,
-        start_page=start_page,
-        pagination=source.pagination,
-    )
+def run_source(
+    spark: SparkSession, source: Source, via_datasource: bool = False
+) -> SourceResult:
+    pag = source.pagination
+    if via_datasource and pag is not None and pag.end_page is not None:
+        # Scale-out path: known page range => page-per-partition parallel
+        # fetch on executors (sources/datasource.py) instead of
+        # driver-side staging.
+        from http_datafusion_spark.sources.datasource import register
+
+        register(spark)
+        table = (
+            spark.read.format("httpjson")
+            .option("url", source.url)
+            .option("method", source.method)
+            .option("startPage", pag.start_page)
+            .option("endPage", pag.end_page)
+            .option("pageSize", pag.page_size)
+            .option("pageParam", pag.page_param)
+            .option("pageSizeParam", pag.page_size_param)
+            .load()
+        )
+        table.createOrReplaceTempView(source.name)
+    else:
+        table = register_http_table(
+            spark,
+            url=source.url,
+            method=source.method,
+            table_name=source.name,
+            start_page=pag.start_page if pag else None,
+            pagination=pag,
+        )
     result: DataFrame | None = None
     if source.sql:
         try:
@@ -49,13 +71,19 @@ def run_source(spark: SparkSession, source: Source) -> SourceResult:
     return SourceResult(source=source, table=table, result=result)
 
 
-def run(config: Config, spark: SparkSession | None = None, show: bool = True) -> list[SourceResult]:
+def run(
+    config: Config,
+    spark: SparkSession | None = None,
+    show: bool = True,
+    via_datasource: bool = False,
+) -> list[SourceResult]:
     """Execute every source in order against one shared session
-    (reference src/main.rs:34-46)."""
+    (reference src/main.rs:34-46). ``via_datasource=True`` routes
+    bounded-pagination sources through the parallel httpjson reader."""
     spark = spark or get_spark()
     results = []
     for source in config.sources:
-        res = run_source(spark, source)
+        res = run_source(spark, source, via_datasource=via_datasource)
         if show and res.result is not None:
             # DataFusion show() prints all rows (SURVEY §2.1 sink row).
             res.result.show(res.result.count(), truncate=False)

@@ -24,7 +24,16 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):  # noqa: N802
-        body = json.dumps(USERS if self.path.startswith("/users") else ORDERS).encode()
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(self.path)
+        data = USERS if u.path.startswith("/users") else ORDERS
+        q = parse_qs(u.query)
+        if "page" in q:
+            page = int(q["page"][0])
+            size = int(q.get("limit", ["10"])[0])
+            data = data[(page - 1) * size : page * size]
+        body = json.dumps(data).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
@@ -77,6 +86,27 @@ def test_shared_session_across_sources(base_url, spark):
     res = run(cfg, spark=spark, show=False)
     row = res[1].result.collect()[0]
     assert (row.nu, row.no) == (10, 50)
+
+
+def test_run_via_datasource_parallel_path(base_url, spark):
+    # Bounded pagination + via_datasource => the httpjson reader with one
+    # partition per page; results identical to the driver path.
+    cfg = Config.from_dict(
+        {
+            "sources": [
+                {
+                    "name": "o_ds",
+                    "url": f"{base_url}/orders",
+                    "pagination": {"start_page": 1, "end_page": 5, "page_size": 10},
+                    "sql": "SELECT count(*) AS n, round(sum(amt), 2) AS total FROM o_ds",
+                }
+            ]
+        }
+    )
+    res = run(cfg, spark=spark, show=False, via_datasource=True)
+    assert res[0].table.rdd.getNumPartitions() == 5
+    row = res[0].result.collect()[0]
+    assert (row.n, row.total) == (50, round(sum(o["amt"] for o in ORDERS), 2))
 
 
 def test_bad_sql_raises_query_error(base_url, spark):
