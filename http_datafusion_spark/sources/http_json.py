@@ -46,28 +46,53 @@ _ALLOWED_METHODS = {"GET", "POST"}
 _DEFAULT_TIMEOUT = 30.0
 
 
-def fetch_json(url: str, method: str = "GET", timeout: float = _DEFAULT_TIMEOUT) -> Any:
+def fetch_json(
+    url: str,
+    method: str = "GET",
+    timeout: float = _DEFAULT_TIMEOUT,
+    retries: int = 3,
+    backoff: float = 0.5,
+) -> Any:
     """One HTTP request -> parsed JSON (reference src/datasources.rs:212-268).
 
     Only GET/POST are allowed, mirroring the reference's method gate
     (src/datasources.rs:217-223). Non-2xx raises HttpError
     (src/datasources.rs:265-267). A ``null`` body returns None.
+
+    Beyond the reference: transient failures (connection errors, 429,
+    5xx) retry with exponential backoff — at cluster scale a thousand
+    executors hitting one API WILL see sporadic 503s, and a single
+    failed page must not kill a 10k-page ingest job.
     """
+    import time
+
     method = (method or "GET").upper()
     if method not in _ALLOWED_METHODS:
         raise HttpError(f"No Method Available: {method!r} (allowed: GET, POST)")
-    try:
-        resp = requests.request(method, url, timeout=timeout)
-    except requests.RequestException as e:
-        raise HttpError(f"request execution failed for {url!r}: {e}") from e
-    if not (200 <= resp.status_code < 300):
-        raise HttpError(
-            f"HTTP request failed with status code: {resp.status_code} ({url})"
-        )
-    try:
-        return resp.json()
-    except ValueError as e:
-        raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(backoff * (2 ** (attempt - 1)))
+        try:
+            resp = requests.request(method, url, timeout=timeout)
+        except requests.RequestException as e:
+            last_err = HttpError(f"request execution failed for {url!r}: {e}")
+            continue
+        if resp.status_code == 429 or 500 <= resp.status_code < 600:
+            last_err = HttpError(
+                f"HTTP request failed with status code: {resp.status_code} ({url})"
+            )
+            continue
+        if not (200 <= resp.status_code < 300):
+            # Non-retryable client errors fail immediately.
+            raise HttpError(
+                f"HTTP request failed with status code: {resp.status_code} ({url})"
+            )
+        try:
+            return resp.json()
+        except ValueError as e:
+            raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+    raise last_err  # type: ignore[misc]
 
 
 def _extend_rows(rows: list[dict | Any], body: Any) -> None:

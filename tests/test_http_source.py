@@ -26,6 +26,8 @@ ROWS = [{"id": i, "name": f"row{i}", "score": i * 1.5} for i in range(1, 41)]
 
 
 class _Handler(BaseHTTPRequestHandler):
+    hit_counts: dict[str, int] = {}
+
     def log_message(self, *args):  # noqa: D102
         pass
 
@@ -38,6 +40,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         u = urlparse(self.path)
+        _Handler.hit_counts[u.path] = _Handler.hit_counts.get(u.path, 0) + 1
+        if u.path == "/flaky":
+            if _Handler.hit_counts[u.path] <= 2:
+                self._send({"err": "unavailable"}, code=503)
+            else:
+                self._send({"ok": True})
+            return
         q = parse_qs(u.query)
         page = int(q.get("page", ["1"])[0])
         size = int(q.get("limit", [q.get("per", ["10"])[0]])[0])
@@ -116,9 +125,22 @@ def test_empty_result_no_panic(base_url, spark):
 
 def test_http_error_status(base_url):
     with pytest.raises(HttpError, match="500"):
-        fetch_json(f"{base_url}/error")
+        fetch_json(f"{base_url}/error", retries=1, backoff=0.01)
     with pytest.raises(HttpError, match="404"):
         fetch_json(f"{base_url}/missing")
+
+
+def test_transient_500_retries_then_succeeds(base_url):
+    # /flaky fails twice with 503 then serves; retry logic must recover.
+    assert fetch_json(f"{base_url}/flaky", retries=3, backoff=0.01) == {"ok": True}
+
+
+def test_client_error_does_not_retry(base_url):
+    # 404 is non-retryable: exactly one request reaches the server.
+    before = _Handler.hit_counts.get("/missing_once", 0)
+    with pytest.raises(HttpError, match="404"):
+        fetch_json(f"{base_url}/missing_once", retries=3, backoff=0.01)
+    assert _Handler.hit_counts["/missing_once"] == before + 1
 
 
 def test_method_gate():
