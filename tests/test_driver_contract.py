@@ -1,0 +1,50 @@
+"""Guards on the two artifacts the round driver consumes directly:
+``__spark_entry__`` (entry/queries/oracle_sql shape) and ``bench.py``
+(one parseable JSON line on stdout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_entry_contract(spark):
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(qs) >= 90
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+    df = E.entry(spark)
+    assert df.count() > 0 and len(df.schema.fields) > 1
+
+
+def test_bench_emits_single_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        BENCH_QUERIES="q6_revenue_delta",
+        BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+        check=True,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    assert "q6_revenue_delta" in payload["queries"]
+    assert payload["sf"] == 0.001
