@@ -1,0 +1,94 @@
+"""Time-series completion operators over ``events`` — forward-fill and
+grid gap-fill, the standard dense-time-series preparation steps
+(neither exists as a single operator in the reference's engine or in
+Spark; both compose from windows + sequence generation).
+
+Scale notes: forward-fill is one window per key (state = last non-null,
+O(1) per row); gap-fill's grid explode generates rows proportional to
+key-count x grid-length — at 100 TB you bound the grid per key (here:
+the key's own active range), never a global min/max span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+GRID_SEC = 3600  # 1-hour gap-fill grid
+
+
+@query(
+    "ts_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+    FROM events
+    """,
+    doc="forward-fill: carry last valid reading over masked (error) rows per user (time-series extension)",
+    tags=("events", "window", "timeseries"),
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round(F.last(masked, ignorenulls=True).over(w), 6).alias("value_ffill"),
+    )
+
+
+@query(
+    "ts_gapfill_grid",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / {GRID_SEC}) AS BIGINT) AS slot,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM spans
+    )
+    SELECT g.user_id, g.slot,
+           coalesce(h.v, 0.0)      AS v_filled,
+           h.v IS NULL             AS was_gap
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.slot = h.slot
+    """,
+    doc=f"gap-fill: dense {GRID_SEC // 3600}-hour grid per user's active span, zero-filled missing slots (time-series extension)",
+    tags=("events", "timeseries"),
+)
+def ts_gapfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    hourly = (
+        e.withColumn("slot", F.floor(F.unix_timestamp("ts") / GRID_SEC).cast("bigint"))
+        .groupBy("user_id", "slot")
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("slot"))
+    )
+    return (
+        grid.join(hourly, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            "slot",
+            F.coalesce("v", F.lit(0.0)).alias("v_filled"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.range_join  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
+    import http_datafusion_spark.operators.timeseries  # noqa: F401
     import http_datafusion_spark.plans.aggregates  # noqa: F401
     import http_datafusion_spark.plans.events  # noqa: F401
     import http_datafusion_spark.plans.extra  # noqa: F401
