@@ -71,6 +71,27 @@ def run_source(
     return SourceResult(source=source, table=table, result=result)
 
 
+def show_all(df: DataFrame) -> None:
+    """Print every row, Spark-show style, executing the plan ONCE.
+
+    DataFusion's ``show()`` prints the whole result (src/main.rs:44);
+    Spark's ``df.show(df.count())`` would match the output but executes
+    the uncached plan twice (count job + show job). Collect once and
+    render the same grid locally instead.
+    """
+    rows = df.collect()
+    cols = df.columns
+    cells = [[("NULL" if v is None else str(v)) for v in row] for row in rows]
+    widths = [max(len(c), *(len(r[i]) for r in cells)) if cells else len(c) for i, c in enumerate(cols)]
+    sep = "+" + "+".join("-" * w for w in widths) + "+"
+    print(sep)
+    print("|" + "|".join(c.ljust(w) for c, w in zip(cols, widths)) + "|")
+    print(sep)
+    for r in cells:
+        print("|" + "|".join(v.ljust(w) for v, w in zip(r, widths)) + "|")
+    print(sep)
+
+
 def run(
     config: Config,
     spark: SparkSession | None = None,
@@ -86,7 +107,9 @@ def run(
         res = run_source(spark, source, via_datasource=via_datasource)
         if show and res.result is not None:
             # DataFusion show() prints all rows (SURVEY §2.1 sink row).
-            res.result.show(res.result.count(), truncate=False)
+            # One execution: show(count()) would run the plan twice
+            # (uncached HTTP-derived plans pay full query cost each time).
+            show_all(res.result)
         results.append(res)
     return results
 

@@ -39,12 +39,18 @@ def asof_join(
     Left columns are preserved; payload columns arrive as
     ``asof_<name>`` (null when no right row precedes the left time).
     """
+    # ALL payload columns travel in ONE struct carried by a single
+    # last(ignorenulls=True): per-column carries would mix values from
+    # different right rows whenever a payload field is NULL in one right
+    # row but not another (latest orderkey paired with an older price).
+    rdt = dict(right.dtypes)
+    payload_t = "struct<" + ",".join(f"asof_{c}:{rdt[c]}" for c in payload_cols) + ">"
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("bigint").alias("_tie"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_t).alias("_payload"),
         F.struct(*left.columns).alias("_row"),
     )
     rt = right.select(
@@ -52,7 +58,7 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.col(payload_cols[0]).cast("bigint").alias("_tie"),
-        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(f"asof_{c}") for c in payload_cols]).alias("_payload"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_row"),
@@ -67,9 +73,9 @@ def asof_join(
     carried = lt.unionByName(rt).select(
         "_side",
         "_row",
-        *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return carried.filter(F.col("_side") == 1).select("_row.*", *[f"asof_{c}" for c in payload_cols])
+    return carried.filter(F.col("_side") == 1).select("_row.*", "_payload.*")
 
 
 @query(

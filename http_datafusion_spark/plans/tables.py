@@ -62,7 +62,10 @@ def load_tables(
             from pyspark.sql.types import LongType
 
             if isinstance(df.schema["ts"].dataType, LongType):
-                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+                # Integer division (`div`), NOT `/1000`: float division routes
+                # the ~1.7e18 ns value through a double whose 53-bit mantissa
+                # drops the low bits, leaving ~13% of stamps off by 1µs.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
