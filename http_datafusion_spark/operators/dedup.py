@@ -15,8 +15,11 @@ whole-stage-codegen and scale horizontally:
   for candidate generation (hamming ≤ K verified with bit_count);
 - n-gram Jaccard: inverted-index self-join on shingle — the exact
   (verification) counterpart to MinHash's approximation;
-- embedding cosine: exact pairwise here (fine to ~10⁴ vectors);
-  the scale path is the IVF/LSH bucketing in operators/similarity.py.
+- embedding cosine: exact all-pairs in block-matrix form — every
+  block *pair* is an independent Arrow-batched tile task, so nothing
+  materializes on the driver and per-task memory is two blocks; the
+  sub-quadratic candidate path is the IVF/LSH bucketing in
+  operators/similarity.py.
 
 Hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
 reproduces every value bit-for-bit.
@@ -413,45 +416,133 @@ def dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (a.nrm * b.nrm) > 0.4
     """,
-    doc="embedding-cosine near-dup pairs, exact pairwise (scale path: similarity.py IVF/LSH) (north-star dedup)",
+    doc="embedding-cosine near-dup pairs, exact all-pairs via distributed block-matrix tiles (candidate scale path: similarity.py IVF/LSH) (north-star dedup)",
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Broadcast-matrix pattern: normalize one copy of the vectors, ship it
-    # to every executor, and let each Arrow batch do one BLAS matmul
-    # against it — O(N·d) work per row with vectorized kernels instead of
-    # an interpreted per-pair array fold (measured ~20x faster). Valid
-    # whenever one side fits in executor memory (the classic broadcast
-    # join condition); past that, the LSH/IVF path in similarity.py is
-    # the scale route.
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_pairs_blocked(spark, e, threshold=0.4)
+
+
+N_VEC_BLOCKS = 8
+BROADCAST_MAX_ROWS = 100_000
+
+
+def embedding_pairs_blocked(
+    spark: SparkSession,
+    e: DataFrame,
+    threshold: float,
+    n_blocks: int = N_VEC_BLOCKS,
+) -> DataFrame:
+    """Exact all-pairs cosine above ``threshold`` — block-matrix form.
+
+    Rows are hashed into ``n_blocks`` row-blocks; every block *pair*
+    (bi <= bj) is an independent task that computes its (n_i x n_j)
+    cosine tile with the Arrow-batched fold-exact kernel
+    (functions/veclib.py). Nothing ever materializes on the driver and
+    per-task memory is bounded by two blocks — at 100 TB you raise
+    n_blocks ~ sqrt(cluster parallelism) and the same plan holds.
+    Replication cost: each row is shuffled n_blocks+1 times (its row
+    tasks + its column tasks) — the standard price of exact all-pairs;
+    sub-quadratic candidate generation is the MinHash/IVF path above.
+
+    The cosine is dot/(|a||b|) accumulated in strict left-fold order,
+    bit-identical to the DuckDB oracle's list_sum fold, so the
+    UNROUNDED > threshold comparison decides membership identically on
+    both sides (no boundary flips from summation-order divergence).
+    """
     import numpy as np
     import pandas as pd
 
-    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms, stack_embeddings
+
+    tasks = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)], "bi int, bj int"
+    )
+    rows = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
+    )
+    rep = rows.join(
+        F.broadcast(tasks), (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj"))
+    )
+
+    def tile(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if not len(a) or not len(b):
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        MA, MB = stack_embeddings(a["embedding"]), stack_embeddings(b["embedding"])
+        ids_a, ids_b = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), fold_norms(MB))
+        mask = cos > threshold
+        if bi == bj:
+            # same block on both sides: keep the strict upper triangle
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        va, vb = ids_a[ia], ids_b[ib]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)  # oracle orients a < b
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(cos[ia, ib], 4)}
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        tile, schema="vec_a bigint, vec_b bigint, cosine double"
+    )
+
+
+def embedding_pairs_broadcast(
+    spark: SparkSession, e: DataFrame, threshold: float, max_rows: int = BROADCAST_MAX_ROWS
+) -> DataFrame:
+    """Small-table fast path: one driver copy of the matrix broadcast to
+    every executor, each Arrow batch scored against it. EXPLICITLY
+    size-guarded — driver memory is O(N·d), so this refuses to run past
+    ``max_rows`` instead of silently OOMing at scale; use
+    :func:`embedding_pairs_blocked` (the default) beyond that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms, stack_embeddings
+
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_pairs_broadcast: {n} rows exceeds the {max_rows}-row driver "
+            "guard; use embedding_pairs_blocked"
+        )
     pdf = e.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    mat_unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = stack_embeddings(pdf["embedding"])
+    nrm = fold_norms(mat)
     b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_unit)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_nrm = spark.sparkContext.broadcast(nrm)
 
     def pairs(it):
-        all_ids, all_mat = b_ids.value, b_mat.value
+        all_ids, all_mat, all_nrm = b_ids.value, b_mat.value, b_nrm.value
         for batch in it:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs @ all_mat.T  # (batch, N)
+            if not len(batch):
+                continue
+            M = stack_embeddings(batch["embedding"])
+            cos = fold_dot(M, all_mat) / np.outer(fold_norms(M), all_nrm)
             vids = batch["vec_id"].to_numpy()
-            rows_a, rows_b, rows_c = [], [], []
-            for i, va in enumerate(vids):
-                mask = (sims[i] > 0.4) & (all_ids > va)
-                rows_a.extend([int(va)] * int(mask.sum()))
-                rows_b.extend(all_ids[mask].tolist())
-                rows_c.extend(np.round(sims[i][mask], 4).tolist())
-            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "cosine": rows_c})
+            mask = (cos > threshold) & (vids[:, None] < all_ids[None, :])
+            ia, ib = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": vids[ia],
+                    "vec_b": all_ids[ib],
+                    "cosine": np.round(cos[ia, ib], 4),
+                }
+            )
 
-    return (
-        e.repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", "embedding")
-        .mapInPandas(pairs, schema="vec_a bigint, vec_b bigint, cosine double")
+    return e.select("vec_id", "embedding").mapInPandas(
+        pairs, schema="vec_a bigint, vec_b bigint, cosine double"
     )

@@ -73,6 +73,89 @@ def test_connected_components_driver_materialization_is_o1(spark, monkeypatch):
     assert result.count() == 300
 
 
+def test_embedding_pairs_blocked_matches_broadcast(spark):
+    """The distributed block-matrix tiles and the guarded broadcast path
+    must find the identical pair set."""
+    import numpy as np
+
+    from http_datafusion_spark.operators.dedup import (
+        embedding_pairs_blocked,
+        embedding_pairs_broadcast,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype("float32")
+    rows = []
+    for i in range(60):
+        v = base[i % 6] + rng.randn(16).astype("float32") * 0.05
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    blocked = {(r.vec_a, r.vec_b, r.cosine) for r in embedding_pairs_blocked(spark, e, 0.8).collect()}
+    bcast = {(r.vec_a, r.vec_b, r.cosine) for r in embedding_pairs_broadcast(spark, e, 0.8).collect()}
+    assert blocked == bcast and len(blocked) > 50
+
+
+def test_embedding_pairs_broadcast_guard_raises(spark):
+    import pytest
+
+    from http_datafusion_spark.operators.dedup import embedding_pairs_broadcast
+
+    e = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="driver"):
+        embedding_pairs_broadcast(spark, e, 0.5, max_rows=10)
+
+
+def test_dedup_embedding_cosine_no_driver_table_materialization(spark, sf_dir, monkeypatch):
+    """The registered query must never pull the embeddings table to the
+    driver (toPandas / large collect) — only tiny metadata collects."""
+    import pyspark.sql.classic.dataframe as df_mod
+
+    from http_datafusion_spark.operators.dedup import dedup_embedding_cosine
+
+    def banned(self, *a, **k):
+        raise AssertionError("toPandas() on the driver is banned in this operator")
+
+    monkeypatch.setattr(df_mod.DataFrame, "toPandas", banned)
+    sizes: list[int] = []
+    real_collect = df_mod.DataFrame.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", counting_collect)
+    n_pairs = dedup_embedding_cosine(spark, sf_dir).count()
+    assert n_pairs >= 0
+    assert not sizes or max(sizes) <= 16  # no label/table-sized collects
+
+
+def test_fold_dot_matches_sequential_fold():
+    """fold_dot/fold_norms accumulate in the exact left-fold order a
+    per-pair sequential reduction (DuckDB list_sum) uses."""
+    import numpy as np
+
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(5, 33).astype("float32").astype("float64")
+    B = rng.randn(4, 33).astype("float32").astype("float64")
+    got = fold_dot(A, B)
+    for i in range(5):
+        for j in range(4):
+            acc = 0.0
+            for k in range(33):
+                acc += A[i, k] * B[j, k]
+            assert got[i, j] == acc  # bitwise equality, not approx
+    for i in range(5):
+        acc = 0.0
+        for k in range(33):
+            acc += A[i, k] * A[i, k]
+        assert fold_norms(A)[i] == np.sqrt(acc)
+
+
 def test_connected_components_raises_on_exhaustion(spark):
     from http_datafusion_spark.operators.components import connected_components
 
