@@ -284,3 +284,41 @@ def q_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           abs(approx_count_distinct(l_partkey) * 1.0 / count(DISTINCT l_partkey) - 1) <= 0.1
+               AS acd_within_10pct,
+           abs(approx_quantile(l_extendedprice, 0.5) / median(l_extendedprice) - 1) <= 0.02
+               AS aq_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="approx aggregates (HLL count-distinct, sketch median) checked as ratio bands vs their exact twins — the engines' sketches differ, the bands don't (SURVEY §2.4 approx rows; ref reaches them via datafusion-functions-aggregate, Cargo.lock:1065)",
+    tags=("agg", "approx"),
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch outputs are engine-specific, so the oracle can't hash-match
+    the raw values; instead BOTH engines emit whether their own sketch
+    lands within a tolerance band of their own exact aggregate — the
+    booleans (and the exact anchors) hash-match."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("acd"),
+        F.median("l_extendedprice").alias("med"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("aq"),
+    )
+    # No rounded median anchor in the output: the two engines
+    # interpolate even-count medians with different arithmetic and can
+    # land a half-cent apart, flipping round(x, 2).
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (F.abs(F.col("acd") / F.col("n_exact") - 1) <= 0.1).alias("acd_within_10pct"),
+        (F.abs(F.col("aq") / F.col("med") - 1) <= 0.02).alias("aq_within_2pct"),
+    )

@@ -379,3 +379,77 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_int"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
     )
+
+
+@query(
+    "q_scalar_tail",
+    oracle="""
+    SELECT p_partkey,
+           concat(substr(p_type, 1, 2), 'XX', substr(p_type, 5)) AS type_patched,
+           CAST(coalesce(list_position(string_split('STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO', ','),
+                                       split_part(p_type, ' ', 1)), 0) AS BIGINT) AS type_pos,
+           CAST(gcd(p_partkey % 37 + 1, p_size) AS BIGINT) AS g,
+           CAST(lcm(p_partkey % 37 + 1, p_size) AS BIGINT) AS l,
+           CAST(factorial(CAST(p_partkey % 10 AS INTEGER)) AS BIGINT) AS fact
+    FROM part
+    WHERE p_partkey <= 150
+    """,
+    doc="scalar tail: overlay / find_in_set / gcd / lcm / factorial — Spark lacks gcd/lcm natively, provided as bounded-domain HOF compositions (SURVEY §2.8 tail; ref via datafusion-functions, Cargo.lock:1038)",
+    tags=("scalar",),
+)
+def q_scalar_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB lacks ``overlay`` (composed from substr in the oracle);
+    Spark lacks ``gcd``/``lcm`` (composed here: divisors via
+    sequence+filter+array_max — O(min(a,b)) per row, fine for bounded
+    domains; general 64-bit gcd would need an iterative expression or
+    a pandas_udf). ``find_in_set``'s 0-for-missing maps to DuckDB
+    ``list_position``'s NULL via coalesce."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    a = F.pmod(F.col("p_partkey"), F.lit(37)) + 1
+    b = F.col("p_size")
+    gcd = F.array_max(
+        F.filter(
+            F.sequence(F.lit(1), F.least(a, b)),
+            lambda d: (a % d == 0) & (b % d == 0),
+        )
+    )
+    return p.filter(F.col("p_partkey") <= 150).select(
+        "p_partkey",
+        F.overlay(F.col("p_type"), F.lit("XX"), F.lit(3)).alias("type_patched"),
+        F.expr(
+            "find_in_set(split_part(p_type, ' ', 1), 'STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO')"
+        ).cast("bigint").alias("type_pos"),
+        gcd.cast("bigint").alias("g"),
+        ((a * b) / gcd).cast("bigint").alias("l"),
+        F.factorial(F.pmod(F.col("p_partkey"), F.lit(10))).cast("bigint").alias("fact"),
+    )
+
+
+@query(
+    "q_date_bin",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(value), 4)      AS total_value
+    FROM events
+    WHERE user_id < 50
+    GROUP BY 1
+    """,
+    doc="date_bin-style bucketing: F.window(15 min).start == DuckDB time_bucket (epoch-aligned for sub-day strides) (SURVEY §2.8 date/time tail)",
+    tags=("scalar", "datetime"),
+)
+def q_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute strides divide the 2000-01-01 origin DuckDB uses for
+    sub-day buckets (946684800 % 900 == 0), so F.window's epoch
+    alignment produces identical bucket boundaries."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.filter(F.col("user_id") < 50)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n",
+            "total_value",
+        )
+    )
