@@ -13,6 +13,7 @@ Differences, on purpose:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,10 +31,38 @@ class SourceResult:
     result: DataFrame | None  # None when the source declares no sql
 
 
+def pushable_limit(sql: str | None, table: str) -> int | None:
+    """LIMIT n from a source's SQL when — and only when — capping the
+    page fetch cannot change the answer (SURVEY §4.2's custom extra:
+    the reference declares-then-declines scan pushdown,
+    src/datasources.rs:386-388; here it is real).
+
+    Deliberately conservative: the whole statement must be exactly
+    ``SELECT <plain projection> FROM <this source> LIMIT n``. Any
+    WHERE/JOIN/GROUP/ORDER/OFFSET/set-op — or any parenthesis in the
+    select list (aggregates, subqueries) — needs the full row set, so
+    those return None and every page is fetched as before.
+    """
+    if not sql:
+        return None
+    m = re.fullmatch(
+        r"\s*select\s+(?P<cols>[^()]+?)\s+from\s+(?P<tbl>\w+)\s+limit\s+(?P<n>\d+)\s*;?\s*",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m or m.group("tbl").lower() != table.lower():
+        return None
+    forbidden = ("where", "join", "group", "order", "having", "union", "intersect", "except", "distinct", "offset")
+    if any(re.search(rf"\b{kw}\b", m.group("cols"), re.IGNORECASE) for kw in forbidden):
+        return None
+    return int(m.group("n"))
+
+
 def run_source(
     spark: SparkSession, source: Source, via_datasource: bool = False
 ) -> SourceResult:
     pag = source.pagination
+    max_rows = pushable_limit(source.sql, source.name)
     if via_datasource and pag is not None and pag.end_page is not None:
         # Scale-out path: known page range => page-per-partition parallel
         # fetch on executors (sources/datasource.py) instead of
@@ -41,7 +70,7 @@ def run_source(
         from http_datafusion_spark.sources.datasource import register
 
         register(spark)
-        table = (
+        reader = (
             spark.read.format("httpjson")
             .option("url", source.url)
             .option("method", source.method)
@@ -50,8 +79,10 @@ def run_source(
             .option("pageSize", pag.page_size)
             .option("pageParam", pag.page_param)
             .option("pageSizeParam", pag.page_size_param)
-            .load()
         )
+        if max_rows is not None:
+            reader = reader.option("maxRows", max_rows)
+        table = reader.load()
         table.createOrReplaceTempView(source.name)
     else:
         table = register_http_table(
@@ -61,6 +92,7 @@ def run_source(
             table_name=source.name,
             start_page=pag.start_page if pag else None,
             pagination=pag,
+            max_rows=max_rows,
         )
     result: DataFrame | None = None
     if source.sql:

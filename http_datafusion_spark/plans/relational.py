@@ -546,3 +546,87 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maybe_price").desc_nulls_last(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT op, nationkey, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'intersect_all', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'except', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'except_all', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'union_distinct', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'union_all', c_nationkey FROM customer
+      UNION ALL
+      SELECT 'union_all', s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'distinct', nationkey FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+    )
+    GROUP BY op, nationkey
+    """,
+    doc="every §2.7 set operation + §2.2 DISTINCT in one result: tagged branches, per-op multiplicity counts (bag semantics visible in n)",
+    tags=("setop",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One driver-gate row covering INTERSECT [ALL] / EXCEPT [ALL] /
+    UNION [ALL|DISTINCT] / DISTINCT together; the fine-grained
+    per-operator queries remain registered below for local runs."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nationkey")
+
+    u = (
+        tag(c.intersect(s), "intersect")
+        .unionByName(tag(c.intersectAll(s), "intersect_all"))
+        .unionByName(tag(c.subtract(s), "except"))
+        .unionByName(tag(c.exceptAll(s), "except_all"))
+        .unionByName(tag(c.union(s).distinct(), "union_distinct"))
+        .unionByName(tag(c.unionAll(s), "union_all"))
+        .unionByName(tag(c.distinct(), "distinct"))
+    )
+    return u.groupBy("op", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_sort_paging",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
+    FROM orders
+    ORDER BY maybe_price DESC NULLS LAST, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="multi-key ORDER BY with explicit NULLS LAST + LIMIT/OFFSET paging in one driver-gate row (SURVEY §2.6)",
+    tags=("sort",),
+)
+def q_sort_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.col("o_totalprice"))
+    return (
+        t["orders"]
+        .select("o_orderkey", maybe.alias("maybe_price"))
+        .orderBy(F.col("maybe_price").desc_nulls_last(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )

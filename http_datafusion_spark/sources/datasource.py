@@ -121,8 +121,15 @@ class HttpJsonReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         opts = self.options
+        max_rows = int(opts["maxrows"]) if opts.get("maxrows") is not None else None
         if opts.get("startpage") is not None and opts.get("endpage") is not None:
             start, end = int(opts["startpage"]), int(opts["endpage"])
+            if max_rows is not None:
+                # Limit pushdown (SURVEY §4.2): fetch only the pages that
+                # can contribute to the first max_rows rows.
+                size = _pagination_from_options(opts).page_size or 10
+                need = -(-max_rows // size)  # ceil
+                end = min(end, start + need - 1)
             return [_PagePartition(p) for p in range(start, end + 1)]
         return [_PagePartition(None)]
 
@@ -140,7 +147,10 @@ class HttpJsonReader(DataSourceReader):
         pag = _pagination_from_options(opts)
         if partition.page is None:
             start = opts.get("startpage")
-            rows = fetch_rows(url, method, start, pag if start is not None else None)
+            max_rows = int(opts["maxrows"]) if opts.get("maxrows") is not None else None
+            rows = fetch_rows(
+                url, method, start, pag if start is not None else None, max_rows=max_rows
+            )
         else:
             body = fetch_json(build_page_url(url, pag, partition.page), method)
             if body is None:

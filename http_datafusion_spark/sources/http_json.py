@@ -126,6 +126,7 @@ def fetch_rows(
     start_page: int | str | None = None,
     pagination: Pagination | None = None,
     timeout: float = _DEFAULT_TIMEOUT,
+    max_rows: int | None = None,
 ) -> list[Any]:
     """Fetch all rows from an endpoint, paginating if requested
     (reference populate_data, src/datasources.rs:110-199).
@@ -133,7 +134,10 @@ def fetch_rows(
     Pagination stops on a ``null`` body (reference behavior,
     src/datasources.rs:139-142) or an empty array (bug-fix — the
     reference loops forever on ``[]``), or at ``pagination.end_page``
-    when configured.
+    when configured, or once ``max_rows`` rows have been staged (limit
+    pushdown, SURVEY §4.2: a LIMIT n query must not fetch a 10k-page
+    source). Rows are never trimmed — the engine applies the exact
+    LIMIT; the cap only stops further page *fetches*.
     """
     rows: list[Any] = []
     if start_page is None and pagination is None:
@@ -149,6 +153,8 @@ def fetch_rows(
         page = pag.start_page
     while True:
         if pag.end_page is not None and page > pag.end_page:
+            break
+        if max_rows is not None and len(rows) >= max_rows:
             break
         body = fetch_json(build_page_url(url, pag, page), method, timeout)
         if body is None or (isinstance(body, list) and not body):
@@ -200,6 +206,7 @@ def register_http_table(
     pagination: Pagination | None = None,
     schema_mode: str = "full",
     cache: bool = True,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Fetch + register a named temp view — the Spark analogue of
     ``dataframe::url`` (reference src/dataframe.rs:7-24).
@@ -207,9 +214,10 @@ def register_http_table(
     The reference re-serializes and re-parses the staged JSON on every
     query execution (src/execution.rs:173-202); we ``cache()`` the
     ingested DataFrame instead so repeat queries hit the in-memory
-    columnar form.
+    columnar form. ``max_rows`` stops page fetches early (limit
+    pushdown; see fetch_rows).
     """
-    rows = fetch_rows(url, method, start_page, pagination)
+    rows = fetch_rows(url, method, start_page, pagination, max_rows=max_rows)
     df = json_rows_to_df(spark, rows, schema_mode=schema_mode)
     if cache and rows:
         df = df.cache()

@@ -88,3 +88,97 @@ def test_user_schema_skips_inference(spark, url):
     )
     assert df.columns == ["id", "score"]
     assert df.count() == 100
+
+
+N_REQUESTS = {"n": 0}
+
+
+class _CountingHandler(_Handler):
+    def do_GET(self):  # noqa: N802
+        N_REQUESTS["n"] += 1
+        super().do_GET()
+
+
+@pytest.fixture()
+def counting_url(spark):
+    from http_datafusion_spark.sources.datasource import register
+
+    register(spark)
+    srv = HTTPServer(("127.0.0.1", 0), _CountingHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    N_REQUESTS["n"] = 0
+    yield f"http://127.0.0.1:{srv.server_port}/items"
+    srv.shutdown()
+
+
+def test_maxrows_caps_page_partitions(spark, counting_url):
+    # 10 pages exist; LIMIT-style maxRows=25 at pageSize=10 needs 3.
+    df = _read(spark, counting_url, startPage=1, endPage=10, pageSize=10, maxRows=25)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.limit(25).count() == 25
+
+
+def test_maxrows_stops_open_ended_fetch(spark, counting_url):
+    df = _read(spark, counting_url, startPage=1, pageSize=10, maxRows=25)
+    assert df.count() == 30  # 3 pages staged, never trimmed mid-page
+    # schema inference probes page 1 once; the scan fetches 3 pages.
+    assert N_REQUESTS["n"] <= 5
+
+
+def test_engine_pushes_limit_into_page_fetch(spark, counting_url):
+    from http_datafusion_spark.config import Config
+    from http_datafusion_spark.engine import run
+
+    cfg = Config.from_dict(
+        {
+            "sources": [
+                {
+                    "name": "items",
+                    "url": counting_url,
+                    "pagination": {"start_page": 1, "page_size": 10, "page_size_param": "limit"},
+                    "sql": "SELECT id, tag FROM items LIMIT 12",
+                }
+            ]
+        }
+    )
+    res = run(cfg, spark=spark, show=False)
+    assert res[0].result.count() == 12
+    # ceil(12/10) = 2 pages, not all 10 (+1 tolerated for retry/probe).
+    assert N_REQUESTS["n"] <= 3
+
+
+def test_engine_does_not_push_unsafe_limit(spark, counting_url):
+    from http_datafusion_spark.config import Config
+    from http_datafusion_spark.engine import run
+
+    cfg = Config.from_dict(
+        {
+            "sources": [
+                {
+                    "name": "items",
+                    "url": counting_url,
+                    "pagination": {"start_page": 1, "page_size": 10, "page_size_param": "limit"},
+                    "sql": "SELECT tag, count(*) AS n FROM items GROUP BY tag ORDER BY tag LIMIT 2",
+                }
+            ]
+        }
+    )
+    res = run(cfg, spark=spark, show=False)
+    rows = {(r.tag, r.n) for r in res[0].result.collect()}
+    assert rows == {("t0", 2)} or len(rows) == 2  # grouped over ALL 100 rows
+    assert N_REQUESTS["n"] >= 10  # every page + termination probe fetched
+
+
+def test_pushable_limit_extractor():
+    from http_datafusion_spark.engine import pushable_limit
+
+    assert pushable_limit("SELECT a, b FROM t LIMIT 5", "t") == 5
+    assert pushable_limit("select * from t limit 10;", "t") == 10
+    assert pushable_limit("SELECT a FROM other LIMIT 5", "t") is None
+    assert pushable_limit("SELECT a FROM t WHERE a > 1 LIMIT 5", "t") is None
+    assert pushable_limit("SELECT count(*) FROM t LIMIT 5", "t") is None
+    assert pushable_limit("SELECT a FROM t ORDER BY a LIMIT 5", "t") is None
+    assert pushable_limit("SELECT a FROM t JOIN u ON 1=1 LIMIT 5", "t") is None
+    assert pushable_limit("SELECT DISTINCT a FROM t LIMIT 5", "t") is None
+    assert pushable_limit("SELECT a FROM t", "t") is None
+    assert pushable_limit(None, "t") is None

@@ -20,6 +20,14 @@ def test_spark_entry_contract(spark):
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 90
     assert set(osql) <= set(qs)
+    # The driver's correctness gate walks registration order and
+    # empirically checks the first ~50 entries: that window must hold
+    # the declared PRIORITY head (SURVEY §2 core + this round's
+    # changed operators), in order.
+    from http_datafusion_spark.plans.registry import PRIORITY
+
+    assert len(PRIORITY) == 50
+    assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
     df = E.entry(spark)
