@@ -322,3 +322,31 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("acd") / F.col("n_exact") - 1) <= 0.1).alias("acd_within_10pct"),
         (F.abs(F.col("aq") / F.col("med") - 1) <= 0.02).alias("aq_within_2pct"),
     )
+
+
+@query(
+    "q_pivot_api",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="native df.groupBy().pivot(values).sum() — the Spark API form of pivot, vs CASE-expansion oracle (SURVEY §2.4 extension; q_pivot_conditional shows the portable form)",
+    tags=("agg", "pivot"),
+)
+def q_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot value list: at scale never let pivot() run its
+    distinct-values discovery job over the fact table."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_extendedprice")
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round("F", 2).alias("F"),
+        F.round("O", 2).alias("O"),
+    )

@@ -181,3 +181,38 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "q_window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           round(lag(maybe_price IGNORE NULLS) OVER w, 2)        AS prev_real_price,
+           round(last_value(maybe_price IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_real_price,
+           round(first_value(maybe_price IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS first_real_price
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="IGNORE NULLS variants of lag/first/last — the gap-skipping window family (SURVEY §2.5 extension)",
+    tags=("window",),
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.col("o_totalprice"))
+    base = o.select("o_orderkey", "o_custkey", "o_orderdate", maybe.alias("maybe_price"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    return base.select(
+        "o_orderkey",
+        # F.lag has no ignoreNulls parameter; the SQL form does.
+        F.round(F.expr("lag(maybe_price, 1) IGNORE NULLS").over(w), 2).alias("prev_real_price"),
+        F.round(F.last("maybe_price", ignorenulls=True).over(w_run), 2).alias("last_real_price"),
+        F.round(F.first("maybe_price", ignorenulls=True).over(w), 2).alias("first_real_price"),
+    )

@@ -142,3 +142,57 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "complete")
     return out.select("user_id", "n_events", "session_value")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT)   AS n_pairs,
+           round(sum(p.value), 4)     AS attributed_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+    doc="stream-stream inner join (clicks x purchases, 30-min event-time range, watermarks both sides) == batch join twin (streaming extension)",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarks on BOTH sides + the time-range join condition are what
+    bound the join state at scale: each side keeps only rows younger
+    than watermark + range, so state is O(rate x window), not O(stream).
+    The aggregation runs batch-side on the join's append-mode output
+    (chaining a streaming agg after a stream-stream join needs no
+    demonstration here and restricts output modes)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = run_to_memory(joined, "append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("p_value"), 4).alias("attributed_value"),
+    )
