@@ -1,0 +1,139 @@
+"""Training-data pipeline primitives over ``documents``/``embeddings``
+— north-star extensions beyond the dedup/similarity families:
+
+- **chunking**: split documents into fixed-size overlapping word
+  windows (the pre-tokenization unit of an LLM data pipeline). Pure
+  built-ins: sequence of chunk starts -> posexplode -> slice — the
+  explode is map-side, so chunking 100 TB is scan-shaped work with no
+  shuffle at all.
+- **deterministic sampling**: hash-gated per-source sampling. NEVER
+  ``rand()`` in a pipeline that must be re-runnable: the md5-derived
+  gate gives every row a stable verdict, so a resumed/partial job
+  samples the same rows, at any parallelism (functions/hashing.py is
+  reproduced bit-for-bit by the DuckDB oracle).
+- **quantization**: per-vector symmetric int8 scalar quantization of
+  embeddings (the storage layout ANN serving uses). scale = max|x|/127
+  and the rounding is IEEE-identical on both engines, so the oracle
+  checks exact quantized values, not approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40  # 10-word overlap between consecutive chunks
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_WORDS_SQL} AS words FROM documents
+    ), starts AS (
+      SELECT doc_id, source, words, unnest(range(0, len(words), {CHUNK_STRIDE})) AS start
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(words[start + 1 : start + {CHUNK_WORDS}]) AS BIGINT) AS n_chunk_words,
+           md5(array_to_string(words[start + 1 : start + {CHUNK_WORDS}], ' ')) AS chunk_md5
+    FROM starts
+    """,
+    doc=f"document chunking: {CHUNK_WORDS}-word windows, stride {CHUNK_STRIDE} (10-word overlap), map-side explode only — no shuffle (north-star pipeline)",
+    tags=("pipeline", "text"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    base = d.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    starts = base.select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - 1, F.lit(CHUNK_STRIDE))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    chunk = F.slice("words", F.col("start") + 1, CHUNK_WORDS)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+SAMPLE_PCT = 10  # keep ~10% of documents
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+    GROUP BY source
+    """,
+    doc=f"deterministic hash-gated {SAMPLE_PCT}% sample per source — re-runnable (no rand()), parallelism-independent (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    gate = md5_int(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+    return (
+        d.filter(gate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale_r,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS BIGINT) AS q_max
+    FROM s
+    """,
+    doc="symmetric int8 scalar quantization per vector (scale=max|x|/127): exact-value oracle because both engines do identical IEEE divide+round (north-star pipeline / ANN storage layout)",
+    tags=("pipeline", "similarity"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127
+    q = F.transform(F.col("emb"), lambda x: F.round(x / F.col("scale")).cast("bigint"))
+    return (
+        e.select("vec_id", emb.alias("emb"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            F.round("scale", 8).alias("scale_r"),
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_max(q).alias("q_max"),
+        )
+    )

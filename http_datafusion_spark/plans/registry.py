@@ -126,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.components  # noqa: F401
     import http_datafusion_spark.operators.dedup  # noqa: F401
     import http_datafusion_spark.operators.multimodal  # noqa: F401
+    import http_datafusion_spark.operators.pipeline  # noqa: F401
     import http_datafusion_spark.operators.range_join  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
