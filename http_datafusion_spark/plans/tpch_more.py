@@ -196,3 +196,176 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated on the fact table -> left-semi join + agg (SURVEY §2.3/§4.2)",
+    tags=("subquery", "join", "tpch"),
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: outer join with join-condition filter, double aggregation (customer order-count histogram) (SURVEY §2.3/2.4)",
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") != "F"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar AVG subquery against the fact table, decorrelated to an aggregate join (SURVEY §4.2)",
+    tags=("subquery", "agg", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    HAVING count(*) > 2
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table (semi AND anti join against correlated subsets) (SURVEY §2.3/§4.2)",
+    tags=("subquery", "join", "tpch"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s_name
+        HAVING count(*) > 2
+        """
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join + agg (SURVEY §2.3/§4.2)",
+    tags=("subquery", "join", "tpch"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        """
+    )
