@@ -47,6 +47,22 @@ class Pagination:
         return cls(**kwargs)
 
 
+def _expand_env(value: str, where: str) -> str:
+    """Expand ``${VAR}`` placeholders from the environment — secrets
+    (API tokens) belong in the environment, never in config.yaml.
+    A missing variable is a hard ConfigError, not a silent literal."""
+    import os
+    import re
+
+    def sub(m: re.Match) -> str:
+        var = m.group(1)
+        if var not in os.environ:
+            raise ConfigError(f"{where}: environment variable {var!r} is not set")
+        return os.environ[var]
+
+    return re.sub(r"\$\{(\w+)\}", sub, value)
+
+
 @dataclass
 class Source:
     name: str
@@ -54,6 +70,11 @@ class Source:
     method: str = "GET"
     pagination: Pagination | None = None
     sql: str | None = None
+    # Beyond the reference (its request builder sends no headers and no
+    # body, src/datasources.rs:212-268): real APIs need auth headers and
+    # POST payloads. Header values support ${ENV_VAR} expansion.
+    headers: dict[str, str] | None = None
+    body: Any | None = None
 
     def __post_init__(self) -> None:
         if not self.name:
@@ -67,6 +88,17 @@ class Source:
                 f"source {self.name!r}: method {self.method!r} not supported "
                 f"(allowed: {sorted(_ALLOWED_METHODS)})"
             )
+        if self.headers is not None:
+            if not isinstance(self.headers, dict) or not all(
+                isinstance(k, str) and isinstance(v, str) for k, v in self.headers.items()
+            ):
+                raise ConfigError(f"source {self.name!r}: headers must map strings to strings")
+            self.headers = {
+                k: _expand_env(v, f"source {self.name!r} header {k!r}")
+                for k, v in self.headers.items()
+            }
+        if self.body is not None and self.method != "POST":
+            raise ConfigError(f"source {self.name!r}: 'body' requires method POST")
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> Source:
@@ -83,6 +115,8 @@ class Source:
             method=raw.get("method") or "GET",
             pagination=Pagination.from_dict(pag) if pag is not None else None,
             sql=raw.get("sql"),
+            headers=raw.get("headers"),
+            body=raw.get("body"),
         )
 
 

@@ -82,6 +82,14 @@ def run_source(
         )
         if max_rows is not None:
             reader = reader.option("maxRows", max_rows)
+        if source.headers:
+            import json as _json
+
+            reader = reader.option("headersJson", _json.dumps(source.headers))
+        if source.body is not None:
+            import json as _json
+
+            reader = reader.option("bodyJson", _json.dumps(source.body))
         table = reader.load()
         table.createOrReplaceTempView(source.name)
     else:
@@ -93,6 +101,8 @@ def run_source(
             start_page=pag.start_page if pag else None,
             pagination=pag,
             max_rows=max_rows,
+            headers=source.headers,
+            json_body=source.body,
         )
     result: DataFrame | None = None
     if source.sql:

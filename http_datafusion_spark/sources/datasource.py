@@ -64,7 +64,9 @@ class HttpJsonDataSource(DataSource):
             probe = build_page_url(url, pag, int(opts["startpage"]))
         else:
             probe = url
-        body = fetch_json(probe, method)
+        body = fetch_json(
+            probe, method, headers=_headers_from_options(opts), json_body=_body_from_options(opts)
+        )
         rows = body if isinstance(body, list) else ([body] if body is not None else [])
         return _infer_schema_from_rows(rows)
 
@@ -87,6 +89,18 @@ def _pagination_from_options(options: dict) -> Pagination:
         page_param=o.get("pageparam", "page"),
         page_size_param=o.get("pagesizeparam", "limit"),
     )
+
+
+def _headers_from_options(options: dict) -> dict[str, str] | None:
+    """Auth/custom headers travel as one JSON-string option (DataSource
+    options are flat strings)."""
+    raw = _norm_options(options).get("headersjson")
+    return json.loads(raw) if raw else None
+
+
+def _body_from_options(options: dict):
+    raw = _norm_options(options).get("bodyjson")
+    return json.loads(raw) if raw else None
 
 
 def _infer_schema_from_rows(rows: Sequence) -> StructType:
@@ -145,14 +159,19 @@ class HttpJsonReader(DataSourceReader):
         url = opts["url"]
         method = opts.get("method", "GET")
         pag = _pagination_from_options(opts)
+        hdrs = _headers_from_options(opts)
+        jbody = _body_from_options(opts)
         if partition.page is None:
             start = opts.get("startpage")
             max_rows = int(opts["maxrows"]) if opts.get("maxrows") is not None else None
             rows = fetch_rows(
-                url, method, start, pag if start is not None else None, max_rows=max_rows
+                url, method, start, pag if start is not None else None,
+                max_rows=max_rows, headers=hdrs, json_body=jbody,
             )
         else:
-            body = fetch_json(build_page_url(url, pag, partition.page), method)
+            body = fetch_json(
+                build_page_url(url, pag, partition.page), method, headers=hdrs, json_body=jbody
+            )
             if body is None:
                 rows = []
             elif isinstance(body, list):

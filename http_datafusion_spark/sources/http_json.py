@@ -52,6 +52,8 @@ def fetch_json(
     timeout: float = _DEFAULT_TIMEOUT,
     retries: int = 3,
     backoff: float = 0.5,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
 ) -> Any:
     """One HTTP request -> parsed JSON (reference src/datasources.rs:212-268).
 
@@ -74,7 +76,9 @@ def fetch_json(
         if attempt:
             time.sleep(backoff * (2 ** (attempt - 1)))
         try:
-            resp = requests.request(method, url, timeout=timeout)
+            resp = requests.request(
+                method, url, timeout=timeout, headers=headers, json=json_body
+            )
         except requests.RequestException as e:
             last_err = HttpError(f"request execution failed for {url!r}: {e}")
             continue
@@ -127,6 +131,8 @@ def fetch_rows(
     pagination: Pagination | None = None,
     timeout: float = _DEFAULT_TIMEOUT,
     max_rows: int | None = None,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
 ) -> list[Any]:
     """Fetch all rows from an endpoint, paginating if requested
     (reference populate_data, src/datasources.rs:110-199).
@@ -141,7 +147,7 @@ def fetch_rows(
     """
     rows: list[Any] = []
     if start_page is None and pagination is None:
-        _extend_rows(rows, fetch_json(url, method, timeout))
+        _extend_rows(rows, fetch_json(url, method, timeout, headers=headers, json_body=json_body))
         return rows
 
     pag = pagination or Pagination()
@@ -156,7 +162,9 @@ def fetch_rows(
             break
         if max_rows is not None and len(rows) >= max_rows:
             break
-        body = fetch_json(build_page_url(url, pag, page), method, timeout)
+        body = fetch_json(
+            build_page_url(url, pag, page), method, timeout, headers=headers, json_body=json_body
+        )
         if body is None or (isinstance(body, list) and not body):
             break
         _extend_rows(rows, body)
@@ -207,6 +215,8 @@ def register_http_table(
     schema_mode: str = "full",
     cache: bool = True,
     max_rows: int | None = None,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
 ) -> DataFrame:
     """Fetch + register a named temp view — the Spark analogue of
     ``dataframe::url`` (reference src/dataframe.rs:7-24).
@@ -217,7 +227,10 @@ def register_http_table(
     columnar form. ``max_rows`` stops page fetches early (limit
     pushdown; see fetch_rows).
     """
-    rows = fetch_rows(url, method, start_page, pagination, max_rows=max_rows)
+    rows = fetch_rows(
+        url, method, start_page, pagination,
+        max_rows=max_rows, headers=headers, json_body=json_body,
+    )
     df = json_rows_to_df(spark, rows, schema_mode=schema_mode)
     if cache and rows:
         df = df.cache()

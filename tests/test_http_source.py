@@ -167,3 +167,102 @@ def test_register_and_query(base_url, spark):
     register_http_table(spark, f"{base_url}/rows", table_name="t_rows")
     out = spark.sql("SELECT count(*) AS n, round(sum(score), 2) AS s FROM t_rows").collect()[0]
     assert out.n == 40 and out.s == round(sum(r["score"] for r in ROWS), 2)
+
+
+def test_auth_headers_and_post_body(spark):
+    """Beyond-reference ingest: auth headers reach the request; a POST
+    body is serialized as JSON (the reference sends neither,
+    src/datasources.rs:212-268)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen = {}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):  # noqa: N802
+            seen["auth"] = self.headers.get("Authorization")
+            n = int(self.headers.get("Content-Length", 0))
+            seen["body"] = json.loads(self.rfile.read(n)) if n else None
+            out = json.dumps([{"id": 1}, {"id": 2}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from http_datafusion_spark.sources.http_json import register_http_table
+
+        df = register_http_table(
+            spark,
+            url=f"http://127.0.0.1:{srv.server_port}/q",
+            method="POST",
+            table_name="authed",
+            headers={"Authorization": "Bearer tok123"},
+            json_body={"filter": {"active": True}},
+        )
+        assert df.count() == 2
+        assert seen["auth"] == "Bearer tok123"
+        assert seen["body"] == {"filter": {"active": True}}
+    finally:
+        srv.shutdown()
+
+
+def test_config_header_env_expansion(monkeypatch):
+    from http_datafusion_spark.config import Config
+    from http_datafusion_spark.errors import ConfigError
+
+    monkeypatch.setenv("API_TOKEN", "s3cret")
+    cfg = Config.from_dict(
+        {
+            "sources": [
+                {
+                    "name": "s",
+                    "url": "http://x/",
+                    "headers": {"Authorization": "Bearer ${API_TOKEN}"},
+                }
+            ]
+        }
+    )
+    assert cfg.sources[0].headers == {"Authorization": "Bearer s3cret"}
+
+    import pytest
+
+    monkeypatch.delenv("MISSING_TOKEN", raising=False)
+    with pytest.raises(ConfigError, match="MISSING_TOKEN"):
+        Config.from_dict(
+            {
+                "sources": [
+                    {"name": "s", "url": "http://x/", "headers": {"A": "${MISSING_TOKEN}"}}
+                ]
+            }
+        )
+
+
+def test_config_body_requires_post():
+    import pytest
+
+    from http_datafusion_spark.config import Config
+    from http_datafusion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="POST"):
+        Config.from_dict(
+            {"sources": [{"name": "s", "url": "http://x/", "body": {"a": 1}}]}
+        )
+
+
+def test_kafka_source_gated(spark):
+    import pytest
+
+    from http_datafusion_spark.errors import EngineError
+    from http_datafusion_spark.streaming.kafka import kafka_available, read_events_kafka
+
+    if kafka_available(spark):
+        pytest.skip("kafka connector present; gate not exercisable")
+    with pytest.raises(EngineError, match="Kafka connector"):
+        read_events_kafka(spark, "localhost:9092", "events")
