@@ -32,50 +32,87 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_time <= left_time`` sharing the key ``on``.
+    """For every left row, attach the matching right row sharing key
+    ``on``:
+
+    - ``direction="backward"`` (default): the latest right row with
+      ``right_time <= left_time`` (``<`` when ``strict``);
+    - ``direction="forward"``: the earliest right row with
+      ``right_time >= left_time`` (``>`` when ``strict``) —
+      implemented by running the same union-merge on negated time;
+    - ``tolerance``: maximum allowed |left_time - right_time| (same
+      units as the time columns); matches further away resolve to NULL.
 
     Left columns are preserved; payload columns arrive as
-    ``asof_<name>`` (null when no right row precedes the left time).
+    ``asof_<name>`` (null when no qualifying right row exists). One
+    shuffle on the key at any scale — never a row-pair explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     # ALL payload columns travel in ONE struct carried by a single
     # last(ignorenulls=True): per-column carries would mix values from
     # different right rows whenever a payload field is NULL in one right
     # row but not another (latest orderkey paired with an older price).
+    # The struct also carries the matched right time for tolerance.
     rdt = dict(right.dtypes)
-    payload_t = "struct<" + ",".join(f"asof_{c}:{rdt[c]}" for c in payload_cols) + ">"
+    payload_t = (
+        "struct<"
+        + ",".join(f"asof_{c}:{rdt[c]}" for c in payload_cols)
+        + f",_rt:{rdt[right_time]}>"
+    )
+    # Forward as-of == backward as-of on negated time.
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+    # Non-strict: right rows sort BEFORE left at equal time (<= matches);
+    # strict: left rows first, so an equal-time right row is invisible.
+    l_prio, r_prio = (1, 0) if not strict else (0, 1)
     lt = left.select(
         F.col(on).alias("_k"),
-        F.col(left_time).alias("_t"),
+        (F.col(left_time) * sign).alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(l_prio).alias("_prio"),
         F.lit(None).cast("bigint").alias("_tie"),
         F.lit(None).cast(payload_t).alias("_payload"),
         F.struct(*left.columns).alias("_row"),
     )
     rt = right.select(
         F.col(on).alias("_k"),
-        F.col(right_time).alias("_t"),
+        (F.col(right_time) * sign).alias("_t"),
         F.lit(0).alias("_side"),
+        F.lit(r_prio).alias("_prio"),
         F.col(payload_cols[0]).cast("bigint").alias("_tie"),
-        F.struct(*[F.col(c).alias(f"asof_{c}") for c in payload_cols]).alias("_payload"),
+        F.struct(
+            *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+            F.col(right_time).alias("_rt"),
+        ).alias("_payload"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_row"),
     )
-    # Right rows sort before left rows at equal time (<= semantics); ties
-    # among right rows resolve to the greatest _tie (payload key).
+    # Ties among right rows resolve to the greatest _tie (payload key).
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_side", F.col("_tie").asc_nulls_last())
+        .orderBy("_t", "_prio", F.col("_tie").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = lt.unionByName(rt).select(
         "_side",
+        "_t",
         "_row",
         F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return carried.filter(F.col("_side") == 1).select("_row.*", "_payload.*")
+    if tolerance is not None:
+        gap = F.abs(F.col("_t") * sign - F.col("_payload._rt"))
+        carried = carried.withColumn(
+            "_payload",
+            F.when(gap <= tolerance, F.col("_payload")).otherwise(F.lit(None).cast(payload_t)),
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        "_row.*", *[f"_payload.asof_{c}" for c in payload_cols]
+    )
 
 
 @query(

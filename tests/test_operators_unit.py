@@ -166,6 +166,32 @@ def test_connected_components_raises_on_exhaustion(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_asof_join_forward_strict_and_tolerance(spark):
+    from http_datafusion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "e")], "k int, t int, name string")
+    right = spark.createDataFrame(
+        [(1, 90, 1), (1, 100, 2), (1, 105, 3), (1, 200, 4)],
+        "k int, rt int, okey bigint",
+    )
+
+    def one(**kw):
+        rows = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["okey"], **kw,
+        ).collect()
+        assert len(rows) == 1
+        return rows[0].asof_okey
+
+    assert one() == 2  # backward <=: exact-time match wins
+    assert one(strict=True) == 1  # backward <: equal-time row invisible
+    assert one(direction="forward") == 2  # forward >=: exact match
+    assert one(direction="forward", strict=True) == 3  # forward >: next row
+    assert one(strict=True, tolerance=5) is None  # 100-90=10 > 5
+    assert one(direction="forward", strict=True, tolerance=5) == 3  # gap 5 ok
+    assert one(direction="forward", strict=True, tolerance=4) is None
+
+
 def test_asof_join_no_preceding_right_row_yields_nulls(spark):
     from http_datafusion_spark.operators.asof import asof_join
 
