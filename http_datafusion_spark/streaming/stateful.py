@@ -65,3 +65,73 @@ def user_profile_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_sec bigint, session_end_sec bigint, "
+    "n_events bigint, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start_sec bigint, end_sec bigint, n bigint"
+SESSION_GAP_SEC = 1800
+
+
+def _session_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Timeout-driven sessionization: state holds the OPEN session per
+    user; an event-time timeout (watermark passing last_event + gap)
+    CLOSES it and emits the final row — the pattern built-in
+    session_window can't customize (e.g. per-row side effects, custom
+    merge rules). State is one row per key: O(active users)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_sec": [start],
+                "session_end_sec": [end],
+                "n_events": [n],
+                "closed": [True],
+            }
+        )
+        return
+    start, end, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        secs = sorted(pdf["ts"].astype("int64") // 1_000_000_000)
+        for s in secs:
+            s = int(s)
+            if start is None:
+                start, end, n = s, s, 1
+            elif s - end >= SESSION_GAP_SEC:
+                # gap within a batch: emit the closed session inline
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start_sec": [start],
+                        "session_end_sec": [end],
+                        "n_events": [n],
+                        "closed": [True],
+                    }
+                )
+                start, end, n = s, s, 1
+            else:
+                end, n = s, n + 1
+    state.update((int(start), int(end), int(n)))
+    # Close via event-time timeout once the watermark passes end + gap.
+    state.setTimeoutTimestamp((int(end) + SESSION_GAP_SEC) * 1000)
+
+
+def session_close_stream(events_stream: DataFrame) -> DataFrame:
+    """Sessionize with explicit state timeouts (EventTimeTimeout)."""
+    return (
+        events_stream.select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

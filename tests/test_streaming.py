@@ -60,3 +60,44 @@ def test_stateful_user_profile(spark, sf_dir):
         assert profiles[uid].n_events == n
         assert profiles[uid].total_value == pytest.approx(total, abs=1e-3)
         assert profiles[uid].max_gap_sec >= 0
+
+
+def test_stateful_session_timeout_closes_sessions(spark, sf_dir):
+    """EventTimeTimeout path: sessions close either on an in-batch gap
+    or when the watermark passes last_event + gap; closed sessions must
+    tile each user's event stream exactly (batch sessionization twin)."""
+    from http_datafusion_spark.streaming.stateful import (
+        SESSION_GAP_SEC,
+        session_close_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory(session_close_stream(stream), "append")
+    got = out.filter(F.col("closed")).collect()
+    assert got, "no sessions closed"
+    # Batch twin: lag+cumsum sessionization over the same events.
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = W.partitionBy("user_id").orderBy("s")
+    sess = (
+        ev.withColumn("prev", F.lag("s").over(w))
+        .withColumn(
+            "new", (F.col("prev").isNull() | (F.col("s") - F.col("prev") >= SESSION_GAP_SEC)).cast("int")
+        )
+        .withColumn("sid", F.sum("new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("s").alias("start"), F.max("s").alias("end"), F.count(F.lit(1)).alias("n"))
+    )
+    expected = {
+        (r.user_id, r.start, r.end, r.n) for r in sess.collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events) for r in got
+    }
+    # Every emitted closed session must be a real batch session; the
+    # final (unclosed-at-end-of-stream) session per user may be missing.
+    assert emitted <= expected
+    assert len(emitted) >= len(expected) - ev.select("user_id").distinct().count()
