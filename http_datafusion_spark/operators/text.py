@@ -62,7 +62,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    oracle=f"""
+    oracle="""
     WITH t AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars,
@@ -195,4 +195,44 @@ def text_per_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         F.round(F.median(F.col("n_chars").cast("double")), 1).alias("median_chars"),
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words FROM documents
+    ), bg AS (
+      SELECT lower(words[i]) || ' ' || lower(words[i + 1]) AS bigram
+      FROM w, unnest(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="corpus-level top-k frequent bigrams (contamination/boilerplate screening): map-side explode + partial-agg + TakeOrdered — scan-shaped at 100 TB (north-star text)",
+    tags=("text",),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + window lead (codegen) rather than a HOF transform,
+    same as the MinHash shingle stage; count + top-k fuse into partial
+    aggregation and TakeOrderedAndProject — no global sort."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("doc_id").orderBy("pos")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    return (
+        d.select("doc_id", F.posexplode(words).alias("pos", "w"))
+        .withColumn("w1", F.lead("w", 1).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select(F.concat_ws(" ", F.lower("w"), F.lower("w1")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
     )
