@@ -62,7 +62,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars,
