@@ -48,13 +48,16 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
-    "q6_revenue_delta",
+    "q7_nation_volume",
     "q10_returned_revenue",
-    "q2_min_cost_supplier",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q18_large_orders",
     "q19_disjunctive_revenue",
+    # TPC-H tail, new this round (suite complete: Q8/Q9/Q11/Q15/Q16/Q20)
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationships",
+    "q20_promotion_suppliers",
     # join forms (§2.3)
     "q_left_join_agg",
     "q_right_join",
@@ -97,12 +100,10 @@ PRIORITY: tuple[str, ...] = (
     # approx aggregates, new this round (§2.4)
     "q_agg_approx",
     # operators whose implementation changed this round
-    "asof_join_latest_order",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_ivf_buckets",
 )
 
 
@@ -138,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.plans.scalar_funcs  # noqa: F401
     import http_datafusion_spark.plans.subqueries  # noqa: F401
     import http_datafusion_spark.plans.tpch_more  # noqa: F401
+    import http_datafusion_spark.plans.tpch_tail  # noqa: F401
     import http_datafusion_spark.plans.windows  # noqa: F401
     import http_datafusion_spark.streaming.queries  # noqa: F401
 
