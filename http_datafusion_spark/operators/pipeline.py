@@ -15,6 +15,13 @@
   embeddings (the storage layout ANN serving uses). scale = max|x|/127
   and the rounding is IEEE-identical on both engines, so the oracle
   checks exact quantized values, not approximations.
+- **product quantization**: the vector is split into M subspaces and
+  each subvector is replaced by the id of its nearest codebook
+  centroid — the memory layout of IVF-PQ indexes (D floats -> M
+  bytes). Expressed relationally (vector x subspace x centroid
+  cross join against a broadcast codebook, argmin by (dist, k)), so
+  encoding 100 TB of embeddings is a broadcast join + one partial
+  aggregation — no all-pairs shuffle, no driver materialization.
 """
 
 from __future__ import annotations
@@ -136,4 +143,79 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_sum"),
             F.array_max(q).alias("q_max"),
         )
+    )
+
+
+PQ_M = 4  # subspaces (64-dim vector -> 4 x 16-dim subvectors)
+PQ_K = 8  # centroids per subspace; codebook = the PQ_K seed vectors
+PQ_SUB = 16  # dims per subspace
+
+
+@query(
+    "embedding_quantize_pq",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS k, embedding AS c FROM embeddings WHERE vec_id < {PQ_K}
+    ), pairs AS (
+      SELECT e.vec_id, m.m, cb.k,
+             list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                i -> (CAST(e.embedding[m.m*{PQ_SUB}+i] AS DOUBLE) - CAST(cb.c[m.m*{PQ_SUB}+i] AS DOUBLE))
+                   * (CAST(e.embedding[m.m*{PQ_SUB}+i] AS DOUBLE) - CAST(cb.c[m.m*{PQ_SUB}+i] AS DOUBLE)))) AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m
+      CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, m, (min({{'d': dist, 'k': k}})).k AS code, min(dist) AS dist
+      FROM pairs GROUP BY vec_id, m
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code_3,
+           CAST(round(sum(CAST(round(dist, 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS q_err
+    FROM codes GROUP BY vec_id
+    """,
+    doc=f"product quantization encode: {PQ_M}x{PQ_SUB}-dim subspaces, nearest of {PQ_K} codebook centroids each (argmin by (dist,k) — deterministic ties), plus total reconstruction error. Codebook = the first {PQ_K} vectors, so the oracle is static SQL; a trained codebook swaps in without changing the plan shape (north-star pipeline / IVF-PQ storage layout)",
+    tags=("pipeline", "similarity"),
+)
+def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distances fold dim-by-dim left-to-right on both engines (Spark
+    # F.aggregate == DuckDB list_sum, bit-identical), so the argmin
+    # compares identical doubles; (dist, k) struct-min makes ties
+    # deterministic. The codebook (PQ_K rows) broadcasts; the per-row
+    # argmin is a partial-aggregable groupBy — scan-shaped at scale.
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").cast("array<double>").alias("c")
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    off = F.col("m") * PQ_SUB + 1
+    sub_x = F.slice(F.col("x"), off, PQ_SUB)
+    sub_c = F.slice(F.col("c"), off, PQ_SUB)
+    dist = F.aggregate(
+        F.zip_with(sub_x, sub_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    codes = (
+        e.select("vec_id", emb.alias("x"))
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", "k", dist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("dist").alias("d"), F.col("k").alias("k"))).alias("mk"),
+            F.min("dist").alias("dist"),
+        )
+        .select("vec_id", "m", F.col("mk.k").alias("code"), "dist")
+    )
+    code_m = lambda i: F.max(F.when(F.col("m") == i, F.col("code"))).cast("bigint")  # noqa: E731
+    return codes.groupBy("vec_id").agg(
+        code_m(0).alias("code_0"),
+        code_m(1).alias("code_1"),
+        code_m(2).alias("code_2"),
+        code_m(3).alias("code_3"),
+        F.round(F.sum(F.round("dist", 6).cast("decimal(18,6)")), 6).cast("double").alias("q_err"),
     )

@@ -68,8 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "q_nonequi_join",
     # set ops + distinct, merged (§2.7, §2.2)
     "q_set_ops",
-    # sort / top-k / paging (§2.6)
-    "q_topk_orders",
+    # sort / top-k / paging (§2.6; top-k also via q10's TakeOrderedAndProject)
     "q_sort_paging",
     # scalar-function families (§2.8)
     "q_string_funcs",
@@ -100,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     # approx aggregates, new this round (§2.4)
     "q_agg_approx",
     # operators whose implementation changed this round
+    "embedding_quantize_pq",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "sim_bruteforce_topk",
