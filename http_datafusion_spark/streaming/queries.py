@@ -61,8 +61,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
-    """Execute a streaming aggregation to completion via a memory sink."""
+def run_to_memory(
+    agg: DataFrame, output_mode: str, progress_out: list | None = None
+) -> DataFrame:
+    """Execute a streaming aggregation to completion via a memory sink.
+
+    When ``progress_out`` is given, the per-micro-batch progress dicts
+    (numInputRows etc.) are appended to it before the query stops — the
+    observable evidence for rate-limit/backpressure behavior.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode(output_mode)
@@ -73,10 +80,73 @@ def run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
         q.awaitTermination(30)
     return agg.sparkSession.table(name)
+
+
+RATE_LIMIT_FILES = 8  # events staged as N files; maxFilesPerTrigger=1 -> N bounded micro-batches
+
+
+def staged_multifile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as RATE_LIMIT_FILES parquet files so the
+    file source's ``maxFilesPerTrigger`` cap is observable (a single
+    file is always one trigger). Written once per sf_dir."""
+    name = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_rl_{name}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .repartition(RATE_LIMIT_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def rate_limited_stream(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
+    """The backpressure demo pipeline: N-file source, ONE file per
+    trigger (the file-source analogue of Kafka's maxOffsetsPerTrigger —
+    see streaming/kafka.py), per-type profile aggregation in complete
+    mode. Bounded per-trigger intake is what keeps executor memory and
+    state-store update rate flat when a backlogged source is replayed
+    at scale; without a cap the first trigger ingests the whole backlog."""
+    d = staged_multifile_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return run_to_memory(agg, "complete", progress_out)
+
+
+@query(
+    "stream_rate_limited",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6)     AS min_value,
+           round(max(value), 6)     AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="rate-limited ingest (maxFilesPerTrigger=1 over an 8-file source): N bounded micro-batches, final state == batch twin; backpressure evidence asserted in tests/test_streaming.py (streaming extension)",
+    tags=("streaming",),
+)
+def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rate_limited_stream(spark, sf_dir)
 
 
 @query(

@@ -101,3 +101,37 @@ def test_stateful_session_timeout_closes_sessions(spark, sf_dir):
     # final (unclosed-at-end-of-stream) session per user may be missing.
     assert emitted <= expected
     assert len(emitted) >= len(expected) - ev.select("user_id").distinct().count()
+
+
+def test_rate_limited_ingest_bounds_each_trigger(spark, sf_dir):
+    # maxFilesPerTrigger=1 over an 8-file staging of events: the query
+    # must take (at least) one micro-batch per file, and no single
+    # trigger may ingest more than one file's worth of rows — the
+    # backpressure property that keeps a backlogged-source replay from
+    # swallowing the whole backlog in trigger one.
+    from http_datafusion_spark.streaming.queries import (
+        RATE_LIMIT_FILES,
+        rate_limited_stream,
+    )
+
+    progress: list = []
+    out = rate_limited_stream(spark, sf_dir, progress_out=progress)
+    total = load_tables(spark, sf_dir, "events")["events"].count()
+
+    fed = [p for p in progress if p["numInputRows"] > 0]
+    assert len(fed) >= RATE_LIMIT_FILES  # one bounded batch per file
+    # Repartition makes files near-equal; 1.5x headroom for row skew.
+    per_file_cap = int(total / RATE_LIMIT_FILES * 1.5)
+    assert max(p["numInputRows"] for p in fed) <= per_file_cap
+    assert sum(p["numInputRows"] for p in fed) == total  # nothing dropped
+    # Final state still equals the batch twin.
+    twin = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, twin.collect()))
