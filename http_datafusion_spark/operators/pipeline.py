@@ -146,6 +146,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_PCT = 90  # hash buckets 0-89 -> train
+VAL_PCT = 95  # 90-94 -> val, 95-99 -> test
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN {md5_int_sql("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 < {TRAIN_PCT} THEN 'train'
+                  WHEN {md5_int_sql("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 < {VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM assigned GROUP BY source, split
+    """,
+    doc=f"deterministic {TRAIN_PCT}/{VAL_PCT - TRAIN_PCT}/{100 - VAL_PCT} train/val/test split: the salted doc-id hash gives every row a stable assignment, so a re-run (or a resumed partial job, at any parallelism) splits identically — the property rand() cannot give (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bucket = md5_int(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train").when(bucket < VAL_PCT, "val").otherwise("test")
+    )
+    return (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
+BALANCE_CAP = 3  # max docs kept per source
+
+
+@query(
+    "balance_sources",
+    oracle=f"""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("concat('bal|', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {BALANCE_CAP}
+    """,
+    doc=f"source balancing: keep at most {BALANCE_CAP} docs per source, selected by hash rank (deterministic, re-runnable) — the downsample-the-head-domains stage of a corpus mix; one shuffle on source, rank is partial per partition (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    rank_key = md5_int(F.concat(F.lit("bal|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= BALANCE_CAP)
+        .select("source", "doc_id")
+    )
+
+
 PQ_M = 4  # subspaces (64-dim vector -> 4 x 16-dim subvectors)
 PQ_K = 8  # centroids per subspace; codebook = the PQ_K seed vectors
 PQ_SUB = 16  # dims per subspace

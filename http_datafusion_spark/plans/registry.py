@@ -82,14 +82,12 @@ PRIORITY: tuple[str, ...] = (
     "q_json_funcs",
     "q_cast_types",
     "q_scalar_tail",
-    "q_date_bin",
     # subqueries + CTE (§2.3 semi/anti via decorrelation, §4.2)
     "q_scalar_subquery",
     "q_correlated_scalar_subquery",
     "q_in_subquery",
     "q_not_in_subquery",
     "q_subquery_in_from",
-    "q_cte",
     # windows (§2.5)
     "q_window_ranking",
     "q_window_offsets",
@@ -99,6 +97,8 @@ PRIORITY: tuple[str, ...] = (
     # approx aggregates, new this round (§2.4)
     "q_agg_approx",
     # operators whose implementation changed this round
+    "train_val_split",
+    "balance_sources",
     "embedding_quantize_pq",
     "dedup_embedding_cosine",
     "dedup_clusters",
