@@ -266,7 +266,7 @@ def sim_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"IVF-bucketed ANN top-k: driver-side probe over the cached codebook, literal IN bucket filter (partition-prunable), probe {N_PROBE}/{N_CENTROIDS} (north-star similarity scale path)",
     tags=("similarity", "bench"),
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _fetch_vectors(spark, sf_dir, (QUERY_VEC_ID, *CENTROID_VEC_IDS))
     qv = vecs[QUERY_VEC_ID]
     cids = sorted(CENTROID_VEC_IDS)
@@ -287,4 +287,53 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
         .limit(TOP_K)
         .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_impl(spark, sf_dir)
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (
+      SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ), probe AS (
+      SELECT cid
+      FROM cents, q
+      ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+               i -> (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                  * (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))), cid
+      LIMIT {N_PROBE}
+    ), exact AS (
+      SELECT e.vec_id
+      FROM e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='e.embedding', b='qv')} / (e.nrm * qn) DESC, e.vec_id
+      LIMIT {TOP_K}
+    ), approx AS (
+      SELECT a.vec_id
+      FROM assigned a, q
+      WHERE a.bucket IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='a.embedding', b='qv')} / (a.nrm * qn) DESC, a.vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM approx JOIN exact USING (vec_id)
+    """,
+    doc=f"ANN quality gate: recall@{TOP_K} of the IVF probe ({N_PROBE}/{N_CENTROIDS} buckets) against the exact scan — both rankings in ONE plan, intersected; the measurement a production index build runs before swapping brute force out (north-star similarity)",
+    tags=("similarity",),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact_ids = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    approx_ids = _ivf_topk_impl(spark, sf_dir).select(F.col("vec_id").alias("a_id"))
+    hits = approx_ids.join(exact_ids, approx_ids["a_id"] == exact_ids["vec_id"], "inner")
+    return hits.agg(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / TOP_K, 6).alias("recall_at_k"),
     )

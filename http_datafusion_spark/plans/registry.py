@@ -87,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "q_correlated_scalar_subquery",
     "q_in_subquery",
     "q_not_in_subquery",
-    "q_subquery_in_from",
     # windows (§2.5)
     "q_window_ranking",
     "q_window_offsets",
@@ -104,6 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_ivf_recall",
 )
 
 
