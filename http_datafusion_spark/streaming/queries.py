@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import _ensure_session_confs
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -48,6 +49,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema comes from a batch read (a stream can't infer), including
     the TIMESTAMP(NANOS) -> µs normalization from the loader.
     """
+    _ensure_session_confs(spark)  # nanosAsLong etc. on a foreign (driver) session
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -95,6 +97,7 @@ def staged_multifile_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as RATE_LIMIT_FILES parquet files so the
     file source's ``maxFilesPerTrigger`` cap is observable (a single
     file is always one trigger). Written once per sf_dir."""
+    _ensure_session_confs(spark)  # nanosAsLong etc. on a foreign (driver) session
     name = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"hds_stream_rl_{name}")
     marker = os.path.join(d, "_STAGED")
