@@ -131,7 +131,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
-    return (
+    # Partial-agg pushdown (the q10 rewrite, plans/extra.py): the
+    # part-filtered lineitem side reduces to (orderkey, nation) before
+    # the fact-fact join with orders, which only contributes the year.
+    # EXACT: the amounts are decimals, so re-summation per (nation, yr)
+    # cannot drift vs the oracle's single-pass sum.
+    li_side = (
         t["lineitem"]
         .join(
             F.broadcast(t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")),
@@ -139,13 +144,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("bigint").alias("yr"),
-            amount.cast("decimal(18,6)").alias("amount"),
-        )
-        .groupBy("nation", "yr")
+        .groupBy("l_orderkey", F.col("n_name").alias("nation"))
+        .agg(F.sum(amount.cast("decimal(18,6)")).alias("amount"))
+    )
+    return (
+        li_side.join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("yr"))
         .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
 
