@@ -82,3 +82,28 @@ def test_minhash_signature_single_shuffle(spark, sf_dir):
     # repartition/window and the final agg — no join, no extra sorts.
     s = plan_of(QS["dedup_minhash_signature"].spark(spark, sf_dir))
     assert "Join" not in s
+
+
+def test_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
+    # PQ encode: the codebook/subspace cross joins must be broadcast
+    # (BroadcastNestedLoopJoin), never a CartesianProduct shuffle —
+    # the property that keeps encoding scan-shaped at 100 TB.
+    p = plan_of(QS["embedding_quantize_pq"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_balance_sources_single_shuffle(spark, sf_dir):
+    # One hash-partitioning exchange (by source) feeds the rank window;
+    # no other shuffle may appear.
+    p = plan_of(QS["balance_sources"].spark(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q9_partial_agg_before_orders_join(spark, sf_dir):
+    # The (orderkey, nation) reduction must sit BELOW the join with
+    # orders: two aggregates total, and the plan string shows an
+    # aggregate on l_orderkey.
+    p = plan_of(QS["q9_product_profit"].spark(spark, sf_dir))
+    assert "l_orderkey" in p and "HashAggregate" in p
+    assert p.count("SortMergeJoin") <= 1  # only the fact-fact join may shuffle-join

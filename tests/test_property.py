@@ -48,3 +48,29 @@ def test_page_url_composition(page, size, page_param, size_param, has_query):
     sep = "&" if has_query else "?"
     assert url == f"{base}{sep}{page_param}={page}&{size_param}={size}"
     assert url.count("?") == 1  # never doubles the query separator
+
+
+def test_train_val_split_partitions_every_doc(spark, sf_dir):
+    # The three splits must cover documents exactly (complete + disjoint)
+    # and be stable across invocations (hash-gated, not rand()).
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    q = all_queries()["train_val_split"]
+    total_docs = load_tables(spark, sf_dir, "documents")["documents"].count()
+    out1 = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    out2 = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    assert out1 == out2  # deterministic
+    assert sum(r[2] for r in out1) == total_docs  # complete + disjoint
+    assert {r[1] for r in out1} <= {"train", "val", "test"}
+
+
+def test_balance_sources_respects_cap(spark, sf_dir):
+    from http_datafusion_spark.operators.pipeline import BALANCE_CAP
+    from http_datafusion_spark.plans.registry import all_queries
+
+    out = all_queries()["balance_sources"].spark(spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert per_source and max(per_source.values()) <= BALANCE_CAP
