@@ -182,3 +182,56 @@ def test_pushable_limit_extractor():
     assert pushable_limit("SELECT DISTINCT a FROM t LIMIT 5", "t") is None
     assert pushable_limit("SELECT a FROM t", "t") is None
     assert pushable_limit(None, "t") is None
+
+
+def _stream_to_memory(spark, url, **opts):
+    import tempfile
+    import uuid
+
+    r = spark.readStream.format("httpjson").option("url", url)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    name = f"http_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        r.load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hds_http_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name), progress
+
+
+def test_stream_drains_all_pages_and_matches_batch(spark, url):
+    out, _ = _stream_to_memory(spark, url, pageSize=10)
+    batch = _read(spark, url, startPage=1, endPage=10, pageSize=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_max_pages_per_trigger_bounds_batches(spark, url):
+    # 100 rows / pageSize 10 = 10 pages; 2 pages per trigger => >=5
+    # non-empty micro-batches, each ingesting at most 20 rows.
+    out, progress = _stream_to_memory(spark, url, pageSize=10, maxPagesPerTrigger=2)
+    assert out.count() == len(ROWS)
+    fed = [p for p in progress if p["numInputRows"] > 0]
+    assert len(fed) >= 5
+    assert max(p["numInputRows"] for p in fed) <= 20
+
+
+def test_stream_offset_advances_only_on_data(spark, url):
+    from http_datafusion_spark.sources.datasource import HttpJsonStreamReader
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id bigint, tag string, score double")
+    rdr = HttpJsonStreamReader(schema, {"url": url, "pageSize": "40"})
+    rows1, off1 = rdr.read(rdr.initialOffset())
+    assert len(list(rows1)) == 100 and off1 == {"page": 4}  # 3 full pages + empty stop
+    rows2, off2 = rdr.read(off1)
+    assert list(rows2) == [] and off2 == off1  # frontier: offset parked
