@@ -64,8 +64,10 @@ PRIORITY: tuple[str, ...] = (
     "q_full_outer_join",
     "q_semi_join",
     "q_anti_join",
-    "q_cross_join",
     "q_nonequi_join",
+    # HTTP ingest round-trip (§2.1 driver row; cross-join §2.3 evidence
+    # moved to embedding_quantize_pq's broadcast NLJ)
+    "http_ingest_nation",
     # set ops + distinct, merged (§2.7, §2.2)
     "q_set_ops",
     # sort / top-k / paging (§2.6; top-k also via q10's TakeOrderedAndProject)
@@ -141,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.plans.tpch_more  # noqa: F401
     import http_datafusion_spark.plans.tpch_tail  # noqa: F401
     import http_datafusion_spark.plans.windows  # noqa: F401
+    import http_datafusion_spark.sources.ingest_queries  # noqa: F401
     import http_datafusion_spark.streaming.queries  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
