@@ -92,3 +92,51 @@ def ts_gapfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("was_gap"),
         )
     )
+
+
+@query(
+    "ts_rollup_cascade",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(value, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS total,
+           round(max(value), 6) AS peak
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="hypertable-style rollup cascade: events -> per-minute -> per-hour -> per-day partials, each level RE-AGGREGATING the one below (count-sum/sum-sum/max-max over exact decimals) — hash-checked against the oracle's single-pass daily aggregate, proving the cascade is lossless (time-series extension)",
+    tags=("events", "timeseries"),
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate pattern a 100 TB metric store runs:
+    ingest materializes minute partials once, coarser resolutions are
+    built FROM the finer ones (never rescanning raw events), which is
+    only correct because every measure re-aggregates associatively —
+    counts sum, decimal sums sum (exact, order-independent), maxes max.
+    The oracle aggregates raw events straight to days in one pass; a
+    value-hash match proves the three-level cascade loses nothing."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    v6 = F.round("value", 6).cast("decimal(18,6)")  # per-row quantize: all sums exact
+    minute = (
+        e.withColumn("m", F.date_trunc("minute", "ts"))
+        .groupBy("m", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v6).alias("total"),
+            F.max("value").alias("peak"),
+        )
+    )
+    hour = (
+        minute.withColumn("h", F.date_trunc("hour", "m"))
+        .groupBy("h", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"), F.max("peak").alias("peak"))
+    )
+    return (
+        hour.withColumn("day", F.date_format("h", "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 4).cast("double").alias("total"),
+            F.round(F.max("peak"), 6).alias("peak"),
+        )
+    )
