@@ -294,6 +294,134 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_impl(spark, sf_dir)
 
 
+_DIST2_TO_LIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST({x}[i] AS DOUBLE) - {c}[i]) * (CAST({x}[i] AS DOUBLE) - {c}[i])))"
+)
+
+
+@query(
+    "sim_kmeans_refit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), cents0 AS (
+      SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id IN {CENTROID_VEC_IDS}
+    ), assign0 AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, 64),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents0 c
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT unnest(range(1, 65)) AS dim
+    ), upd AS (
+      SELECT cluster, dim,
+             CAST(sum(CAST(round(CAST(embedding[dim] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS cval
+      FROM assign0 CROSS JOIN dims
+      GROUP BY cluster, dim
+    ), cents1 AS (
+      SELECT cluster AS cid, list(cval ORDER BY dim) AS cv FROM upd GROUP BY cluster
+    ), assign1 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DIST2_TO_LIST_SQL.format(x='e.embedding', c='c.cv')}, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents1 c
+      ) WHERE rn = 1
+    ), before AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_before FROM assign0 GROUP BY cluster
+    ), after AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_after FROM assign1 GROUP BY cluster
+    )
+    SELECT b.cluster, b.n_before, a.n_after,
+           round(c.cv[1], 6) AS c_dim1,
+           round(c.cv[2], 6) AS c_dim2
+    FROM before b
+    JOIN after a ON b.cluster = a.cluster
+    JOIN cents1 c ON b.cluster = c.cid
+    """,
+    doc=f"distributed k-means refit, ONE exact Lloyd iteration: assign to the {N_CENTROIDS} seed centroids, recompute centroids as decimal-exact per-dim means, reassign — every intermediate (means, distances, argmins) is bit-identical across engines, so the oracle checks the refit VALUE-exactly, not within tolerance (north-star similarity)",
+    tags=("similarity",),
+)
+def sim_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's update as pure DataFrame algebra, no driver-side state:
+    assignment = broadcast codebook cross join + (dist, cid) struct-min;
+    centroid update = index-exploded per-dim DECIMAL means (exact, so
+    order-independent — the trick that makes an *iterative* algorithm
+    oracle-checkable); reassignment reuses the same argmin. At 100 TB
+    each iteration is two scans and two partial-agg shuffles."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb.alias("x"))
+    cb0 = base.filter(F.col("vec_id").isin(*CENTROID_VEC_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("cv")
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("x"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            points.crossJoin(F.broadcast(cents))
+            .select("vec_id", "x", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("cid"))).alias("mk"),
+                F.first("x").alias("x"),
+            )
+            .select("vec_id", "x", F.col("mk.cid").alias("cluster"))
+        )
+
+    assign0 = assign(base, cb0)
+    dims = F.broadcast(
+        e.sparkSession.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    )
+    upd = (
+        assign0.crossJoin(dims)
+        .select(
+            "cluster",
+            "dim",
+            F.round(F.element_at("x", F.col("dim")), 6).cast("decimal(18,6)").alias("v6"),
+        )
+        .groupBy("cluster", "dim")
+        .agg((F.sum("v6").cast("double") / F.count(F.lit(1))).alias("cval"))
+    )
+    cents1 = (
+        upd.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cid"), "cv")
+    )
+    assign1 = assign(base, cents1)
+    before = assign0.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_before"))
+    after = assign1.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, "cluster")
+        .join(cents1.withColumnRenamed("cid", "cluster"), "cluster")
+        .select(
+            "cluster",
+            "n_before",
+            "n_after",
+            F.round(F.element_at("cv", 1), 6).alias("c_dim1"),
+            F.round(F.element_at("cv", 2), 6).alias("c_dim2"),
+        )
+    )
+
+
 @query(
     "sim_ivf_recall",
     oracle=f"""
