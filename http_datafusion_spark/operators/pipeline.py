@@ -146,6 +146,56 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_MOD = 29  # benchmark set = doc_id % 29 == 0 (deterministic holdout)
+DECON_MIN_SHINGLES = 2  # >=2 shared 3-grams => contaminated
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), bench AS (
+      SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % {DECON_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_MOD} <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.shingle) AS BIGINT)   AS n_shared_shingles,
+           CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    HAVING count(DISTINCT c.shingle) >= {DECON_MIN_SHINGLES}
+    """,
+    doc=f"benchmark decontamination: flag corpus docs sharing >={DECON_MIN_SHINGLES} word-3-grams with the held-out benchmark set (doc_id % {DECON_MOD} = 0) — the leakage check every LLM training corpus runs; benchmark shingles broadcast, so the contamination join is map-side at 100 TB (north-star pipeline)",
+    tags=("pipeline", "dedup"),
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)  # (doc_id, shingle), distinct
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = sh.filter(is_bench).select(F.col("doc_id").alias("bench_doc"), "shingle")
+    corpus = sh.filter(~is_bench)
+    return (
+        # Benchmark sets are tiny next to the corpus: broadcast makes
+        # the contamination check a map-side join over the corpus scan.
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= DECON_MIN_SHINGLES)
+    )
+
+
 TRAIN_PCT = 90  # hash buckets 0-89 -> train
 VAL_PCT = 95  # 90-94 -> val, 95-99 -> test
 
