@@ -151,3 +151,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.countDistinct("node").alias("cluster_size")
     )
+
+
+PR_DAMP = 0.85
+PR_REST = 0.15  # literal, NOT computed 1-PR_DAMP: Python's 1-0.85 is
+# 0.15000000000000002 (1 ulp off the parsed SQL literal 0.15) — the
+# same constant must reach both engines
+PR_ITERS = 2
+PR_EDGE_MIN_SHINGLES = 8  # doc pairs sharing >= this many 3-grams are linked
+
+_PR_GRAPH_SQL = """
+    w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), prs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {thr}
+    ), edges AS (
+      SELECT da AS src, db AS dst FROM prs UNION ALL SELECT db, da FROM prs
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+    ), nn AS (
+      SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges
+    )
+"""
+
+_PR_STEP_SQL = """
+    {next} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(round(p.p / deg.d * CAST({damp} AS DOUBLE), 15) AS DECIMAL(28,15))) AS DOUBLE)
+               + CAST({rest} AS DOUBLE) / (SELECT n FROM nn) AS p
+      FROM edges e
+      JOIN {prev} p ON e.src = p.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL.format(thr=PR_EDGE_MIN_SHINGLES)},
+    p0 AS (
+      SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS p FROM deg
+    ),
+    {_PR_STEP_SQL.format(next='p1', prev='p0', damp=PR_DAMP, rest=PR_REST)},
+    {_PR_STEP_SQL.format(next='p2', prev='p1', damp=PR_DAMP, rest=PR_REST)}
+    SELECT node, round(p, 9) AS rank
+    FROM p2 ORDER BY p DESC, node LIMIT 20
+    """,
+    doc=f"PageRank ({PR_ITERS} exact iterations, damping {PR_DAMP}) over the shingle-sharing doc graph (pairs with >={PR_EDGE_MIN_SHINGLES} common 3-grams): per-neighbor contributions quantized to DECIMAL(28,15) so every iteration's ranks are bit-identical across engines — iterative graph centrality with a value-exact oracle (graph extension)",
+    tags=("graph", "dedup"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank as pure joins+aggregates, one shuffle per iteration —
+    the contribution sum is partial-aggregable, state is one (node, p)
+    column, so iterations scale like any groupBy at 100 TB (same
+    regime as the large-star contraction above). The undirected graph
+    has no dangling nodes (every node's in-neighbors = out-neighbors),
+    so no dangling-mass correction term is needed."""
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)
+    prs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .filter(F.col("nc") >= PR_EDGE_MIN_SHINGLES)
+        .select("da", "db")
+    )
+    edges = (
+        prs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .union(prs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .localCheckpoint(eager=True)  # computed once; reused every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    n = edges.select("src").distinct().count()  # scalar: one number, not node state
+    p = deg.select("src", (F.lit(1.0) / n).alias("p")).withColumnRenamed("src", "node")
+    for _ in range(PR_ITERS):
+        contrib = F.round(F.col("p") / F.col("d") * F.lit(PR_DAMP), 15).cast("decimal(28,15)")
+        p = (
+            edges.join(p, edges["src"] == p["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), contrib.alias("c"))
+            .groupBy("dst")
+            .agg((F.sum("c").cast("double") + F.lit(PR_REST) / n).alias("p"))
+            .withColumnRenamed("dst", "node")
+        )
+    return (
+        p.orderBy(F.col("p").desc(), F.col("node"))
+        .limit(20)
+        .select("node", F.round("p", 9).alias("rank"))
+    )
