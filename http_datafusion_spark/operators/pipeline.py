@@ -267,6 +267,54 @@ def balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_SCALE = 1_000_000  # hash-gate resolution for per-source keep rates
+
+
+@query(
+    "mix_sources_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n,
+             sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n) AS q
+      FROM counts
+    ), gated AS (
+      SELECT d.source, r.n, r.q
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {md5_int_sql("concat('mix|', CAST(d.doc_id AS VARCHAR))")} % {MIX_SCALE}
+            < CAST(round(r.q * {MIX_SCALE}) AS BIGINT)
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT)       AS n_docs,
+           CAST(count(*) AS BIGINT)     AS n_kept,
+           round(max(q), 6)             AS keep_rate
+    FROM gated GROUP BY source
+    """,
+    doc=f"temperature-based source mixing (alpha=0.5): per-source keep rate sqrt(min_n/n_s) flattens the source distribution toward the smallest source — the corpus-mixing stage of multi-source training sets; sqrt is IEEE-correctly-rounded so the rates (and the hash gate at 1/{MIX_SCALE} resolution) are engine-exact (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source", "n", F.sqrt(F.col("mn").cast("double") / F.col("n")).alias("q")
+    )
+    gate = md5_int(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % MIX_SCALE
+    thr = F.round(F.col("q") * MIX_SCALE).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(gate < thr)
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.max("q"), 6).alias("keep_rate"),
+        )
+    )
+
+
 PQ_M = 4  # subspaces (64-dim vector -> 4 x 16-dim subvectors)
 PQ_K = 8  # centroids per subspace; codebook = the PQ_K seed vectors
 PQ_SUB = 16  # dims per subspace
