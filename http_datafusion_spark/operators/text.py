@@ -236,3 +236,59 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+REP_FLAG_RATIO = 0.2  # >20% repeated 3-grams => repetitious doc
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), t AS (
+      SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_shingles
+      FROM w WHERE len(words) >= 3
+    ), dd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct FROM (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                      i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        FROM w WHERE len(words) >= 3
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, dd.n_distinct,
+           round(CAST(1 AS DOUBLE) - CAST(dd.n_distinct AS DOUBLE) / t.n_shingles, 6) AS rep_ratio,
+           (CAST(1 AS DOUBLE) - CAST(dd.n_distinct AS DOUBLE) / t.n_shingles)
+             > CAST({REP_FLAG_RATIO} AS DOUBLE) AS flagged
+    FROM t JOIN dd ON t.doc_id = dd.doc_id
+    """,
+    doc=f"repetition detection (Gopher-style quality rule): fraction of repeated word-3-grams per doc, flag > {REP_FLAG_RATIO}; total count is computed from the word count (no explode), only the distinct count aggregates — one shuffle (north-star text analysis)",
+    tags=("text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = whitespace_tokens(F.col("text"))
+    totals = (
+        d.select("doc_id", (F.size(words) - 2).cast("bigint").alias("n_shingles"))
+        .filter(F.col("n_shingles") >= 1)
+    )
+    distincts = (
+        shingled_docs(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    rep = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles")
+    return (
+        totals.join(distincts, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(rep, 6).alias("rep_ratio"),
+            (rep > REP_FLAG_RATIO).alias("flagged"),
+        )
+    )
