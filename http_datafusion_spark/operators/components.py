@@ -159,16 +159,25 @@ PR_REST = 0.15  # literal, NOT computed 1-PR_DAMP: Python's 1-0.85 is
 # same constant must reach both engines
 PR_ITERS = 2
 PR_EDGE_MIN_SHINGLES = 8  # doc pairs sharing >= this many 3-grams are linked
+PR_SHINGLE_DF_CAP = 50  # drop shingles in > this many docs BEFORE pairing:
+# a shingle in f docs yields f^2 candidate pairs, so corpus-wide stop-
+# shingles make the self-join quadratic in corpus size (measured 40 s at
+# 10x sf); capping document frequency bounds each shingle's contribution
+# and is standard LSH practice — high-df shingles carry no near-dup signal
 
 _PR_GRAPH_SQL = """
     w AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
       FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(words) - 1),
                     i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
       FROM w WHERE len(words) >= 3
+    ), keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {dfcap}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
     ), prs AS (
       SELECT a.doc_id AS da, b.doc_id AS db
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -198,7 +207,7 @@ _PR_STEP_SQL = """
 @query(
     "graph_pagerank",
     oracle=f"""
-    WITH {_PR_GRAPH_SQL.format(thr=PR_EDGE_MIN_SHINGLES)},
+    WITH {_PR_GRAPH_SQL.format(thr=PR_EDGE_MIN_SHINGLES, dfcap=PR_SHINGLE_DF_CAP)},
     p0 AS (
       SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS p FROM deg
     ),
@@ -219,7 +228,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no dangling-mass correction term is needed."""
     from http_datafusion_spark.operators.dedup import shingled_docs
 
-    sh = shingled_docs(spark, sf_dir)
+    sh0 = shingled_docs(spark, sf_dir)
+    keep = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= PR_SHINGLE_DF_CAP
+    )
+    sh = sh0.join(keep.select("shingle"), "shingle").localCheckpoint(eager=True)
     prs = (
         sh.alias("a")
         .join(
