@@ -107,3 +107,17 @@ def test_q9_partial_agg_before_orders_join(spark, sf_dir):
     p = plan_of(QS["q9_product_profit"].spark(spark, sf_dir))
     assert "l_orderkey" in p and "HashAggregate" in p
     assert p.count("SortMergeJoin") <= 1  # only the fact-fact join may shuffle-join
+
+
+def test_kmeans_refit_no_cartesian(spark, sf_dir):
+    # Both Lloyd passes must be broadcast nested-loop joins against the
+    # 8-row codebook, never a CartesianProduct shuffle.
+    p = plan_of(QS["sim_kmeans_refit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_benchmark_broadcast(spark, sf_dir):
+    # The contamination join must broadcast the benchmark shingles so
+    # the corpus side is a map-side scan.
+    p = plan_of(QS["decontaminate_corpus"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
