@@ -164,3 +164,57 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_o_orderkey").alias("asof_orderkey"),
         F.col("asof_o_price").alias("asof_price"),
     )
+
+
+ATTRIB_TOL_SEC = 1800  # purchases more than 30 min after the click don't count
+
+
+@query(
+    "asof_join_click_purchase",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS pid, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, pid AS asof_pid, round(value, 6) AS asof_value
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id AND pt > t AND pt - t <= {ATTRIB_TOL_SEC}
+    QUALIFY row_number() OVER (
+      PARTITION BY event_id
+      ORDER BY pt ASC NULLS LAST, pid DESC NULLS LAST
+    ) = 1
+    """,
+    doc=f"forward/strict/tolerance as-of join in one query: each click -> the EARLIEST strictly-later purchase of the same user within {ATTRIB_TOL_SEC}s (ties to max purchase id) — the attribution shape, exercising every asof_join option the API advertises (beyond-reference operator)",
+    tags=("asof", "join"),
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("pt"),
+        "value",
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="t",
+        right_time="pt",
+        payload_cols=("pid", "value"),
+        direction="forward",
+        strict=True,
+        tolerance=ATTRIB_TOL_SEC,
+    )
+    return joined.select(
+        "event_id",
+        F.col("asof_pid"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
