@@ -140,3 +140,60 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("peak"), 6).alias("peak"),
         )
     )
+
+
+Z_OUTLIER = 3.0  # |z| above this = anomalous reading
+
+
+@query(
+    "ts_zscore_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS ss
+      FROM q GROUP BY event_type
+    ), enriched AS (
+      SELECT q.event_type, q.v, stats.n, stats.s, stats.ss,
+             stats.s / stats.n AS mean,
+             sqrt((stats.ss - stats.s * stats.s / stats.n) / (stats.n - 1)) AS std
+      FROM q JOIN stats USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs((CAST(v AS DOUBLE) - mean) / std) > CAST({Z_OUTLIER} AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(mean), 6) AS mean_value,
+           round(max(std), 6)  AS std_value
+    FROM enriched GROUP BY event_type
+    """,
+    doc=f"anomaly detection: per-type z-score outlier count (|z| > {Z_OUTLIER}); sums go through exact decimals so mean/std (and every per-row z) are engine-identical — two-pass (agg + broadcast join back), no window shuffle (time-series extension)",
+    tags=("events", "timeseries"),
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    v = F.round("value", 6).cast("decimal(18,6)")
+    q = e.select("event_type", v.alias("v"))
+    stats = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("v").cast("double") - mean) / std
+    return (
+        q.join(F.broadcast(stats), "event_type")
+        .select("event_type", "n", F.when(F.abs(z) > Z_OUTLIER, 1).otherwise(0).alias("is_out"),
+                mean.alias("mean"), std.alias("std"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+            F.round(F.max("mean"), 6).alias("mean_value"),
+            F.round(F.max("std"), 6).alias("std_value"),
+        )
+    )
