@@ -388,3 +388,117 @@ def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_m(3).alias("code_3"),
         F.round(F.sum(F.round("dist", 6).cast("decimal(18,6)")), 6).cast("double").alias("q_err"),
     )
+
+
+SEG_WORDS = 20  # non-overlapping segment width (the "line" unit)
+
+
+@query(
+    "dedup_segments",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             CAST(start / {SEG_WORDS} AS BIGINT) AS seg_id,
+             md5(array_to_string(words[start + 1 : start + {SEG_WORDS}], ' ')) AS h
+      FROM (SELECT doc_id, words, unnest(range(0, len(words), {SEG_WORDS})) AS start
+            FROM w WHERE len(words) > 0)
+    ), rk AS (
+      SELECT doc_id, seg_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_id) AS rk
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                      AS n_segments,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+    FROM rk GROUP BY doc_id
+    """,
+    doc=f"segment-level dedup (CCNet/RefinedWeb line-dedup shape): split every doc into "
+    f"non-overlapping {SEG_WORDS}-word segments (the fixture's docs are single-line, so "
+    f"fixed word windows stand in for lines), hash each, keep only the globally-first "
+    f"occurrence (rank by (doc_id, seg_id) within hash), report per-doc survival. The "
+    f"segment explode is map-side; the rank is one shuffle on the segment hash — duplicate "
+    f"groups are the only skew and boilerplate hashes are bounded by corpus repetition "
+    f"(north-star pipeline)",
+    tags=("pipeline", "dedup"),
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    base = d.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    segs = base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - 1, F.lit(SEG_WORDS))).alias(
+            "seg_id", "start"
+        ),
+        F.col("words"),
+    ).select(
+        "doc_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.md5(F.array_join(F.slice("words", F.col("start") + 1, SEG_WORDS), " ")).alias("h"),
+    )
+    rk = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "seg_id"))
+    kept = F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+    return (
+        segs.withColumn("rk", rk)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            kept.cast("bigint").alias("n_kept"),
+            F.round(kept / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+    )
+
+
+PACK_BUDGET = 256  # whitespace-token budget per packed training sequence
+
+
+@query(
+    "doc_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                        / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 6) AS fill_frac
+    FROM placed GROUP BY source, bin_id
+    """,
+    doc=f"sequence packing: concatenate docs (deterministic doc_id order) into "
+    f"{PACK_BUDGET}-token training sequences per source — the packing stage that turns a "
+    f"deduped corpus into fixed-length LM batches. bin = floor(running-prefix/budget), a "
+    f"per-source window cumsum, so each source shard packs independently (partitionBy "
+    f"source — no global single-partition window) and a 100 TB corpus packs shard-parallel "
+    f"(north-star pipeline)",
+    tags=("pipeline", "text"),
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    t = d.select("source", "doc_id", F.size(words).cast("bigint").alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    bin_id = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+    return (
+        t.select("source", "n_tokens", bin_id.cast("bigint").alias("bin_id"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 6).alias("fill_frac"),
+        )
+    )

@@ -187,3 +187,111 @@ def events_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_value"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(v.t_view, '%Y-%m-%d %H:%M:%S.%f')     AS t_view,
+           strftime(c.t_click, '%Y-%m-%d %H:%M:%S.%f')    AS t_click,
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT)                 AS funnel_depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="ordered funnel view -> click -> purchase: per-user first qualifying timestamp at each "
+    "step (each step strictly after the previous). Three per-user partial aggregations sharing "
+    "one shuffle key, so the funnel is a co-partitioned join chain at 100 TB — no window over "
+    "the full event stream (FIXTURES events corpus)",
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    depth = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t_view", fmt).alias("t_view"),
+            F.date_format("t_click", fmt).alias("t_click"),
+            F.date_format("t_purchase", fmt).alias("t_purchase"),
+            depth.alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c_day FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS a_day FROM events
+    )
+    SELECT strftime(c.c_day, '%Y-%m-%d')            AS cohort_day,
+           CAST(a.a_day - c.c_day AS BIGINT)        AS day_offset,
+           CAST(count(*) AS BIGINT)                 AS n_users
+    FROM cohort c JOIN active a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users grouped by first-seen day, counted at each later active-day "
+    "offset — the activity matrix behind retention curves. Cohort assignment and the distinct "
+    "activity set are both per-user partial aggregations on the same key; the final rollup is "
+    "one small shuffle on (cohort_day, offset) (FIXTURES events corpus)",
+    tags=("events",),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    day = F.to_date("ts")
+    cohort = e.groupBy("user_id").agg(F.min(day).alias("c_day"))
+    active = e.select("user_id", day.alias("a_day")).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .groupBy(
+            F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("a_day", "c_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
