@@ -502,3 +502,141 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 6).alias("fill_frac"),
         )
     )
+
+
+@query(
+    "embedding_pq_train",
+    oracle=f"""
+    WITH ms AS (
+      SELECT unnest(range({PQ_M})) AS m
+    ), sub AS (
+      SELECT vec_id, m,
+             list_transform(generate_series(1, {PQ_SUB}),
+                            i -> CAST(embedding[m * {PQ_SUB} + i] AS DOUBLE)) AS sx
+      FROM embeddings CROSS JOIN ms
+    ), cb0 AS (
+      SELECT m, vec_id AS k, sx AS cv FROM sub WHERE vec_id < {PQ_K}
+    ), a0 AS (
+      SELECT vec_id, m, sx, k AS cluster FROM (
+        SELECT s.vec_id, s.m, s.sx, c.k,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                          i -> (s.sx[i] - c.cv[i]) * (s.sx[i] - c.cv[i]))), c.k
+               ) AS rn
+        FROM sub s JOIN cb0 c ON s.m = c.m
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT unnest(range(1, {PQ_SUB} + 1)) AS dim
+    ), upd AS (
+      SELECT m, cluster, dim,
+             CAST(sum(CAST(round(sx[dim], 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS cval
+      FROM a0 CROSS JOIN dims GROUP BY m, cluster, dim
+    ), cb1 AS (
+      SELECT m, cluster AS k, list(cval ORDER BY dim) AS cv FROM upd GROUP BY m, cluster
+    ), a1 AS (
+      SELECT vec_id, m, k AS cluster FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                          i -> (s.sx[i] - c.cv[i]) * (s.sx[i] - c.cv[i]))), c.k
+               ) AS rn
+        FROM sub s JOIN cb1 c ON s.m = c.m
+      ) WHERE rn = 1
+    ), before AS (
+      SELECT m, cluster, CAST(count(*) AS BIGINT) AS n_before FROM a0 GROUP BY m, cluster
+    ), after AS (
+      SELECT m, cluster, CAST(count(*) AS BIGINT) AS n_after FROM a1 GROUP BY m, cluster
+    )
+    SELECT b.m, b.cluster,
+           b.n_before,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+           c.cv[1] AS c_dim1,
+           c.cv[2] AS c_dim2
+    FROM before b
+    LEFT JOIN after a ON b.m = a.m AND b.cluster = a.cluster
+    JOIN cb1 c ON b.m = c.m AND b.cluster = c.k
+    """,
+    doc=f"PQ codebook TRAINING: one exact Lloyd iteration independently in each of the "
+    f"{PQ_M} subspaces (assign subvectors to the {PQ_K} seed centroids, refit centroids as "
+    f"decimal-exact per-dim means, reassign) — the k-means step that turns "
+    f"embedding_quantize_pq's static codebook into a trained one. Distances fold "
+    f"dim-by-dim identically on both engines and means route through DECIMAL(18,6), so "
+    f"the trained codebook and both assignment rounds are value-exact, not tolerance-"
+    f"banded. Codebooks broadcast; each round is one scan + partial-agg shuffle per "
+    f"subspace — scan-shaped at 100 TB (north-star pipeline / IVF-PQ training)",
+    tags=("pipeline", "similarity"),
+)
+def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    ms = F.broadcast(spark.range(PQ_M).select(F.col("id").cast("int").alias("m")))
+    sub = (
+        e.select("vec_id", emb.alias("x"))
+        .crossJoin(ms)
+        .select("vec_id", "m", F.slice("x", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sx"))
+    )
+    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sx").alias("cv")
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("sx"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            points.join(F.broadcast(cents), "m")
+            .select("vec_id", "m", "sx", "k", d2.alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(F.col("d2").alias("d"), F.col("k").alias("k"))).alias("mk"),
+                F.first("sx").alias("sx"),
+            )
+            .select("vec_id", "m", "sx", F.col("mk.k").alias("cluster"))
+        )
+
+    a0 = assign(sub, cb0)
+    dims = F.broadcast(spark.range(1, PQ_SUB + 1).select(F.col("id").cast("int").alias("dim")))
+    upd = (
+        a0.crossJoin(dims)
+        .select(
+            "m",
+            "cluster",
+            "dim",
+            F.round(F.element_at("sx", F.col("dim")), 6).cast("decimal(18,6)").alias("v6"),
+        )
+        .groupBy("m", "cluster", "dim")
+        .agg((F.sum("v6").cast("double") / F.count(F.lit(1))).alias("cval"))
+    )
+    cb1 = (
+        upd.groupBy("m", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+            ).alias("cv")
+        )
+        .select("m", F.col("cluster").alias("k"), "cv")
+    )
+    a1 = assign(sub, cb1)
+    before = a0.groupBy("m", "cluster").agg(F.count(F.lit(1)).alias("n_before"))
+    after = a1.groupBy("m", "cluster").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, ["m", "cluster"], "left")
+        .join(cb1.withColumnRenamed("k", "cluster"), ["m", "cluster"])
+        .select(
+            "m",
+            "cluster",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            # The refit means are bit-identical by construction (exact
+            # DECIMAL sum -> correctly-rounded double divide), so they
+            # ship raw: re-rounding here would reintroduce the
+            # round()-vs-round() half-boundary divergence between
+            # engines that the decimal routing exists to avoid.
+            F.element_at("cv", 1).alias("c_dim1"),
+            F.element_at("cv", 2).alias("c_dim2"),
+        )
+    )

@@ -269,3 +269,23 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("p_value"), 4).alias("attributed_value"),
     )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Structured Streaming stateful dedup: dropDuplicates on (user_id, event_type) "
+    "across micro-batches (file source replayed one file per trigger, so duplicate keys "
+    "arrive in DIFFERENT batches and only cross-batch state can drop them) == batch "
+    "DISTINCT twin. Only the dedup keys are emitted, so which physical row survives is "
+    "irrelevant and the result is deterministic. At scale the state store holds one entry "
+    "per distinct key — bounded by key cardinality, not stream length; a watermarked "
+    "dropDuplicatesWithinWatermark bounds it further when keys expire (streaming extension)",
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_to_memory(dedup, "append")
