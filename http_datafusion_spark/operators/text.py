@@ -292,3 +292,51 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rep > REP_FLAG_RATIO).alias("flagged"),
         )
     )
+
+
+RARE_DF_MAX = 2  # a word is "rare" if it appears in <= 2 documents
+
+
+@query(
+    "text_rare_words",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    ), df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY word
+    )
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(CASE WHEN df.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_words,
+           round(CAST(sum(CASE WHEN df.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS rare_frac
+    FROM dw JOIN df ON dw.word = df.word
+    GROUP BY dw.doc_id
+    """,
+    doc=f"rare-word quality signal: corpus-wide document frequency per word, joined back to "
+    f"score each doc by its fraction of rare words (df <= {RARE_DF_MAX}) — the TF-IDF-shaped "
+    f"two-pass (corpus statistic -> per-doc score) kept log-free so both engines compute it "
+    f"exactly. The df table is a partial-agg groupBy on word; the score join shuffles on "
+    f"word (or broadcasts when the vocabulary is small) — both scale-safe; OOV/typo-heavy "
+    f"docs surface with high rare_frac (north-star text analysis)",
+    tags=("text",),
+)
+def text_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = (
+        d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    df_tab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0))
+    return (
+        dw.join(df_tab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            rare.cast("bigint").alias("n_rare_words"),
+            F.round(rare.cast("double") / F.count(F.lit(1)), 6).alias("rare_frac"),
+        )
+    )

@@ -45,10 +45,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # TPC-H analogues: joins + aggregation + predicates end-to-end (§2.2-2.4, 2.6)
+    # (q7_nation_volume rotated to the tail: driver-green in r01 and
+    # unchanged since — its slot goes to a new operator.)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
-    "q7_nation_volume",
     "q10_returned_revenue",
     "q19_disjunctive_revenue",
     # TPC-H tail, new this round (suite complete; q15/q16/q20's subquery
@@ -57,9 +58,9 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q11_important_stock",
-    # join forms (§2.3)
+    # join forms (§2.3; RIGHT outer rotated to the tail — the outer-join
+    # operator row keeps LEFT + FULL driver evidence here)
     "q_left_join_agg",
-    "q_right_join",
     "q_full_outer_join",
     "q_semi_join",
     "q_anti_join",
@@ -82,14 +83,15 @@ PRIORITY: tuple[str, ...] = (
     "q_json_funcs",
     "q_cast_types",
     "q_scalar_tail",
-    # subqueries + CTE (§2.3 semi/anti via decorrelation, §4.2)
+    # subqueries + CTE (§2.3 semi/anti via decorrelation, §4.2;
+    # NOT IN rotated to the tail — anti-join has q_anti_join here and
+    # the subquery machinery keeps three driver rows)
     "q_scalar_subquery",
     "q_correlated_scalar_subquery",
     "q_in_subquery",
-    "q_not_in_subquery",
-    # windows (§2.5)
+    # windows (§2.5; offsets rotated to the tail — lag/lead/nth already
+    # driver-green via events_lag_lead in r01)
     "q_window_ranking",
-    "q_window_offsets",
     "q_window_running",
     "q_window_range_frame",
     "q_topk_per_group",
@@ -108,6 +110,12 @@ PRIORITY: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_ivf_recall",
+    # operators new this session (events_retention / doc_packing /
+    # stream_dedup ride the local parity sweep until slots free up)
+    "embedding_pq_train",
+    "dedup_segments",
+    "events_funnel",
+    "doc_packing",
 )
 
 
