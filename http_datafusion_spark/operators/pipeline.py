@@ -623,9 +623,12 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = assign(sub, cb1)
     before = a0.groupBy("m", "cluster").agg(F.count(F.lit(1)).alias("n_before"))
     after = a1.groupBy("m", "cluster").agg(F.count(F.lit(1)).alias("n_after"))
+    # The result-side relations are bounded by the PQ_M*PQ_K constant
+    # (32 rows at any data scale) — broadcast them so the final joins
+    # never plan a shuffle.
     return (
-        before.join(after, ["m", "cluster"], "left")
-        .join(cb1.withColumnRenamed("k", "cluster"), ["m", "cluster"])
+        before.join(F.broadcast(after), ["m", "cluster"], "left")
+        .join(F.broadcast(cb1.withColumnRenamed("k", "cluster")), ["m", "cluster"])
         .select(
             "m",
             "cluster",

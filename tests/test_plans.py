@@ -121,3 +121,39 @@ def test_decontaminate_benchmark_broadcast(spark, sf_dir):
     # the corpus side is a map-side scan.
     p = plan_of(QS["decontaminate_corpus"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_doc_packing_window_is_per_source(spark, sf_dir):
+    # The packing cumsum must partition by source — a global (single
+    # partition) window would serialize the whole corpus through one
+    # task at 100 TB.
+    s = plan_of(QS["doc_packing"].spark(spark, sf_dir))
+    assert "Window" in s
+    assert "hashpartitioning(source" in s
+    assert "SinglePartition" not in s
+
+
+def test_dedup_segments_no_join(spark, sf_dir):
+    # Segment dedup is explode -> window-rank on the segment hash ->
+    # re-aggregate: two key shuffles, no join anywhere.
+    s = plan_of(QS["dedup_segments"].spark(spark, sf_dir))
+    assert "Window" in s
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in s, j
+
+
+def test_events_funnel_no_cartesian(spark, sf_dir):
+    # Funnel steps join per-user aggregates on user_id — equi-joins
+    # only; a nested-loop fallback would be quadratic in users.
+    s = plan_of(QS["events_funnel"].spark(spark, sf_dir))
+    for j in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in s, j
+
+
+def test_pq_train_codebooks_broadcast(spark, sf_dir):
+    # Both assignment rounds join against a PQ_K*PQ_M-row codebook:
+    # always broadcast, never a shuffle join or cartesian on the scan.
+    s = plan_of(QS["embedding_pq_train"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
