@@ -572,10 +572,15 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     emb = F.col("embedding").cast("array<double>")
     ms = F.broadcast(spark.range(PQ_M).select(F.col("id").cast("int").alias("m")))
+    # Subvectors feed BOTH assignment rounds, and the first assignment
+    # feeds both the refit and the before-counts — cache them so each
+    # Lloyd stage is computed once (the standard iterative-algorithm
+    # pattern; at cluster scale this is the per-iteration checkpoint).
     sub = (
         e.select("vec_id", emb.alias("x"))
         .crossJoin(ms)
         .select("vec_id", "m", F.slice("x", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sx"))
+        .cache()
     )
     cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("k"), F.col("sx").alias("cv")
@@ -598,7 +603,7 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "m", "sx", F.col("mk.k").alias("cluster"))
         )
 
-    a0 = assign(sub, cb0)
+    a0 = assign(sub, cb0).cache()
     dims = F.broadcast(spark.range(1, PQ_SUB + 1).select(F.col("id").cast("int").alias("dim")))
     upd = (
         a0.crossJoin(dims)

