@@ -648,3 +648,101 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("cv", 2).alias("c_dim2"),
         )
     )
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), surv AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM base
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w.words) - 1),
+                    i -> concat(w.words[i], ' ', w.words[i+1], ' ', w.words[i+2]))) AS shingle
+      FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM documents) w
+      WHERE len(w.words) >= 3
+    ), contaminated AS (
+      SELECT c.doc_id
+      FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_MOD} <> 0) c
+      JOIN (SELECT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0) b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+      HAVING count(DISTINCT c.shingle) >= {DECON_MIN_SHINGLES}
+    ), verdicts AS (
+      SELECT source, n_chars,
+             CASE WHEN doc_id % {DECON_MOD} = 0 THEN 'drop_holdout'
+                  WHEN doc_id <> keep_id THEN 'drop_duplicate'
+                  WHEN doc_id IN (SELECT doc_id FROM contaminated) THEN 'drop_contaminated'
+                  WHEN NOT (n_words >= 5 AND n_chars / greatest(CAST(n_words AS DOUBLE), 1) BETWEEN 2 AND 12)
+                       THEN 'drop_quality'
+                  ELSE 'kept' END AS verdict
+      FROM surv
+    )
+    SELECT source, verdict,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars_total
+    FROM verdicts GROUP BY source, verdict
+    """,
+    doc=f"the end-to-end corpus cleaning pipeline (C4/RefinedWeb shape) as ONE declarative "
+    f"plan: benchmark-holdout exclusion, exact-dedup survivorship (min-id per normalized "
+    f"fingerprint), n-gram decontamination (>={DECON_MIN_SHINGLES} shared 3-grams with the "
+    f"holdout), and the Gopher-style quality gate, applied in precedence order with a "
+    f"per-source audit of every drop reason. Each stage is the registry operator it reuses "
+    f"(dedup_exact, decontaminate_corpus, text_quality_score); composing them in one query "
+    f"lets Catalyst share the scan and prune columns across all four — at 100 TB the "
+    f"pipeline is one pass over the corpus plus the dedup window and the broadcast "
+    f"contamination join (north-star pipeline capstone)",
+    tags=("pipeline", "dedup", "text"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+        fp.alias("fp"),
+    )
+    surv = base.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp")))
+
+    sh = shingled_docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    contaminated = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(sh.filter(is_bench).select("shingle").distinct()), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHINGLES)
+        .select("doc_id", F.lit(True).alias("is_contaminated"))
+    )
+
+    quality_ok = (F.col("n_words") >= 5) & (
+        (F.col("n_chars") / F.greatest(F.col("n_words").cast("double"), F.lit(1.0))).between(2, 12)
+    )
+    verdict = (
+        F.when(F.col("doc_id") % DECON_MOD == 0, "drop_holdout")
+        .when(F.col("doc_id") != F.col("keep_id"), "drop_duplicate")
+        .when(F.col("is_contaminated"), "drop_contaminated")
+        .when(~quality_ok, "drop_quality")
+        .otherwise("kept")
+    )
+    return (
+        surv.join(contaminated, "doc_id", "left")
+        .select("source", "n_chars", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("n_chars_total"),
+        )
+    )
