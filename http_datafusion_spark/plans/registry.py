@@ -100,7 +100,11 @@ PRIORITY: tuple[str, ...] = (
     # operators new or changed this round
     "ts_rollup_cascade",
     "sim_kmeans_refit",
-    "decontaminate_corpus",
+    # corpus_filter_pipeline subsumes decontaminate_corpus's operator
+    # content (same broadcast contamination join) plus dedup
+    # survivorship and the quality gate — the capstone takes the slot;
+    # decontaminate_corpus stays hash-checked in the local sweep.
+    "corpus_filter_pipeline",
     "stream_rate_limited",
     "train_val_split",
     "balance_sources",
