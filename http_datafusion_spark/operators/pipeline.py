@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql
-from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.registry import REGISTRY, query
 from http_datafusion_spark.plans.tables import load_tables
 
 CHUNK_WORDS = 50
@@ -744,5 +744,51 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
+def _index_build_oracle() -> str:
+    from http_datafusion_spark.operators.similarity import _IVF_ASSIGN_SQL
+
+    pq_oracle = REGISTRY["embedding_quantize_pq"].oracle
+    return f"""
+    WITH {_IVF_ASSIGN_SQL}, pq AS ({pq_oracle})
+    SELECT a.bucket,
+           CAST(count(*) AS BIGINT)                 AS n_vectors,
+           CAST(count(DISTINCT pq.code_0) AS BIGINT) AS n_code0_used,
+           CAST(sum(CAST(pq.q_err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_q_err
+    FROM assigned a JOIN pq ON a.vec_id = pq.vec_id
+    GROUP BY a.bucket
+    """
+
+
+@query(
+    "embedding_index_build",
+    oracle=_index_build_oracle(),
+    doc="ANN index build capstone: IVF bucket assignment (broadcast centroids, Arrow-batched "
+    "fold-exact scorer) joined with the PQ codes of every vector — the IVF-PQ layout an "
+    "embedding store ships to serving, summarized per bucket (size, codebook utilization, "
+    "exact-decimal mean reconstruction error). Both stages are single scans against "
+    "broadcast codebooks; the join is on vec_id and the rollup is one partial-agg shuffle "
+    "on bucket — at 100 TB the build is two passes over the vectors, no all-pairs work "
+    "(north-star pipeline / similarity capstone)",
+    tags=("pipeline", "similarity"),
+)
+def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.similarity import ivf_assignments
+
+    ivf = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
+    codes = embedding_quantize_pq(spark, sf_dir).select("vec_id", "code_0", "q_err")
+    return (
+        ivf.join(codes, "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("code_0").alias("n_code0_used"),
+            (
+                F.sum(F.col("q_err").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_q_err"),
         )
     )
