@@ -157,3 +157,18 @@ def test_pq_train_codebooks_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_corpus_filter_contamination_join_broadcast(spark, sf_dir):
+    # The benchmark-shingle side of the contamination join must
+    # broadcast (map-side at 100 TB); the dedup window partitions by
+    # fingerprint, never a single partition.
+    s = plan_of(QS["corpus_filter_pipeline"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SinglePartition" not in s
+
+
+def test_index_build_no_shuffle_join_on_codebooks(spark, sf_dir):
+    s = plan_of(QS["embedding_index_build"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in s
