@@ -294,6 +294,86 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns kept to the regex subset both Java (Spark) and RE2
+# (DuckDB) treat identically: character classes, bounded quantifiers,
+# ASCII \b — no lookaround, no backreferences.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH wt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' reach ' || source || '_' || CAST(doc_id AS VARCHAR)
+                       || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.' || CAST((doc_id * 3) % 200 AS VARCHAR)
+                       || '.' || CAST(doc_id % 250 AS VARCHAR)
+             END AS full_text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, full_text,
+             regexp_replace(regexp_replace(regexp_replace(full_text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM wt
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(full_text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM red
+    """,
+    doc="PII redaction (cleaning-pipeline stage): count + scrub emails / phone "
+    "numbers / IPv4 addresses with engine-portable regexes, emit the redacted "
+    "fingerprint. The fixture text is synthetic word soup, so deterministic "
+    "contact strings are appended to 2/3 of the docs first — the operator under "
+    "test is the regex scrub itself, a pure map (codegen'd, no shuffle, no UDF). "
+    "(north-star text analysis)",
+    tags=("text", "pipeline"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.lit(" reach "),
+        F.col("source"),
+        F.lit("_"),
+        did.cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (did % 200).cast("string"),
+        F.lit("."),
+        ((did * 3) % 200).cast("string"),
+        F.lit("."),
+        (did % 250).cast("string"),
+    )
+    full = F.when(did % 3 == 0, F.col("text")).otherwise(F.concat(F.col("text"), contact))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(full, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(full, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(full, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 RARE_DF_MAX = 2  # a word is "rare" if it appears in <= 2 documents
 
 

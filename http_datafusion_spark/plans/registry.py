@@ -79,10 +79,16 @@ PRIORITY: tuple[str, ...] = (
     "q_date_funcs",
     "q_conditional_funcs",
     "q_array_funcs",
-    "q_explode_unnest",
-    "q_json_funcs",
+    # (explode/unnest + JSON rotated to the tail: q_array_funcs keeps
+    # the §2.8 nested-data driver row; the slots go to the new
+    # reshape/recursive surface below.)
     "q_cast_types",
     "q_scalar_tail",
+    # recursive CTE (DataFusion 43 RecursiveQueryExec — reference-reachable
+    # via sql: strings) + pivot/unpivot reshaping, new this session
+    "q_recursive_cte",
+    "q_pivot_api",
+    "q_unpivot",
     # subqueries + CTE (§2.3 semi/anti via decorrelation, §4.2;
     # NOT IN rotated to the tail — anti-join has q_anti_join here and
     # the subquery machinery keeps three driver rows)
@@ -107,19 +113,20 @@ PRIORITY: tuple[str, ...] = (
     "corpus_filter_pipeline",
     "stream_rate_limited",
     "train_val_split",
-    "balance_sources",
     "embedding_quantize_pq",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_ivf_recall",
     # operators new this session (events_retention / doc_packing /
     # stream_dedup ride the local parity sweep until slots free up)
     "embedding_pq_train",
     "dedup_segments",
     "events_funnel",
     "doc_packing",
+    # PII scrub, new this session (balance_sources / sim_ivf_recall /
+    # q_explode_unnest / q_json_funcs rotated to the tail for these)
+    "pii_redact",
 )
 
 
@@ -152,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.plans.events  # noqa: F401
     import http_datafusion_spark.plans.extra  # noqa: F401
     import http_datafusion_spark.plans.relational  # noqa: F401
+    import http_datafusion_spark.plans.reshape  # noqa: F401
     import http_datafusion_spark.plans.scalar_funcs  # noqa: F401
     import http_datafusion_spark.plans.subqueries  # noqa: F401
     import http_datafusion_spark.plans.tpch_more  # noqa: F401

@@ -172,3 +172,35 @@ def test_corpus_filter_contamination_join_broadcast(spark, sf_dir):
 def test_index_build_no_shuffle_join_on_codebooks(spark, sf_dir):
     s = plan_of(QS["embedding_index_build"].spark(spark, sf_dir))
     assert "CartesianProduct" not in s
+
+
+def test_recursive_cte_runs_engine_side(spark, sf_dir):
+    # The recursion must execute inside Spark (UnionLoop), not as a
+    # driver-side Python loop re-submitting jobs per step.
+    s = plan_of(QS["q_recursive_cte"].spark(spark, sf_dir))
+    assert "UnionLoop" in s
+
+
+def test_pivot_is_aggregate_only(spark, sf_dir):
+    # pivot with a static value list = hash aggregates (partial agg by
+    # (key, pivot col), then pivotfirst over the grouped rows) — never
+    # a per-column scan or join; both shuffles carry grouped rows only.
+    s = plan_of(QS["q_pivot_api"].spark(spark, sf_dir))
+    assert "pivotfirst" in s
+    assert s.count("Exchange") <= 2
+    assert "Join" not in s
+
+
+def test_unpivot_is_expand(spark, sf_dir):
+    # UNPIVOT lowers to Expand (one output row per input row x metric),
+    # not a UNION of re-scans: the wide aggregate runs once.
+    s = plan_of(QS["q_unpivot"].spark(spark, sf_dir))
+    assert "Expand" in s
+    assert s.count("Exchange") == 1  # only the groupBy shuffle
+
+
+def test_pii_redact_mapside_no_shuffle(spark, sf_dir):
+    # Regex scrub is a pure projection: no exchange, no Python eval.
+    s = plan_of(QS["pii_redact"].spark(spark, sf_dir))
+    assert "Exchange" not in s
+    assert "EvalPython" not in s
