@@ -320,10 +320,10 @@ PQ_K = 8  # centroids per subspace; codebook = the PQ_K seed vectors
 PQ_SUB = 16  # dims per subspace
 
 
-@query(
-    "embedding_quantize_pq",
-    oracle=f"""
-    WITH cb AS (
+# Shared oracle CTEs: per-subspace distance pairs -> argmin codes.
+# Composed by embedding_quantize_pq (encode) and sim_pq_adc_topk
+# (ADC search) so the two oracles can never drift apart.
+PQ_CODES_SQL = f"""cb AS (
       SELECT vec_id AS k, embedding AS c FROM embeddings WHERE vec_id < {PQ_K}
     ), pairs AS (
       SELECT e.vec_id, m.m, cb.k,
@@ -336,7 +336,13 @@ PQ_SUB = 16  # dims per subspace
     ), codes AS (
       SELECT vec_id, m, (min({{'d': dist, 'k': k}})).k AS code, min(dist) AS dist
       FROM pairs GROUP BY vec_id, m
-    )
+    )"""
+
+
+@query(
+    "embedding_quantize_pq",
+    oracle=f"""
+    WITH {PQ_CODES_SQL}
     SELECT vec_id,
            CAST(max(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
            CAST(max(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
@@ -349,12 +355,28 @@ PQ_SUB = 16  # dims per subspace
     tags=("pipeline", "similarity"),
 )
 def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distances fold dim-by-dim left-to-right on both engines (Spark
-    # F.aggregate == DuckDB list_sum, bit-identical), so the argmin
-    # compares identical doubles; (dist, k) struct-min makes ties
-    # deterministic. The codebook (PQ_K rows) broadcasts; the per-row
-    # argmin is a partial-aggregable groupBy — scan-shaped at scale.
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codes = pq_codes(spark, e)
+    code_m = lambda i: F.max(F.when(F.col("m") == i, F.col("code"))).cast("bigint")  # noqa: E731
+    return codes.groupBy("vec_id").agg(
+        code_m(0).alias("code_0"),
+        code_m(1).alias("code_1"),
+        code_m(2).alias("code_2"),
+        code_m(3).alias("code_3"),
+        F.round(F.sum(F.round("dist", 6).cast("decimal(18,6)")), 6).cast("double").alias("q_err"),
+    )
+
+
+def pq_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Per-subspace PQ code assignment -> (vec_id, m, code, dist).
+
+    Distances fold dim-by-dim left-to-right on both engines (Spark
+    F.aggregate == DuckDB list_sum, bit-identical), so the argmin
+    compares identical doubles; (dist, k) struct-min makes ties
+    deterministic. The codebook (PQ_K rows) broadcasts; the per-row
+    argmin is a partial-aggregable groupBy — scan-shaped at scale.
+    Shared by the encode (embedding_quantize_pq) and ADC-search
+    (sim_pq_adc_topk) operators."""
     emb = F.col("embedding").cast("array<double>")
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.col("embedding").cast("array<double>").alias("c")
@@ -368,7 +390,7 @@ def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    codes = (
+    return (
         e.select("vec_id", emb.alias("x"))
         .crossJoin(F.broadcast(ms))
         .crossJoin(F.broadcast(cb))
@@ -379,14 +401,6 @@ def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").alias("dist"),
         )
         .select("vec_id", "m", F.col("mk.k").alias("code"), "dist")
-    )
-    code_m = lambda i: F.max(F.when(F.col("m") == i, F.col("code"))).cast("bigint")  # noqa: E731
-    return codes.groupBy("vec_id").agg(
-        code_m(0).alias("code_0"),
-        code_m(1).alias("code_1"),
-        code_m(2).alias("code_2"),
-        code_m(3).alias("code_3"),
-        F.round(F.sum(F.round("dist", 6).cast("decimal(18,6)")), 6).cast("double").alias("q_err"),
     )
 
 

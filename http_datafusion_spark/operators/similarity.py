@@ -465,3 +465,86 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.round(F.count(F.lit(1)) / TOP_K, 6).alias("recall_at_k"),
     )
+
+
+def _pq_adc_oracle() -> str:
+    from http_datafusion_spark.operators.pipeline import PQ_CODES_SQL, PQ_M, PQ_SUB
+
+    return f"""
+    WITH {PQ_CODES_SQL}, q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), lut AS (
+      SELECT m.m, cb.k,
+             round(list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                i -> (CAST(qv[m.m*{PQ_SUB}+i] AS DOUBLE) - CAST(cb.c[m.m*{PQ_SUB}+i] AS DOUBLE))
+                   * (CAST(qv[m.m*{PQ_SUB}+i] AS DOUBLE) - CAST(cb.c[m.m*{PQ_SUB}+i] AS DOUBLE)))), 6) AS d
+      FROM q
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m
+      CROSS JOIN cb
+    ), adc AS (
+      SELECT c.vec_id, sum(CAST(lut.d AS DECIMAL(18,6))) AS adc_dec
+      FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.k
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, CAST(round(adc_dec, 6) AS DOUBLE) AS adc_dist
+    FROM adc
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY adc_dec, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc="PQ asymmetric-distance (ADC) top-k search — the serving-side half of the "
+    "IVF-PQ index (embedding_index_build stores the codes, this searches them): "
+    "the query builds an M x K lookup table of subspace distances to every "
+    "codebook centroid (M*K tiny rows, broadcast), each stored vector's distance "
+    "is then sum_m LUT[m, code_m] — a broadcast equi-join on (m, code) plus one "
+    "partial-agg shuffle on vec_id, never touching the raw vectors. At 100 TB "
+    "the scan reads only the code columns (4 bytes/vector vs 256 for the float "
+    "embedding); distances quantized to DECIMAL(18,6) so the ranking is exact "
+    "and order-free on both engines (north-star similarity)",
+    tags=("similarity", "pipeline"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.pipeline import PQ_K, PQ_M, PQ_SUB, pq_codes
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    codes = pq_codes(spark, e).select("vec_id", "m", "code")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(F.col("vec_id").alias("k"), emb.alias("c"))
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(emb.alias("qv"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("lm"))
+    off = F.col("lm") * PQ_SUB + 1
+    d = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), off, PQ_SUB),
+                F.slice(F.col("c"), off, PQ_SUB),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    lut = (
+        qv.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .select("lm", "k", d.alias("d"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut), (F.col("m") == F.col("lm")) & (F.col("code") == F.col("k"))
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(18,6)")).alias("adc_dec"))
+    )
+    return (
+        adc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy("adc_dec", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", F.round("adc_dec", 6).cast("double").alias("adc_dist"))
+    )

@@ -90,11 +90,10 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot_api",
     "q_unpivot",
     # subqueries + CTE (§2.3 semi/anti via decorrelation, §4.2;
-    # NOT IN rotated to the tail — anti-join has q_anti_join here and
-    # the subquery machinery keeps three driver rows)
+    # NOT IN + IN rotated to the tail — q_anti_join / q_semi_join keep
+    # the join-form driver rows; the machinery keeps scalar + correlated)
     "q_scalar_subquery",
     "q_correlated_scalar_subquery",
-    "q_in_subquery",
     # windows (§2.5; offsets rotated to the tail — lag/lead/nth already
     # driver-green via events_lag_lead in r01)
     "q_window_ranking",
@@ -118,6 +117,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    # ADC search, new this session (q_in_subquery's slot: its semi-join
+    # content keeps q_semi_join driver evidence, machinery stays in the
+    # scalar + correlated rows)
+    "sim_pq_adc_topk",
     # operators new this session (events_retention / doc_packing /
     # stream_dedup ride the local parity sweep until slots free up)
     "embedding_pq_train",

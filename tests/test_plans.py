@@ -199,6 +199,17 @@ def test_unpivot_is_expand(spark, sf_dir):
     assert s.count("Exchange") == 1  # only the groupBy shuffle
 
 
+def test_pq_adc_lut_broadcast_topk_fused(spark, sf_dir):
+    # The (m, code) -> distance LUT is M*K rows: its join with the code
+    # table must broadcast, and the ranked output must fuse to
+    # TakeOrderedAndProject — never a shuffle join or global sort.
+    s = plan_of(QS["sim_pq_adc_topk"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "TakeOrderedAndProject" in s
+
+
 def test_pii_redact_mapside_no_shuffle(spark, sf_dir):
     # Regex scrub is a pure projection: no exchange, no Python eval.
     s = plan_of(QS["pii_redact"].spark(spark, sf_dir))
