@@ -62,22 +62,32 @@ from http_datafusion_spark.plans.tables import load_tables
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, "orders")
-    return spark.sql(
+    # The spine bounds are two scalars (first month + month count).
+    # Collect them once and inject as literals: Spark re-evaluates
+    # non-recursive subplans referenced by the recursive term on EVERY
+    # iteration, so an inline scalar subquery re-scanned orders ~80
+    # times (measured 15 s at sf1; literal-bounded, ~1.5 s — the
+    # UnionLoop itself is ~11 ms/step). One pruned min/max scan +
+    # O(1) driver memory, the same index-constant pattern as
+    # operators/similarity.py's query vectors. The recursion itself
+    # still runs engine-side.
+    b = spark.sql(
         """
+        SELECT date_format(trunc(CAST(min(o_orderdate) AS DATE), 'MM'), 'yyyy-MM-dd') AS d0,
+               CAST(months_between(trunc(CAST(max(o_orderdate) AS DATE), 'MM'),
+                                   trunc(CAST(min(o_orderdate) AS DATE), 'MM')) AS INT) AS mx
+        FROM orders
+        """
+    ).collect()[0]
+    return spark.sql(
+        f"""
         WITH RECURSIVE months(mi) AS (
           SELECT 0
           UNION ALL
-          SELECT mi + 1 FROM months
-          WHERE mi + 1 <= (
-            SELECT CAST(months_between(trunc(CAST(max(o_orderdate) AS DATE), 'MM'),
-                                       trunc(CAST(min(o_orderdate) AS DATE), 'MM')) AS INT)
-            FROM orders)
-        ),
-        anchor AS (
-          SELECT trunc(CAST(min(o_orderdate) AS DATE), 'MM') AS d0 FROM orders
+          SELECT mi + 1 FROM months WHERE mi + 1 <= {int(b.mx)}
         ),
         spine AS (
-          SELECT add_months(d0, mi) AS month_start FROM months CROSS JOIN anchor
+          SELECT add_months(DATE'{b.d0}', mi) AS month_start FROM months
         ),
         per_month AS (
           SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS month_start,
