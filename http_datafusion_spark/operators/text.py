@@ -424,3 +424,51 @@ def text_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rare.cast("double") / F.count(F.lit(1)), 6).alias("rare_frac"),
         )
     )
+
+
+VOCAB_SIZE = 200  # top-V vocabulary; V bounds all driver-side state
+
+
+@query(
+    "vocab_build",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ), f AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word
+    ), tot AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS total FROM f
+    ), top AS (
+      SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT {VOCAB_SIZE}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS vocab_id,
+           word, freq,
+           round(CAST(sum(freq) OVER (ORDER BY freq DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / total, 6) AS cum_coverage
+    FROM top CROSS JOIN tot
+    """,
+    doc=f"tokenizer vocabulary induction: corpus word frequencies -> contiguous ids by "
+    f"rank for the top {VOCAB_SIZE} words, with cumulative corpus-coverage fraction. "
+    f"The frequency count is a partial-agg shuffle; the rank/cumsum window runs over "
+    f"the LIMIT-{VOCAB_SIZE} result only, so the single-partition window is bounded "
+    f"by vocabulary size, never corpus size (TakeOrdered feeds it) — the corpus-total "
+    f"is a 1-row broadcast (north-star text analysis)",
+    tags=("text", "pipeline"),
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    f = words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    tot = f.agg(F.sum("freq").cast("bigint").alias("total"))
+    top = f.orderBy(F.desc("freq"), "word").limit(VOCAB_SIZE)
+    w = W.orderBy(F.desc("freq"), "word")
+    cum = F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w).cast("bigint").alias("vocab_id"),
+        "word",
+        "freq",
+        F.round(cum.cast("double") / F.col("total"), 6).alias("cum_coverage"),
+    )

@@ -137,3 +137,33 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (n_cust, total_bal, avg_bal))
         """
     )
+
+
+@query(
+    "q_values_inline",
+    oracle="""
+    SELECT v.code, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n
+    JOIN (VALUES (0, 'AFR'), (1, 'AME'), (2, 'ASI'), (3, 'EUR'), (4, 'MEA'))
+         AS v(rk, code)
+      ON n.n_regionkey = v.rk
+    GROUP BY v.code
+    """,
+    doc="inline VALUES relation joined to a table — the SQL row-constructor "
+    "surface (sqlparser/DataFusion execute VALUES lists; reference-reachable "
+    "via sql: strings). Spark plans the literal relation as a LocalRelation, "
+    "broadcast to the join",
+    tags=("sql-surface",),
+)
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT v.code, count(*) AS n_nations
+        FROM nation n
+        JOIN (VALUES (0, 'AFR'), (1, 'AME'), (2, 'ASI'), (3, 'EUR'), (4, 'MEA'))
+             AS v(rk, code)
+          ON n.n_regionkey = v.rk
+        GROUP BY v.code
+        """
+    )

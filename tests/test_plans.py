@@ -215,3 +215,28 @@ def test_pii_redact_mapside_no_shuffle(spark, sf_dir):
     s = plan_of(QS["pii_redact"].spark(spark, sf_dir))
     assert "Exchange" not in s
     assert "EvalPython" not in s
+
+
+def test_values_inline_local_relation_broadcast(spark, sf_dir):
+    # The VALUES list plans as a local relation broadcast to the join —
+    # never a shuffle for a 5-row literal table.
+    s = plan_of(QS["q_values_inline"].spark(spark, sf_dir))
+    assert "LocalTableScan" in s
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_vocab_build_window_bounded_by_limit(spark, sf_dir):
+    # The rank/cumsum window must run AFTER the top-V cut (TakeOrdered),
+    # so its single partition holds at most VOCAB_SIZE rows — a global
+    # window over the full vocabulary would be the scale bug.
+    s = plan_of(QS["vocab_build"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
+
+
+def test_ngram_coverage_no_pairwise_join(spark, sf_dir):
+    # Coverage counts document frequency and joins it back — there must
+    # be no doc-x-doc pairwise join (shingle skew would go quadratic).
+    s = plan_of(QS["dedup_ngram_coverage"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
