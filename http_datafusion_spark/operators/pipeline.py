@@ -806,3 +806,61 @@ def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_q_err"),
         )
     )
+
+
+# Deterministic epoch shuffle: every epoch is a pure function of
+# (seed, doc_id), so a training run can be resumed or re-sharded with
+# no stored state. Shard count is the parallelism unit at scale — each
+# shard sorts only its own hash range.
+N_SHARDS = 16
+SHUFFLE_EPOCH_SEED = "ep1"
+
+
+@query(
+    "train_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {md5_int_sql(f"concat('{SHUFFLE_EPOCH_SEED}|', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_chars, h,
+             h % {N_SHARDS} AS shard,
+             row_number() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT CAST(shard AS BIGINT)                              AS shard,
+           CAST(count(*) AS BIGINT)                           AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                       AS sum_chars,
+           CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+           CAST(sum(pos * doc_id) AS BIGINT)                  AS perm_checksum
+    FROM p GROUP BY shard
+    """,
+    doc=f"deterministic global shuffle for training epochs: md5('{SHUFFLE_EPOCH_SEED}|'||doc_id) "
+    f"orders the corpus, docs land in {N_SHARDS} hash shards, and within-shard position is a "
+    f"window rank on the hash — rerunnable (no rand()), parallelism-independent, and the "
+    f"permutation is PROVEN to the oracle via sum(pos*doc_id) per shard (an order-sensitive "
+    f"checksum), not just counts. One shuffle on shard; each shard sorts only its own docs, "
+    f"so shard count is the external-sort parallelism knob at 100 TB — never a global "
+    f"single-partition order (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = md5_int(F.concat(F.lit(f"{SHUFFLE_EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+    base = d.select("doc_id", "n_chars", h.alias("h")).withColumn(
+        "shard", (F.col("h") % N_SHARDS).cast("bigint")
+    )
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("h", "doc_id"))
+    return (
+        base.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).cast("bigint").alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
+        )
+    )

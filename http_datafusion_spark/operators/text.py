@@ -472,3 +472,176 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.round(cum.cast("double") / F.col("total"), 6).alias("cum_coverage"),
     )
+
+
+_WSPLIT_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "text_tfidf_topterm",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest({_WSPLIT_SQL}) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM dw GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dw GROUP BY word
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf_r,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(n.n_docs / dfreq.df), 6) DESC, tf.word
+             ) AS rk
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, tfidf_r FROM scored WHERE rk = 1
+    """,
+    doc="classic TF-IDF, per-doc top term: corpus pass for document frequency "
+    "(vocab-bounded, broadcast to the score join), per-doc term counts, "
+    "tf * ln(N/df) ranked within each doc (rounded-then-ranked so the 6dp hash "
+    "convention also fixes the rank order; ln on doubles agrees with DuckDB to "
+    "~1e-12, far inside the 1e-6 rounding step). Shuffles: tf groupBy(doc,word), "
+    "df groupBy(word), rank window on doc_id — all key-partitioned, scale-safe; "
+    "the (doc,word) explode is cached once for both branches (the rare-words "
+    "lesson) (north-star text analysis)",
+    tags=("text", "pipeline"),
+)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).cache()
+    tf = dw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = dw.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", tfidf.alias("tfidf_r"))
+    )
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "word"))
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tfidf_r")
+    )
+
+
+# BM25 search: three literal query terms spanning the df spectrum of the
+# synthetic vocabulary (rare / common / very common), so the idf weights
+# actually differentiate. k1/b are the standard Robertson defaults.
+BM25_TERMS = ("dup", "vector", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * ({BM25_K1} + 1.0)"
+        f" / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen / avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS doclen,
+             {tf_cols}
+      FROM (SELECT doc_id, {_WSPLIT_SQL} AS words FROM documents)
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id,
+           CAST({matched} AS BIGINT) AS n_terms_matched,
+           round({terms}, 6) AS bm25_r
+    FROM base CROSS JOIN stats
+    ORDER BY round({terms}, 6) DESC, doc_id
+    LIMIT {BM25_TOP}
+    """
+
+
+def _eq_term(term: str):
+    # single-parameter lambda: a two-parameter one would make F.filter
+    # pass the array index as the second argument
+    return lambda w: w == F.lit(term)
+
+
+@query(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 keyword search (k1={BM25_K1}, b={BM25_B}, terms={BM25_TERMS}): one "
+    "map-side pass computes per-doc term frequencies and length; one tiny aggregate "
+    "produces the corpus stats row (N, avgdl, per-term df) that is broadcast back; "
+    "the score is a fixed-order sum of per-term contributions so both engines add "
+    "in the same IEEE order, and avgdl is sum/count (integer sum, exact) rather "
+    "than avg() so no engine-specific partial-sum order can leak in. Top-k is "
+    "rounded-then-ordered (TakeOrderedAndProject). No explode, no per-word "
+    "shuffle: tf per literal term is an array filter in the scan projection — at "
+    "100 TB this is a single corpus pass plus a 1-row broadcast (north-star text "
+    "analysis / retrieval)",
+    tags=("text", "pipeline", "similarity"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = whitespace_tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("doclen"),
+        *[
+            F.size(F.filter(toks, _eq_term(t))).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl"))
+        )
+
+    score = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(len(BM25_TERMS))),
+        start=F.lit(0),
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            matched.cast("bigint").alias("n_terms_matched"),
+            F.round(score, 6).alias("bm25_r"),
+        )
+        .orderBy(F.desc("bm25_r"), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -314,3 +314,32 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    doc="LATERAL correlated subquery join: top-2 orders per customer via a "
+    "per-row ORDER BY ... LIMIT subquery (SURVEY §2.3 join surface; DataFusion "
+    "reaches this as a correlated subquery in FROM). Spark decorrelates the "
+    "LIMIT-per-group into a ranked window join — no nested-loop re-execution "
+    "per outer row, so the shape scales as one join + one window",
+    tags=("join",),
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c
+        JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )

@@ -65,6 +65,10 @@ PRIORITY: tuple[str, ...] = (
     "q_semi_join",
     "q_anti_join",
     "q_nonequi_join",
+    # LATERAL correlated subquery join, new this round (§2.3 surface;
+    # takes train_val_split's slot — that hash-split family already has
+    # driver evidence via sample_deterministic, r01-green)
+    "q_lateral_join",
     # HTTP ingest round-trip (§2.1 driver row; cross-join §2.3 evidence
     # moved to embedding_quantize_pq's broadcast NLJ)
     "http_ingest_nation",
@@ -111,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     # decontaminate_corpus stays hash-checked in the local sweep.
     "corpus_filter_pipeline",
     "stream_rate_limited",
-    "train_val_split",
     "embedding_quantize_pq",
     "dedup_embedding_cosine",
     "dedup_clusters",
