@@ -240,3 +240,40 @@ def test_ngram_coverage_no_pairwise_join(spark, sf_dir):
     s = plan_of(QS["dedup_ngram_coverage"].spark(spark, sf_dir))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_tfidf_df_broadcast_and_rank_pruned(spark, sf_dir):
+    s = plan_of(QS["text_tfidf_topterm"].spark(spark, sf_dir))
+    # vocab-sized df table broadcast to the score join; rank-1 filter
+    # pruned before the final window (no full (doc,word) sort survives)
+    assert "BroadcastHashJoin" in s
+    assert "WindowGroupLimit" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_bm25_single_pass_topk_fused(spark, sf_dir):
+    df = QS["text_bm25_search"].spark(spark, sf_dir)
+    s = plan_of(df)
+    # top-k fused (no global sort), stats joined as a 1-row broadcast,
+    # and no explode anywhere — tf per literal term is an array filter
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastNestedLoopJoin" in s  # 1-row stats cross join
+    assert "Generate" not in s  # no explode
+    assert "SortMergeJoin" not in s
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    s = plan_of(QS["train_shuffle_shards"].spark(spark, sf_dir))
+    # exactly one data exchange: the hash-shard partitioning that both
+    # the window rank and the final per-shard aggregate reuse
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_lateral_join_decorrelated(spark, sf_dir):
+    s = plan_of(QS["q_lateral_join"].spark(spark, sf_dir))
+    # the per-row ORDER BY..LIMIT subquery must decorrelate to a ranked
+    # window join, not a nested-loop re-execution per outer row
+    assert "WindowGroupLimit" in s
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
