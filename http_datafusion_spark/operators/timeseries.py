@@ -197,3 +197,69 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("std"), 6).alias("std_value"),
         )
     )
+
+
+# EWMA over the K most recent events per user. The weights
+# (1-alpha)^j are baked in as repr'd double literals so BOTH engines
+# parse the exact same binary64 constants — no pow() in either plan —
+# and the weighted sum is written as one fixed-order expression, so
+# partial-sum order can't differ between engines.
+EWMA_ALPHA = 0.3
+EWMA_K = 8
+_EWMA_W = [(1 - EWMA_ALPHA) ** j for j in range(EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    lag_defs = ",\n             ".join(
+        f"lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{j}"
+        for j in range(1, EWMA_K)
+    )
+    num = " + ".join(
+        (f"({w!r} * coalesce(x{j}, 0.0))" if j else f"({w!r} * value)")
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        (f"(CASE WHEN x{j} IS NULL THEN 0.0 ELSE {w!r} END)" if j else f"{_EWMA_W[0]!r}")
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, value,
+             {lag_defs}
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM lagged
+    """
+
+
+@query(
+    "ts_ewma",
+    oracle=_ewma_oracle(),
+    doc=f"exponentially-weighted moving average (alpha={EWMA_ALPHA}, last {EWMA_K} "
+    f"events) per user, ordered by (ts, event_id): K-1 lag columns over ONE window "
+    f"spec (a single per-key sort), numerator and denominator written as fixed-order "
+    f"sums of literal-weighted lags with null-masked weights at series start — "
+    f"engine-exact, no pow() at runtime. One shuffle on user_id; state is K lags "
+    f"per row, never the series (north-star time-series smoothing)",
+    tags=("timeseries",),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = {j: F.lag("value", j).over(w) for j in range(1, EWMA_K)}
+    num = F.lit(_EWMA_W[0]) * F.col("value")
+    den = F.lit(_EWMA_W[0])
+    for j in range(1, EWMA_K):
+        num = num + F.lit(_EWMA_W[j]) * F.coalesce(F.col(f"x{j}"), F.lit(0.0))
+        den = den + F.when(F.col(f"x{j}").isNull(), 0.0).otherwise(F.lit(_EWMA_W[j]))
+    lagged = e.select(
+        "user_id", "event_id", "value", *[lags[j].alias(f"x{j}") for j in range(1, EWMA_K)]
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -350,3 +350,53 @@ def q_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("F", 2).alias("F"),
         F.round("O", 2).alias("O"),
     )
+
+
+# Salted two-stage aggregation — the standard skew mitigation at scale:
+# a hot key is split across N_SALT sub-keys so no single reducer owns
+# it, then the partials (sum/count/min/max — all mergeable) combine in
+# a second, tiny aggregation. The oracle is the PLAIN single-stage
+# GROUP BY: the whole point is that salting is semantics-preserving.
+N_SALT = 8
+
+
+@query(
+    "q_salted_skew_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc=f"salted two-stage aggregation (skew mitigation): stage 1 groups by "
+    f"(l_suppkey, salt) with salt = l_orderkey % {N_SALT} so a hot supplier key "
+    f"spreads over {N_SALT} reducers; stage 2 merges the mergeable partials "
+    f"(sum/count/min/max) per key. Hash-checked against the plain single-stage "
+    f"GROUP BY — salting is proven semantics-preserving, and the second shuffle "
+    f"moves only |keys|x{N_SALT} partial rows, not data rows (100 TB skew playbook)",
+    tags=("agg",),
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    partial = (
+        li.withColumn("salt", F.col("l_orderkey") % N_SALT)
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("l_quantity").alias("p_sum_qty"),
+            F.min("l_quantity").alias("p_min_qty"),
+            F.max("l_quantity").alias("p_max_qty"),
+            F.sum("l_extendedprice").alias("p_sum_price"),
+        )
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("p_n").cast("bigint").alias("n"),
+        F.round(F.sum("p_sum_qty"), 2).alias("sum_qty"),
+        F.round(F.min("p_min_qty"), 2).alias("min_qty"),
+        F.round(F.max("p_max_qty"), 2).alias("max_qty"),
+        F.round(F.sum("p_sum_price"), 2).alias("sum_price"),
+    )

@@ -295,3 +295,93 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "cdc_upsert_compaction",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type               AS last_type,
+           round(value, 4)          AS last_value
+    FROM ranked
+    WHERE rk = 1 AND event_type <> 'error'
+    """,
+    doc="CDC upsert compaction (latest-wins merge): the event log is read as a "
+    "change stream keyed by user_id; one ranked window keeps the newest row per "
+    "key ((ts, event_id) total order), and a key whose newest row is a delete "
+    "marker ('error') disappears from the snapshot. This is the log->table "
+    "compaction every incremental pipeline runs; one shuffle on the key, and "
+    "WindowGroupLimit prunes to one row per key before the final filter",
+    tags=("events", "pipeline"),
+)
+def cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    return (
+        e.withColumn("rk", rk)
+        .filter((F.col("rk") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+# Histogram: equi-width bins with the width_bucket convention
+# (below-range -> 0, above-range -> n+1) written as explicit floor
+# arithmetic — the same IEEE expression on both engines (the DuckDB
+# build here has no width_bucket scalar).
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 400.0, 16
+BIN_W = (HIST_HI - HIST_LO) / HIST_BINS  # 25.0, a double both engines parse identically
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT CAST(CASE WHEN value < {HIST_LO} THEN 0
+                     WHEN value >= {HIST_HI} THEN {HIST_BINS} + 1
+                     ELSE CAST(floor((value - {HIST_LO}) / {BIN_W}) AS BIGINT) + 1 END AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS bin_sum,
+           round(min(value), 4)     AS bin_min,
+           round(max(value), 4)     AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+    doc=f"equi-width histogram over events.value: floor-bucketed into {HIST_BINS} bins "
+    f"on [{HIST_LO}, {HIST_HI}] plus under/overflow bins — one partial-agg shuffle "
+    f"keyed by bin (bounded cardinality), the profiling primitive for choosing "
+    f"quantization/clipping ranges in a feature pipeline",
+    tags=("events", "agg"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.withColumn(
+            "bin",
+            F.when(F.col("value") < HIST_LO, 0)
+            .when(F.col("value") >= HIST_HI, HIST_BINS + 1)
+            .otherwise(F.floor((F.col("value") - HIST_LO) / BIN_W).cast("bigint") + 1)
+            .cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("bin_sum"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+    )

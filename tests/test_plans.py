@@ -277,3 +277,26 @@ def test_lateral_join_decorrelated(spark, sf_dir):
     assert "WindowGroupLimit" in s
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_salted_agg_two_stage_partials(spark, sf_dir):
+    s = plan_of(QS["q_salted_skew_agg"].spark(spark, sf_dir))
+    # stage 1 shuffles on (key, salt), stage 2 on key alone — the merge
+    # shuffle moves only partial rows
+    assert "hashpartitioning(l_suppkey" in s
+    assert s.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in s
+
+
+def test_cdc_compaction_rank_pruned(spark, sf_dir):
+    s = plan_of(QS["cdc_upsert_compaction"].spark(spark, sf_dir))
+    # latest-wins keeps one row per key before the final projection
+    assert "WindowGroupLimit" in s
+    assert s.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_single_window_sort(spark, sf_dir):
+    s = plan_of(QS["ts_ewma"].spark(spark, sf_dir))
+    # all K-1 lags share ONE window spec: one shuffle, one per-key sort
+    assert s.count("Exchange hashpartitioning") == 1
+    assert s.count("Window ") <= 1 or s.count("Window [") == 1
