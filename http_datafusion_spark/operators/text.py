@@ -645,3 +645,88 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_r"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+TOKENIZE_PREFIX = 8  # ids carried per doc in the output (bounded proof of order)
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WSPLIT_SQL} AS words FROM documents
+    ), vocab AS (
+      SELECT word,
+             CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS vocab_id
+      FROM (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(words) AS word FROM w)
+        GROUP BY word ORDER BY freq DESC, word LIMIT {VOCAB_SIZE}
+      )
+    ), tok AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1)) AS pos,
+             unnest(words) AS word
+      FROM w WHERE len(words) > 0
+    ), ids AS (
+      SELECT t.doc_id, t.pos, coalesce(v.vocab_id, 0) AS id
+      FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           array_to_string((list(id ORDER BY pos, id))[1:{TOKENIZE_PREFIX}], '-') AS ids_prefix
+    FROM ids GROUP BY doc_id
+    """,
+    doc=f"tokenizer application: the vocab_build arc completed — induce the top-{VOCAB_SIZE} "
+    f"vocabulary (ids by frequency rank), broadcast it to a positional token join, and emit "
+    f"per-doc id sequences (OOV -> 0) with counts and the first {TOKENIZE_PREFIX} ids as an "
+    f"order proof. The vocabulary is LIMIT-bounded so the broadcast is O(V) regardless of "
+    f"corpus size; token order is reconstructed with array_sort(struct(pos,id)) — no "
+    f"single-partition window anywhere (north-star pipeline: text -> token ids at 100 TB)",
+    tags=("text", "pipeline"),
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select("doc_id", whitespace_tokens(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    words = base.select(F.explode("words").alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        freq.orderBy(F.desc("freq"), "word")
+        .limit(VOCAB_SIZE)
+        .select(
+            "word",
+            F.row_number()
+            .over(W.orderBy(F.desc("freq"), "word"))
+            .cast("bigint")
+            .alias("vocab_id"),
+        )
+    )
+    tok = base.select("doc_id", F.posexplode("words").alias("pos0", "word")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    ids = tok.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vocab_id"), F.lit(0)).cast("bigint").alias("id")
+    )
+    # string-rendered prefix: the compare layer hashes scalars, so the
+    # bounded id sequence travels as 'i1-i2-...' on both engines
+    ordered_prefix = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s.getField("id").cast("string"),
+            ),
+            1,
+            TOKENIZE_PREFIX,
+        ),
+        "-",
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        ordered_prefix.alias("ids_prefix"),
+    )

@@ -400,3 +400,58 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("p_max_qty"), 2).alias("max_qty"),
         F.round(F.sum("p_sum_price"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "hll_sketch_union",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+             abs(approx_count_distinct(doc_id) * 1.0 / count(DISTINCT doc_id) - 1) <= 0.1
+               AS sketch_within_10pct
+      FROM documents GROUP BY source
+    ), global AS (
+      SELECT '__all__' AS source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+             abs(approx_count_distinct(doc_id) * 1.0 / count(DISTINCT doc_id) - 1) <= 0.1
+               AS sketch_within_10pct
+      FROM documents
+    )
+    SELECT * FROM per_source UNION ALL SELECT * FROM global
+    """,
+    doc="mergeable-sketch rollup: per-source HLL sketches (hll_sketch_agg) UNIONED "
+    "into a global estimate (hll_union_agg) WITHOUT rescanning rows — the "
+    "re-aggregatable pre-aggregation pattern that makes 100 TB distinct-count "
+    "rollups one sketch-merge instead of a second corpus pass. Sketches are "
+    "engine-specific, so (q_agg_approx convention) both engines emit their own "
+    "sketch-vs-own-exact tolerance booleans plus exact anchors, which hash-match",
+    tags=("agg", "approx"),
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.countDistinct("doc_id").alias("n_exact"),
+    )
+    per_row = per_source.select(
+        "source",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk").cast("double") / F.col("n_exact") - 1) <= 0.1
+        ).alias("sketch_within_10pct"),
+    )
+    # the global estimate merges the per-source sketches — no second scan
+    g_exact = d.agg(F.countDistinct("doc_id").alias("n_exact"))
+    g = (
+        per_source.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("__all__").alias("source"),
+            "n_exact",
+            (F.abs(F.col("est").cast("double") / F.col("n_exact") - 1) <= 0.1).alias(
+                "sketch_within_10pct"
+            ),
+        )
+    )
+    return per_row.unionAll(g)

@@ -216,3 +216,42 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("maybe_price", ignorenulls=True).over(w_run), 2).alias("last_real_price"),
         F.round(F.first("maybe_price", ignorenulls=True).over(w), 2).alias("first_real_price"),
     )
+
+
+@query(
+    "q_window_clause",
+    oracle="""
+    SELECT o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(rank() OVER w_val AS BIGINT)        AS price_rank,
+           round(sum(o_totalprice) OVER w_run, 2)   AS running_spend,
+           CAST(count(*) OVER w_all AS BIGINT)      AS n_orders
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w_val AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING),
+           w_all AS (PARTITION BY o_custkey)
+    """,
+    doc="named WINDOW clause (SQL surface both engines share): three named specs "
+    "over one partition key reused by rank / running sum / partition count — all "
+    "three share the o_custkey shuffle (SURVEY §2.5)",
+    tags=("window",),
+)
+def q_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(rank() OVER w_val AS BIGINT)        AS price_rank,
+               round(sum(o_totalprice) OVER w_run, 2)   AS running_spend,
+               CAST(count(*) OVER w_all AS BIGINT)      AS n_orders
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w_val AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+               w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING),
+               w_all AS (PARTITION BY o_custkey)
+        """
+    )

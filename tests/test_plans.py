@@ -300,3 +300,11 @@ def test_ewma_single_window_sort(spark, sf_dir):
     # all K-1 lags share ONE window spec: one shuffle, one per-key sort
     assert s.count("Exchange hashpartitioning") == 1
     assert s.count("Window ") <= 1 or s.count("Window [") == 1
+
+
+def test_tokenize_vocab_broadcast(spark, sf_dir):
+    s = plan_of(QS["tokenize_to_ids"].spark(spark, sf_dir))
+    # the LIMIT-bounded vocabulary must broadcast to the token join —
+    # a shuffle join on 'word' would move the whole token stream
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
