@@ -28,7 +28,7 @@ from http_datafusion_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark("http_datafusion_spark-bench")

@@ -507,7 +507,7 @@ _WSPLIT_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
     "df groupBy(word), rank window on doc_id — all key-partitioned, scale-safe; "
     "the (doc,word) explode is cached once for both branches (the rare-words "
     "lesson) (north-star text analysis)",
-    tags=("text", "pipeline"),
+    tags=("text", "pipeline", "bench"),
 )
 def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -598,7 +598,7 @@ def _eq_term(term: str):
     "shuffle: tf per literal term is an array filter in the scan projection — at "
     "100 TB this is a single corpus pass plus a 1-row broadcast (north-star text "
     "analysis / retrieval)",
-    tags=("text", "pipeline", "similarity"),
+    tags=("text", "pipeline", "similarity", "bench"),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -610,7 +610,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _eq_term(t))).cast("bigint").alias(f"tf_{i}")
             for i, t in enumerate(BM25_TERMS)
         ],
-    )
+    ).cache()  # feeds BOTH the stats aggregate and the scored rows: one split pass
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -684,7 +684,7 @@ TOKENIZE_PREFIX = 8  # ids carried per doc in the output (bounded proof of order
     f"order proof. The vocabulary is LIMIT-bounded so the broadcast is O(V) regardless of "
     f"corpus size; token order is reconstructed with array_sort(struct(pos,id)) — no "
     f"single-partition window anywhere (north-star pipeline: text -> token ids at 100 TB)",
-    tags=("text", "pipeline"),
+    tags=("text", "pipeline", "bench"),
 )
 def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -244,7 +244,7 @@ def _ewma_oracle() -> str:
     f"sums of literal-weighted lags with null-masked weights at series start — "
     f"engine-exact, no pow() at runtime. One shuffle on user_id; state is K lags "
     f"per row, never the series (north-star time-series smoothing)",
-    tags=("timeseries",),
+    tags=("timeseries", "bench"),
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
