@@ -343,3 +343,78 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_group_order_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL sugar (modern SQL surface shared by Spark 3.4+, "
+    "DuckDB, and DataFusion): grouping keys inferred from the non-aggregate select "
+    "list, ordering over the full select list — resolves to the same partial+final "
+    "hash aggregate as the explicit form (SURVEY §2.4/2.6)",
+    tags=("agg",),
+)
+def q_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, nullif(o_orderstatus, o_orderstatus) AS null_key, o_orderpriority
+      FROM orders WHERE o_orderkey < 50
+    ), b AS (
+      SELECT o_orderkey, nullif(o_orderstatus, o_orderstatus) AS null_key, o_orderpriority
+      FROM orders WHERE o_orderkey < 50
+    )
+    SELECT a.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b
+      ON a.null_key IS NOT DISTINCT FROM b.null_key
+     AND a.o_orderpriority = b.o_orderpriority
+    GROUP BY a.o_orderpriority
+    """,
+    doc="null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL keys MATCH each "
+    "other instead of vanishing — the derived null_key column is entirely NULL, so a "
+    "plain equi-join would return 0 rows while the null-safe join pairs every row "
+    "within its priority class (SURVEY §2.3 predicate surface). Spark plans <=> as a "
+    "hash-join key, not a nested loop",
+    tags=("join",),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH a AS (
+          SELECT o_orderkey, nullif(o_orderstatus, o_orderstatus) AS null_key, o_orderpriority
+          FROM orders WHERE o_orderkey < 50
+        ), b AS (
+          SELECT o_orderkey, nullif(o_orderstatus, o_orderstatus) AS null_key, o_orderpriority
+          FROM orders WHERE o_orderkey < 50
+        )
+        SELECT a.o_orderpriority,
+               count(*) AS n_pairs
+        FROM a JOIN b
+          ON a.null_key <=> b.null_key
+         AND a.o_orderpriority = b.o_orderpriority
+        GROUP BY a.o_orderpriority
+        """
+    )
