@@ -289,3 +289,61 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     dedup = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_memory(dedup, "append")
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type               AS last_type,
+           round(value, 4)          AS last_value
+    FROM ranked
+    WHERE rk = 1 AND event_type <> 'error'
+    """,
+    doc="streaming CDC upsert (applyInPandasWithState): latest-wins state per user "
+    "across 8 replayed micro-batches (random file split, so a key's newest row can "
+    "arrive in ANY batch and only cross-batch state finds it); the memory sink "
+    "accumulates per-batch updates and the final frame keeps each key's newest "
+    "update — == the batch compaction twin (cdc_upsert_compaction), delete markers "
+    "dropped. State is one tuple per key: bounded by key cardinality (streaming "
+    "extension, brief tier (b): applyInPandasWithState for semantics built-ins "
+    "can't express)",
+    tags=("streaming", "pipeline"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from http_datafusion_spark.streaming.stateful import cdc_upsert_stream
+
+    d = staged_multifile_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    updates = run_to_memory(cdc_upsert_stream(stream), "update")
+    # update-mode sink holds one row per (key, batch); the newest update
+    # per key is the final state (ts_usec carries the total order)
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("ts_usec").desc(), F.col("last_event_id").desc())
+    )
+    return (
+        updates.withColumn("rk", rk)
+        .filter((F.col("rk") == 1) & (F.col("last_type") != "error"))
+        .select(
+            "user_id",
+            "last_event_id",
+            F.date_format(F.timestamp_micros(F.col("ts_usec")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+            "last_type",
+            F.round("last_value", 4).alias("last_value"),
+        )
+    )

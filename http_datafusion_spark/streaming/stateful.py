@@ -135,3 +135,51 @@ def session_close_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# Streaming CDC upsert: latest-wins state per key across micro-batches —
+# the streaming twin of plans/events.py::cdc_upsert_compaction. State is
+# one (ts, event_id, type, value) tuple per user: bounded by key
+# cardinality, never stream length.
+CDC_OUTPUT_SCHEMA = (
+    "user_id bigint, last_event_id bigint, ts_usec bigint, last_type string, last_value double"
+)
+CDC_STATE_SCHEMA = "event_id bigint, ts_usec bigint, etype string, value double"
+
+
+def _cdc_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        best_id, best_ts, best_type, best_val = state.get
+    else:
+        best_id, best_ts, best_type, best_val = None, None, None, None
+    for pdf in pdfs:
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()  # ns -> µs, exact
+        for eid, t, et, v in zip(pdf["event_id"].tolist(), ts_us, pdf["event_type"], pdf["value"]):
+            if best_ts is None or (t, eid) > (best_ts, best_id):
+                best_id, best_ts, best_type, best_val = int(eid), int(t), str(et), float(v)
+    state.update((best_id, best_ts, best_type, best_val))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_event_id": [best_id],
+            "ts_usec": [best_ts],
+            "last_type": [best_type],
+            "last_value": [best_val],
+        }
+    )
+
+
+def cdc_upsert_stream(events_stream: DataFrame) -> DataFrame:
+    """Latest-wins upsert state machine over a change stream."""
+    return (
+        events_stream.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_update,
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
