@@ -74,3 +74,113 @@ def test_balance_sources_respects_cap(spark, sf_dir):
     for r in out:
         per_source[r.source] = per_source.get(r.source, 0) + 1
     assert per_source and max(per_source.values()) <= BALANCE_CAP
+
+
+def test_shuffle_shards_is_a_permutation(spark, sf_dir):
+    # Shards partition the corpus (sum of shard sizes == corpus size),
+    # every shard's positions are contiguous 1..n (checksum recomputable),
+    # and the assignment is stable across invocations.
+    from http_datafusion_spark.operators.pipeline import N_SHARDS
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    q = all_queries()["train_shuffle_shards"]
+    total = load_tables(spark, sf_dir, "documents")["documents"].count()
+    rows1 = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    rows2 = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    assert rows1 == rows2  # hash-seeded, not rand()
+    assert sum(r[1] for r in rows1) == total  # complete + disjoint
+    assert len(rows1) <= N_SHARDS
+    assert {r[0] for r in rows1} <= set(range(N_SHARDS))
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    # The salt stage must be invisible in the result: compare against a
+    # directly-computed plain aggregation (not the oracle — this guards
+    # the Spark-side algebra itself).
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    q = all_queries()["q_salted_skew_agg"]
+    got = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    plain = {
+        tuple(r)
+        for r in li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    # Recompute the EWMA for a handful of users with a plain-Python fold
+    # over the same (ts, event_id) order.
+    from http_datafusion_spark.operators.timeseries import _EWMA_W, EWMA_K
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    q = all_queries()["ts_ewma"]
+    got = {(r.user_id, r.event_id): r.ewma for r in q.spark(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    rows = sorted(
+        ev.select("user_id", "event_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for uid in list(by_user)[:5]:
+        series = by_user[uid]
+        for i, r in enumerate(series):
+            num, den = 0.0, 0.0
+            for j in range(EWMA_K):
+                if i - j < 0:
+                    break
+                num += _EWMA_W[j] * series[i - j].value
+                den += _EWMA_W[j]
+            assert abs(got[(uid, r.event_id)] - round(num / den, 6)) <= 1e-6
+            checked += 1
+    assert checked > 50
+
+
+def test_cdc_compaction_matches_python_reference(spark, sf_dir):
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    q = all_queries()["cdc_upsert_compaction"]
+    got = {r.user_id: (r.last_event_id, r.last_type) for r in q.spark(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    latest: dict[int, tuple] = {}
+    for r in ev.select("user_id", "event_id", "ts", "event_type").collect():
+        k = (r.ts, r.event_id)
+        if r.user_id not in latest or k > latest[r.user_id][0]:
+            latest[r.user_id] = (k, r.event_id, r.event_type)
+    expect = {
+        uid: (eid, et) for uid, (_, eid, et) in latest.items() if et != "error"
+    }
+    assert got == expect
+
+
+def test_tokenize_ids_consistent_with_vocab(spark, sf_dir):
+    # Every non-OOV id must be within 1..VOCAB_SIZE, OOV count + in-vocab
+    # count == token count, and the prefix length is bounded.
+    from http_datafusion_spark.operators.text import TOKENIZE_PREFIX, VOCAB_SIZE
+    from http_datafusion_spark.plans.registry import all_queries
+
+    rows = all_queries()["tokenize_to_ids"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.ids_prefix.split("-") if x != ""]
+        assert len(ids) <= TOKENIZE_PREFIX
+        assert all(0 <= i <= VOCAB_SIZE for i in ids)
+        assert 0 <= r.n_oov <= r.n_tokens
