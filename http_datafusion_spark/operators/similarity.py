@@ -548,3 +548,81 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("adc_dec", 6).cast("double").alias("adc_dist"))
     )
+
+
+# Contrastive negative mining: K hash-deterministic negatives per
+# anchor from a different label class. The hash rank makes the sample
+# re-runnable and parallelism-independent (the sample_deterministic
+# property, lifted to pairs); cosine is computed only for the pruned
+# anchor x K pairs, with the sequential-fold kernel both engines share.
+NEG_N_ANCHORS = 8
+NEG_K = 4
+
+
+@query(
+    "embedding_negative_pairs",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
+      FROM embeddings WHERE vec_id < {NEG_N_ANCHORS}
+    ), cand AS (
+      SELECT a.anchor_id, a.a_emb, e.vec_id AS neg_id, e.embedding AS n_emb,
+             CAST(concat('0x', substr(md5(concat(CAST(a.anchor_id AS VARCHAR), '|',
+                  CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.a_label
+    ), ranked AS (
+      SELECT anchor_id, neg_id, a_emb, n_emb,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rk
+      FROM cand
+    )
+    SELECT anchor_id, CAST(neg_id AS BIGINT) AS neg_id, CAST(rk AS BIGINT) AS rk,
+           round({_DOT_SQL.format(a='a_emb', b='n_emb')}
+                 / (sqrt({_DOT_SQL.format(a='a_emb', b='a_emb')})
+                    * sqrt({_DOT_SQL.format(a='n_emb', b='n_emb')})), 6) AS cosine
+    FROM ranked WHERE rk <= {NEG_K}
+    """,
+    doc=f"contrastive negative mining: {NEG_K} hash-ranked negatives per anchor "
+    f"(md5(anchor|cand) order — deterministic, parallelism-independent) drawn from "
+    f"different label classes; the anchor set is a literal-pruned broadcast "
+    f"({NEG_N_ANCHORS} rows), the rank prunes candidates to anchor x K BEFORE any "
+    f"vector math, and cosine runs the sequential-fold kernel both engines share. "
+    f"At 100 TB the candidate scan is one pass with WindowGroupLimit pruning — "
+    f"no all-pairs materialization (north-star pipeline: contrastive training data)",
+    tags=("similarity", "pipeline"),
+)
+def embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = e.filter(F.col("vec_id") < NEG_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cand = (
+        e.select("vec_id", "label", F.col("embedding").alias("n_emb"))
+        .join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "a_emb",
+            F.col("vec_id").alias("neg_id"),
+            "n_emb",
+            md5_int(
+                F.concat(F.col("anchor_id").cast("string"), F.lit("|"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    rk = F.row_number().over(W.partitionBy("anchor_id").orderBy("h", "neg_id"))
+    pruned = cand.withColumn("rk", rk).filter(F.col("rk") <= NEG_K)
+    a = F.col("a_emb").cast("array<double>")
+    n = F.col("n_emb").cast("array<double>")
+    cos = _dot(a, n) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(n, n)))
+    return pruned.select(
+        "anchor_id",
+        F.col("neg_id").cast("bigint").alias("neg_id"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.round(cos, 6).alias("cosine"),
+    )

@@ -730,3 +730,80 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
         ordered_prefix.alias("ids_prefix"),
     )
+
+
+# T5-style span corruption: deterministic span masking as a DATA
+# transform (the model-side part of MLM/T5 pretraining data prep).
+SPAN_LEN = 3  # tokens per maskable span
+MASK_PCT = 15  # percent of spans masked
+
+
+@query(
+    "doc_span_corruption",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WSPLIT_SQL} AS words FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1)) AS pos
+      FROM w WHERE len(words) > 0
+    ), spans AS (
+      SELECT doc_id, pos,
+             CAST(floor((pos - 1) / {SPAN_LEN}) AS BIGINT) AS span_id
+      FROM tok
+    ), gated AS (
+      SELECT doc_id, pos, span_id,
+             {{h}} % 100 < {MASK_PCT} AS masked
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           round(CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS mask_frac,
+           CAST(count(DISTINCT CASE WHEN masked THEN span_id END) AS BIGINT)
+             AS n_spans_masked,
+           CAST(min(CASE WHEN masked THEN span_id END) AS BIGINT) AS first_masked_span
+    FROM gated GROUP BY doc_id
+    """.format(
+        h="CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', "
+        f"CAST(CAST(floor((pos - 1) / {SPAN_LEN}) AS BIGINT) AS VARCHAR))), 1, 15)) AS BIGINT)"
+    ),
+    doc=f"T5-style span corruption as a data transform: {SPAN_LEN}-token spans, "
+    f"~{MASK_PCT}% masked by an md5(doc|span) gate — deterministic (re-runnable, "
+    f"parallelism-independent, same property as sample_deterministic), entirely "
+    f"map-side until the per-doc audit aggregation (one keyed shuffle). Emits the "
+    f"masking audit a pretraining pipeline records per document (north-star "
+    f"pipeline: MLM/T5 data prep)",
+    tags=("text", "pipeline"),
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select("doc_id", whitespace_tokens(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    tok = base.select("doc_id", F.posexplode("words").alias("pos0", "w")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos")
+    )
+    span_id = ((F.col("pos") - 1) / SPAN_LEN).cast("bigint")
+    gated = tok.select(
+        "doc_id",
+        span_id.alias("span_id"),
+        (
+            md5_int(F.concat(F.col("doc_id").cast("string"), F.lit("|"), span_id.cast("string")))
+            % 100
+            < MASK_PCT
+        ).alias("masked"),
+    )
+    n_masked = F.sum(F.when(F.col("masked"), 1).otherwise(0))
+    return gated.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.round(n_masked.cast("double") / F.count(F.lit(1)), 6).alias("mask_frac"),
+        F.count_distinct(F.when(F.col("masked"), F.col("span_id")))
+        .cast("bigint")
+        .alias("n_spans_masked"),
+        F.min(F.when(F.col("masked"), F.col("span_id"))).cast("bigint").alias("first_masked_span"),
+    )
