@@ -864,3 +864,53 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
         )
     )
+
+
+SEQ_BUCKET_W = 64  # length-bucket width (tokens): bucket cap = ceil(len/W)*W
+
+
+@query(
+    "sequence_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(CAST(ceil(CAST(n_tok AS DOUBLE) / {SEQ_BUCKET_W}) AS BIGINT) * {SEQ_BUCKET_W}
+                AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(CAST(ceil(CAST(n_tok AS DOUBLE) / {SEQ_BUCKET_W}) AS BIGINT) * {SEQ_BUCKET_W}
+                AS BIGINT) * CAST(count(*) AS BIGINT) - CAST(sum(n_tok) AS BIGINT)
+             AS padding_waste,
+           round(CAST(sum(n_tok) AS DOUBLE)
+                 / (CAST(CAST(ceil(CAST(n_tok AS DOUBLE) / {SEQ_BUCKET_W}) AS BIGINT)
+                    * {SEQ_BUCKET_W} AS BIGINT) * count(*)), 6) AS pack_efficiency
+    FROM t WHERE n_tok > 0
+    GROUP BY 1
+    """,
+    doc=f"length-bucketed batching audit: docs grouped into {SEQ_BUCKET_W}-token "
+    f"length buckets (bucket cap = ceil(len/{SEQ_BUCKET_W})*{SEQ_BUCKET_W}) with "
+    f"padding-waste and pack-efficiency per bucket — the stats that drive bucket "
+    f"boundaries for padded batching (complement of doc_packing's exact packing). "
+    f"Map-side token count, one bounded-cardinality keyed aggregation "
+    f"(north-star pipeline: batch-shape planning)",
+    tags=("pipeline", "text"),
+)
+def sequence_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")).cast("bigint")
+    cap = (F.ceil(n_tok.cast("double") / SEQ_BUCKET_W) * SEQ_BUCKET_W).cast("bigint")
+    base = d.select(n_tok.alias("n_tok"), cap.alias("bucket_cap")).filter(F.col("n_tok") > 0)
+    return base.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        (F.col("bucket_cap") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padding_waste"),
+        F.round(
+            F.sum("n_tok").cast("double") / (F.col("bucket_cap") * F.count(F.lit(1))), 6
+        ).alias("pack_efficiency"),
+    )

@@ -263,3 +263,101 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+OHLC_BUCKET_SEC = 3600  # hourly bars
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / {OHLC_BUCKET_SEC}) AS BIGINT) AS bucket_h,
+           event_type,
+           round(arg_min(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                                       lpad(CAST(event_id AS VARCHAR), 10, '0'))), 4) AS open,
+           round(max(value), 4)                                       AS high,
+           round(min(value), 4)                                       AS low,
+           round(arg_max(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                                       lpad(CAST(event_id AS VARCHAR), 10, '0'))), 4) AS close,
+           CAST(count(*) AS BIGINT)                                   AS n_ticks,
+           round(sum(value), 4)                                       AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=f"OHLC resampling ({OHLC_BUCKET_SEC}s bars per event_type): open/close are "
+    f"arg-extrema over a zero-padded (epoch_us, event_id) string tick — a composite "
+    f"both engines order identically, so first/last tick is total-ordered "
+    f"without a window. One partial-agg shuffle keyed by (bucket, type); min/max/"
+    f"arg_min/arg_max are all mergeable, so the bar build is two-phase at any scale "
+    f"(north-star time-series downsampling)",
+    tags=("timeseries",),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    tick = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    ).alias("tick")
+    base = e.select(
+        F.floor(F.unix_timestamp("ts") / OHLC_BUCKET_SEC).cast("bigint").alias("bucket_h"),
+        "event_type",
+        "value",
+        tick,
+    )
+    return base.groupBy("bucket_h", "event_type").agg(
+        F.round(F.min_by("value", "tick"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", "tick"), 4).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
+
+
+@query(
+    "ts_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             median(abs(e.value - m.med)) OVER (PARTITION BY e.event_type) AS mad
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           round(max(med), 4) AS med,
+           round(max(mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(value - med) > {MAD_K} * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev GROUP BY event_type
+    """,
+    doc=f"robust anomaly detection: median-absolute-deviation outliers per event_type "
+    f"(|x-med| > {MAD_K}*MAD). Two exact medians (value, then absolute deviation) — "
+    f"both engines compute exact interpolated medians on identical doubles — then one "
+    f"counting pass. Complements ts_zscore_outliers: MAD is unmoved by the very "
+    f"outliers it flags. Per-type medians are a keyed aggregation (exact median at "
+    f"100 TB is the one genuinely hard op here — the approx path is q_agg_approx's "
+    f"percentile sketch; this row is the exact small-keyspace form)",
+    tags=("timeseries",),
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.sum(F.when(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
