@@ -626,3 +626,54 @@ def embedding_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("bigint").alias("rk"),
         F.round(cos, 6).alias("cosine"),
     )
+
+
+@query(
+    "semantic_search_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ), topk AS (
+      SELECT vec_id,
+             round({_DOT_SQL.format(a='embedding', b='qv')} / (nrm * qn), 6) AS cosine
+      FROM e, q
+      WHERE vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='embedding', b='qv')} / (nrm * qn) DESC, vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT t.vec_id, t.cosine, d.source, d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+    doc="retrieval end-to-end: exact cosine top-k over embeddings joined back to the "
+    "documents table for result metadata (the fixture aligns vec_id == doc_id). The "
+    "k-row result set broadcasts to the metadata join, so the document table is "
+    "touched once with the join key pushed down — the standard ANN-then-hydrate "
+    "pattern of a vector search service (north-star similarity / retrieval)",
+    tags=("similarity", "pipeline"),
+)
+def semantic_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "embeddings", "documents")
+    e, d = t["embeddings"], t["documents"]
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
+    qrow = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    topk = (
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+    return F.broadcast(topk).join(
+        d.select(F.col("doc_id"), "source", "lang", F.col("n_chars").cast("bigint").alias("n_chars")),
+        F.col("doc_id") == F.col("vec_id"),
+    ).select("vec_id", "cosine", "source", "lang", "n_chars")
