@@ -308,3 +308,48 @@ def test_tokenize_vocab_broadcast(spark, sf_dir):
     # a shuffle join on 'word' would move the whole token stream
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_span_corruption_single_keyed_shuffle(spark, sf_dir):
+    s = plan_of(QS["doc_span_corruption"].spark(spark, sf_dir))
+    # explode + hash gate are map-side; the only exchanges serve the
+    # per-doc audit aggregation (partial agg + count_distinct expand)
+    assert "BroadcastHashJoin" not in s and "SortMergeJoin" not in s
+    assert "hashpartitioning(doc_id" in s
+
+
+def test_negative_pairs_broadcast_and_rank_pruned(spark, sf_dir):
+    s = plan_of(QS["embedding_negative_pairs"].spark(spark, sf_dir))
+    # anchors broadcast (8 rows); rank prune before cosine math
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert "WindowGroupLimit" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_ohlc_single_partial_agg(spark, sf_dir):
+    s = plan_of(QS["ts_resample_ohlc"].spark(spark, sf_dir))
+    # mergeable arg-extrema: one exchange on the (bucket, type) key
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Window" not in s  # no window needed for open/close
+
+
+def test_mad_outliers_medians_broadcast(spark, sf_dir):
+    s = plan_of(QS["ts_mad_outliers"].spark(spark, sf_dir))
+    # the per-type median tables join back via broadcast — the fact
+    # side never shuffles for the joins
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_sequence_buckets_single_shuffle(spark, sf_dir):
+    s = plan_of(QS["sequence_length_buckets"].spark(spark, sf_dir))
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Generate" not in s  # token count without explode
+
+
+def test_semantic_search_hydrate_broadcast(spark, sf_dir):
+    s = plan_of(QS["semantic_search_join"].spark(spark, sf_dir))
+    # the k-row result hydrates via broadcast; top-k fused
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
