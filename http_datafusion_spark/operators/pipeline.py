@@ -897,7 +897,7 @@ SEQ_BUCKET_W = 64  # length-bucket width (tokens): bucket cap = ceil(len/W)*W
     f"boundaries for padded batching (complement of doc_packing's exact packing). "
     f"Map-side token count, one bounded-cardinality keyed aggregation "
     f"(north-star pipeline: batch-shape planning)",
-    tags=("pipeline", "text"),
+    tags=("pipeline", "text", "bench"),
 )
 def sequence_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]

@@ -775,7 +775,7 @@ MASK_PCT = 15  # percent of spans masked
     f"map-side until the per-doc audit aggregation (one keyed shuffle). Emits the "
     f"masking audit a pretraining pipeline records per document (north-star "
     f"pipeline: MLM/T5 data prep)",
-    tags=("text", "pipeline"),
+    tags=("text", "pipeline", "bench"),
 )
 def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.functions.hashing import md5_int

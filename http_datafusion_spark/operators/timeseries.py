@@ -343,7 +343,7 @@ MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
     f"outliers it flags. Per-type medians are a keyed aggregation (exact median at "
     f"100 TB is the one genuinely hard op here — the approx path is q_agg_approx's "
     f"percentile sketch; this row is the exact small-keyspace form)",
-    tags=("timeseries",),
+    tags=("timeseries", "bench"),
 )
 def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
