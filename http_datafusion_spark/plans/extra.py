@@ -418,3 +418,93 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.o_orderpriority
         """
     )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round(l_discount * 100, 0) AS BIGINT))
+                 / sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0,
+                 6) AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="UDAF surface (SURVEY §2.10, extension): grouped-agg pandas_udf (Arrow series -> "
+    "scalar per group) computing a price-weighted mean discount; integer cents/basis-point "
+    "arithmetic keeps the sum exact so the value matches the oracle bit-for-bit",
+    tags=("udf", "agg"),
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference exposes no UDAF hook (SURVEY §2.10: register_udf is
+    never called); Spark's grouped-agg pandas UDF is the extension
+    surface. Sums run in int64 (exact), so the final double division is
+    order-independent and both engines round the same value."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+
+    @F.pandas_udf("double")
+    def wavg_disc(cents: pd.Series, bp: pd.Series) -> float:
+        num = int((cents.to_numpy() * bp.to_numpy()).sum())
+        den = int(cents.to_numpy().sum())
+        return float(num) / float(den) / 100.0
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    bp = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.select("l_returnflag", cents.alias("cents"), bp.alias("bp"))
+        .groupBy("l_returnflag")
+        .agg(F.round(wavg_disc("cents", "bp"), 6).alias("wavg_discount"))
+    )
+
+
+@query(
+    "q_python_udtf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(o_orderkey % 4 + 1 AS BIGINT) AS k
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), u AS (
+      SELECT o_orderkey, cents, k, unnest(range(1, k + 1)) AS i FROM o
+    )
+    SELECT o_orderkey,
+           CAST(i AS INT) AS installment_idx,
+           CAST(CASE WHEN i < k THEN cents // k
+                     ELSE cents - (k - 1) * (cents // k) END AS BIGINT) AS amount_cents
+    FROM u
+    """,
+    doc="UDTF surface (SURVEY §2.10, extension): Python user-defined TABLE function with a "
+    "TABLE(...) argument — splits each order's total into k installments (last absorbs the "
+    "remainder); integer-cents arithmetic, row fan-out on executors",
+    tags=("udf",),
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One eval() per input row yields k output rows — the table-function
+    fan-out shape (reference has no UDTF hook; SURVEY §2.10 extension).
+    The TABLE() argument streams partitions through the UDTF on
+    executors; nothing materializes on the driver."""
+    from pyspark.sql.functions import udtf
+
+    load_tables(spark, sf_dir, "orders")
+
+    @udtf(returnType="o_orderkey bigint, installment_idx int, amount_cents bigint")
+    class Installments:
+        def eval(self, row):
+            cents, k = row["cents"], row["k"]
+            base = cents // k
+            for i in range(1, k + 1):
+                yield row["o_orderkey"], i, base if i < k else cents - (k - 1) * base
+
+    spark.udtf.register("udtf_installments", Installments)
+    return spark.sql(
+        """
+        SELECT * FROM udtf_installments(TABLE(
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                 o_orderkey % 4 + 1 AS k
+          FROM orders WHERE o_orderkey % 97 = 0
+        ))
+        """
+    )

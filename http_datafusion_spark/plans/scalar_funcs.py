@@ -453,3 +453,43 @@ def q_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           event_type                                            AS et,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k,
+           value                                                 AS val,
+           TRY_CAST(event_type AS BIGINT)                        AS et_as_int
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+    doc="VARIANT semi-structured type (Spark 4 superset of SURVEY §2.8 JSON): parse_json -> "
+    "variant_get typed extraction round-trip; try_variant_get returns NULL on a type miss "
+    "exactly like the oracle's TRY_CAST",
+    tags=("scalar", "json"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes a JSON document per row (to_json of a struct), parses it
+    into a VARIANT, and extracts typed fields back out. The double
+    survives the round-trip exactly (shortest-round-trip printing), so
+    no tolerance is needed; the deliberate type-miss extraction
+    (string field as bigint) NULLs like TRY_CAST."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.col("value").alias("val"),
+        )
+    )
+    v = F.parse_json(j)
+    return e.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.variant_get(v, "$.et", "string").alias("et"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.val", "double").alias("val"),
+        F.try_variant_get(v, "$.et", "bigint").alias("et_as_int"),
+    )
