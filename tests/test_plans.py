@@ -353,3 +353,62 @@ def test_semantic_search_hydrate_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in s
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir, tmp_path):
+    """A fact stored partitioned by a key joined to a filtered dim gets a
+    dynamicpruning partition filter — at 100 TB the fact scan reads only
+    the partitions the dim filter selects, before any row is fetched."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    path = str(tmp_path / "li_by_year")
+    li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy("ship_year").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([(y, y % 2) for y in range(1992, 1999)], "yr int, flag int")
+    j = (
+        fact.join(dim, fact.ship_year == dim.yr)
+        .filter(F.col("flag") == 1)
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "dynamicpruning" in formatted(j).lower()
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With broadcast off (the 100 TB fact-fact case), a selective filter
+    on one join side injects a bloom_filter_agg/might_contain runtime
+    filter on the other — rows that cannot match are dropped at the
+    scan, before the shuffle. The application-side size threshold
+    (default 10 GB) is lowered to fit local data; at scale the default
+    gates it to genuinely large scans."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
