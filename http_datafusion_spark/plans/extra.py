@@ -508,3 +508,57 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         """
     )
+
+
+@query(
+    "q_cogrouped_pandas",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, count(*) AS n_purchases, min(ts) AS mn, max(ts) AS mx
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           CAST(p.n_purchases AS BIGINT) AS n_purchases,
+           CAST(count(c.ts) AS BIGINT)   AS clicks_within
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts BETWEEN p.mn AND p.mx
+    GROUP BY p.user_id, p.n_purchases
+    """,
+    doc="cogrouped pandas API (SURVEY §2.10 extension — the 4th pandas surface after "
+    "mapInPandas/applyInPandas/applyInPandasWithState): two keyed frames land in one "
+    "Arrow batch pair per key; counts clicks inside each user's purchase window",
+    tags=("udf",),
+)
+def q_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides shuffle once on the key, then each (clicks, purchases)
+    group pair is handed to pandas together — the general two-table
+    per-key merge shape (custom as-of variants, interval overlap,
+    bitemporal reconciliation) when a join can't express the logic.
+    State per key is bounded by that key's rows, not the table."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purch_pdf.empty:  # user never purchased: no output row (oracle's p side)
+            return pd.DataFrame({"user_id": [], "n_purchases": [], "clicks_within": []})
+        mn, mx = purch_pdf["ts"].min(), purch_pdf["ts"].max()
+        within = (
+            0
+            if clicks_pdf.empty
+            else int(((clicks_pdf["ts"] >= mn) & (clicks_pdf["ts"] <= mx)).sum())
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(purch_pdf["user_id"].iloc[0])],
+                "n_purchases": [len(purch_pdf)],
+                "clicks_within": [within],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(merge, schema="user_id bigint, n_purchases bigint, clicks_within bigint")
+    )

@@ -412,18 +412,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey % 100 AS bucket FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_suppkey % 50 FROM supplier
     """,
     doc="EXCEPT / subtract (SURVEY §2.7)",
     tags=("setop",),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived buckets (custkey%100 vs suppkey%50) guarantee a non-empty
+    difference at every scale factor — plain nationkey EXCEPT goes empty
+    once each nation has both customers and suppliers (sf>=0.01), which
+    would leave the driver gate a hollow 0-row pass."""
     t = load_tables(spark, sf_dir, "customer", "supplier")
     return (
-        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        t["customer"].select((F.col("c_custkey") % 100).alias("bucket"))
+        .subtract(t["supplier"].select((F.col("s_suppkey") % 50).alias("bucket")))
     )
 
 
