@@ -340,6 +340,43 @@ def cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "cdc_scd2_intervals",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current,
+           event_type,
+           round(value, 4)          AS value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 dimension build: each change-log row opens a version with "
+    "[valid_from, valid_to) validity; valid_to is the next change's timestamp "
+    "(NULL = current). The history-preserving complement of "
+    "cdc_upsert_compaction's latest-wins snapshot — one shuffle on the key, "
+    "one sorted window pass, (ts, event_id) total order for deterministic "
+    "versioning",
+    tags=("events", "pipeline"),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
 # Histogram: equi-width bins with the width_bucket convention
 # (below-range -> 0, above-range -> n+1) written as explicit floor
 # arithmetic — the same IEEE expression on both engines (the DuckDB
