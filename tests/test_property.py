@@ -184,3 +184,38 @@ def test_tokenize_ids_consistent_with_vocab(spark, sf_dir):
         assert len(ids) <= TOKENIZE_PREFIX
         assert all(0 <= i <= VOCAB_SIZE for i in ids)
         assert 0 <= r.n_oov <= r.n_tokens
+
+
+def test_scd2_intervals_tile_each_key(spark, sf_dir):
+    # Per key: versions are 1..n dense, exactly one open (is_current)
+    # interval, every valid_to equals the next version's valid_from
+    # (no gaps, no overlaps), and version count equals the row count.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.plans.registry import all_queries
+    from http_datafusion_spark.plans.tables import load_tables
+
+    df = all_queries()["cdc_scd2_intervals"].spark(spark, sf_dir).cache()
+    try:
+        n_events = load_tables(spark, sf_dir, "events")["events"].count()
+        assert df.count() == n_events  # every change opens exactly one version
+
+        per_key = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("version").alias("max_v"),
+            F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        )
+        bad = per_key.filter(
+            (F.col("n") != F.col("max_v")) | (F.col("n_open") != 1)
+        ).count()
+        assert bad == 0  # dense versions, exactly one current row per key
+
+        w = W.partitionBy("user_id").orderBy("version")
+        chained = df.withColumn("next_from", F.lead("valid_from").over(w))
+        gaps = chained.filter(
+            F.col("next_from").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+        ).count()
+        assert gaps == 0  # intervals tile the key's timeline
+    finally:
+        df.unpersist()
