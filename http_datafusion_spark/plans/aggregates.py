@@ -403,6 +403,43 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    doc=f"salted skew JOIN (the join-side companion of q_salted_skew_agg): the big side "
+    f"spreads each hot join key over {N_SALT} reducers via a deterministic salt, the "
+    f"small side is replicated {N_SALT}x, and the join runs on (key, salt) — no single "
+    f"reducer sees a hot key's full row set. Hash-checked against the plain join, so "
+    f"the rewrite is proven semantics-preserving; exact-decimal revenue keeps the sum "
+    f"order-independent (100 TB skew playbook, manual counterpart of AQE skew-join)",
+    tags=("agg", "join"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shuffle_hash hint keeps it a shuffled join — salting is a no-op
+    under broadcast, which is exactly when you would not need it."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].withColumn("salt", (F.col("l_linenumber") % N_SALT).cast("int"))
+    o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])).alias("salt")
+    )
+    joined = li.hint("shuffle_hash").join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+@query(
     "hll_sketch_union",
     oracle="""
     WITH per_source AS (

@@ -412,3 +412,13 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    """The salted join's exchanges partition on (join key, salt) — the
+    hot-key spread — and nothing falls back to broadcast (which would
+    make salting a no-op)."""
+    s = plan_of(QS["q_salted_skew_join"].spark(spark, sf_dir))
+    part_lines = [ln for ln in s.splitlines() if "hashpartitioning" in ln and "salt" in ln]
+    assert part_lines, "no exchange partitions on the salt"
+    assert "BroadcastHashJoin" not in s
