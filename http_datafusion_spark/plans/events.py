@@ -163,6 +163,58 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_window_native",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_SESSION_GAP_SEC} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, value, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(make_timestamp(max(us) + {_SESSION_GAP_SEC} * 1000000),
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc=f"native batch session_window (the same gap-merge the streaming twin uses, "
+    f"{_SESSION_GAP_SEC // 60}-min gap): one groupBy(user, session_window) — Spark "
+    f"merges events closer than the gap and emits [min ts, max ts + gap) bounds; "
+    f"oracle rebuilds the islands with integer-microsecond arithmetic (new session "
+    f"iff the gap is >= the threshold, session_window's boundary rule)",
+    tags=("events", "window"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    sw = F.session_window("ts", f"{_SESSION_GAP_SEC} seconds")
+    return (
+        e.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", fmt).alias("session_start"),
+            F.date_format("sw.end", fmt).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
     "events_rate_profile",
     oracle="""
     SELECT event_type,
