@@ -347,3 +347,38 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last_value", 4).alias("last_value"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    doc="stream-static dimension enrichment: the event stream joins a broadcast "
+    "static dim (customer segment) STATELESSLY — no join state, no watermark "
+    "needed, the dim re-broadcasts per micro-batch — then aggregates per "
+    "segment in complete mode; equal to the batch join twin the oracle runs",
+    tags=("streaming",),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical enrich shape at scale: facts arrive as a stream,
+    dimensions live as a slowly-refreshed table. A stream-static inner
+    join keeps NO state store (unlike stream-stream), so executor
+    memory stays flat regardless of stream length."""
+    from http_datafusion_spark.plans.tables import load_tables
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = (
+        load_tables(spark, sf_dir, "customer")["customer"]
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete").select("segment", "n_events", "total_value")
