@@ -914,3 +914,74 @@ def sequence_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("double") / (F.col("bucket_cap") * F.count(F.lit(1))), 6
         ).alias("pack_efficiency"),
     )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS BOOLEAN) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orders_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) = 0 AS BOOLEAN)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'customer_acctbal_complete',
+           CAST(count(*) - count(c_acctbal) AS BIGINT),
+           CAST(count(*) - count(c_acctbal) = 0 AS BOOLEAN)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_qty_in_range',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+    FROM documents
+    """,
+    doc="data-quality audit (Deequ-style constraint suite as one declarative plan): "
+    "PK uniqueness, referential integrity (anti-join), completeness, value-range, "
+    "and non-empty-text checks, each one aggregate scan emitting (check, violations, "
+    "passed) — the pre-training-ingest validation gate; every check is a partial "
+    "aggregate or broadcast-anti-join, nothing row-materializes",
+    tags=("pipeline",),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint checks a 100 TB ingest runs before accepting a drop:
+    each is an independent aggregate (so Spark runs them as parallel
+    jobs of one scan each), and the output is a tiny (check, violations,
+    passed) table a scheduler can gate on."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem", "customer", "documents")
+
+    def check(name: str, violations):
+        return (F.lit(name).alias("check_name"),
+                violations.cast("bigint").alias("violations"),
+                (violations == 0).alias("passed"))
+
+    pk = t["orders"].agg(*check(
+        "orders_pk_unique",
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+    ))
+    fk = (
+        t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(*check("lineitem_orders_fk", F.count(F.lit(1))))
+    )
+    complete = t["customer"].agg(*check(
+        "customer_acctbal_complete",
+        F.count(F.lit(1)) - F.count("c_acctbal"),
+    ))
+    rng = t["lineitem"].agg(*check(
+        "lineitem_qty_in_range",
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int")),
+    ))
+    nonempty = t["documents"].agg(*check(
+        "documents_text_nonempty",
+        F.sum((F.col("text").isNull() | (F.length("text") == 0)).cast("int")),
+    ))
+    return pk.unionAll(fk).unionAll(complete).unionAll(rng).unionAll(nonempty)
