@@ -62,3 +62,23 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         part.explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_observe_metrics_piggyback_on_action(spark, sf_dir):
+    # The Observation API: pipeline metrics (row counts, sums, null
+    # tallies) ride the SAME job as the action — no second scan. At
+    # 100 TB this is how a run reports data-quality counters for free.
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert 0 < got["n_discounted"] < got["n_rows"]
+    assert n > 0
