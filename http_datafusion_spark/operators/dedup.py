@@ -399,6 +399,61 @@ def dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    dropped AS (
+      SELECT DISTINCT e.a AS doc_id
+      FROM edges e
+      JOIN documents da ON da.doc_id = e.a
+      JOIN documents db ON db.doc_id = e.b
+      WHERE db.n_chars > da.n_chars
+         OR (db.n_chars = da.n_chars AND db.doc_id < da.doc_id)
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    doc="content-aware near-dup survivorship: keep the LONGER member of every "
+    "MinHash pair (tie: lower doc_id) instead of dedup_near_apply's arbitrary "
+    "keep-lower-id — the keep-best policy real cleaning pipelines use; a doc "
+    "is dropped iff some pair-neighbor dominates it, one join against the "
+    "small candidate-pair set (north-star dedup end-to-end)",
+    tags=("dedup",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dominance (n_chars, then doc_id) makes the greedy
+    pairwise policy order-independent — no iteration, no clustering —
+    while still preferring content: fan the pairs into directed edges,
+    keep docs with no dominating neighbor via one anti-join."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    da = d.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("ca"))
+    db = d.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("cb"))
+    dominated = (
+        edges.join(da, "a").join(db, "b")
+        .filter(
+            (F.col("cb") > F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("b") < F.col("a")))
+        )
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(dominated, "doc_id", "left_anti")
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (
