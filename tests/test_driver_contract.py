@@ -56,3 +56,16 @@ def test_bench_emits_single_json_line():
     assert payload["unit"] == "sec" and payload["value"] > 0
     assert "q6_revenue_delta" in payload["queries"]
     assert payload["sf"] == 0.001
+
+
+def test_bench_set_is_oracle_checked_and_stable():
+    # BASELINE.md's headline pair is a 27-query set; bench_proxy.py runs
+    # each query's oracle, so every bench row must have one. Changing
+    # the set deliberately means re-recording the pair in BASELINE.md —
+    # this pin makes that an explicit step, not an accident.
+    from http_datafusion_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    bench = {n for n, s in qs.items() if "bench" in s.tags}
+    assert len(bench) == 27, f"bench set changed: {sorted(bench)}"
+    assert all(qs[n].oracle for n in bench)
