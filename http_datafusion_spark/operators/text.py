@@ -807,3 +807,53 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_spans_masked"),
         F.min(F.when(F.col("masked"), F.col("span_id"))).cast("bigint").alias("first_masked_span"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest({_WSPLIT_SQL}) AS word FROM documents
+    ), counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY word
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM dw
+    ), scored AS (
+      SELECT dw.doc_id,
+             CAST(round(-ln(counts.c * 1.0 / n.total), 6) AS DECIMAL(18,6)) AS nll
+      FROM dw JOIN counts USING (word) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="unigram LM negative-log-likelihood per doc (the KenLM-style perplexity "
+    "proxy, CCNet/Gopher-adjacent quality signal): corpus pass for unigram "
+    "counts, per-token -ln p(w) joined back, averaged per doc. Per-token nll "
+    "rounds to 6dp then sums in exact DECIMAL, so the per-doc mean is "
+    "independent of partial-aggregation order; high avg_nll = surprising/junk "
+    "text (north-star text analysis)",
+    tags=("text",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass shape shared with TF-IDF/rare-words: the (word, count)
+    table is vocabulary-bounded (broadcasts at any corpus size); the
+    token stream is cached once and feeds both the counts and the
+    score join, so the text splits exactly once."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).cache()
+    counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = dw.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")
+    return (
+        dw.join(counts, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+    )
