@@ -667,3 +667,60 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )
+
+
+PREFIX_BLOCK_K = 32  # block key length; documents shorter than this ride dedup_exact
+
+
+@query(
+    "dedup_prefix_pairs",
+    oracle=f"""
+    SELECT a.doc_id AS prefix_doc,
+           b.doc_id AS container_doc,
+           CAST(a.n_chars AS BIGINT) AS prefix_len,
+           CAST(b.n_chars AS BIGINT) AS container_len
+    FROM documents a JOIN documents b
+      ON substring(a.text, 1, {PREFIX_BLOCK_K}) = substring(b.text, 1, {PREFIX_BLOCK_K})
+     AND a.doc_id <> b.doc_id
+     AND starts_with(b.text, a.text)
+     AND (a.n_chars < b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+    """,
+    doc=f"exact prefix-containment dedup pairs (truncation/re-crawl duplicates that "
+    f"near-dup shingles can miss when the container is much longer): equi-join on a "
+    f"{PREFIX_BLOCK_K}-char block key — NOT all-pairs — then startswith verify; ties "
+    f"(identical text) orient by doc_id. Block key requires len >= {PREFIX_BLOCK_K} "
+    f"(fixture min is 48); shorter docs are exact-dedup territory (north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the block key is the shuffle key: each bucket holds docs
+    sharing a 32-char prefix (tiny groups for natural text), and the
+    quadratic verify runs within buckets only — same bucketed-candidate
+    shape as the MinHash band join."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.substring("text", 1, PREFIX_BLOCK_K)
+    a = d.select(
+        F.col("doc_id").alias("prefix_doc"), F.col("text").alias("ta"),
+        F.col("n_chars").alias("prefix_len"), key.alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("container_doc"), F.col("text").alias("tb"),
+        F.col("n_chars").alias("container_len"), key.alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("prefix_doc") != F.col("container_doc"))
+            & F.col("tb").startswith(F.col("ta"))
+            & (
+                (F.col("prefix_len") < F.col("container_len"))
+                | ((F.col("prefix_len") == F.col("container_len"))
+                   & (F.col("prefix_doc") < F.col("container_doc")))
+            )
+        )
+        .select(
+            "prefix_doc", "container_doc",
+            F.col("prefix_len").cast("bigint").alias("prefix_len"),
+            F.col("container_len").cast("bigint").alias("container_len"),
+        )
+    )
