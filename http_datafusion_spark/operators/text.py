@@ -857,3 +857,49 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH dc AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM dc GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    ), terms AS (
+      SELECT cnt.doc_id,
+             CAST(round(-(c * 1.0 / n) * log2(c * 1.0 / n), 6) AS DECIMAL(18,6)) AS term,
+             n
+      FROM cnt JOIN tot USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT)              AS n_chars_split,
+           round(CAST(sum(term) AS DOUBLE), 4) AS char_entropy
+    FROM terms
+    GROUP BY doc_id
+    """,
+    doc="Shannon character entropy per doc (the gibberish/base64/compressed-junk "
+    "detector in C4/Gopher-family filter stacks): char histogram -> -sum p*log2(p). "
+    "Per-char terms round to 6dp then sum in exact DECIMAL (order-independent); "
+    "per-doc term count is alphabet-bounded (~100), so the (doc, char) shuffle "
+    "carries tiny groups (north-star text analysis)",
+    tags=("text",),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dc = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    cnt = dc.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        cnt.join(tot, "doc_id")
+        .select("doc_id", term.alias("term"), "n")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars_split"),
+            F.round(F.sum("term").cast("double"), 4).alias("char_entropy"),
+        )
+    )
