@@ -985,3 +985,67 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("text").isNull() | (F.length("text") == 0)).cast("int")),
     ))
     return pk.unionAll(fk).unionAll(complete).unionAll(rng).unionAll(nonempty)
+
+
+PSI_BIN_W = 50  # n_chars histogram width for the drift comparison
+
+
+@query(
+    "quality_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, CAST(floor(n_chars / {PSI_BIN_W}) AS BIGINT) AS bin FROM documents
+    ), sb AS (
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY source, bin
+    ), st AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sb GROUP BY source
+    ), qb AS (
+      SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM sb GROUP BY bin
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM documents
+    ), terms AS (
+      SELECT sb.source,
+             CAST(round((sb.c * 1.0 / st.ns - qb.cb * 1.0 / n.total)
+                        * ln((sb.c * 1.0 / st.ns) / (qb.cb * 1.0 / n.total)), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM sb JOIN st USING (source) JOIN qb USING (bin) CROSS JOIN n
+    )
+    SELECT source,
+           round(CAST(sum(term) AS DOUBLE), 4) AS psi,
+           CAST(count(*) AS BIGINT)            AS n_bins
+    FROM terms
+    GROUP BY source
+    """,
+    doc=f"population-stability-index drift monitor: each source's doc-length "
+    f"histogram ({PSI_BIN_W}-char bins) vs the corpus baseline, "
+    f"PSI = sum (p-q)*ln(p/q) over the source's occupied bins (absent-bin terms "
+    f"omitted on both sides — same convention both engines). PSI > 0.2 is the "
+    f"classic re-train/investigate trigger; 6dp-round-then-DECIMAL-sum keeps it "
+    f"order-independent, and the shuffles carry only (source, bin) groups",
+    tags=("pipeline",),
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift gates run on every recurring ingest: a source whose length
+    (or score) distribution walks away from the corpus baseline gets
+    flagged before it pollutes training mixes. All aggregation is on
+    bounded (source, bin) keys — nothing scales with row count."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    b = d.select("source", F.floor(F.col("n_chars") / PSI_BIN_W).cast("bigint").alias("bin"))
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    qb = sb.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cb"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    p = F.col("c") * 1.0 / F.col("ns")
+    q = F.col("cb") * 1.0 / F.col("total")
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        sb.join(st, "source")
+        .join(qb, "bin")
+        .crossJoin(F.broadcast(n))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("term").cast("double"), 4).alias("psi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        )
+    )
