@@ -219,3 +219,55 @@ def test_scd2_intervals_tile_each_key(spark, sf_dir):
         assert gaps == 0  # intervals tile the key's timeline
     finally:
         df.unpersist()
+
+
+def test_json_staging_survives_ragged_rows(spark):
+    # The ingest path must stage ANY mix of JSON objects a real API can
+    # emit — missing keys, nulls, int/float promotion, nested objects,
+    # lists — without crashing, preserving row count, and unioning the
+    # key space (full-scan inference; the reference's first-record mode
+    # would drop late-only fields).
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from http_datafusion_spark.sources.http_json import json_rows_to_df
+
+    scalars = st.none() | st.booleans() | st.integers(-10**9, 10**9) | st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    ) | st.text(max_size=12)
+    values = st.recursive(
+        scalars,
+        lambda kids: st.lists(kids, max_size=3)
+        | st.dictionaries(st.sampled_from("abcd"), kids, max_size=3),
+        max_leaves=6,
+    )
+    rows_strategy = st.lists(
+        st.dictionaries(st.sampled_from(["k1", "k2", "k3", "k4"]), values, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+
+    def has_typed_scalar(v) -> bool:
+        # Inference can only type a field that somewhere carries a
+        # concrete scalar; a key whose values are all None/{}/[] is
+        # legitimately dropped (an empty struct has no type).
+        if isinstance(v, (bool, int, float, str)):
+            return True
+        if isinstance(v, list):
+            return any(has_typed_scalar(x) for x in v)
+        if isinstance(v, dict):
+            return any(has_typed_scalar(x) for x in v.values())
+        return False
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=rows_strategy)
+    def run(rows):
+        df = json_rows_to_df(spark, rows)
+        assert df.count() == len(rows)
+        typed_keys = {
+            k for r in rows for k, v in r.items() if has_typed_scalar(v)
+        }
+        # every key that somewhere carries typed data becomes a column
+        assert typed_keys <= set(df.columns)
+
+    run()
