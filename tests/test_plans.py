@@ -422,3 +422,38 @@ def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
     part_lines = [ln for ln in s.splitlines() if "hashpartitioning" in ln and "salt" in ln]
     assert part_lines, "no exchange partitions on the salt"
     assert "BroadcastHashJoin" not in s
+
+
+def test_unigram_logprob_counts_broadcast(spark, sf_dir):
+    """The vocab-bounded count table broadcasts to the token stream
+    (no fact-side shuffle for the score join); the only BNLJ is the
+    1-row corpus-total cross join."""
+    s = plan_of(QS["text_unigram_logprob"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_prefix_pairs_is_blocked_equi_join(spark, sf_dir):
+    """Prefix candidates come from an equi-join on the 32-char block
+    key — never an all-pairs nested loop."""
+    s = plan_of(QS["dedup_prefix_pairs"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+
+
+def test_keep_best_dominance_is_anti_join(spark, sf_dir):
+    """Survivors are selected by one anti-join against the dominated
+    set; no cartesian anywhere."""
+    s = plan_of(QS["dedup_keep_best"].spark(spark, sf_dir))
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+
+
+def test_psi_aggregations_are_bounded(spark, sf_dir):
+    """All PSI joins are hash joins on (source)/(bin) group keys; the
+    only nested loop is the broadcast 1-row corpus total."""
+    s = plan_of(QS["quality_drift_psi"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
