@@ -6,8 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is timed to full materialization (count of the result),
-median of RUNS warm runs after one cold run that pays JVM/codegen
+Each query is timed to FULL materialization: a noop-format write,
+which evaluates every output expression on every row and discards the
+bytes. (Timing ``.count()`` instead lets Catalyst prune expressions
+the count doesn't need — measured 3-7x under-reporting on agg/window/
+map-tailed queries at sf0.1, see BASELINE.md "honest sink" note.)
+Median of RUNS warm runs after one cold run that pays JVM/codegen
 warmup. Set BENCH_QUERIES=name1,name2 to restrict, BENCH_RUNS=n to
 change repetitions.
 """
@@ -40,14 +44,26 @@ def main() -> None:
     else:
         names = sorted(n for n, spec in registry.items() if "bench" in spec.tags)
 
+    def materialize(df) -> None:
+        # noop sink: full evaluation of every column on every row,
+        # zero serialization to the driver and zero disk I/O.
+        df.write.format("noop").mode("overwrite").save()
+
+    # The noop write path needs ~3 executions before its codegen +
+    # class-loading settles (measured: 5.0s, 1.5s, 1.6s, then stable
+    # ~0.3s for q1 at sf0.01) — warm each query that many times before
+    # sampling.
+    warmups = int(os.environ.get("BENCH_WARMUP", "3"))
+
     timings: dict[str, float] = {}
     for name in names:
         spec = registry[name]
-        spec.spark(spark, sf_dir).count()  # cold run: warmup + plan cache
+        for _ in range(warmups):
+            materialize(spec.spark(spark, sf_dir))
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).count()
+            materialize(spec.spark(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
