@@ -10,6 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.fixedpoint import dsum, money_x_rate6, two_level_agg, unscale
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -241,7 +242,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     pair = F.col("supp_nation") != F.col("cust_nation")
-    return (
+    joined = (
         t["supplier"]
         .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -253,10 +254,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("yr"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            money_x_rate6("l_extendedprice", "l_discount").alias("vol6"),
         )
-        .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.round(F.sum(F.col("volume").cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+    )
+    return two_level_agg(
+        joined,
+        ["supp_nation", "cust_nation", "yr"],
+        partial={"r6": F.sum(F.col("vol6"))},
+        final={"revenue": unscale(dsum("r6"), round_to=2).cast("double")},
     )
 
 
@@ -282,7 +287,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partial-agg pushdown Catalyst won't do on its own: reduce lineitem
     # to (orderkey, revenue) BEFORE the fact-fact join, halving the join
     # input, then re-aggregate per customer (2.3 s -> 1.5 s at 10x sf).
-    # EXACT regrouping: the revenue sums are decimals, so associative
+    # EXACT regrouping at int64 scale-1e6 fixed point: every group is
+    # schema-bounded (<= 7 lines/order, ~10 orders/customer), so the
+    # scaled sums stay far below 2^63 at any SF and associative
     # re-summation cannot drift vs the single-pass oracle.
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     per_order = (
@@ -290,9 +297,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .groupBy("l_orderkey")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).alias("rev")
+            F.sum(money_x_rate6("l_extendedprice", "l_discount")).alias("rev6")
         )
     )
     per_cust = (
@@ -301,14 +306,14 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum("rev").alias("rev"))
+        .agg(F.sum("rev6").alias("rev6"))
     )
     return (
         per_cust.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            unscale(dsum("rev6"), round_to=2).cast("double").alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.fixedpoint import (
+    charge6,
+    dsum,
+    int6,
+    money_x_rate6,
+    mul_fixed6,
+    two_level_agg,
+    unscale,
+)
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -52,26 +61,36 @@ from http_datafusion_spark.plans.tables import load_tables
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    # Price-product sums go through DECIMAL(18,6): the products are exact
-    # 4-6-decimal rationals, so decimal summation is exact and ORDER-
-    # INDEPENDENT — float partial-agg order differences between engines
-    # would otherwise flip round-half boundaries (observed on q7).
-    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    cnt = F.count(F.lit(1))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(dec(disc_price * (1 + F.col("l_tax")))), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum(dec(F.col("l_discount"))).cast("double") / cnt, 6).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
+    # Price-product sums need ORDER-INDEPENDENT exactness (float
+    # partial-agg order differences between engines flip round-half
+    # boundaries — observed on q7). The fixed-point two-level pattern
+    # (functions/fixedpoint.py) delivers the same exact rational as a
+    # decimal(18,6) sum at ~3x the throughput: pure-int64 partials in
+    # whole-stage codegen, decimal merge over #groups x #partitions.
+    cnt = F.col("__n")
+    return two_level_agg(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        partial={
+            "q": F.sum("l_quantity"),
+            "bp": F.sum("l_extendedprice"),
+            "dp6": F.sum(money_x_rate6("l_extendedprice", "l_discount")),
+            "ch6": F.sum(charge6("l_extendedprice", "l_discount", "l_tax")),
+            "q6": F.sum(int6("l_quantity")),
+            "ep6": F.sum(int6("l_extendedprice")),
+            "d6": F.sum(int6("l_discount")),
+            "__n": F.count(F.lit(1)),
+        },
+        final={
+            "sum_qty": F.round(F.sum("q"), 2),
+            "sum_base_price": F.round(F.sum("bp"), 2),
+            "sum_disc_price": unscale(dsum("dp6"), round_to=2).cast("double"),
+            "sum_charge": unscale(dsum("ch6"), round_to=2).cast("double"),
+            "avg_qty": F.round(unscale(dsum("q6")).cast("double") / F.sum(cnt), 4),
+            "avg_price": F.round(unscale(dsum("ep6")).cast("double") / F.sum(cnt), 4),
+            "avg_disc": F.round(unscale(dsum("d6")).cast("double") / F.sum(cnt), 6),
+            "count_order": F.sum(cnt),
+        },
     )
 
 
@@ -91,19 +110,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return (
+    return two_level_agg(
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+        ),
+        [],
+        partial={
+            "r6": F.sum(mul_fixed6("l_extendedprice", "l_discount")),
+            "__n": F.count(F.lit(1)),
+        },
+        final={
+            "revenue": unscale(dsum("r6"), round_to=2).cast("double"),
+            # coalesce: a zero-match scan leaves the global agg with no
+            # partials — count(*) semantics say 0, not NULL.
+            "n_items": F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")),
+        },
     )
 
 
@@ -142,9 +166,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # Single-level int64 sum: groups are orderkeys (<= 7 lines per
+        # order by schema construction at ANY scale), so the scaled sum
+        # is bounded ~7e11 — no two-level split needed; the unscale
+        # stays a decimal divide for round-half exactness.
         .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            unscale(
+                F.sum(money_x_rate6("l_extendedprice", "l_discount")).cast("decimal(38,0)"),
+                round_to=2,
             ).cast("double").alias("revenue")
         )
         .select(
@@ -205,7 +234,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     orders = t["orders"].join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    return (
+    joined = (
         t["lineitem"]
         .join(orders.select("o_orderkey", "c_nationkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -213,13 +242,18 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    )
+    return two_level_agg(
+        joined,
+        ["n_name"],
+        partial={
+            "r6": F.sum(money_x_rate6("l_extendedprice", "l_discount")),
+            "__n": F.count(F.lit(1)),
+        },
+        final={
+            "revenue": unscale(dsum("r6"), round_to=2).cast("double"),
+            "n_items": F.sum("__n"),
+        },
     )
 
 

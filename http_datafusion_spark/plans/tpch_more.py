@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.fixedpoint import dsum, money_x_rate6, two_level_agg, unscale
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -103,22 +104,27 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    zero = F.lit(0).cast("decimal(18,6)")
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
-    return (
+    rev6 = money_x_rate6("l_extendedprice", "l_discount")
+    promo6 = F.when(F.col("p_type").like("PROMO%"), rev6).otherwise(F.lit(0).cast("bigint"))
+    joined = (
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-09-01 00:00:00").cast("timestamp"))
         )
-        .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
-            ).alias("promo_revenue_pct"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    )
+    return two_level_agg(
+        joined,
+        [],
+        partial={"p6": F.sum(promo6), "r6": F.sum(rev6), "__n": F.count(F.lit(1))},
+        final={
+            "promo_revenue_pct": F.round(
+                F.lit(100.0) * unscale(dsum("p6")).cast("double") / unscale(dsum("r6")).cast("double"),
+                4,
+            ),
+            "n_items": F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")),
+        },
     )
 
 
@@ -185,16 +191,18 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
-    return (
-        t["lineitem"]
-        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
-        .filter(clause)
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    joined = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey")).filter(clause)
+    return two_level_agg(
+        joined,
+        [],
+        partial={
+            "r6": F.sum(money_x_rate6("l_extendedprice", "l_discount")),
+            "__n": F.count(F.lit(1)),
+        },
+        final={
+            "revenue": unscale(dsum("r6"), round_to=2).cast("double"),
+            "n_items": F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")),
+        },
     )
 
 

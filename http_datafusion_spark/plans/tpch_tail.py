@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.fixedpoint import dsum, i100, money_x_rate6, two_level_agg, unscale
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -85,20 +86,26 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "supp_nation",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)").alias("volume"),
+            # int64 fixed point (functions/fixedpoint.py): the shuffled
+            # fact column is a primitive long, and the sums stay in
+            # whole-stage codegen instead of BigDecimal buffers.
+            money_x_rate6("l_extendedprice", "l_discount").alias("vol6"),
         )
     )
-    zero = F.lit(0).cast("decimal(18,6)")
-    return (
-        supp_side.join(cust_side, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("yr")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
-                / F.sum("volume").cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
+    zero = F.lit(0).cast("bigint")
+    joined = supp_side.join(cust_side, F.col("l_orderkey") == F.col("o_orderkey"))
+    return two_level_agg(
+        joined,
+        ["yr"],
+        partial={
+            "n6": F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol6")).otherwise(zero)),
+            "d6": F.sum("vol6"),
+        },
+        final={
+            "mkt_share": F.round(
+                unscale(dsum("n6")).cast("double") / unscale(dsum("d6")).cast("double"), 6
+            )
+        },
     )
 
 
@@ -125,17 +132,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
-    # Same literal expression shape as the oracle — identical IEEE op
-    # order keeps the doubles bit-equal before the decimal cast.
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # Pure-int64 amount at scale 1e6: the true amount is an exact
+    # 5-decimal rational (rev is 4-decimal, 0.6*retail*qty is
+    # 5-decimal: 6*rp2*qty2/1e5), so the oracle's decimal(18,6) cast of
+    # the double returns exactly this rational — see
+    # functions/fixedpoint.py for the error-bound argument.
+    amount6 = money_x_rate6("l_extendedprice", "l_discount") - F.lit(60).cast("bigint") * i100(
+        "p_retailprice"
+    ) * i100("l_quantity")
     # Partial-agg pushdown (the q10 rewrite, plans/extra.py): the
     # part-filtered lineitem side reduces to (orderkey, nation) before
     # the fact-fact join with orders, which only contributes the year.
-    # EXACT: the amounts are decimals, so re-summation per (nation, yr)
-    # cannot drift vs the oracle's single-pass sum.
+    # EXACT: the per-order partial (<= 7 lines, int64-safe at any SF)
+    # and the two-level (nation, yr) merge reproduce the single-pass
+    # decimal sum bit-for-bit.
     li_side = (
         t["lineitem"]
         .join(
@@ -145,12 +155,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_orderkey", F.col("n_name").alias("nation"))
-        .agg(F.sum(amount.cast("decimal(18,6)")).alias("amount"))
+        .agg(F.sum(amount6).alias("amount6"))
     )
-    return (
-        li_side.join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("yr"))
-        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    joined = li_side.join(
+        t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return two_level_agg(
+        joined,
+        ["nation", F.year("o_orderdate").cast("bigint").alias("yr")],
+        partial={"p6": F.sum("amount6")},
+        final={"sum_profit": unscale(dsum("p6"), round_to=2).cast("double")},
     )
 
 

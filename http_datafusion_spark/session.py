@@ -38,14 +38,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Static broadcast threshold CONSERVATIVE (16m): the planner's
+        # Static broadcast threshold CONSERVATIVE (8m): the planner's
         # pre-scan size estimate scales file size by the pruned-column
         # ratio and at 10x data happily "broadcast" a 6M-row fact table
-        # (measured: q5 4.2s from a single-threaded 500MB hash build).
-        # AQE re-decides from ACCURATE post-shuffle sizes, so the
-        # runtime threshold stays generous — small-enough sides still
-        # become broadcasts, at any scale factor, from real numbers.
-        .config("spark.sql.autoBroadcastJoinThreshold", "16m")
+        # (measured: q5 4.2s from a single-threaded 500MB hash build;
+        # at 16m it still chose BuildLeft on the sf0.1 lineitem scan —
+        # a 600k-row single-threaded hash build per run). AQE re-decides
+        # from ACCURATE post-shuffle sizes, so the runtime threshold
+        # stays generous — small-enough sides still become broadcasts,
+        # at any scale factor, from real numbers.
+        .config("spark.sql.autoBroadcastJoinThreshold", "8m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
