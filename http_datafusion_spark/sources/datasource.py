@@ -13,9 +13,11 @@ src/datasources.rs:192-198). This source instead registers as a real
   pagination (termination on ``null``/``[]`` is inherently sequential);
 - infers its schema from the first page at plan time (or accepts a
   user schema via ``.schema(...)`` — the zero-RPC path);
-- accepts ``filters`` pushdown (Spark 4.1 calls ``pushFilters`` when
-  available); unsupported filters are returned so Catalyst re-applies
-  them post-scan — semantics never change.
+- maps filters on DECLARED columns (``filterParams`` option) to HTTP
+  query params so the fetch itself shrinks: equality is fully pushed,
+  ranges are pushed as superset hints and re-checked by Catalyst, and
+  everything else is returned unsupported (the reference declares but
+  declines all pushdown, src/datasources.rs:386-388).
 
 At 100 TB-class ingest (many pages × many endpoints) this shape is the
 right one: the page grid is the parallelism unit, executors fetch
@@ -133,13 +135,66 @@ class HttpJsonReader(DataSourceReader):
         self.schema = schema
         self.options = _norm_options(options)
         self._filters_accepted = 0
+        self._pushed_params: dict[str, str] = {}
 
     def pushFilters(self, filters):  # noqa: N802 — Spark 4.1 pushdown hook
-        # HTTP endpoints here accept no predicate params, so every filter
-        # is returned as unsupported and Catalyst applies it post-scan
-        # (exactly the reference's declared-but-declined filter pushdown,
-        # src/datasources.rs:386-388).
-        yield from filters
+        """Filter -> query-param pushdown (SURVEY §4.2 custom extra).
+
+        The reference declares filter pushdown but declines every
+        predicate (src/datasources.rs:386-388). Here, the user DECLARES
+        which columns the endpoint can filter server-side via the
+        ``filterParams`` option (a JSON object mapping column name ->
+        query parameter name); that declaration is the contract that
+        ``?param=value`` returns exactly the rows where column = value.
+
+        - ``EqualTo`` on a declared column is FULLY pushed: the request
+          itself shrinks and the filter is consumed (not re-applied).
+        - Range filters (>, >=, <, <=) on a declared column are applied
+          as ``<param>__gte`` / ``<param>__lte`` request params to
+          shrink the fetch, but ALSO returned to Catalyst for
+          re-evaluation — endpoint range semantics (inclusive vs
+          exclusive) are not part of the declared contract, so the
+          param is a superset hint, never the correctness boundary.
+        - Everything else (undeclared columns, IN, IsNull, compound
+          paths) is returned unsupported and applied post-scan.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        raw = self.options.get("filterparams")
+        mapping: dict[str, str] = json.loads(raw) if raw else {}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            param = mapping.get(col) if col is not None else None
+            if param is None:
+                yield f
+            elif isinstance(f, EqualTo):
+                self._pushed_params[param] = str(f.value)
+                self._filters_accepted += 1
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._pushed_params[f"{param}__gte"] = str(f.value)
+                yield f  # superset fetch; Catalyst re-checks exactness
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._pushed_params[f"{param}__lte"] = str(f.value)
+                yield f
+            else:
+                yield f
+
+    def _base_url(self) -> str:
+        """The endpoint URL with any pushed filter params appended (the
+        pagination params are appended later by build_page_url)."""
+        url = self.options["url"]
+        for k, v in sorted(self._pushed_params.items()):
+            from urllib.parse import quote
+
+            url += ("&" if "?" in url else "?") + f"{quote(k)}={quote(v)}"
+        return url
 
     def partitions(self) -> Sequence[InputPartition]:
         opts = self.options
@@ -164,7 +219,7 @@ class HttpJsonReader(DataSourceReader):
         )
 
         opts = self.options
-        url = opts["url"]
+        url = self._base_url()
         method = opts.get("method", "GET")
         pag = _pagination_from_options(opts)
         hdrs = _headers_from_options(opts)

@@ -235,3 +235,91 @@ def test_stream_offset_advances_only_on_data(spark, url):
     assert len(list(rows1)) == 100 and off1 == {"page": 4}  # 3 full pages + empty stop
     rows2, off2 = rdr.read(off1)
     assert list(rows2) == [] and off2 == off1  # frontier: offset parked
+
+
+SEEN_QUERIES: list[str] = []
+
+
+class _FilteringHandler(BaseHTTPRequestHandler):
+    """Serves ROWS with server-side filtering: ?tag=X (exact) and
+    ?score__gte=/__lte= (inclusive range), plus page/limit pagination —
+    the endpoint shape the filterParams contract declares."""
+
+    def log_message(self, *args):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        q = parse_qs(urlparse(self.path).query)
+        SEEN_QUERIES.append(urlparse(self.path).query)
+        rows = ROWS
+        if "tag" in q:
+            rows = [r for r in rows if r["tag"] == q["tag"][0]]
+        if "score__gte" in q:
+            rows = [r for r in rows if r["score"] >= float(q["score__gte"][0])]
+        if "score__lte" in q:
+            rows = [r for r in rows if r["score"] <= float(q["score__lte"][0])]
+        page = int(q.get("page", ["1"])[0])
+        size = int(q.get("limit", ["10"])[0])
+        body = json.dumps(rows[(page - 1) * size : page * size]).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def filtering_url(spark):
+    from http_datafusion_spark.sources.datasource import register
+
+    register(spark)
+    srv = HTTPServer(("127.0.0.1", 0), _FilteringHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    SEEN_QUERIES.clear()
+    yield f"http://127.0.0.1:{srv.server_port}/items"
+    srv.shutdown()
+
+
+def test_filter_param_pushdown_equality(spark, filtering_url):
+    """EqualTo on a declared column becomes a request query param: the
+    server returns ONLY matching rows (the fetch shrinks) and the
+    result is exact."""
+    df = _read(
+        spark,
+        filtering_url,
+        startPage=1,
+        endPage=10,
+        pageSize=10,
+        filterParams='{"tag": "tag"}',
+    ).filter("tag = 't1'")
+    assert df.count() == sum(1 for r in ROWS if r["tag"] == "t1")
+    scan_queries = [s for s in SEEN_QUERIES if "tag=t1" in s]
+    assert scan_queries, f"no request carried the pushed tag param: {SEEN_QUERIES}"
+    # The fully-pushed equality is consumed by the source: no Filter
+    # node on tag remains in the physical plan.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "t1" not in plan
+
+
+def test_filter_param_range_pushed_and_recheck(spark, filtering_url):
+    """A range filter on a declared column shrinks the fetch via
+    <param>__gte but stays in the plan for Catalyst's exactness."""
+    df = _read(
+        spark,
+        filtering_url,
+        startPage=1,
+        endPage=10,
+        pageSize=10,
+        filterParams='{"score": "score"}',
+    ).filter("score > 40.0")
+    assert df.count() == sum(1 for r in ROWS if r["score"] > 40)
+    assert any("score__gte=40" in s for s in SEEN_QUERIES), SEEN_QUERIES
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "40" in plan  # Catalyst re-applies the strict predicate
+
+
+def test_undeclared_filter_stays_post_scan(spark, filtering_url):
+    """Filters on columns without a declared param never reach the
+    request; Catalyst applies them post-scan (reference behavior)."""
+    df = _read(spark, filtering_url, startPage=1, endPage=10, pageSize=10).filter("id >= 95")
+    assert df.count() == 6
+    assert not any("id" in s.split("&")[0] for s in SEEN_QUERIES if "id__" in s)

@@ -201,3 +201,60 @@ def test_asof_join_no_preceding_right_row_yields_nulls(spark):
         left, right, on="k", left_time="t", right_time="rt", payload_cols=["okey"]
     ).collect()
     assert len(out) == 1 and out[0].asof_okey is None
+
+def test_dedup_embedding_cosine_default_is_candidate_gated(spark, sf_dir):
+    """The DEFAULT embedding near-dup path must be sub-quadratic: the
+    physical plan is a bucket equi-join over multi-probe IVF
+    assignments + exact verification of candidates only — never the
+    all-pairs tile grid (FlatMapGroupsInPandas over block pairs) and
+    never a cartesian product."""
+    from http_datafusion_spark.operators.dedup import (
+        IVF_DEDUP_PROBES,
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_exact,
+    )
+
+    gated = dedup_embedding_cosine(spark, sf_dir)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # the exact tile grid
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # candidates come from the bucket equi-join
+
+    # The exact tier keeps the tile grid; the gated output must be a
+    # subset of it (same scores on surviving pairs), strictly smaller
+    # than all-pairs candidate work.
+    exact_pairs = {(r.vec_a, r.vec_b): r.cosine for r in dedup_embedding_cosine_exact(spark, sf_dir).collect()}
+    gated_pairs = {(r.vec_a, r.vec_b): r.cosine for r in gated.collect()}
+    assert set(gated_pairs) <= set(exact_pairs)
+    for k, v in gated_pairs.items():
+        assert v == exact_pairs[k]
+
+    # Candidate-boundedness, measured: candidate pairs strictly below
+    # the all-pairs count.
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.operators.dedup import _multi_probe_assign_fn
+    from http_datafusion_spark.operators.similarity import CENTROID_VEC_IDS, _fetch_vectors
+    import numpy as np
+
+    from http_datafusion_spark.plans.tables import load_tables
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    n = e.count()
+    cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
+    cids = sorted(cents)
+    C = np.stack([cents[c] for c in cids])
+    assign = e.select("vec_id", "embedding").mapInPandas(
+        _multi_probe_assign_fn(cids, C, IVF_DEDUP_PROBES), schema="vec_id bigint, bucket bigint"
+    )
+    n_cand = (
+        assign.alias("x")
+        .join(
+            assign.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < n * (n - 1) / 2
