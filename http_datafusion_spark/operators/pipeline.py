@@ -808,6 +808,105 @@ def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_store_path(sf_dir: str) -> str:
+    """Deterministic materialization dir for the IVF-PQ index of one
+    sf_dir (under /tmp — the repo never writes into the read-only
+    testdata tree)."""
+    import os
+
+    return os.path.join("/tmp", "http_datafusion_spark_index", os.path.basename(sf_dir.rstrip("/")))
+
+
+def write_embedding_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVF-PQ index PARTITIONED BY bucket — the serving
+    layout: a probe of nprobe buckets becomes a partition-pruned scan
+    that reads only those directories, never the full index. At 100 TB
+    this is the difference between an ANN query touching ~nprobe/K of
+    the store and touching all of it."""
+    from http_datafusion_spark.operators.similarity import ivf_assignments
+
+    ivf = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
+    codes = embedding_quantize_pq(spark, sf_dir)
+    ivf.join(codes, "vec_id").write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def _index_roundtrip_oracle() -> str:
+    from http_datafusion_spark.operators.similarity import (
+        _IVF_ASSIGN_SQL,
+        N_PROBE,
+        QUERY_VEC_ID,
+    )
+
+    pq_oracle = REGISTRY["embedding_quantize_pq"].oracle
+    return f"""
+    WITH {_IVF_ASSIGN_SQL}, pq AS ({pq_oracle}),
+    q AS (
+      SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ), probe AS (
+      SELECT cid
+      FROM cents, q
+      ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+               i -> (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                  * (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))), cid
+      LIMIT {N_PROBE}
+    )
+    SELECT a.bucket,
+           CAST(count(*) AS BIGINT)                  AS n_vectors,
+           CAST(count(DISTINCT pq.code_0) AS BIGINT) AS n_code0_used,
+           CAST(sum(CAST(pq.q_err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_q_err
+    FROM assigned a JOIN pq ON a.vec_id = pq.vec_id
+    WHERE a.bucket IN (SELECT cid FROM probe)
+    GROUP BY a.bucket
+    """
+
+
+@query(
+    "embedding_index_roundtrip",
+    oracle=_index_roundtrip_oracle(),
+    doc="materialized ANN serving layout end-to-end: the IVF-PQ index is WRITTEN partitioned "
+    "by bucket (write_embedding_index), then a query's nprobe probe set is read back as a "
+    "PARTITION-PRUNED scan (PartitionFilters on the bucket directories — asserted by "
+    "tests/test_plans.py) and summarized per probed bucket. The oracle recomputes the same "
+    "stats from the raw tables, proving the round-trip preserved every row and value. At "
+    "100 TB the serving read touches nprobe/K of the store (north-star similarity scale path)",
+    tags=("pipeline", "similarity"),
+)
+def embedding_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from http_datafusion_spark.operators.similarity import (
+        CENTROID_VEC_IDS,
+        N_PROBE,
+        QUERY_VEC_ID,
+        _fetch_vectors,
+        fold_sqdist,
+    )
+
+    path = index_store_path(sf_dir)
+    write_embedding_index(spark, sf_dir, path)
+    # Probe selection: driver arithmetic over the K cached centroids
+    # (an ANN client holds its codebook) — same rule as sim_ivf_topk.
+    vecs = _fetch_vectors(spark, sf_dir, (QUERY_VEC_ID, *CENTROID_VEC_IDS))
+    qv = vecs[QUERY_VEC_ID]
+    cids = sorted(CENTROID_VEC_IDS)
+    C = np.stack([vecs[c] for c in cids])
+    qd2 = fold_sqdist(C, qv[None, :])[:, 0]
+    order = sorted(range(len(cids)), key=lambda i: (qd2[i], cids[i]))
+    probe_ids = [cids[i] for i in order[:N_PROBE]]
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_ids))
+    return (
+        idx.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("code_0").alias("n_code0_used"),
+            (
+                F.sum(F.col("q_err").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_q_err"),
+        )
+    )
+
+
 # Deterministic epoch shuffle: every epoch is a pure function of
 # (seed, doc_id), so a training run can be resumed or re-sharded with
 # no stored state. Shard count is the parallelism unit at scale — each
@@ -954,9 +1053,11 @@ def sequence_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint checks a 100 TB ingest runs before accepting a drop:
-    each is an independent aggregate (so Spark runs them as parallel
-    jobs of one scan each), and the output is a tiny (check, violations,
-    passed) table a scheduler can gate on."""
+    independent aggregates over tiny outputs a scheduler can gate on.
+    The two lineitem checks (FK integrity + quantity range) are FUSED
+    into one pass: a single scan left-joins orders and one aggregate
+    counts both unmatched rows and out-of-range quantities — the big
+    table is read once (plan-asserted by tests/test_plans.py)."""
     t = load_tables(spark, sf_dir, "orders", "lineitem", "customer", "documents")
 
     def check(name: str, violations):
@@ -968,23 +1069,46 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_pk_unique",
         F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
     ))
-    fk = (
-        t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-        .agg(*check("lineitem_orders_fk", F.count(F.lit(1))))
+    li_row = (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity")
+        .join(
+            t["orders"].select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.sum(F.col("o_orderkey").isNull().cast("int")).cast("bigint").alias("fk"),
+            F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int"))
+            .cast("bigint")
+            .alias("rng"),
+        )
+    )
+    li_checks = li_row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_orders_fk").alias("check_name"),
+                    F.col("fk").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_qty_in_range").alias("check_name"),
+                    F.col("rng").alias("violations"),
+                ),
+            )
+        ).alias("c")
+    ).select(
+        "c.check_name", "c.violations", (F.col("c.violations") == 0).alias("passed")
     )
     complete = t["customer"].agg(*check(
         "customer_acctbal_complete",
         F.count(F.lit(1)) - F.count("c_acctbal"),
     ))
-    rng = t["lineitem"].agg(*check(
-        "lineitem_qty_in_range",
-        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int")),
-    ))
     nonempty = t["documents"].agg(*check(
         "documents_text_nonempty",
         F.sum((F.col("text").isNull() | (F.length("text") == 0)).cast("int")),
     ))
-    return pk.unionAll(fk).unionAll(complete).unionAll(rng).unionAll(nonempty)
+    return pk.unionAll(li_checks).unionAll(complete).unionAll(nonempty)
 
 
 PSI_BIN_W = 50  # n_chars histogram width for the drift comparison

@@ -839,16 +839,22 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass shape shared with TF-IDF/rare-words: the (word, count)
-    table is vocabulary-bounded (broadcasts at any corpus size); the
-    token stream is cached once and feeds both the counts and the
-    score join, so the text splits exactly once."""
+    table is vocabulary-bounded (broadcasts at any corpus size). No
+    ``.cache()`` of the token stream: pinning a full-corpus explode in
+    executor storage leaks across repeated invocations (it was never
+    unpersisted) and is the wrong trade at 100 TB — re-splitting text
+    is a cheap map, caching the stream is cluster memory. The token
+    total comes from summing the vocab-bounded counts, so the corpus
+    splits exactly twice (counts pass + score pass) with zero pinned
+    storage, and the score join is a BROADCAST of the counts — the
+    token stream itself never shuffles."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).cache()
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n = dw.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    n = counts.agg(F.sum("c").cast("bigint").alias("total"))
     nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")
     return (
-        dw.join(counts, "word")
+        dw.join(F.broadcast(counts), "word")
         .crossJoin(F.broadcast(n))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")

@@ -423,9 +423,17 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shuffle_hash hint keeps it a shuffled join — salting is a no-op
-    under broadcast, which is exactly when you would not need it."""
+    under broadcast, which is exactly when you would not need it.
+
+    The salt is hash-derived (pmod of hash(orderkey, linenumber)), not
+    ``l_linenumber % N``: linenumber only takes values 1..7, so a
+    modulo salt would leave bucket 0 empty — one replica of the small
+    side dead weight and hot keys spread over N-1 reducers, not N.
+    """
     t = load_tables(spark, sf_dir, "lineitem", "orders")
-    li = t["lineitem"].withColumn("salt", (F.col("l_linenumber") % N_SALT).cast("int"))
+    li = t["lineitem"].withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALT)).cast("int")
+    )
     o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])).alias("salt")
     )

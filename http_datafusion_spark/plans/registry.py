@@ -106,12 +106,14 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "stream_cdc_upsert",
     "stream_static_enrich",
-    # operators whose implementation changed this round (re-verify)
+    # operators whose implementation changed this round (re-verify) +
+    # the new materialized-index round-trip (subsumes
+    # embedding_index_build, which stays in the local-parity tail)
     "dedup_embedding_cosine",
     "data_quality_audit",
     "q_salted_skew_join",
     "text_unigram_logprob",
-    "embedding_index_build",
+    "embedding_index_roundtrip",
 )
 
 

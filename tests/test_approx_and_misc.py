@@ -80,5 +80,9 @@ def test_observe_metrics_piggyback_on_action(spark, sf_dir):
     n = observed.filter(F.col("l_quantity") > 0).count()
     got = obs.get
     assert got["n_rows"] == li.count()
-    assert 0 < got["n_discounted"] < got["n_rows"]
+    # Exact cross-check against a direct count (stronger than the old
+    # fixture-dependent 0 < x < n_rows band, which a regenerated
+    # all-discounted/none-discounted fixture would have broken).
+    assert 0 <= got["n_discounted"] <= got["n_rows"]
+    assert got["n_discounted"] == li.filter(F.col("l_discount") > 0.05).count()
     assert n > 0

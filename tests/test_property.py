@@ -298,3 +298,38 @@ def test_first_record_mode_drops_late_only_fields(spark):
         assert set(df.columns) == set(rows[0].keys())
 
     run()
+
+
+def test_connected_components_long_path_converges_logarithmically(spark, caplog):
+    """Adversarial shape for label propagation: a pure path graph whose
+    diameter (n-1) vastly exceeds log n. Plain propagation needs
+    ~diameter rounds; large-star/small-star contracts in O(log^2 n) —
+    this proves the bound empirically (256-node path, permuted ids so
+    the component min sits mid-chain, must converge in <= 12 rounds,
+    not ~255)."""
+    import logging
+    import random
+
+    from http_datafusion_spark.operators.components import connected_components
+
+    n = 256
+    rng = random.Random(11)
+    ids = list(range(1000, 1000 + n))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    # a second, disjoint path to prove components stay separate
+    ids2 = [5000 + i * 7 for i in range(40)]
+    edges += [(ids2[i], ids2[i + 1]) for i in range(len(ids2) - 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    with caplog.at_level(logging.DEBUG, logger="http_datafusion_spark.operators.components"):
+        result = {r.node: r.component for r in connected_components(df, max_iter=14).collect()}
+
+    assert all(result[i] == min(ids) for i in ids)
+    assert all(result[i] == min(ids2) for i in ids2)
+    rounds = [
+        int(rec.args[0])
+        for rec in caplog.records
+        if "converged after" in rec.getMessage()
+    ]
+    assert rounds and rounds[-1] <= 12, f"rounds: {rounds}"
