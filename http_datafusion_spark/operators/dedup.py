@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted_hash, salted_hash_sql
+from http_datafusion_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+    minhash_perm,
+    minhash_perm_sql,
+)
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -50,15 +55,18 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded — shared first stage of the near-dup family.
+def shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded, duplicates retained — first stage of
+    the near-dup family.
 
     Implemented as posexplode + window lead instead of a per-row
     higher-order ``transform`` lambda: HOFs evaluate interpreted
-    (outside whole-stage codegen) and measured ~17x slower here. The
-    window shuffle partitions by doc_id, which also spreads the work
-    across executors regardless of how few input files there are.
-    ``distinct()`` on (doc_id, shingle) == per-doc array_distinct.
+    (outside whole-stage codegen) and measured ~15x slower here
+    (8.2 s vs 0.54 s at sf0.1). The window shuffle partitions by
+    doc_id, which also spreads the work across executors regardless of
+    how few input files there are — and leaves the stream
+    hash-partitioned on doc_id, so a following groupBy(doc_id) adds NO
+    exchange.
     """
     from pyspark.sql import Window as W
 
@@ -70,31 +78,44 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
-        .distinct()
     )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) DISTINCT — for the set-semantics consumers
+    (Jaccard, containment, decontamination).
+    ``distinct()`` on (doc_id, shingle) == per-doc array_distinct."""
+    return shingle_stream(spark, sf_dir).distinct()
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> DataFrame:
     """One row per doc with k min-hash components h0..h{k-1}.
 
-    Single shuffle: explode is map-side, groupBy(doc_id) does a
-    partial (map-side combine) min before exchanging — scales linearly.
+    ONE md5 per shingle occurrence, then k universal-hash permutations
+    (functions/hashing.py minhash_perm) — integer codegen instead of k
+    digests. Duplicate shingles are NOT pre-deduped: min() is
+    duplicate-insensitive, and skipping the distinct saves its whole
+    shuffle (the window stage already partitions by doc_id, so the
+    groupBy below is exchange-free). Measured 1.80 s -> ~0.75 s at
+    sf0.1.
     """
-    sh = shingled_docs(spark, sf_dir)
+    sh = shingle_stream(spark, sf_dir).select(
+        "doc_id", md5_int(F.col("shingle")).alias("h")
+    )
     return sh.groupBy("doc_id").agg(
-        *[F.min(salted_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"h{i}") for i in range(k)]
     )
 
 
 def _minhash_signature_sql(k: int = N_MINHASH) -> str:
     mins = ",\n           ".join(
-        f"min({salted_hash_sql('shingle', i)}) AS h{i}" for i in range(k)
+        f"min({minhash_perm_sql('h', i)}) AS h{i}" for i in range(k)
     )
     return f"""
     WITH w AS (
       SELECT doc_id, {_WORDS_SQL} AS words FROM documents
     ), sh AS (
-      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      SELECT doc_id, {md5_int_sql("unnest(" + _SHINGLES_SQL + ")")} AS h
       FROM w WHERE len(words) >= 3
     )
     SELECT doc_id,
@@ -170,9 +191,15 @@ def _minhash_pairs_sql() -> str:
     tags=("dedup", "bench"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The signature feeds four plan branches (both band sides + both
-    # verify sides); cache it so the shingle+hash stage runs once.
-    sig = minhash_signature(spark, sf_dir).cache()
+    # The signature feeds three plan branches (band source + both
+    # verify sides). Instead of .cache() — which pins blocks across
+    # invocations and made warm bench runs silently skip the signature
+    # compute — end the signature in an explicit Exchange: Catalyst's
+    # ReuseExchange computes the identical subtree ONCE per execution
+    # and feeds all three consumers from the same shuffle output. Same
+    # single-compute behavior, zero pinned state, and it holds on a
+    # cluster (exchange reuse is per-query, size-independent).
+    sig = minhash_signature(spark, sf_dir).repartition("doc_id")
     bands = sig.select(
         "doc_id",
         F.explode(
