@@ -268,7 +268,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_docs(spark, sf_dir).cache()  # reused by sizes + both join sides
+    # shingled_docs ends in distinct() — an Exchange Catalyst reuses
+    # across the sizes aggregate and both join sides per execution; no
+    # pinned .cache() needed.
+    sh = shingled_docs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         sh.alias("a")
@@ -374,7 +377,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash_signatures(spark, sf_dir).cache()  # reused by both band sides
+    # Terminal Exchange for per-execution reuse across both band sides
+    # (the dedup_minhash_pairs pattern — no cross-invocation pinning).
+    sig = simhash_signatures(spark, sf_dir).repartition("doc_id")
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         "doc_id",
@@ -849,10 +854,11 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w4").isNotNull())
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2", "w3", "w4").alias("gram"))
         # (doc, gram) feeds BOTH the document-frequency aggregation and
-        # the score join — cache it or the explode+window runs twice
-        # (measured 5.5 s -> 0.6 s warm at sf1, the text_rare_words
-        # lesson).
-        .cache()
+        # the score join; the repartition's Exchange is computed once
+        # per execution and reused by both branches (the 5.5 s double
+        # pass measured at sf1 stays removed, with no cross-invocation
+        # cache pinning).
+        .repartition("doc_id")
     )
     dfreq = grams.groupBy("gram").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))

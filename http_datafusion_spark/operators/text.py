@@ -405,14 +405,11 @@ RARE_DF_MAX = 2  # a word is "rare" if it appears in <= 2 documents
 )
 def text_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = (
-        d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
-        .distinct()
-        # (doc, word) feeds BOTH the df aggregation and the score join;
-        # without the cache the explode+distinct runs twice (measured
-        # 4.8 s -> the cached plan at sf1).
-        .cache()
-    )
+    # (doc, word) feeds BOTH the df aggregation and the score join; the
+    # distinct's Exchange is reused per execution (measured 4.8 s ->
+    # 1.6 s at sf1 when the double pass was first removed — exchange
+    # reuse keeps that win without .cache()'s cross-invocation pinning).
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).distinct()
     df_tab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     rare = F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0))
     return (
@@ -513,7 +510,12 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).cache()
+    # Explicit Exchange (not .cache()) so the exploded token stream is
+    # computed once per execution via exchange reuse — zero pinned
+    # state, honest re-execution on every run.
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).repartition(
+        "doc_id"
+    )
     tf = dw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     dfreq = dw.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -610,7 +612,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _eq_term(t))).cast("bigint").alias(f"tf_{i}")
             for i, t in enumerate(BM25_TERMS)
         ],
-    ).cache()  # feeds BOTH the stats aggregate and the scored rows: one split pass
+    ).repartition("doc_id")
+    # ^ explicit Exchange, not .cache(): the base feeds BOTH the stats
+    # aggregate and the scored rows, and Catalyst's exchange reuse
+    # computes the shared subtree once PER EXECUTION. A cache would pin
+    # blocks across invocations and let warm bench runs skip the
+    # dominant tokenize pass entirely (the count()-sink lesson).
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),

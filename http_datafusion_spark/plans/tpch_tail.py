@@ -140,12 +140,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount6 = money_x_rate6("l_extendedprice", "l_discount") - F.lit(60).cast("bigint") * i100(
         "p_retailprice"
     ) * i100("l_quantity")
-    # Partial-agg pushdown (the q10 rewrite, plans/extra.py): the
-    # part-filtered lineitem side reduces to (orderkey, nation) before
-    # the fact-fact join with orders, which only contributes the year.
-    # EXACT: the per-order partial (<= 7 lines, int64-safe at any SF)
-    # and the two-level (nation, yr) merge reproduce the single-pass
-    # decimal sum bit-for-bit.
+    # Direct join, NO per-order pre-aggregation: the widget filter is
+    # selective (~10% of lines), so grouping by (orderkey, nation)
+    # first only shrinks the join input ~1.4x while costing a THIRD
+    # fact exchange (the (orderkey, nation) partitioning doesn't
+    # satisfy the orderkey join, so Catalyst re-exchanges). Measured at
+    # sf1: direct 1.10 s vs pre-agg 1.34 s. The broadcast-enriched
+    # lineitem side shuffles narrow rows (orderkey, nation, int64
+    # amount); AQE broadcast-converts the orders side when its real
+    # size allows, SMJ otherwise — correct at any scale.
     li_side = (
         t["lineitem"]
         .join(
@@ -154,8 +157,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_orderkey", F.col("n_name").alias("nation"))
-        .agg(F.sum(amount6).alias("amount6"))
+        .select("l_orderkey", F.col("n_name").alias("nation"), amount6.alias("amount6"))
     )
     joined = li_side.join(
         t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
