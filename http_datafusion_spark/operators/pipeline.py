@@ -196,6 +196,141 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 8192  # bits
+BLOOM_K = 4  # hash functions per shingle
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    salted = "concat('b" + str(i) + "|', " + expr + ")"
+    return f"({md5_int_sql(salted)} % {BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    bench_pos_union = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('shingle', i)} AS pos FROM sh WHERE doc_id % {DECON_MOD} = 0"
+        for i in range(BLOOM_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, shingle, {_bloom_pos_sql('shingle', i)} AS pos "
+        f"FROM sh WHERE doc_id % {DECON_MOD} <> 0"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), bench_pos AS (
+      SELECT DISTINCT pos FROM ({bench_pos_union})
+    ), probes AS (
+      SELECT doc_id, shingle, pos FROM ({probe_union})
+    ), per_shingle AS (
+      SELECT p.doc_id, p.shingle,
+             CAST(count(DISTINCT p.pos)
+                  = count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN p.pos END) AS BOOLEAN)
+               AS bloom_positive
+      FROM probes p LEFT JOIN bench_pos b ON p.pos = b.pos
+      GROUP BY p.doc_id, p.shingle
+    ), truth AS (
+      SELECT c.doc_id, c.shingle,
+             CAST(c.shingle IN (SELECT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0)
+                  AS BOOLEAN) AS shared
+      FROM sh c WHERE c.doc_id % {DECON_MOD} <> 0
+    ), per_doc AS (
+      SELECT s.doc_id,
+             bool_or(s.bloom_positive) AS candidate,
+             bool_or(t.shared)         AS truly_shared
+      FROM per_shingle s JOIN truth t ON s.doc_id = t.doc_id AND s.shingle = t.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN truly_shared THEN 1 ELSE 0 END) AS BIGINT) AS n_truly_shared,
+           CAST(sum(CASE WHEN candidate AND NOT truly_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive_docs,
+           CAST(sum(CASE WHEN truly_shared AND NOT candidate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negative_docs
+    FROM per_doc JOIN documents d ON per_doc.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=_bloom_oracle(),
+    doc=f"Bloom-filter decontamination PREFILTER, built relationally: the held-out set's "
+    f"word-3-gram shingles set {BLOOM_K} md5-derived bit positions in an m={BLOOM_M} "
+    f"filter whose sparse representation is a DISTINCT position table (<= m rows, "
+    f"broadcastable at ANY corpus size — unlike the exact bench shingle set, which grows "
+    f"with the holdout); a corpus shingle is bloom-positive iff ALL its positions hit, a "
+    f"doc is a decontamination CANDIDATE iff any shingle is. Deterministic md5 positions "
+    f"mean both engines compute the IDENTICAL filter, so per-source candidate and "
+    f"false-positive-doc counts are value-checked exactly and the zero-false-negative "
+    f"guarantee is asserted. At 100 TB only candidates proceed to the exact shingle join "
+    f"(decontaminate_corpus) — the probe itself is a map-side broadcast join "
+    f"(north-star pipeline / dedup)",
+    tags=("pipeline", "dedup"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingled_docs(spark, sf_dir)  # (doc_id, shingle), distinct
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+
+    def pos(i: int):
+        return md5_int(F.concat(F.lit(f"b{i}|"), F.col("shingle"))) % BLOOM_M
+
+    pos_arr = F.array(*[pos(i) for i in range(BLOOM_K)])
+    # The filter: DISTINCT bit positions over the benchmark shingles —
+    # the sparse bloom representation, <= BLOOM_M rows at any scale.
+    bench_pos = (
+        sh.filter(is_bench)
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    per_shingle = (
+        sh.filter(~is_bench)
+        .select("doc_id", "shingle", F.explode(F.array_distinct(pos_arr)).alias("pos"))
+        .join(F.broadcast(bench_pos), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            (
+                F.count(F.lit(1)) == F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            ).alias("bloom_positive")
+        )
+    )
+    bench_sh = sh.filter(is_bench).select("shingle").distinct().withColumn("_s", F.lit(True))
+    per_doc = (
+        per_shingle.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("bloom_positive").alias("candidate"),
+            F.max(F.col("_s").isNotNull()).alias("truly_shared"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("candidate").cast("int")).cast("bigint").alias("n_candidates"),
+            F.sum(F.col("truly_shared").cast("int")).cast("bigint").alias("n_truly_shared"),
+            F.sum((F.col("candidate") & ~F.col("truly_shared")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_positive_docs"),
+            F.sum((F.col("truly_shared") & ~F.col("candidate")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_negative_docs"),
+        )
+    )
+
+
 TRAIN_PCT = 90  # hash buckets 0-89 -> train
 VAL_PCT = 95  # 90-94 -> val, 95-99 -> test
 

@@ -677,3 +677,88 @@ def semantic_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id"), "source", "lang", F.col("n_chars").cast("bigint").alias("n_chars")),
         F.col("doc_id") == F.col("vec_id"),
     ).select("vec_id", "cosine", "source", "lang", "n_chars")
+
+
+# Moment/covariance audit dims (1-based): variances on 1 and 64,
+# near and far covariances — the drift/collapse diagnostics an
+# embedding pipeline monitors (mean shift, variance collapse,
+# inter-dim correlation).
+MOMENT_PAIRS = ((1, 1), (1, 2), (2, 2), (1, 32), (17, 64))
+
+
+def _moment_oracle() -> str:
+    q6 = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+    branches = []
+    for i, j in MOMENT_PAIRS:
+        xi = f"CAST(embedding[{i}] AS DOUBLE)"
+        xj = f"CAST(embedding[{j}] AS DOUBLE)"
+        branches.append(f"""
+      SELECT {i} AS dim_i, {j} AS dim_j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({q6.format(x=xi)}) AS DOUBLE) AS sx,
+             CAST(sum({q6.format(x=xj)}) AS DOUBLE) AS sy,
+             CAST(sum({q6.format(x=f'{xi} * {xj}')}) AS DOUBLE) AS sxy
+      FROM embeddings""")
+    return f"""
+    WITH m AS ({" UNION ALL ".join(branches)})
+    SELECT dim_i, dim_j, n,
+           round(sx / n, 6) AS mean_i,
+           round(sy / n, 6) AS mean_j,
+           round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+    FROM m
+    """
+
+
+@query(
+    "embedding_moment_audit",
+    oracle=_moment_oracle(),
+    doc="embedding moment/covariance audit: per-dimension means, variances and "
+    "cross-dimension covariances for a fixed diagnostic pair set, in ONE scan "
+    "(every moment is a partial aggregate over 6dp-quantized values summed in "
+    "exact decimal, so cov = E[xy] - E[x]E[y] is engine-identical). The "
+    "drift/collapse monitor an embedding pipeline runs per batch: mean shift, "
+    "variance collapse, unexpected inter-dim correlation — at 100 TB one "
+    "map-side pass, K*3 decimal sums, no shuffle beyond the 1-row merge "
+    "(north-star similarity / pipeline)",
+    tags=("similarity", "pipeline"),
+)
+def embedding_moment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, j in MOMENT_PAIRS:
+        xi = F.element_at("embedding", i).cast("double")
+        xj = F.element_at("embedding", j).cast("double")
+        aggs += [
+            F.sum(q6(xi)).cast("double").alias(f"sx_{i}_{j}"),
+            F.sum(q6(xj)).cast("double").alias(f"sy_{i}_{j}"),
+            F.sum(q6(xi * xj)).cast("double").alias(f"sxy_{i}_{j}"),
+        ]
+    one = e.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim_i"),
+                F.lit(j).alias("dim_j"),
+                F.col(f"sx_{i}_{j}").alias("sx"),
+                F.col(f"sy_{i}_{j}").alias("sy"),
+                F.col(f"sxy_{i}_{j}").alias("sxy"),
+            )
+            for i, j in MOMENT_PAIRS
+        ]
+    )
+    n = F.col("n").cast("double")
+    return (
+        one.select("n", F.explode(rows).alias("m"))
+        .select(
+            F.col("m.dim_i").cast("int").alias("dim_i"),
+            F.col("m.dim_j").cast("int").alias("dim_j"),
+            F.col("n").alias("n"),
+            F.round(F.col("m.sx") / n, 6).alias("mean_i"),
+            F.round(F.col("m.sy") / n, 6).alias("mean_j"),
+            F.round(F.col("m.sxy") / n - (F.col("m.sx") / n) * (F.col("m.sy") / n), 6).alias("cov"),
+        )
+    )

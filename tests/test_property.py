@@ -333,3 +333,68 @@ def test_connected_components_long_path_converges_logarithmically(spark, caplog)
         if "converged after" in rec.getMessage()
     ]
     assert rounds and rounds[-1] <= 12, f"rounds: {rounds}"
+
+
+def test_fixedpoint_int_forms_equal_decimal_cast(spark):
+    """Property: for 2-decimal money/rate columns, the pure-int64
+    fixed-point forms (functions/fixedpoint.py) are bit-equal to the
+    decimal(18,6)-cast formulation the oracles use — over adversarial
+    magnitudes including round-half-boundary products."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.functions.fixedpoint import (
+        charge6,
+        i100,
+        int_fixed,
+        money_x_rate6,
+        mul_fixed6,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(4000):
+        money = round(rng.uniform(0, 150000), 2)
+        rate = round(rng.uniform(0, 0.99), 2)
+        tax = round(rng.uniform(0, 0.99), 2)
+        rows.append((money, rate, tax))
+    # adversarial fixed cases: .x5 boundaries, zeros, maxima
+    # (2-decimal inputs only — the documented precondition of i100;
+    # a 3-decimal value like 12345.675 is outside the contract and
+    # does diverge)
+    rows += [(0.05, 0.5, 0.5), (0.01, 0.01, 0.01), (104999.91, 0.1, 0.08),
+             (12345.67, 0.25, 0.75), (0.0, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "m double, r double, t double")
+    checks = df.select(
+        (money_x_rate6("m", "r") == int_fixed(F.col("m") * (1 - F.col("r")))).alias("a"),
+        (charge6("m", "r", "t") == int_fixed(F.col("m") * (1 - F.col("r")) * (1 + F.col("t")))).alias("b"),
+        (mul_fixed6("m", "r") == int_fixed(F.col("m") * F.col("r"))).alias("c"),
+        (i100("m") * 10_000 == int_fixed(F.col("m"))).alias("d"),
+    )
+    agg = checks.agg(*[F.sum(F.when(F.col(x), 0).otherwise(1)).alias(x) for x in "abcd"]).first()
+    assert all(agg[x] == 0 for x in "abcd"), dict(agg.asDict())
+
+
+def test_two_level_agg_exact_at_overflow_scale(spark):
+    """Property: the two-level fixed-point merge is exact even when the
+    GLOBAL sum overflows int64 — per-partition partials stay in range,
+    the decimal(38,0) merge carries the total."""
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.functions.fixedpoint import dsum, two_level_agg
+
+    # 64 partitions x 200 rows x 1e15 per row: per-partition partial
+    # 2e17 (int64-safe), global 1.28e19 > 2^63-1 (overflows a single-
+    # level bigint sum).
+    per_row = 10**15
+    n_part, n_rows = 64, 200
+    df = (
+        spark.range(n_part * n_rows)
+        .repartition(n_part)
+        .select(F.lit("g").alias("k"), F.lit(per_row).cast("bigint").alias("v"))
+    )
+    out = two_level_agg(
+        df, ["k"], partial={"s": F.sum("v")}, final={"total": dsum("s")}
+    ).first()
+    assert int(out.total) == per_row * n_part * n_rows  # 1.28e19, exact
