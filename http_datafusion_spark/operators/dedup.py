@@ -23,7 +23,8 @@ whole-stage-codegen and scale horizontally:
   tier (block-matrix Arrow tiles, bounded per-task memory) remains
   available as ``dedup_embedding_cosine_exact``.
 
-Hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
+Hashes are md5-derived (functions/hashing.py) — MinHash permutations
+are universal-hash maps over ONE md5 per value — so the DuckDB oracle
 reproduces every value bit-for-bit.
 """
 
@@ -155,7 +156,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_signature",
     oracle=_minhash_signature_sql(),
-    doc="MinHash signatures: k=8 salted-md5 permutations over word-3-gram shingles (north-star dedup)",
+    doc="MinHash signatures: one md5 per shingle + k=8 universal-hash permutations mod 2^31-1 (pure int64 codegen) over word-3-gram shingles (north-star dedup)",
     tags=("dedup", "bench"),
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
