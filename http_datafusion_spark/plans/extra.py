@@ -567,3 +567,87 @@ def q_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purch.groupBy("user_id"))
         .applyInPandas(merge, schema="user_id bigint, n_purchases bigint, clicks_within bigint")
     )
+
+
+N_BUCKETS = 16
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem BUCKETED BY orderkey (co-located
+    layout). Bucketing is THE shuffle-elimination technique for
+    repeated fact-fact joins at 100 TB: both sides land in the same
+    hash buckets at write time, so every later join/aggregation on the
+    bucket key reads co-located files and plans NO Exchange. Tables are
+    external (explicit /tmp paths — never the repo CWD warehouse) and
+    written once per (session, sf_dir)."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    done = spark.__dict__.setdefault("_hds_bucketed", set())
+    if (sf_dir, to) in done:
+        return to, tl
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    base = f"/tmp/http_datafusion_spark_bucketed/{tag}"
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(to)
+    )
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tl)
+    )
+    done.add((sf_dir, to))
+    return to, tl
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    doc=f"bucketed co-located fact-fact join: orders and lineitem written "
+    f"BUCKETED BY orderkey ({N_BUCKETS} buckets, sorted) and joined via the "
+    f"bucket layout — the physical plan has NO Exchange on either join side "
+    f"(asserted by tests/test_plans.py::test_bucketed_join_has_no_exchange). "
+    f"At 100 TB this is the repeated-join amortization strategy: pay the "
+    f"partitioned write once, every subsequent join/agg on the key is "
+    f"shuffle-free. Values hash-checked against the plain join on the raw "
+    f"tables (SURVEY §2.3 scale extra)",
+    tags=("join", "scale"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    to, tl = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(to).filter(F.col("o_orderpriority") == "1-URGENT")
+    li = spark.table(tl)
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return two_level_agg(
+        joined,
+        ["l_returnflag"],
+        partial={
+            "r6": F.sum(money_x_rate6("l_extendedprice", "l_discount")),
+            "__n": F.count(F.lit(1)),
+        },
+        final={
+            "revenue": unscale(dsum("r6"), round_to=2).cast("double"),
+            "n": F.sum("__n"),
+        },
+    )

@@ -38,17 +38,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Static broadcast threshold CONSERVATIVE (8m): the planner's
+        # Static broadcast threshold CONSERVATIVE (4m): the planner's
         # pre-scan size estimate scales file size by the pruned-column
-        # ratio and at 10x data happily "broadcast" a 6M-row fact table
-        # (measured: q5 4.2s from a single-threaded 500MB hash build;
-        # at 16m it still chose BuildLeft on the sf0.1 lineitem scan —
-        # a 600k-row single-threaded hash build per run). AQE re-decides
-        # from ACCURATE post-shuffle sizes, so the runtime threshold
-        # stays generous — small-enough sides still become broadcasts,
-        # at any scale factor, from real numbers.
-        .config("spark.sql.autoBroadcastJoinThreshold", "8m")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # ratio and happily "broadcasts" fact tables — at 16m the sf0.1
+        # lineitem scan (600k rows) was BuildLeft, at 8m the sf1 orders
+        # scan (1.5M rows, ~6MB 2-column estimate) still was: a
+        # single-threaded multi-second hash build per run (q7 2.4s ->
+        # 1.2s after this change). Dimension tables stay far below 4m
+        # at any SF tested. AQE re-decides from ACCURATE post-shuffle
+        # sizes; its threshold is 32m, not 64m, for the same reason —
+        # a "fits in memory" 24MB fact-side broadcast loses to a
+        # parallel shuffle join locally (measured q8/q9/q3 all faster),
+        # while genuinely small filtered sides (q8's 2MB orders side)
+        # still convert.
+        .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

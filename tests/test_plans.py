@@ -495,3 +495,18 @@ def test_data_quality_audit_scans_lineitem_once(spark, sf_dir):
 
     plan = data_quality_audit(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Orders and lineitem written bucketed by orderkey join WITHOUT any
+    Exchange on either side — the co-located-layout shuffle elimination
+    that amortizes repeated fact-fact joins at scale."""
+    from http_datafusion_spark.plans.registry import all_queries
+
+    df = all_queries()["q_bucketed_join"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # below the join: only bucketed scans (+ sorts), never an Exchange
+    assert "Exchange" not in join_part
+    assert join_part.count("Bucketed: true") == 2
