@@ -88,13 +88,12 @@ PRIORITY: tuple[str, ...] = (
     "q_window_clause",
     "q_sort_nulls",
     "q_limit_offset",
-    "q_topk_orders",
-    # scalar tail (§2.8): JSON + VARIANT + explode + hash + date_bin
+    # scalar tail (§2.8): JSON + VARIANT + explode (the hash/date_bin
+    # rows have adjacent driver evidence via text_fingerprint r1 /
+    # q_date_funcs r2 and ride the local sweep)
     "q_json_funcs",
     "q_variant_json",
     "q_explode_unnest",
-    "q_hash_funcs",
-    "q_date_bin",
     # §2.10 extensions: UDAF / UDTF / cogrouped pandas
     "q_udaf_grouped",
     "q_python_udtf",
@@ -114,6 +113,11 @@ PRIORITY: tuple[str, ...] = (
     "q_salted_skew_join",
     "text_unigram_logprob",
     "embedding_index_roundtrip",
+    # operators NEW this round (bloom prefilter, moment audit,
+    # bucketed co-located join)
+    "dedup_bloom_prefilter",
+    "embedding_moment_audit",
+    "q_bucketed_join",
 )
 
 
