@@ -1308,3 +1308,88 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         )
     )
+
+
+CORPUS_SHARDS = 8
+
+
+def corpus_store_path(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(
+        "/tmp", "http_datafusion_spark_corpus", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+@query(
+    "corpus_build_roundtrip",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), surv AS (
+      SELECT b.doc_id, b.source, b.n_chars,
+             {md5_int_sql("concat('cshard|', CAST(b.doc_id AS VARCHAR))")} % {CORPUS_SHARDS} AS shard
+      FROM base b
+      JOIN (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp) k
+        ON b.fp = k.fp AND b.doc_id = k.keep_id
+      WHERE b.doc_id % {DECON_MOD} <> 0
+        AND b.n_words >= 5
+        AND CAST(b.n_chars AS DOUBLE) / greatest(CAST(b.n_words AS DOUBLE), 1.0) BETWEEN 2 AND 12
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM surv
+    WHERE shard IN (0, 1)
+    GROUP BY shard
+    """,
+    doc=f"corpus build capstone, MATERIALIZED end-to-end: holdout exclusion + exact-dedup "
+    f"survivorship + quality gate select the training rows, each is assigned a "
+    f"deterministic md5 shard of {CORPUS_SHARDS}, and the cleaned corpus is WRITTEN "
+    f"partitioned by shard (the layout a trainer's data loader consumes); two shards are "
+    f"then read back as a partition-pruned scan and summarized (doc/char counts + an "
+    f"id-sum checksum proving row-level fidelity). The oracle recomputes the same stats "
+    f"from the raw table — the write/read round-trip must preserve every surviving row "
+    f"exactly. At 100 TB: one corpus pass + a partitioned write; every downstream epoch "
+    f"reads only its shards (north-star pipeline capstone)",
+    tags=("pipeline",),
+)
+def corpus_build_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+        fp.alias("fp"),
+    )
+    keep_id = F.min("doc_id").over(W.partitionBy("fp"))
+    quality = (F.col("n_words") >= 5) & (
+        (F.col("n_chars").cast("double") / F.greatest(F.col("n_words").cast("double"), F.lit(1.0)))
+        .between(2.0, 12.0)
+    )
+    shard = md5_int(F.concat(F.lit("cshard|"), F.col("doc_id").cast("string"))) % CORPUS_SHARDS
+    surv = (
+        base.withColumn("keep_id", keep_id)
+        .filter((F.col("doc_id") % DECON_MOD != 0) & (F.col("doc_id") == F.col("keep_id")) & quality)
+        .select("doc_id", "source", "n_chars", shard.alias("shard"))
+    )
+    path = corpus_store_path(sf_dir)
+    surv.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("shard").isin(0, 1))
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.count_distinct("source").alias("n_sources"),
+    )
