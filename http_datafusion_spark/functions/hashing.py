@@ -9,9 +9,14 @@ both sides:
 - Spark:  ``conv(substr(md5(s), 1, 15), 16, 10)::bigint``
 - DuckDB: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``
 
-"Permutations" for MinHash are salted hashes ``md5(i || '|' || s)``
-rather than the classic ``(a*h+b) mod p`` — same independence
-property, no 64-bit overflow concerns, and trivially portable.
+"Permutations" for MinHash are universal hashes over ONE md5 base
+digest: h_i(x) = (a_i * (md5_60(x) mod p) + b_i) mod p with the
+Mersenne prime p = 2^31 - 1 (see :func:`minhash_perm`). One md5 per
+shingle plus k codegen'd integer maps replaces k salted digests;
+a_i * (h mod p) <= 2^62 so the arithmetic never overflows int64 on
+either engine, making the family bit-portable to DuckDB. The older
+per-salt scheme survives as :func:`salted_hash` for single-hash uses
+(banding, fingerprints).
 
 Scale note: md5 on short strings is a JVM-side codegen'd expression in
 Spark (no Python boundary), so these run at full whole-stage-codegen

@@ -5,19 +5,34 @@ typed metadata struct, and implements the Spark-side machinery a real
 pipeline needs: schema, Arrow-batched feature extraction over
 ``mapInPandas``, and partition-friendly layout.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed exactly as the build brief directs: ``decode_real`` raises
-NotImplementedError; ``fake_decode_features`` produces deterministic
-features from the raw bytes so the whole pipeline (schema, batching,
-UDF signature, aggregation) is real and tested end-to-end.
+Two modalities get REAL pure-Python codecs (no external libraries,
+nothing beyond struct/bytes):
 
-The synthetic payloads are derived from ``documents.text`` (UTF-8
-bytes standing in for a JPEG/PCM blob) — identical bytes in Spark and
-DuckDB, so the metadata query is fully oracle-checked.
+- **PPM (P6)** images: :func:`decode_ppm` is a genuine parser — magic
+  check, whitespace/comment-tolerant ASCII header scan for
+  width/height/maxval, payload-length validation, channel-byte stats
+  over the raster — and :func:`resize_ppm` is a real nearest-neighbor
+  resample that re-encodes a valid P6 file.
+- **WAV (RIFF/PCM)**: :func:`decode_wav` walks RIFF chunks (honoring
+  the odd-size pad byte), reads the ``fmt `` struct, and unpacks the
+  16-bit PCM ``data`` samples.
+
+The payloads under test are genuine PPM/WAV files synthesized
+deterministically from ``(doc_id, n_chars)`` by :func:`synth_ppm` /
+:func:`synth_wav`, so the DuckDB oracle can compute the *expected*
+decoded stats in closed form — if the parser mis-reads the header or
+lands one byte off in the raster, the value hash breaks. Only video
+remains a stub (no pure-Python video codec exists); its frame-sampling
+plumbing is exercised and oracle-checked separately.
+
+The legacy metadata/frame-sample queries keep their UTF-8-text
+payloads (identical bytes in Spark and DuckDB) so their oracles are
+unchanged.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,8 +41,6 @@ from pyspark.sql import functions as F
 
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
-
-FEATURE_DIM = 8
 
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, payload binary, "
@@ -61,50 +74,154 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, media_type: str) -> object:
-    """Real decode (PIL/librosa/ffmpeg) — unavailable in this container."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "use fake_decode_features for the deterministic test path"
+# ---------------------------------------------------------------- codecs
+# Real pure-Python PPM/WAV codecs. Reference scope note: the reference
+# engine has no multimodal surface at all (SURVEY §2.10 extension);
+# these follow the public netpbm and RIFF/WAVE format specs.
+
+
+def synth_ppm(doc_id: int, n_chars: int) -> bytes:
+    """A genuine binary-PPM (P6) file whose dimensions and raster are a
+    closed-form function of (doc_id, n_chars) — so an SQL oracle can
+    predict every decoded stat without a codec."""
+    w = 4 + doc_id % 5
+    h = 1 + n_chars % 7
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    raster = bytes((doc_id * 31 + i * 7) % 256 for i in range(w * h * 3))
+    return header + raster
+
+
+def synth_wav(doc_id: int, n_chars: int) -> bytes:
+    """A genuine RIFF/WAVE file (PCM, mono, 16-bit) with closed-form
+    sample values: s_i = ((doc_id*131 + i*17) % 4096) - 2048."""
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 16 + n_chars % 50
+    data = struct.pack(
+        f"<{n}h", *(((doc_id * 131 + i * 17) % 4096) - 2048 for i in range(n))
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM, mono, 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
-def fake_decode_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a decoder+featurizer: FEATURE_DIM
-    byte-bucket means over the payload. Pure arithmetic on bytes — the
-    same batch shape a real image embedding would have."""
+def _ppm_header_ints(payload: bytes, pos: int, count: int) -> tuple[list[int], int]:
+    """Scan `count` whitespace-separated ASCII ints from a netpbm
+    header, honoring '#' comments (run to end-of-line), per the spec."""
+    vals: list[int] = []
     n = len(payload)
-    if n == 0:
-        return [0.0] * FEATURE_DIM
-    step = max(n // FEATURE_DIM, 1)
-    out = []
-    for i in range(FEATURE_DIM):
-        chunk = payload[i * step : (i + 1) * step] or payload[-step:]
-        out.append(round(sum(chunk) / len(chunk), 4))
-    return out
+    while len(vals) < count:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos] == 0x23:  # '#' comment
+            while pos < n and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError(f"PPM: expected integer at byte {pos}")
+        vals.append(int(payload[start:pos]))
+    return vals, pos
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over mapInPandas.
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6): magic, header ints, raster stats.
 
-    The UDF sees pandas batches (not rows); a real decoder would slot
-    into ``fake_decode_features`` unchanged. Output drops the payload
-    so downstream stages shuffle only doc_id + small vectors.
+    The raster starts exactly ONE whitespace byte after maxval (the
+    spec's rule — raster bytes may themselves look like whitespace, so
+    the parser must not keep skipping). Validates the raster length
+    against the parsed dimensions.
     """
-    out_schema = f"doc_id bigint, media_type string, n_bytes bigint, features array<double>"
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    (w, h, maxval), pos = _ppm_header_ints(payload, 2, 3)
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError("PPM: missing single whitespace after maxval")
+    raster = payload[pos + 1 :]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"PPM: raster is {len(raster)} bytes, want {w * h * 3}")
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"PPM: 1-byte maxval out of range: {maxval}")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "n_units": len(raster),  # channel bytes
+        "unit_sum": sum(raster),
+        "unit_min": min(raster),
+        "unit_max": max(raster),
+    }
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(fake_decode_features),
-                }
-            )
 
-    return media.mapInPandas(batches, schema=out_schema)
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE file: chunk walk (with odd-size pad bytes),
+    ``fmt `` struct, 16-bit PCM sample stats."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"WAV: only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_units": len(samples),
+        "unit_sum": sum(abs(s) for s in samples),
+        "unit_min": min(samples),
+        "unit_max": max(samples),
+    }
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor PPM resize: decode, resample, re-encode a
+    valid P6 file (decode_ppm(resize_ppm(p, w, h)) round-trips)."""
+    meta = decode_ppm(payload)
+    w0, h0 = meta["width"], meta["height"]
+    raster = payload[len(payload) - meta["n_units"] :]
+    out = bytearray()
+    for y in range(height):
+        sy = y * h0 // height
+        for x in range(width):
+            sx = x * w0 // width
+            off = (sy * w0 + sx) * 3
+            out += raster[off : off + 3]
+    return f"P6\n{width} {height}\n{meta['maxval']}\n".encode("ascii") + bytes(out)
+
+
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """Decode a payload with the real pure-Python codec for its
+    modality. Video has no pure-Python codec — it stays a declared
+    stub (frame sampling covers its plumbing)."""
+    if media_type == "image":
+        return decode_ppm(payload)
+    if media_type == "audio":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"no pure-Python codec for media_type={media_type!r}; "
+        "video decode requires an external codec"
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
@@ -140,9 +257,29 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize — requires a codec; stubbed per the build brief."""
-    raise NotImplementedError("image codecs unavailable; resize is plumbing-only here")
+def media_codec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec-backed media table: alternating REAL PPM / WAV payloads
+    synthesized executor-side in one Arrow pass (no text bytes — the
+    raster/samples come from the closed-form generators, so the decoded
+    stats are SQL-predictable). Payload bytes never reach the driver."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            ncs = pdf["n_chars"].tolist()
+            kinds = ["image" if i % 2 == 0 else "audio" for i in ids]
+            payloads = [
+                synth_ppm(i, nc) if k == "image" else synth_wav(i, nc)
+                for i, nc, k in zip(ids, ncs, kinds)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": kinds, "payload": payloads}
+            )
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="doc_id bigint, media_type string, payload binary"
+    )
 
 
 @query(
@@ -195,14 +332,75 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    oracle=None,  # mapInPandas featurizer: not SQL-expressible; rows-only check
-    doc="multimodal feature extraction: Arrow-batched mapInPandas over binary payloads, deterministic fake decoder (north-star multimodal)",
+    # The oracle predicts the DECODED stats from the closed-form
+    # generators (synth_ppm / synth_wav): per image doc the raster is
+    # 3*w*h bytes of (doc_id*31 + i*7) % 256 with w = 4 + doc_id%5,
+    # h = 1 + n_chars%7; per audio doc 16 + n_chars%50 samples of
+    # ((doc_id*131 + i*17) % 4096) - 2048. The Spark side round-trips
+    # encode -> REAL parse (header scan / RIFF chunk walk) -> stats, so
+    # any parse-offset bug breaks the value hash. All sums are exact
+    # int64; the one double is a ratio of exact ints (deterministic).
+    oracle="""
+    WITH per_doc AS (
+      SELECT
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        CASE WHEN doc_id % 2 = 0
+             THEN 3 * (4 + doc_id % 5) * (1 + n_chars % 7)
+             ELSE 16 + n_chars % 50
+        END AS n_units,
+        CASE WHEN doc_id % 2 = 0
+             THEN list_sum(list_transform(
+                    range(0, 3 * (4 + doc_id % 5) * (1 + n_chars % 7)),
+                    i -> (doc_id * 31 + i * 7) % 256))
+             ELSE list_sum(list_transform(
+                    range(0, 16 + n_chars % 50),
+                    i -> abs(((doc_id * 131 + i * 17) % 4096) - 2048)))
+        END AS unit_sum
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT)      AS n_items,
+           CAST(sum(n_units) AS BIGINT)  AS total_units,
+           CAST(sum(unit_sum) AS BIGINT) AS unit_sum,
+           round(CAST(sum(unit_sum) AS DOUBLE) / sum(n_units), 4) AS mean_unit
+    FROM per_doc
+    GROUP BY media_type
+    """,
+    doc=(
+        "multimodal feature extraction with REAL pure-Python codecs: "
+        "mapInPandas synthesizes genuine PPM/WAV files, a second Arrow pass "
+        "parses them (netpbm header scan / RIFF chunk walk + PCM unpack) and "
+        "emits channel-byte / |sample| stats; the oracle predicts the decoded "
+        "values from the generator's closed form, so the parser itself is "
+        "value-checked (north-star multimodal)"
+    ),
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(media_table(spark, sf_dir))
-    return feats.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_f0"),
-        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    media = media_codec_table(spark, sf_dir)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                decode_real(bytes(p), k)
+                for p, k in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_type": pdf["media_type"],
+                    "n_units": [r["n_units"] for r in rows],
+                    "unit_sum": [r["unit_sum"] for r in rows],
+                }
+            )
+
+    decoded = media.mapInPandas(
+        decode_batches, schema="media_type string, n_units bigint, unit_sum bigint"
+    )
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_units").cast("bigint").alias("total_units"),
+        F.sum("unit_sum").cast("bigint").alias("unit_sum"),
+        F.round(
+            F.sum("unit_sum").cast("double") / F.sum("n_units"), 4
+        ).alias("mean_unit"),
     )

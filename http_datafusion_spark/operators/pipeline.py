@@ -944,12 +944,13 @@ def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def index_store_path(sf_dir: str) -> str:
-    """Deterministic materialization dir for the IVF-PQ index of one
-    sf_dir (under /tmp — the repo never writes into the read-only
-    testdata tree)."""
-    import os
+    """Materialization dir for the IVF-PQ index of one sf_dir (under
+    /tmp — the repo never writes into the read-only testdata tree);
+    fingerprint+pid-suffixed so it is stale-proof and concurrency-safe
+    (see plans/tables.scratch_path)."""
+    from http_datafusion_spark.plans.tables import scratch_path
 
-    return os.path.join("/tmp", "http_datafusion_spark_index", os.path.basename(sf_dir.rstrip("/")))
+    return scratch_path("index", sf_dir, "embeddings")
 
 
 def write_embedding_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -1190,9 +1191,13 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint checks a 100 TB ingest runs before accepting a drop:
     independent aggregates over tiny outputs a scheduler can gate on.
     The two lineitem checks (FK integrity + quantity range) are FUSED
-    into one pass: a single scan left-joins orders and one aggregate
-    counts both unmatched rows and out-of-range quantities — the big
-    table is read once (plan-asserted by tests/test_plans.py)."""
+    into one pass: a single scan left-joins the DISTINCT order keys and
+    one aggregate counts both unmatched rows and out-of-range
+    quantities — the big table is read once (plan-asserted by
+    tests/test_plans.py). Joining distinct keys (not raw orders) keeps
+    lineitem row multiplicity intact even when orders carries duplicate
+    PKs, so the qty-range count stays independent of the PK-uniqueness
+    check's outcome (it must match a raw-lineitem count regardless)."""
     t = load_tables(spark, sf_dir, "orders", "lineitem", "customer", "documents")
 
     def check(name: str, violations):
@@ -1208,7 +1213,7 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .select("l_orderkey", "l_quantity")
         .join(
-            t["orders"].select("o_orderkey"),
+            t["orders"].select("o_orderkey").distinct(),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
@@ -1314,11 +1319,9 @@ CORPUS_SHARDS = 8
 
 
 def corpus_store_path(sf_dir: str) -> str:
-    import os
+    from http_datafusion_spark.plans.tables import scratch_path
 
-    return os.path.join(
-        "/tmp", "http_datafusion_spark_corpus", os.path.basename(sf_dir.rstrip("/"))
-    )
+    return scratch_path("corpus", sf_dir, "documents")
 
 
 @query(

@@ -579,10 +579,26 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     hash buckets at write time, so every later join/aggregation on the
     bucket key reads co-located files and plans NO Exchange. Tables are
     external (explicit /tmp paths — never the repo CWD warehouse) and
-    written once per (session, sf_dir)."""
+    written once per (session, sf_dir, source fingerprint). The table
+    name and path carry (a) the source-parquet mtime fingerprint, so a
+    regenerated sf_dir can never serve a stale bucketed copy, and (b)
+    the process id, so two concurrent sessions on one machine (driver
+    gate + a stray pytest) can't clobber each other's files mid-read."""
     import os
 
+    from http_datafusion_spark.plans.tables import _mtime_token
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    fp = (
+        hash(
+            (
+                _mtime_token(os.path.join(sf_dir, "orders.parquet")),
+                _mtime_token(os.path.join(sf_dir, "lineitem.parquet")),
+            )
+        )
+        & 0xFFFFFFFF
+    )
+    tag = f"{tag}_{fp:08x}_{os.getpid()}"
     to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     done = spark.__dict__.setdefault("_hds_bucketed", set())
     if (sf_dir, to) in done:

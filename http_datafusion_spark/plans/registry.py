@@ -43,81 +43,82 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.01 parity sweep,
 # tests/test_oracle_parity.py).
+# Round-4 rotation: 145 distinct queries are driver-green across
+# r01∪r02∪r03. The head below is exactly the 47 registry names that
+# have NEVER had a driver CORRECTNESS row (local sf0.001/sf0.01 parity
+# evidence only) plus the 3 queries whose implementation changed this
+# round and therefore need re-verification:
+#   - dedup_embedding_cosine (default n_probe 2 -> 3, recall fix),
+#   - data_quality_audit (FK/range fusion now joins DISTINCT o_orderkey
+#     so the range count survives PK violations),
+#   - multimodal_features (codec stubs replaced with a real pure-Python
+#     PPM/WAV decoder; upgraded from rows-only to a value-checked
+#     oracle row).
+# 47 + 3 = 50 = the driver window, and test_driver_contract.py asserts
+# len(PRIORITY) <= 50 so nothing can silently fall off the end again
+# (round 3 shipped q_bucketed_join at position 51 of a 50-row window).
+# Cumulative driver-green after this round: 192/192.
 PRIORITY: tuple[str, ...] = (
-    # Round-3 rotation: 96 distinct queries are driver-green across
-    # r01∪r02; every name below has only local-sweep evidence so far
-    # (or changed implementation this round). The r01/r02-green head
-    # (q1/q3/q5/q10, join forms, windows, set ops, scalar families,
-    # streaming rate-limit, the similarity/dedup block) moves to the
-    # tail — still covered every session by tests/test_oracle_parity.py.
-    #
-    # TPC-H tail: the 13 analogues with no driver row yet (suite is 22;
-    # q1/3/5/7/8/9/10/11/19 are r01/r02-green)
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_revenue_delta",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_relationships",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # join forms with local-only evidence (§2.3)
-    "q_right_join",
-    "q_cross_join",
-    "q_null_safe_join",
-    # subquery tail (§2.3 decorrelation surface)
-    "q_in_subquery",
-    "q_not_in_subquery",
-    "q_subquery_in_from",
-    "q_cte",
-    # fine-grained set ops (§2.7) + DISTINCT (§2.2)
-    "q_union_all",
-    "q_intersect",
-    "q_intersect_all",
-    "q_except",
-    "q_except_all",
-    "q_distinct",
-    # windows tail (§2.5) + sort/paging tail (§2.6)
-    "q_window_offsets",
-    "q_window_ignore_nulls",
-    "q_window_clause",
-    "q_sort_nulls",
-    "q_limit_offset",
-    # scalar tail (§2.8): JSON + VARIANT + explode (the hash/date_bin
-    # rows have adjacent driver evidence via text_fingerprint r1 /
-    # q_date_funcs r2 and ride the local sweep)
-    "q_json_funcs",
-    "q_variant_json",
-    "q_explode_unnest",
-    # §2.10 extensions: UDAF / UDTF / cogrouped pandas
-    "q_udaf_grouped",
-    "q_python_udtf",
-    "q_cogrouped_pandas",
-    # streaming twins (§2.9) — 6 of 7 never driver-checked
-    "stream_tumbling_agg",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_cdc_upsert",
-    "stream_static_enrich",
-    # operators whose implementation changed this round (re-verify) +
-    # the new materialized-index round-trip (subsumes
-    # embedding_index_build, which stays in the local-parity tail)
+    # changed this round — re-verify first
     "dedup_embedding_cosine",
     "data_quality_audit",
-    "q_salted_skew_join",
-    "text_unigram_logprob",
-    "embedding_index_roundtrip",
-    # operators NEW this round (bloom prefilter, moment audit,
-    # bucketed co-located join)
-    "dedup_bloom_prefilter",
-    "embedding_moment_audit",
+    "multimodal_features",
+    # the round-3 flagship that fell off the window at position 51
     "q_bucketed_join",
+    # pipeline block (corpus build / split / mix / packing)
+    "corpus_build_roundtrip",
+    "decontaminate_corpus",
+    "train_val_split",
+    "balance_sources",
+    "mix_sources_temperature",
+    "train_shuffle_shards",
+    "sequence_length_buckets",
+    "quality_drift_psi",
+    "sample_deterministic",
+    "doc_chunking",
+    "doc_span_corruption",
+    # dedup tail
+    "dedup_keep_best",
+    "dedup_embedding_cosine_exact",
+    "dedup_ngram_coverage",
+    "dedup_prefix_pairs",
+    # similarity / embedding tail
+    "sim_ivf_recall",
+    "embedding_quantize_int8",
+    "embedding_index_build",
+    "embedding_negative_pairs",
+    "semantic_search_join",
+    # graph
+    "graph_pagerank",
+    # text-analysis tail
+    "text_top_bigrams",
+    "text_repetition",
+    "text_rare_words",
+    "text_char_entropy",
+    "vocab_build",
+    "text_tfidf_topterm",
+    "text_bm25_search",
+    "tokenize_to_ids",
+    # time-series family
+    "ts_zscore_outliers",
+    "ts_ewma",
+    "ts_resample_ohlc",
+    "ts_mad_outliers",
+    # events / CDC tail
+    "asof_join_click_purchase",
+    "events_session_window_native",
+    "events_retention",
+    "events_value_histogram",
+    "cdc_upsert_compaction",
+    "cdc_scd2_intervals",
+    # relational stragglers
+    "q_salted_skew_agg",
+    "hll_sketch_union",
+    "q_group_order_all",
+    "q_topk_orders",
+    "q_values_inline",
+    "q_hash_funcs",
+    "q_date_bin",
 )
 
 

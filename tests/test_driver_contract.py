@@ -22,11 +22,14 @@ def test_spark_entry_contract(spark):
     assert set(osql) <= set(qs)
     # The driver's correctness gate walks registration order and
     # empirically checks the first ~50 entries: that window must hold
-    # the declared PRIORITY head (SURVEY §2 core + this round's
-    # changed operators), in order.
+    # the declared PRIORITY head (never-driver-checked names + this
+    # round's changed operators), in order. The upper bound is a HARD
+    # <= 50: round 3 shipped q_bucketed_join at PRIORITY position 51
+    # and the driver silently recorded only 50 rows — window occupancy
+    # must be load-bearing, not hopeful.
     from http_datafusion_spark.plans.registry import PRIORITY
 
-    assert 50 <= len(PRIORITY) <= 52
+    assert 40 <= len(PRIORITY) <= 50
     assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in osql.values())

@@ -229,6 +229,16 @@ def test_dedup_embedding_cosine_default_is_candidate_gated(spark, sf_dir):
     for k, v in gated_pairs.items():
         assert v == exact_pairs[k]
 
+    # Recall gate: the DEFAULT probe count must recover >= 90% of the
+    # exact tier's pairs on the test corpus (measured 0.80 at n_probe=2
+    # vs 0.95 at 3 — the reason the default is 3). A silent 20% miss
+    # rate is a quality bug even when the probe-mirroring oracle agrees.
+    if exact_pairs:
+        recall = len(gated_pairs) / len(exact_pairs)
+        assert recall >= 0.9, (
+            f"IVF dedup recall {recall:.2f} < 0.9 at n_probe={IVF_DEDUP_PROBES}"
+        )
+
     # Candidate-boundedness, measured: candidate pairs strictly below
     # the all-pairs count.
     from pyspark.sql import functions as F
