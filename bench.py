@@ -14,6 +14,14 @@ map-tailed queries at sf0.1, see BASELINE.md "honest sink" note.)
 Median of RUNS warm runs after one cold run that pays JVM/codegen
 warmup. Set BENCH_QUERIES=name1,name2 to restrict, BENCH_RUNS=n to
 change repetitions.
+
+The JSON carries a per-query variance band ("band": {name: [min,
+median, max]}) so a loaded machine is distinguishable from a real
+regression: on an idle box max/min stays within ~1.3x for the
+sub-second floor-bound queries; a contended run (e.g. the round
+driver running next to other work) inflates max >> median while min
+stays near the idle wall. Compare BANDS across rounds, not bare
+medians — see BASELINE.md "reading the variance band".
 """
 
 from __future__ import annotations
@@ -56,6 +64,7 @@ def main() -> None:
     warmups = int(os.environ.get("BENCH_WARMUP", "3"))
 
     timings: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     for name in names:
         spec = registry[name]
         for _ in range(warmups):
@@ -66,9 +75,19 @@ def main() -> None:
             materialize(spec.spark(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        bands[name] = [
+            round(min(samples), 4),
+            timings[name],
+            round(max(samples), 4),
+        ]
+        print(
+            f"# {name}: {timings[name]:.3f}s "
+            f"[{bands[name][0]:.3f}..{bands[name][2]:.3f}]",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
+    total_min = round(sum(b[0] for b in bands.values()), 4)
     print(
         json.dumps(
             {
@@ -76,6 +95,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "band": bands,
+                "value_min": total_min,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

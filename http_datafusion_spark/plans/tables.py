@@ -119,9 +119,10 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the ~1.7e18 ns value through a double whose 53-bit mantissa
             # drops the low bits, leaving ~13% of stamps off by 1µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if name in DIM_TABLES:
+    if name in DIM_TABLES and os.environ.get("SPARK_GRAFT_DIM_CACHE", "1") != "0":
         # Pin the dims: constant-size, re-joined by nearly every query.
-        # MEMORY_ONLY — a few MB even at sf10.
+        # MEMORY_ONLY — a few MB even at sf10. SPARK_GRAFT_DIM_CACHE=0
+        # disables for A/B measurement (numbers in BASELINE.md).
         df = df.cache()
     cache[key] = df
     return df
