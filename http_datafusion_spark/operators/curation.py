@@ -1,0 +1,513 @@
+"""Corpus-curation operators, round 4: leakage-safe splitting,
+sketch-based frequency estimation, blocked fuzzy matching, adaptive
+quality filtering, deletion propagation, statistics profiling, and
+winnowing fingerprints.
+
+These extend the reference's analytics surface (reference scope:
+HTTP-backed SQL tables, ``src/datasources.rs`` — it has no curation
+layer at all) with the operations a training-data pipeline runs at
+100 TB. Every operator is expressed as declarative DataFrame ops so
+Catalyst keeps pushdown/pruning; every hash that must agree with the
+DuckDB oracle goes through functions/hashing.py's md5-portable family.
+
+Scale notes are inline per operator; the common themes:
+- deletion/contamination key sets are tiny relative to the corpus ->
+  broadcast semi/anti joins, one scan per fact table, no shuffle of
+  the big side;
+- sketches (count-min) have FIXED size independent of corpus size ->
+  partial aggregation reduces each partition to <= d*w cells before
+  the (trivial) final merge;
+- fuzzy matching never goes all-pairs: a cheap equality blocking key
+  bounds each block, and the expensive verifier (levenshtein) runs
+  only within blocks — the same candidate-then-verify shape as the
+  MinHash/IVF dedup paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted_hash, salted_hash_sql
+from http_datafusion_spark.operators.components import connected_components
+from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
+from http_datafusion_spark.operators.text import whitespace_tokens
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+# --------------------------------------------------------------- split
+
+SPLIT_TRAIN_PCT = 85
+SPLIT_VAL_PCT = 95  # cumulative: [0,85) train, [85,95) val, [95,100) test
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS comp_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    labeled AS (
+      SELECT n_chars, comp_id,
+             CASE WHEN {md5_int_sql("concat('lsplit|', CAST(comp_id AS VARCHAR))")} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN {md5_int_sql("concat('lsplit|', CAST(comp_id AS VARCHAR))")} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)               AS n_docs,
+           CAST(count(DISTINCT comp_id) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT)            AS n_chars_total
+    FROM labeled GROUP BY split
+    """,
+    doc="leakage-safe train/val/test split: near-dup clusters (MinHash-LSH pairs -> "
+    "connected components) are assigned to ONE split atomically by hashing the cluster "
+    "representative, so no near-duplicate pair ever straddles train and eval — the "
+    "property a per-document split (train_val_split) cannot give. Oracle recomputes "
+    "components with a recursive CTE (north-star pipeline)",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the pair graph is the LSH candidate output (sub-quadratic),
+    # components run in O(log^2 n) shuffles on the edges only, and the
+    # final join hits `documents` once; everything downstream of the
+    # component map is a broadcast-sized dimension (clusters << docs).
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    assigned = d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        "n_chars", F.coalesce("component", "doc_id").alias("comp_id")
+    )
+    bucket = md5_int(F.concat(F.lit("lsplit|"), F.col("comp_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return assigned.select(split.alias("split"), "comp_id", "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("comp_id").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+
+
+# ----------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 3  # independent hash rows
+CMS_WIDTH = 512  # buckets per row
+CMS_SALT = 9100  # salt base; rows use CMS_SALT + d
+CMS_TOPK = 15
+
+
+def _cms_bucket_sql(d: int) -> str:
+    return f"{salted_hash_sql('tok', CMS_SALT + d)} % {CMS_WIDTH}"
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT cell.d AS d, cell.bucket AS bucket, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest([{", ".join(f"{{'d': {d}, 'bucket': {_cms_bucket_sql(d)}}}" for d in range(CMS_DEPTH))}]) AS cell
+        FROM toks
+      )
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT tok, cell.d AS d, cell.bucket AS bucket
+      FROM (
+        SELECT tok,
+               unnest([{", ".join(f"{{'d': {d}, 'bucket': {_cms_bucket_sql(d)}}}" for d in range(CMS_DEPTH))}]) AS cell
+        FROM (SELECT DISTINCT tok FROM toks)
+      )
+    ),
+    est AS (
+      SELECT p.tok, min(c.c) AS est_count
+      FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+      GROUP BY p.tok
+    )
+    SELECT tok, CAST(est_count AS BIGINT) AS est_count
+    FROM est ORDER BY est_count DESC, tok LIMIT {CMS_TOPK}
+    """,
+    doc="count-min sketch heavy hitters: token stream folds into a FIXED d x w = "
+    f"{CMS_DEPTH}x{CMS_WIDTH} cell grid (partial agg reduces every partition to <= d*w rows "
+    "before one trivial shuffle), then per-token estimates = min over rows of the token's "
+    "cell — the standard Cormode-Muthukrishnan bound est >= true, est <= true + eps*N. "
+    "The sketch side of the estimate join is broadcast (it is d*w rows at ANY corpus "
+    "size) — this is the frequency-estimation shape that replaces an exact full-vocab "
+    "groupBy at 100 TB (north-star text analysis)",
+    tags=("text", "sketch"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("d"),
+                        (salted_hash(F.col("tok"), CMS_SALT + dd) % CMS_WIDTH).alias("bucket"),
+                    )
+                    for dd in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = toks.distinct()
+    probes = vocab.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("d"),
+                        (salted_hash(F.col("tok"), CMS_SALT + dd) % CMS_WIDTH).alias("bucket"),
+                    )
+                    for dd in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cell.d", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "tok").limit(CMS_TOPK)
+
+
+# --------------------------------------------------- blocked fuzzy join
+
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "fuzzy_join_blocked",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ')[1] AS adj,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    )
+    SELECT a.noun AS block_key,
+           CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.p_partkey) AS BIGINT) AS n_left_parts
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND {FUZZY_MAX_DIST}
+    GROUP BY a.noun, levenshtein(a.adj, b.adj)
+    """,
+    doc="blocked fuzzy (entity-resolution) join: candidate pairs come from an EQUALITY "
+    "blocking key (part noun), then the expensive verifier (levenshtein on the modifier "
+    "word, both engines' classic edit distance) runs only within blocks — candidates are "
+    "O(sum block^2), never all-pairs O(N^2). At 100 TB the blocking join is an ordinary "
+    "shuffle-by-key and skewed blocks fall out of AQE skew splitting; this is the "
+    "standard record-linkage blocking shape (SURVEY §2.3 non-equi family extension)",
+    tags=("join", "dedup"),
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"].select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.adj"), F.col("b.adj"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist.between(1, FUZZY_MAX_DIST))
+        .groupBy(F.col("a.noun").alias("block_key"), dist.cast("bigint").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("a.p_partkey").alias("n_left_parts"),
+        )
+    )
+
+
+# --------------------------------------------- adaptive quality filter
+
+QUALITY_DROP_FRAC = 0.10  # drop the bottom decile per source
+
+
+@query(
+    "quality_adaptive_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE)
+               / greatest(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS DOUBLE), 1) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) FILTER (pr >= {QUALITY_DROP_FRAC}) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (pr <  {QUALITY_DROP_FRAC}) AS BIGINT) AS n_dropped,
+           round(min(CASE WHEN pr >= {QUALITY_DROP_FRAC} THEN score END), 4) AS min_kept_score
+    FROM ranked GROUP BY source
+    """,
+    doc="adaptive quality filtering: instead of one global threshold, each source drops "
+    "its own bottom decile by score (percent_rank window per source) — the per-domain "
+    "calibration a mixed-crawl corpus needs, since absolute score scales differ by "
+    "source. One window over (source) + one partial-agg shuffle; at 100 TB the window "
+    "partitions by source and never materializes a global sort (north-star pipeline)",
+    tags=("pipeline", "text"),
+)
+def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_words = F.size(whitespace_tokens(F.col("text"))).cast("double")
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.length("text").cast("double") / F.greatest(n_words, F.lit(1.0))).alias("score"),
+    )
+    pr = F.percent_rank().over(Window.partitionBy("source").orderBy("score", "doc_id"))
+    ranked = scored.select("source", "score", pr.alias("pr"))
+    keep = F.col("pr") >= QUALITY_DROP_FRAC
+    return ranked.groupBy("source").agg(
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_dropped"),
+        F.round(F.min(F.when(keep, F.col("score"))), 4).alias("min_kept_score"),
+    )
+
+
+# --------------------------------------------- deletion propagation
+
+@query(
+    "deletion_propagate",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ),
+    o AS (
+      SELECT o_orderkey, (d.c_custkey IS NOT NULL) AS del
+      FROM orders LEFT JOIN del_cust d ON o_custkey = d.c_custkey
+    ),
+    del_orders AS (SELECT o_orderkey FROM o WHERE del),
+    l AS (
+      SELECT (d.o_orderkey IS NOT NULL) AS del
+      FROM lineitem LEFT JOIN del_orders d ON lineitem.l_orderkey = d.o_orderkey
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS table_name,
+             CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT)  AS n_deleted,
+             CAST(count(*) FILTER (c_acctbal >= 0) AS BIGINT) AS n_surviving
+      FROM customer
+      UNION ALL
+      SELECT 'orders', CAST(count(*) FILTER (del) AS BIGINT),
+             CAST(count(*) FILTER (NOT del) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) FILTER (del) AS BIGINT),
+             CAST(count(*) FILTER (NOT del) AS BIGINT) FROM l
+    )
+    """,
+    doc="deletion propagation (GDPR-style cascade): a deletion key set (flagged "
+    "customers) cascades customer -> orders -> lineitem; each fact table is scanned "
+    "ONCE with the (small) key set broadcast as a left-join marker, so the audit counts "
+    "deleted vs surviving rows per table with zero shuffles of the fact side — the "
+    "right-to-erasure shape at 100 TB, where the request list is always tiny relative "
+    "to the corpus (north-star pipeline)",
+    tags=("pipeline", "join"),
+)
+def deletion_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    del_cust = t["customer"].filter(F.col("c_acctbal") < 0).select("c_custkey")
+    # one scan each: broadcast the (tiny) deletion keys as a marker
+    o = t["orders"].join(
+        F.broadcast(del_cust), F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("del"))
+    del_orders = o.filter("del").select("o_orderkey")
+    li = t["lineitem"].join(
+        F.broadcast(del_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(F.col("o_orderkey").isNotNull().alias("del"))
+
+    cust = t["customer"].agg(
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_deleted"),
+        F.count(F.when(F.col("c_acctbal") >= 0, 1)).alias("n_surviving"),
+    ).select(F.lit("customer").alias("table_name"), "n_deleted", "n_surviving")
+    orders = o.agg(
+        F.count(F.when(F.col("del"), 1)).alias("n_deleted"),
+        F.count(F.when(~F.col("del"), 1)).alias("n_surviving"),
+    ).select(F.lit("orders").alias("table_name"), "n_deleted", "n_surviving")
+    line = li.agg(
+        F.count(F.when(F.col("del"), 1)).alias("n_deleted"),
+        F.count(F.when(~F.col("del"), 1)).alias("n_surviving"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_deleted", "n_surviving")
+    return cust.unionAll(orders).unionAll(line)
+
+
+# --------------------------------------------- table stats profiling
+
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "table_stats_profile",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        {", ".join(
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c}, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c}, "
+            f"round(min({c}), 4) AS min_{c}, round(max({c}), 4) AS max_{c}"
+            for c in _STATS_COLS
+        )}
+      FROM lineitem
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS column_name, n_rows, ndv_{c} AS ndv, nulls_{c} AS n_nulls, "
+          f"min_{c} AS min_val, max_{c} AS max_val FROM s"
+          for c in _STATS_COLS
+      )}
+    )
+    """,
+    doc="ANALYZE-style statistics profiling: one scan of the fact table computes row "
+    "count, exact NDV, null count, and min/max for each measure column, emitted in long "
+    "format — the statistics a cost-based optimizer (join reordering, broadcast "
+    "decisions) consumes. All aggregates partial-combine map-side; the multi-DISTINCT "
+    "plans as one Expand + two-phase agg, still a single pass over the data "
+    "(SURVEY §2.4 extension)",
+    tags=("agg", "pipeline"),
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            F.round(F.min(c), 4).alias(f"min_{c}"),
+            F.round(F.max(c), 4).alias(f"max_{c}"),
+        ]
+    s = li.agg(*aggs)
+    per_col = [
+        s.select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            F.col(f"ndv_{c}").alias("ndv"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"min_{c}").alias("min_val"),
+            F.col(f"max_{c}").alias("max_val"),
+        )
+        for c in _STATS_COLS
+    ]
+    out = per_col[0]
+    for df in per_col[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+# --------------------------------------------- winnowing fingerprints
+
+WINNOW_W = 4  # window of consecutive k-gram hashes; guarantee: any match
+# of length >= W + k - 1 tokens shares at least one fingerprint
+WINNOW_MIN_SHARED = 4  # doc pairs sharing >= this many fingerprints
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words) - 1),
+               i -> {md5_int_sql("concat(words[i], ' ', words[i+1], ' ', words[i+2])")}) AS hashes
+      FROM w WHERE len(words) >= {WINNOW_W + 2}
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             -- positions 1 .. len(hashes)-W+1 (range() is end-exclusive)
+             unnest(list_transform(range(1, len(hashes) - {WINNOW_W - 2}),
+                    i -> list_aggregate(list_slice(hashes, i, i + {WINNOW_W - 1}), 'min'))) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    doc="winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm): "
+    f"per-position word-3-gram hashes, then the min hash of each {WINNOW_W}-window is "
+    "selected as a fingerprint — guaranteeing any shared run of >= w+k-1 tokens shares "
+    "a fingerprint while keeping ~2/(w+1) of positions. Candidate pairs come from an "
+    "equi-join on fingerprint value (bucketed, never all-pairs); the per-doc fingerprint "
+    "set is computed entirely in codegen'd array expressions with no Python boundary "
+    "(north-star dedup)",
+    tags=("dedup", "text"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = whitespace_tokens(F.col("text"))
+    w = d.select("doc_id", words.alias("words")).filter(F.size("words") >= WINNOW_W + 2)
+    gram = lambda i: md5_int(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at("words", i),
+            F.element_at("words", i + F.lit(1)),
+            F.element_at("words", i + F.lit(2)),
+        )
+    )
+    h = w.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(1), F.size("words") - 2), gram).alias("hashes"),
+    )
+    fps = (
+        h.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hashes") - (WINNOW_W - 1)),
+                    lambda i: F.array_min(F.slice("hashes", i, WINNOW_W)),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )

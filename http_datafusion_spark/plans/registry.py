@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     import http_datafusion_spark.operators.asof  # noqa: F401
     import http_datafusion_spark.operators.components  # noqa: F401
+    import http_datafusion_spark.operators.curation  # noqa: F401
     import http_datafusion_spark.operators.dedup  # noqa: F401
     import http_datafusion_spark.operators.multimodal  # noqa: F401
     import http_datafusion_spark.operators.pipeline  # noqa: F401

@@ -382,3 +382,39 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return run_to_memory(agg, "complete").select("segment", "n_events", "total_value")
+
+
+@query(
+    "stream_hopping_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) - k AS BIGINT) AS bucket_5m,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events, (SELECT unnest([0, 1, 2]) AS k)
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming hopping (sliding) window agg: 15-minute windows hopping "
+    "every 5 minutes, so each event lands in exactly 3 overlapping windows == batch "
+    "twin that replicates each row into its 3 covering window starts. Window state is "
+    "bounded by watermark x (width/hop) panes per key, independent of stream length "
+    "(streaming extension; SURVEY §2.9)",
+    tags=("streaming",),
+)
+def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_to_memory(agg, "complete")
+    # window.start is hop-aligned to the epoch; start/300 is the 5-min
+    # bucket id of the window's leading edge, matching the oracle's
+    # floor(epoch/300) - k for k in {0,1,2}.
+    return out.select(
+        F.floor(F.unix_timestamp("w.start") / 300).cast("bigint").alias("bucket_5m"),
+        "event_type",
+        "n",
+        "total_value",
+    )
