@@ -511,3 +511,406 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+# ------------------------------------------------- KMV distinct sketch
+
+KMV_K = 32
+_H_NORM = float(1 << 60)  # md5_int is 60 bits -> h / 2^60 in [0, 1)
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ),
+    hashed AS (
+      SELECT source, shingle,
+             {md5_int_sql("shingle")} / {_H_NORM!r} AS h
+      FROM sh
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h, shingle) AS rn,
+             count(*)    OVER (PARTITION BY source)                      AS cnt
+      FROM hashed
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(least(cnt, {KMV_K}) AS BIGINT) AS n_sketch,
+             round(CASE WHEN cnt >= {KMV_K}
+                        THEN ({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN h END)
+                        ELSE CAST(cnt AS DOUBLE) END, 4) AS kmv_est
+      FROM ranked GROUP BY source, cnt
+    ),
+    merged AS (
+      SELECT h, row_number() OVER (ORDER BY h, shingle) AS rn, count(*) OVER () AS cnt
+      FROM (SELECT DISTINCT shingle, {md5_int_sql("shingle")} / {_H_NORM!r} AS h FROM sh)
+    )
+    SELECT * FROM per_source
+    UNION ALL
+    SELECT '__ALL__' AS source,
+           CAST(least(cnt, {KMV_K}) AS BIGINT) AS n_sketch,
+           round(CASE WHEN cnt >= {KMV_K}
+                      THEN ({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN h END)
+                      ELSE CAST(cnt AS DOUBLE) END, 4) AS kmv_est
+    FROM merged GROUP BY cnt
+    """,
+    doc=f"KMV (k-minimum-values) distinct-count sketch, k={KMV_K}: per source, keep the k "
+    "smallest md5-normalized shingle hashes; est = (k-1)/h_k (Bar-Yossef et al. 2002). "
+    "Deterministic by construction (portable md5 ordering), so the oracle matches "
+    "bit-for-bit — unlike HLL, whose register layout is engine-private. The '__ALL__' row "
+    "demonstrates MERGEABILITY: the global sketch is the min-k of the per-source sketch "
+    "union, the property that makes KMV a one-pass partial aggregate at 100 TB — each "
+    "partition ships at most k values to the merge (north-star text analysis / sketch)",
+    tags=("text", "sketch"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)  # (doc_id, shingle) distinct per doc
+    d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
+    src_sh = sh.join(d, "doc_id").select("source", "shingle").distinct()
+    hashed = src_sh.select(
+        "source", "shingle", (md5_int(F.col("shingle")) / F.lit(_H_NORM)).alias("h")
+    )
+
+    def _sketch(df: DataFrame, part_cols: list[str], label: F.Column | None) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("h", "shingle")
+            if part_cols
+            else Window.orderBy("h", "shingle")
+        )
+        wc = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+        ranked = df.select(
+            *(part_cols or []),
+            "h",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        est = F.round(
+            F.when(
+                F.col("cnt") >= KMV_K,
+                (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
+            ).otherwise(F.col("cnt").cast("double")),
+            4,
+        )
+        grp = ranked.groupBy(*(part_cols or []), "cnt")
+        out = grp.agg(
+            F.least(F.col("cnt"), F.lit(KMV_K)).cast("bigint").alias("n_sketch"),
+            est.alias("kmv_est"),
+        )
+        sel = [F.col(part_cols[0]).alias("source")] if part_cols else [label.alias("source")]
+        return out.select(*sel, "n_sketch", "kmv_est")
+
+    per_source = _sketch(hashed, ["source"], None)
+    merged = _sketch(
+        hashed.select("shingle", "h").distinct(), [], F.lit("__ALL__")
+    )
+    return per_source.unionAll(merged)
+
+
+# ------------------------------------------- equi-depth histogram (sampled)
+
+HIST_BUCKETS = 8
+HIST_SAMPLE_MOD = 10  # keep rows where md5 % 10 == 0 -> 10% sample
+
+
+@query(
+    "histogram_equi_depth",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT l_extendedprice, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE {md5_int_sql("concat('hist|', CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))")} % {HIST_SAMPLE_MOD} = 0
+    ),
+    tiled AS (
+      SELECT l_extendedprice,
+             ntile({HIST_BUCKETS}) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      FROM sampled
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM tiled GROUP BY bucket
+    """,
+    doc=f"equi-depth histogram ({HIST_BUCKETS} buckets) over a deterministic 1/"
+    f"{HIST_SAMPLE_MOD} hash-sample of l_extendedprice — the CBO statistic for range-"
+    "selectivity estimation. Sampling BEFORE the ntile is the scale design: the global "
+    "sort the window needs runs over the sample, not the corpus, and a hash-sample is "
+    "reproducible across runs/executors (rand() is not). Complements "
+    "table_stats_profile's ndv/min/max (SURVEY §2.4/§2.5 extension)",
+    tags=("agg", "window", "pipeline"),
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    key = F.concat(
+        F.lit("hist|"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = li.filter(md5_int(key) % HIST_SAMPLE_MOD == 0).select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    tiled = sampled.select(
+        "l_extendedprice", F.ntile(HIST_BUCKETS).over(w).alias("bucket")
+    )
+    return tiled.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+# ------------------------------------------------- bigram PMI
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 15
+
+
+@query(
+    "ngram_pmi_bigrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(words) AS word FROM w
+    ),
+    uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+    un AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+                    i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+      FROM w WHERE len(words) >= 2
+    ),
+    bc AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2
+    ),
+    bn AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM bi)
+    SELECT w1, w2, bc.c AS n_pair,
+           round(log2((bc.c * 1.0 / bn.n2) / ((a.c * 1.0 / un.n1) * (b.c * 1.0 / un.n1))), 4) AS pmi
+    FROM bc
+    JOIN uc a ON bc.w1 = a.word
+    JOIN uc b ON bc.w2 = b.word
+    CROSS JOIN un CROSS JOIN bn
+    WHERE bc.c >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOPK}
+    """,
+    doc="pointwise mutual information over adjacent word bigrams — collocation mining "
+    "(Church & Hanks 1990): PMI = log2(p(xy)/(p(x)p(y))), min-count floor against noise. "
+    "Unigram and bigram count tables are vocabulary-bounded, so both sides of the score "
+    "join BROADCAST at any corpus size; the token stream itself is never shuffled — two "
+    "map passes + two bounded partial aggs (north-star text analysis)",
+    tags=("text",),
+)
+def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n1 = uni.count()
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n2 = bi.count()
+    a = uc.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
+    b = uc.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c") * 1.0 / F.lit(n2))
+            / ((F.col("ca") * 1.0 / F.lit(n1)) * (F.col("cb") * 1.0 / F.lit(n1)))
+        ),
+        4,
+    )
+    return (
+        bc.filter(F.col("c") >= PMI_MIN_COUNT)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .select("w1", "w2", F.col("c").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+# --------------------------------------------- Jaccard containment
+
+@query(
+    "minhash_containment",
+    oracle=f"""
+    WITH cand AS ({_minhash_pairs_sql()}),
+    w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(s.n_shared * 1.0 / za.sz, 4) AS containment_a,
+           round(s.n_shared * 1.0 / zb.sz, 4) AS containment_b
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    """,
+    doc="Jaccard CONTAINMENT |A∩B|/|A| on LSH candidate pairs — the asymmetric measure "
+    "that catches quotation/subset duplication symmetric Jaccard dilutes (Broder 1997 "
+    "distinguishes resemblance from containment): a short doc fully quoted inside a long "
+    "one scores containment_a=1.0 while its Jaccard stays low. Exact set intersection is "
+    "computed ONLY for the (sub-quadratic) MinHash candidates via a shingle equi-join — "
+    "the candidate-then-verify shape, never all-pairs (north-star dedup)",
+    tags=("dedup", "text"),
+)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    cand = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = shingled_docs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") * 1.0 / F.col("sz_a"), 4).alias("containment_a"),
+            F.round(F.col("n_shared") * 1.0 / F.col("sz_b"), 4).alias("containment_b"),
+        )
+    )
+
+
+# ----------------------------------- incremental dedup vs signature store
+
+def _incremental_pairs_sql() -> str:
+    from http_datafusion_spark.operators.dedup import N_BANDS, N_MINHASH, _minhash_signature_sql
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat(h{2 * j}, '_', h{2 * j + 1}) AS key FROM sig"
+        for j in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN o.h{i} = n.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH sig AS ({_minhash_signature_sql()}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS new_doc, ob.doc_id AS old_doc
+      FROM bands nb JOIN bands ob
+        ON nb.band = ob.band AND nb.key = ob.key
+       AND nb.doc_id % 2 = 1 AND ob.doc_id % 2 = 0
+    )
+    SELECT new_doc, old_doc,
+           round(({matches}) / {N_MINHASH}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig o ON o.doc_id = old_doc
+    JOIN sig n ON n.doc_id = new_doc
+    WHERE ({matches}) >= {N_MINHASH // 2}
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_incremental_pairs_sql(),
+    doc="INCREMENTAL dedup against a materialized signature store: the existing corpus's "
+    "MinHash signatures + LSH band keys are WRITTEN once, partitioned by band "
+    "(scratch_path — stale-proof, concurrency-safe); a new batch then computes "
+    "signatures only for ITS documents and probes the store with a band-key equi-join, "
+    "verifying agreement against the STORED h-columns — the old corpus is never "
+    "re-shingled. This is the arriving-batch shape at 100 TB: per-batch cost is "
+    "O(batch + matches), not O(corpus), and the store grows append-only by the batch's "
+    "own rows. Oracle recomputes both halves from raw text (north-star dedup)",
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import N_BANDS, N_MINHASH, minhash_signature
+    from http_datafusion_spark.plans.tables import scratch_path
+
+    sig = minhash_signature(spark, sf_dir)
+    hcols = [f"h{i}" for i in range(N_MINHASH)]
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            *hcols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.concat_ws("_", f"h{2 * j}", f"h{2 * j + 1}").alias("key"),
+                        )
+                        for j in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", *hcols, "bk.band", "bk.key")
+
+    store_path = scratch_path("sigstore", sf_dir, "documents")
+    # one-time store build for the "existing" corpus (even doc_ids)
+    banded(sig.filter(F.col("doc_id") % 2 == 0)).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(store_path)
+
+    store = spark.read.parquet(store_path)
+    new_bands = banded(sig.filter(F.col("doc_id") % 2 == 1))
+    o, n = store.alias("o"), new_bands.alias("n")
+    matches = sum(
+        F.when(F.col(f"o.h{i}") == F.col(f"n.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        n.join(o, (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("old_doc"),
+            matches.alias("n_match"),
+        )
+        .distinct()
+        .filter(F.col("n_match") >= N_MINHASH // 2)
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(F.col("n_match") / float(N_MINHASH), 4).alias("est_jaccard"),
+        )
+    )
