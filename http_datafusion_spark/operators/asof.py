@@ -135,6 +135,26 @@ def asof_join(
     """,
     doc="as-of join: each event -> latest preceding order of its customer, union-merge implementation (beyond-reference operator)",
     tags=("asof", "join", "bench"),
+    # DuckDB-native ASOF JOIN for the proxy bench: the ANSI
+    # inequality-join + QUALIFY formulation above explodes to
+    # events x orders-per-key intermediate rows (at sf5 that spilled
+    # >79 GB of temp blocks and died on disk); native ASOF is the
+    # engine's best plan for the same semantics. Result-equivalence
+    # asserted in tests/test_approx_and_misc.py.
+    bench_oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    ev AS (
+      SELECT event_id, user_id % m + 1 AS custkey, CAST(floor(epoch(ts)) AS BIGINT) AS t_sec
+      FROM events, mx
+    ),
+    ord AS (
+      SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_sec,
+             o_orderkey, round(o_totalprice, 2) AS o_price
+      FROM orders
+    )
+    SELECT event_id, custkey, o_orderkey AS asof_orderkey, o_price AS asof_price
+    FROM ev ASOF LEFT JOIN ord ON ev.custkey = ord.o_custkey AND ord.o_sec <= ev.t_sec
+    """,
 )
 def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events", "orders", "customer")

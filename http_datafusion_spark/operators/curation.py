@@ -914,3 +914,282 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_match") / float(N_MINHASH), 4).alias("est_jaccard"),
         )
     )
+
+
+# ------------------------------------------------ market-basket pairs
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 15
+
+
+@query(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, c_ab,
+           round(c_ab * 1.0 / n.n_orders, 6) AS support,
+           round(c_ab * 1.0 / sa.c, 4)       AS confidence_a_to_b,
+           round((c_ab * 1.0 * n.n_orders) / (sa.c * 1.0 * sb.c), 4) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.l_partkey = part_a
+    JOIN sup sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOPK}
+    """,
+    doc="market-basket association pairs (support / confidence / lift) over order "
+    "line items — the a-priori first pass. The pair join is WITHIN-basket only "
+    "(equi-join on orderkey), so work is O(sum basket^2) with baskets bounded by "
+    "order width (<= ~a dozen items), never a cross-corpus pair explosion; the "
+    "per-item support table is item-bounded and broadcasts. Top-k by lift fuses "
+    "to TakeOrderedAndProject (SURVEY §2.3/§2.4 extension)",
+    tags=("join", "agg"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    sup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab") * 1.0 / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("c_ab") * 1.0 / F.col("ca"), 4).alias("confidence_a_to_b"),
+            F.round(
+                (F.col("c_ab") * 1.0 * F.lit(n_orders)) / (F.col("ca") * 1.0 * F.col("cb")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )
+
+
+# ------------------------------------------- Markov transition matrix
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS cur, next_type AS nxt, CAST(count(*) AS BIGINT) AS c
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur, nxt, c,
+           round(c * 1.0 / sum(c) OVER (PARTITION BY cur), 4) AS p
+    FROM trans
+    """,
+    doc="first-order Markov transition matrix over per-user event sequences: "
+    "lead() within (user, time) order pairs consecutive events, then transition "
+    "counts normalize per source state. One window shuffle on user_id + one "
+    "state-bounded aggregation (|event types|^2 rows) — the user-journey model "
+    "behind funnel analysis and next-event prediction features "
+    "(SURVEY §2.5 extension / north-star events)",
+    tags=("window", "agg"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wsum = Window.partitionBy("cur")
+    return trans.select(
+        "cur", "nxt", "c", F.round(F.col("c") * 1.0 / F.sum("c").over(wsum), 4).alias("p")
+    )
+
+
+# ------------------------------------------- cluster representatives
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT CAST(component AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT)  AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)  AS rep_doc,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS rep_chars
+    FROM members
+    GROUP BY component
+    """,
+    doc="canonical representative per near-dup cluster: connected components over "
+    "LSH pairs, then content-aware survivorship (keep the LONGEST member, doc_id "
+    "tiebreak) via a rank-1 window — the cluster-level generalization of "
+    "dedup_keep_best's pairwise rule. WindowGroupLimit prunes to one row per "
+    "cluster before the rollup; emitting (rep, member-count) is exactly the "
+    "keep-list a dedup pass applies back to the corpus (north-star dedup)",
+    tags=("dedup", "window"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    members = comp.join(d, comp["node"] == d["doc_id"]).select(
+        "component", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = members.select("component", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+    return ranked.groupBy(F.col("component").cast("bigint").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("bigint").alias("rep_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("bigint").alias("rep_chars"),
+    )
+
+
+# --------------------------------------- PCA via power iteration (matrix-free)
+
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    q8 = "CAST(round({x}, 8) AS DECIMAL(28,8))"
+    q6 = "CAST(round({x}, 6) AS DECIMAL(28,6))"
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, i AS j, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, {PCA_DIM + 1})) AS i)
+    ),
+    u1 AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS u FROM embeddings
+    ),
+    s1 AS (
+      SELECT d.j, CAST(sum({q8.format(x='d.x * u1.u')}) AS DOUBLE) AS s
+      FROM dims d JOIN u1 ON d.vec_id = u1.vec_id
+      GROUP BY d.j
+    ),
+    n1 AS (
+      SELECT sqrt(CAST(sum({q6.format(x='s * s')}) AS DOUBLE)) AS nrm FROM s1
+    ),
+    v1 AS (SELECT j, s / n1.nrm AS v FROM s1, n1),
+    u2 AS (
+      SELECT d.vec_id, CAST(sum({q8.format(x='d.x * v1.v')}) AS DOUBLE) AS u
+      FROM dims d JOIN v1 ON d.j = v1.j
+      GROUP BY d.vec_id
+    ),
+    s2 AS (
+      SELECT d.j, CAST(sum({q8.format(x='d.x * u2.u')}) AS DOUBLE) AS s
+      FROM dims d JOIN u2 ON d.vec_id = u2.vec_id
+      GROUP BY d.j
+    ),
+    n2 AS (
+      SELECT sqrt(CAST(sum({q6.format(x='s * s')}) AS DOUBLE)) AS nrm FROM s2
+    )
+    SELECT CAST(s2.j AS INTEGER) AS j,
+           round(s2.s / n2.nrm, 6) AS pc1,
+           round(n2.nrm, 4)        AS rayleigh_norm
+    FROM s2, n2
+    """
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="matrix-free PCA: two power iterations of X^T X from a deterministic "
+    "e_1 start, entirely as relational aggregates — u = Xv is a groupBy(vec), "
+    "X^T u is a groupBy(dim), each a two-phase partial agg; the 64-row v vector "
+    "broadcasts between iterations and the norm is a 64-row fold. Products are "
+    "8dp-quantized into exact decimal sums, so every engine sums in ANY order to "
+    "the same bits and the oracle matches exactly despite two chained "
+    "normalizations. At 100 TB: per-iteration cost is two shuffles whose reduce "
+    "side is dim-bounded (64 rows) or vec-bounded (one scalar per vector) — the "
+    "principal-component drift monitor for an embedding store "
+    "(north-star similarity)",
+    tags=("similarity", "agg"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q8(c):
+        return F.round(c, 8).cast("decimal(28,8)")
+
+    def q6(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("j0", "xf"),
+    ).select(
+        "vec_id", (F.col("j0") + 1).alias("j"), F.col("xf").cast("double").alias("x")
+    )
+    u1 = e.select("vec_id", F.element_at("embedding", 1).cast("double").alias("u"))
+    s1 = (
+        dims.join(u1, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
+    )
+    n1 = s1.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
+    v1 = s1.crossJoin(F.broadcast(n1)).select("j", (F.col("s") / F.col("nrm")).alias("v"))
+    u2 = (
+        dims.join(F.broadcast(v1), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(q8(F.col("x") * F.col("v"))).cast("double").alias("u"))
+    )
+    s2 = (
+        dims.join(u2, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
+    )
+    n2 = s2.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
+    return s2.crossJoin(F.broadcast(n2)).select(
+        F.col("j").cast("int").alias("j"),
+        F.round(F.col("s") / F.col("nrm"), 6).alias("pc1"),
+        F.round(F.col("nrm"), 4).alias("rayleigh_norm"),
+    )

@@ -31,6 +31,12 @@ class QuerySpec:
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # DuckDB-idiomatic SQL for the bench PROXY only (tools/bench_proxy.py).
+    # The correctness gate always runs `oracle` (portable ANSI). Set this
+    # when the ANSI formulation is pathological for DuckDB's planner —
+    # being fair to the baseline keeps the recorded speedups honest.
+    # Must be result-equivalent to `oracle` (asserted in tests).
+    bench_oracle: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -123,14 +129,20 @@ PRIORITY: tuple[str, ...] = (
 
 
 def query(
-    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench_oracle: str | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a Spark query + its DuckDB oracle."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, doc=doc, tags=tags, bench_oracle=bench_oracle
+        )
         return fn
 
     return deco

@@ -86,3 +86,25 @@ def test_observe_metrics_piggyback_on_action(spark, sf_dir):
     assert 0 <= got["n_discounted"] <= got["n_rows"]
     assert got["n_discounted"] == li.filter(F.col("l_discount") > 0.05).count()
     assert n > 0
+
+
+def test_bench_oracle_variants_are_result_equivalent(sf_dir):
+    """Every QuerySpec.bench_oracle (DuckDB-idiomatic proxy SQL, e.g.
+    native ASOF JOIN) must return exactly the rows of the portable ANSI
+    `oracle` the correctness gate runs — the proxy bench may be faster,
+    never different."""
+    import duckdb
+
+    from http_datafusion_spark.plans.compare import duckdb_connection
+    from http_datafusion_spark.plans.registry import all_queries
+
+    specs = [s for s in all_queries().values() if s.bench_oracle]
+    assert specs, "expected at least one bench_oracle variant (asof)"
+    con = duckdb_connection(sf_dir)
+    try:
+        for spec in specs:
+            a = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+            b = sorted(map(tuple, con.execute(spec.bench_oracle).fetchall()))
+            assert a == b, f"{spec.name}: bench_oracle diverges from oracle"
+    finally:
+        con.close()

@@ -172,10 +172,17 @@ def test_histogram_buckets_are_ordered_and_balanced(spark, sf_dir):
 
 
 def test_adaptive_filter_drops_about_a_decile(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import QUALITY_DROP_FRAC
+
     for r in quality_adaptive_filter(spark, sf_dir).collect():
         n = r["n_kept"] + r["n_dropped"]
-        # percent_rank < 0.1 drops just under 10% (rank 0 row always kept)
-        assert r["n_dropped"] <= max(1, int(n * 0.11))
+        # the ORDER BY (score, doc_id) tiebreak makes ranks unique, so
+        # percent_rank == (row-1)/(n-1) and the drop count is exactly
+        # the number of rows with that value below the threshold
+        expected = 1 if n == 1 else sum(
+            1 for i in range(n) if i / (n - 1) < QUALITY_DROP_FRAC
+        )
+        assert r["n_dropped"] == expected, (r, expected)
 
 
 def test_leakage_safe_split_has_no_straddling_cluster(spark, sf_dir):
