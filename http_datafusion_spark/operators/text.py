@@ -714,8 +714,20 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", whitespace_tokens(F.col("text")).alias("words")).filter(
         F.size("words") > 0
     )
-    words = base.select(F.explode("words").alias("word"))
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # The induce-then-apply shape needs the token stream twice (vocab
+    # counts, then per-doc OOV flags) — two corpus passes are inherent
+    # to the semantics (the vocabulary must exist before it can be
+    # applied). Word-partitioning the stream makes the vocab aggregation
+    # exchange-FREE (partials are already word-local) and gives the
+    # apply-side join a word-partitioned input; with count(doc_id)
+    # (== count(*), doc_id never null) both consumers also require the
+    # same columns, keeping the exchange subtrees canonically equal so
+    # Catalyst MAY feed both from one shuffle. Measured 17.6 -> 12.7 s
+    # at sf5 together with the bounded-prefix rewrite below.
+    tok_by_word = base.select(
+        "doc_id", F.explode("words").alias("word")
+    ).repartition("word")
+    freq = tok_by_word.groupBy("word").agg(F.count("doc_id").alias("freq"))
     vocab = (
         freq.orderBy(F.desc("freq"), "word")
         .limit(VOCAB_SIZE)
@@ -727,29 +739,55 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_id"),
         )
     )
-    tok = base.select("doc_id", F.posexplode("words").alias("pos0", "word")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
+    # Two bounded paths instead of one collect_list-of-everything (the
+    # round-3 form shuffled EVERY (doc,pos,id) struct to sort per doc —
+    # collect_list's partial state carried the whole token stream, and
+    # folding it into the count aggregation forces the whole stream out
+    # of codegen'd HashAggregate into ObjectHashAggregate, measured
+    # SLOWER: 17.6 s both ways at sf5. The split:
+    # (a) counts over the full token stream as plain sum/count whose
+    #     map-side combine collapses token rows to one partial per
+    #     (doc, task) before the shuffle, staying in HashAggregate;
+    # (b) the order-proof prefix from ONLY the first TOKENIZE_PREFIX
+    #     tokens, extracted with a bounded anchored regexp (cost
+    #     O(prefix) per doc, not a second full split) — its
+    #     collect_list carries <= 8 elements per doc.
+    # Both shuffles land hash-partitioned on doc_id, so the final join
+    # adds no exchange. Measured 17.6 -> 12.7 s at sf5 (BASELINE.md).
+    oov = tok_by_word.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", F.col("vocab_id").isNull().cast("int").alias("is_oov")
     )
-    ids = tok.join(F.broadcast(vocab), "word", "left").select(
-        "doc_id", "pos", F.coalesce(F.col("vocab_id"), F.lit(0)).cast("bigint").alias("id")
+    counts = oov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("is_oov").cast("bigint").alias("n_oov"),
     )
+    head_pat = rf"^\s*(\S+(\s+\S+){{0,{TOKENIZE_PREFIX - 1}}})"
+    head = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_extract(F.col("text"), head_pat, 1), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
     # string-rendered prefix: the compare layer hashes scalars, so the
     # bounded id sequence travels as 'i1-i2-...' on both engines
-    ordered_prefix = F.array_join(
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                lambda s: s.getField("id").cast("string"),
-            ),
-            1,
-            TOKENIZE_PREFIX,
-        ),
-        "-",
+    prefix = (
+        head.join(F.broadcast(vocab), "word", "left")
+        .select(
+            "doc_id", "pos", F.coalesce(F.col("vocab_id"), F.lit(0)).cast("bigint").alias("id")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s.getField("id").cast("string"),
+                ),
+                "-",
+            ).alias("ids_prefix")
+        )
     )
-    return ids.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
-        ordered_prefix.alias("ids_prefix"),
+    return counts.join(prefix, "doc_id").select(
+        "doc_id", "n_tokens", "n_oov", "ids_prefix"
     )
 
 
