@@ -1193,3 +1193,209 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("s") / F.col("nrm"), 6).alias("pc1"),
         F.round(F.col("nrm"), 4).alias("rayleigh_norm"),
     )
+
+
+# --------------------------------- point-in-time (SCD2 temporal) join
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS st, event_id, event_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS st_next
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT p.value, s.event_type AS state_type
+      FROM p LEFT JOIN s
+        ON p.user_id = s.user_id
+       AND s.st <= p.pt
+       AND (s.st_next IS NULL OR p.pt < s.st_next)
+    )
+    SELECT coalesce(state_type, 'none') AS state_at_purchase,
+           CAST(count(*) AS BIGINT)     AS n_purchases,
+           round(sum(value), 4)         AS total_value
+    FROM matched GROUP BY 1
+    """,
+    doc="point-in-time (temporal) join: each purchase fact is joined to the SCD2 "
+    "version of its user's state that was valid AT the purchase timestamp — the "
+    "leakage-free feature-store lookup (training must see the dimension as it "
+    "was, not as it is). Implemented as a backward as-of join (union-merge: one "
+    "shuffle on the key, no interval row-explosion); the oracle builds explicit "
+    "[valid_from, valid_to) intervals and joins them, proving the as-of "
+    "semantics == interval semantics, including empty same-timestamp versions "
+    "(north-star events / pipeline)",
+    tags=("asof", "events", "pipeline"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.asof import asof_join
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    states = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.unix_micros("ts").alias("st"), "event_id", "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pt"), "value"
+    )
+    # payload_cols[0] = event_id is the equal-timestamp tiebreak: the
+    # LAST version at a timestamp wins, matching the oracle's empty
+    # [t, t) interval semantics for superseded same-instant versions.
+    joined = asof_join(
+        purchases,
+        states,
+        on="user_id",
+        left_time="pt",
+        right_time="st",
+        payload_cols=["event_id", "event_type"],
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("asof_event_type"), F.lit("none")).alias("state_at_purchase")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ------------------------------------------- semantic (embedding) clusters
+
+def _semantic_clusters_oracle() -> str:
+    from http_datafusion_spark.operators.dedup import IVF_DEDUP_PROBES, _ivf_dedup_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_ivf_dedup_oracle(0.4, IVF_DEDUP_PROBES)}),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT CAST(c.component AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(DISTINCT emb.label) AS BIGINT) AS n_labels
+    FROM comp c JOIN embeddings emb ON emb.vec_id = c.node
+    GROUP BY c.component
+    """
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semantic_clusters_oracle(),
+    doc="SEMANTIC near-dup clusters: connected components over the candidate-gated "
+    "embedding-cosine pair graph (IVF multi-probe candidates, exact verify) — the "
+    "meaning-level complement of dedup_clusters' lexical MinHash graph; paraphrased "
+    "duplicates that share no 3-grams land in the same semantic cluster. n_labels "
+    "per cluster audits cluster/label coherence. Same large-star/small-star "
+    "contraction, O(log^2 n) rounds on the (sub-quadratic) edge list "
+    "(north-star dedup / similarity)",
+    tags=("dedup", "similarity", "graph"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import dedup_embedding_cosine
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.join(e.select("vec_id", "label"), comp["node"] == F.col("vec_id"))
+        .groupBy(F.col("component").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+    )
+
+
+# ------------------------------------------- bigram conditional LM
+
+BIGRAM_ADD_K = 0.5
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT unnest(words) AS word FROM w),
+    uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                    i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+      FROM w WHERE len(words) >= 2
+    ),
+    bc AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+      FROM bi GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bi.doc_id,
+             CAST(round(-ln((bc.c + {BIGRAM_ADD_K}) / (uc.c + {BIGRAM_ADD_K} * vsize.v)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM bi
+      JOIN bc ON bc.w1 = bi.bg.w1 AND bc.w2 = bi.bg.w2
+      JOIN uc ON uc.word = bi.bg.w1
+      CROSS JOIN vsize
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_bigram_nll
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"bigram conditional-LM negative log likelihood per doc, add-k={BIGRAM_ADD_K} "
+    "smoothing: -ln P(w2|w1) = -ln((c(w1w2)+k)/(c(w1)+kV)) averaged per doc — the "
+    "sharper fluency signal completing the unigram NLL's LM family (a doc of real "
+    "words in scrambled order passes unigram NLL but fails this one). Bigram and "
+    "unigram count tables are vocabulary-bounded, so both score-join sides "
+    "broadcast; per-token NLL rounds to 6dp then sums in exact DECIMAL so the "
+    "per-doc mean is partial-order independent (north-star text analysis)",
+    tags=("text",),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vsize = uc.count()
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    ucb = uc.select(F.col("word").alias("w1"), F.col("c").alias("cu"))
+    nll = F.round(
+        -F.log(
+            (F.col("cb") + BIGRAM_ADD_K) / (F.col("cu") + BIGRAM_ADD_K * F.lit(vsize))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        bi.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(ucb), "w1")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_bigram_nll"
+            ),
+        )
+    )
