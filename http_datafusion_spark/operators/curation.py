@@ -1399,3 +1399,310 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- boilerplate detection
+
+BOILER_SEG_WORDS = 20  # same "line" unit as dedup_segments
+BOILER_MIN_DF = 3  # a segment hash seen in >= this many docs of a source is boilerplate
+BOILER_DOC_FRAC = 0.5  # a doc that is mostly boilerplate gets flagged
+
+
+@query(
+    "doc_boilerplate_detect",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, source,
+             md5(array_to_string(words[start + 1 : start + {BOILER_SEG_WORDS}], ' ')) AS h
+      FROM (SELECT doc_id, source, words,
+                   unnest(range(0, len(words), {BOILER_SEG_WORDS})) AS start
+            FROM w WHERE len(words) > 0)
+    ),
+    df AS (
+      SELECT source, h, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with
+      FROM seg GROUP BY source, h
+    ),
+    scored AS (
+      SELECT s.doc_id, s.source,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN df.docs_with >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM seg s JOIN df ON df.source = s.source AND df.h = s.h
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_boiler * 1.0 / n_segments > {BOILER_DOC_FRAC} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(n_boiler) * 1.0 / sum(n_segments), 4) AS boiler_frac
+    FROM scored GROUP BY source
+    """,
+    doc=f"boilerplate detection (CCNet-style): {BOILER_SEG_WORDS}-word segments hashed, "
+    f"and a segment repeated across >= {BOILER_MIN_DF} docs OF THE SAME SOURCE is "
+    "boilerplate (site headers/footers/nav repeat within a domain, not across the "
+    "corpus); docs that are mostly boilerplate get flagged per source. The "
+    "df table is (source, hash)-bounded; the scoring join is an equi-join back on "
+    "the same keys — the per-source partitioning is what keeps the df computation "
+    "local at 100 TB (north-star pipeline / text)",
+    tags=("pipeline", "text", "dedup"),
+)
+def doc_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = whitespace_tokens(F.col("text"))
+    w = d.select("doc_id", "source", words.alias("words")).filter(F.size("words") > 0)
+    seg = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.size("words") - 1) - ((F.size("words") - 1) % BOILER_SEG_WORDS),
+                    F.lit(BOILER_SEG_WORDS),
+                ),
+                lambda start: F.md5(
+                    F.array_join(F.slice("words", start + 1, BOILER_SEG_WORDS), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    df = seg.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs_with")
+    )
+    scored = (
+        seg.join(df, ["source", "h"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(
+                F.when(F.col("docs_with") >= BOILER_MIN_DF, 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_boiler") * 1.0 / F.col("n_segments") > BOILER_DOC_FRAC, 1).otherwise(0)
+        ).cast("bigint").alias("n_flagged"),
+        F.round(F.sum("n_boiler") * 1.0 / F.sum("n_segments"), 4).alias("boiler_frac"),
+    )
+
+
+# ------------------------------------------- deterministic A/B lift
+
+@query(
+    "events_ab_lift",
+    oracle=f"""
+    WITH armed AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN {md5_int_sql("concat('ab|', CAST(user_id AS VARCHAR))")} % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_arm AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_converted
+      FROM armed a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n_users END)     AS na,
+        max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+        max(CASE WHEN arm = 'B' THEN n_users END)     AS nb,
+        max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+      FROM per_arm
+    )
+    SELECT na AS n_users_a, ca AS n_conv_a, nb AS n_users_b, cb AS n_conv_b,
+           round(ca * 1.0 / na, 6) AS conv_a,
+           round(cb * 1.0 / nb, 6) AS conv_b,
+           round((cb * 1.0 / nb) / (ca * 1.0 / na) - 1, 4) AS rel_lift,
+           round(((cb * 1.0 / nb) - (ca * 1.0 / na))
+                 / nullif(sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb))
+                               * (1.0 / na + 1.0 / nb)), 0), 4) AS z_score
+    FROM wide
+    """,
+    doc="deterministic A/B experiment readout: users split into arms by salted "
+    "hash (reproducible at any parallelism — rand() is not an experiment "
+    "assignment), per-arm conversion to 'purchase', relative lift, and the "
+    "two-proportion pooled z-statistic. The whole readout is two user-keyed "
+    "aggregations collapsing to a 1-row report; every statistic derives from "
+    "4 integer counts so both engines compute identical doubles "
+    "(north-star events / analytics)",
+    tags=("events", "agg", "sampling"),
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    arm = F.when(
+        md5_int(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2 == 0, "A"
+    ).otherwise("B")
+    armed = e.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    per_arm = (
+        armed.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("_c").cast("bigint").alias("n_converted"),
+        )
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    pa, pb = ca * 1.0 / na, cb * 1.0 / nb
+    pool = (ca + cb) * 1.0 / (na + nb)
+    return wide.select(
+        na.alias("n_users_a"),
+        ca.alias("n_conv_a"),
+        nb.alias("n_users_b"),
+        cb.alias("n_conv_b"),
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.round(pb / pa - 1, 4).alias("rel_lift"),
+        # nullif guard: a fully-converted (or fully-unconverted) pool
+        # has zero variance — z is undefined, not infinite/error
+        F.round(
+            (pb - pa)
+            / F.nullif(F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)), F.lit(0.0)),
+            4,
+        ).alias("z_score"),
+    )
+
+
+# ------------------------------------------- RFM segmentation
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate)                   AS last_order,
+             CAST(count(*) AS BIGINT)           AS frequency,
+             round(sum(o_totalprice), 2)        AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS m
+      FROM per_cust
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+           CAST(count(*) AS BIGINT)             AS n_customers,
+           CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/monetary "
+    "rollup, quartile scores via ntile (customer-key tiebreak makes the "
+    "quartiles deterministic), segment code r*100+f*10+m, and per-segment "
+    "population stats. One partial-agg shuffle on the customer key + three "
+    "windows over the CUSTOMER-level (already reduced) relation — the windows "
+    "never see fact-table rows, which is what keeps the global ntile sort "
+    "viable at 100 TB (customer count << order count) (SURVEY §2.5 extension)",
+    tags=("window", "agg"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m"),
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("bigint").alias("rfm_segment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        # decimal-exact sum cast once to double: no division before a
+        # 2dp round means no round-half boundary to disagree on
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("total_monetary"),
+    )
+
+
+# ------------------------------------------- embedding norm outliers
+
+NORM_MAD_K = 3.0
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 8) AS DECIMAL(28,8))
+                  ) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id, label
+    ),
+    med AS (SELECT median(nrm) AS m FROM norms),
+    mad AS (SELECT median(abs(n.nrm - med.m)) AS d FROM norms n, med)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN abs(n.nrm - med.m) > {NORM_MAD_K} * mad.d THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(min(n.nrm), 4) AS min_norm,
+           round(max(n.nrm), 4) AS max_norm
+    FROM norms n, med, mad
+    GROUP BY label
+    """,
+    doc="embedding L2-norm outlier audit: per-vector norms (8dp-quantized decimal "
+    f"sum of squares — order-independent), corpus median + MAD, vectors beyond "
+    f"{NORM_MAD_K}x MAD flagged per label — the degenerate-vector detector (zero/"
+    "exploding embeddings from a bad encoder batch) run before vectors enter an "
+    "index. Norms are one map-side pass; the median/MAD are two exact percentile "
+    "folds over the (vector-count-bounded) norm column "
+    "(north-star similarity / pipeline)",
+    tags=("similarity", "pipeline"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    x = F.col("x").cast("double")
+    norms = (
+        e.select("vec_id", "label", F.explode("embedding").alias("x"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(x * x, 8).cast("decimal(28,8)")).cast("double")
+            ).alias("nrm")
+        )
+    )
+    med = norms.agg(F.median("nrm").alias("m"))
+    with_med = norms.crossJoin(F.broadcast(med))
+    mad = with_med.agg(F.median(F.abs(F.col("nrm") - F.col("m"))).alias("d"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("m")) > NORM_MAD_K * F.col("d"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )

@@ -64,6 +64,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # len(PRIORITY) <= 50 so nothing can silently fall off the end again
 # (round 3 shipped q_bucketed_join at position 51 of a 50-row window).
 # Cumulative driver-green after this round: 192/192.
+#
+# ROUND-5 ROTATION TODO (do not edit PRIORITY mid-round-4 — the gate
+# runs on this head): round 4 added new never-driver-checked queries
+# (operators/curation.py end-to-end + stream_hopping_agg) and changed
+# tokenize_to_ids' implementation. Next round's head should be exactly
+# those names (~25) — they are the only registry entries without a
+# driver row once CORRECTNESS_r04 lands.
 PRIORITY: tuple[str, ...] = (
     # changed this round — re-verify first
     "dedup_embedding_cosine",

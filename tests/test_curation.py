@@ -212,3 +212,79 @@ def test_leakage_safe_split_has_no_straddling_cluster(spark, sf_dir):
     # and the aggregate view agrees with a direct count
     total = sum(r["n_docs"] for r in split_leakage_safe(spark, sf_dir).collect())
     assert total == d.count()
+
+
+def test_market_basket_topk_fuses_to_take_ordered(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import orders_market_basket
+
+    s = plan_of(orders_market_basket(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s  # top-k by lift, no global sort
+
+
+def test_pit_join_preserves_every_purchase(spark, sf_dir):
+    """Left-join semantics: each purchase appears in exactly one state
+    group (the 'none' group catches pre-first-state purchases)."""
+    from http_datafusion_spark.operators.curation import scd2_point_in_time_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    rows = scd2_point_in_time_join(spark, sf_dir).collect()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert all(r["state_at_purchase"] != "purchase" for r in rows)
+
+
+def test_ab_arms_are_deterministic_and_disjoint(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import events_ab_lift
+
+    r = events_ab_lift(spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n_users_a"] + r["n_users_b"] == n_users
+    assert 0 <= r["n_conv_a"] <= r["n_users_a"]
+    assert 0 <= r["n_conv_b"] <= r["n_users_b"]
+    # re-run must give the identical assignment (hash, not rand)
+    r2 = events_ab_lift(spark, sf_dir).collect()[0]
+    assert r.asDict() == r2.asDict()
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import orders_rfm_segmentation
+
+    rows = orders_rfm_segmentation(spark, sf_dir).collect()
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    assert sum(r["n_customers"] for r in rows) == o.select("o_custkey").distinct().count()
+    for r in rows:
+        seg = r["rfm_segment"]
+        assert 111 <= seg <= 444
+        assert all(1 <= int(d) <= 4 for d in str(seg))
+
+
+def test_boilerplate_counts_bounded(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import doc_boilerplate_detect
+
+    for r in doc_boilerplate_detect(spark, sf_dir).collect():
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+
+
+def test_norm_outliers_bounded(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import embedding_norm_outliers
+
+    rows = embedding_norm_outliers(spark, sf_dir).collect()
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    assert sum(r["n_vectors"] for r in rows) == e.count()
+    for r in rows:
+        assert r["n_outliers"] <= r["n_vectors"]
+        assert r["min_norm"] <= r["max_norm"]
+
+
+def test_pca_first_component_is_unit_and_stable(spark, sf_dir):
+    from http_datafusion_spark.operators.curation import embedding_pca_power_iteration
+
+    rows = embedding_pca_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r["pc1"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3  # normalized (rounding tolerance)
+    # deterministic: identical on re-run
+    again = {r["j"]: r["pc1"] for r in embedding_pca_power_iteration(spark, sf_dir).collect()}
+    assert all(again[r["j"]] == r["pc1"] for r in rows)
