@@ -1706,3 +1706,330 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+# ------------------------------------------- Pareto revenue analysis
+
+PARETO_TARGET = 0.8
+
+
+@query(
+    "orders_pareto_analysis",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS cum_rev,
+             count(*) OVER ()                                   AS n_cust,
+             CAST(sum(rev) OVER () AS DECIMAL(18,2))            AS total_rev
+      FROM per_cust
+    )
+    SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN CAST(cum_rev AS DOUBLE) >= {PARETO_TARGET} * CAST(total_rev AS DOUBLE)
+                         THEN rk END) AS BIGINT) AS n_for_80pct,
+           round(CAST(max(CASE WHEN rk * 10 <= n_cust THEN cum_rev END) AS DOUBLE)
+                 / CAST(max(total_rev) AS DOUBLE), 4) AS top10pct_share
+    FROM ranked
+    """,
+    doc=f"Pareto concentration analysis: customers ranked by revenue, cumulative "
+    f"share window, minimum head count covering {PARETO_TARGET:.0%} of revenue and "
+    "the revenue share of the top decile — the 80/20 report behind skew-aware "
+    "partitioning decisions. Revenue sums are exact DECIMAL (order-independent); "
+    "the windows run over the CUSTOMER-level rollup, never fact rows, so the "
+    "global sort is customer-bounded at any corpus size (SURVEY §2.5 extension)",
+    tags=("window", "agg"),
+)
+def orders_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy(F.desc("rev"), "o_custkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("rev").over(w_cum).cast("decimal(18,2)").alias("cum_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+        F.sum("rev").over(w_all).cast("decimal(18,2)").alias("total_rev"),
+    )
+    return ranked.agg(
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        F.min(
+            F.when(
+                F.col("cum_rev").cast("double")
+                >= PARETO_TARGET * F.col("total_rev").cast("double"),
+                F.col("rk"),
+            )
+        ).cast("bigint").alias("n_for_80pct"),
+        F.round(
+            F.max(F.when(F.col("rk") * 10 <= F.col("n_cust"), F.col("cum_rev"))).cast("double")
+            / F.max("total_rev").cast("double"),
+            4,
+        ).alias("top10pct_share"),
+    )
+
+
+# --------------------------------------- MinHash threshold sweep
+
+def _sweep_oracle() -> str:
+    from http_datafusion_spark.operators.dedup import N_BANDS, N_MINHASH, _minhash_signature_sql
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat(h{2 * j}, '_', h{2 * j + 1}) AS key FROM sig"
+        for j in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH sig AS ({_minhash_signature_sql()}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT ({matches}) AS n_match
+      FROM cand
+      JOIN sig a ON a.doc_id = doc_a
+      JOIN sig b ON b.doc_id = doc_b
+    ),
+    hist AS (
+      SELECT n_match, CAST(count(*) AS BIGINT) AS c FROM verified GROUP BY n_match
+    )
+    SELECT t.threshold,
+           round(t.threshold * 1.0 / {N_MINHASH}, 4) AS est_jaccard_min,
+           CAST(coalesce(sum(h.c), 0) AS BIGINT)     AS n_pairs
+    FROM (SELECT unnest(range({N_MINHASH // 2}, {N_MINHASH + 1})) AS threshold) t
+    LEFT JOIN hist h ON h.n_match >= t.threshold
+    GROUP BY t.threshold
+    """
+
+
+@query(
+    "dedup_minhash_threshold_sweep",
+    oracle=_sweep_oracle(),
+    doc="dedup threshold calibration in ONE pass: the LSH candidates are verified "
+    "once, histogrammed by signature agreement, and the (threshold -> surviving "
+    "pair count) curve is read off the cumulative histogram — the sweep an "
+    "operator runs to pick its Jaccard cutoff WITHOUT re-running the expensive "
+    "candidate generation per setting. The histogram is (k+1)-row bounded, so "
+    "every threshold after the first is free (north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import N_MINHASH, dedup_minhash_pairs
+
+    # est_jaccard = n_match / N_MINHASH from the verified pairs (the
+    # registry query already filters at the N_MINHASH//2 floor)
+    verified = dedup_minhash_pairs(spark, sf_dir).select(
+        F.round(F.col("est_jaccard") * N_MINHASH).cast("int").alias("n_match")
+    )
+    hist = verified.groupBy("n_match").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    thresholds = spark.range(N_MINHASH // 2, N_MINHASH + 1).select(
+        F.col("id").cast("int").alias("threshold")
+    )
+    return (
+        thresholds.join(
+            F.broadcast(hist), F.col("n_match") >= F.col("threshold"), "left"
+        )
+        .groupBy("threshold")
+        .agg(
+            F.round(F.col("threshold") * 1.0 / N_MINHASH, 4).alias("est_jaccard_min"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        )
+        .select("threshold", "est_jaccard_min", "n_pairs")
+    )
+
+
+# --------------------------------------- Zipf fit of the vocabulary
+
+ZIPF_V = 200  # fit over the top-V frequency ranks
+
+
+def _zipf_oracle() -> str:
+    q6 = "CAST(round({x}, 6) AS DECIMAL(28,6))"
+    return f"""
+    WITH uni AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    topv AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM uni GROUP BY word ORDER BY freq DESC, word LIMIT {ZIPF_V}
+    ),
+    pts AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM topv
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({q6.format(x='x')}) AS DOUBLE)     AS sx,
+             CAST(sum({q6.format(x='y')}) AS DOUBLE)     AS sy,
+             CAST(sum({q6.format(x='x * x')}) AS DOUBLE) AS sxx,
+             CAST(sum({q6.format(x='x * y')}) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+    FROM s
+    """
+
+
+@query(
+    "text_zipf_fit",
+    oracle=_zipf_oracle(),
+    doc=f"Zipf's-law fit: least-squares slope of ln(freq) vs ln(rank) over the "
+    f"top-{ZIPF_V} vocabulary — natural text sits near slope -1; far-off slopes "
+    "flag templated/generated corpora (a distribution-level quality signal no "
+    "per-doc score sees). One vocab aggregation bounded by V, then closed-form "
+    "regression over 6dp-quantized decimal sums so both engines agree bit-for-bit "
+    "(north-star text analysis)",
+    tags=("text", "agg"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    topv = (
+        uni.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(ZIPF_V)
+    )
+    pts = topv.select(
+        F.log(F.row_number().over(W.orderBy(F.desc("freq"), "word")).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+
+    def q6(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q6(F.col("x"))).cast("double").alias("sx"),
+        F.sum(q6(F.col("y"))).cast("double").alias("sy"),
+        F.sum(q6(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(q6(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+# --------------------------------------- ANN recall curve
+
+RECALL_KS = (1, 5, 10)
+
+
+def _recall_curve_oracle() -> str:
+    from http_datafusion_spark.operators.similarity import (
+        _DOT_SQL,
+        _IVF_ASSIGN_SQL,
+        N_PROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    ks = ", ".join(str(k) for k in RECALL_KS)
+    return f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (
+      SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ), probe AS (
+      SELECT cid
+      FROM cents, q
+      ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+               i -> (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                  * (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))), cid
+      LIMIT {N_PROBE}
+    ), exact AS (
+      SELECT e.vec_id, row_number() OVER (
+               ORDER BY {_DOT_SQL.format(a='e.embedding', b='qv')} / (e.nrm * qn) DESC, e.vec_id
+             ) AS rk
+      FROM e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      QUALIFY rk <= {TOP_K}
+    ), approx AS (
+      SELECT a.vec_id, row_number() OVER (
+               ORDER BY {_DOT_SQL.format(a='a.embedding', b='qv')} / (a.nrm * qn) DESC, a.vec_id
+             ) AS rk
+      FROM assigned a, q
+      WHERE a.bucket IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
+      QUALIFY rk <= {TOP_K}
+    )
+    SELECT k.k,
+           CAST(count(*) FILTER (approx.rk <= k.k AND exact.rk <= k.k) AS BIGINT) AS n_hits,
+           round(count(*) FILTER (approx.rk <= k.k AND exact.rk <= k.k) * 1.0 / k.k, 6) AS recall_at_k
+    FROM (SELECT unnest([{ks}]) AS k) k
+    LEFT JOIN approx ON true
+    LEFT JOIN exact ON approx.vec_id = exact.vec_id
+    GROUP BY k.k
+    """
+
+
+@query(
+    "embedding_recall_curve",
+    oracle=_recall_curve_oracle(),
+    doc=f"ANN recall CURVE: recall@k for k in {RECALL_KS} of the IVF probe against "
+    "the exact ranking, all from the two already-ranked top-k lists — the full "
+    "quality profile (recall@1 is what a rerank stage needs; recall@10 is what a "
+    "candidate generator needs), measured in one plan with no extra scans beyond "
+    "sim_ivf_recall's (north-star similarity)",
+    tags=("similarity",),
+)
+def embedding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from http_datafusion_spark.operators.similarity import (
+        _ivf_topk_impl,
+        sim_bruteforce_topk,
+    )
+
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "vec_id", F.row_number().over(W.orderBy(F.desc("cosine"), "vec_id")).alias("e_rk")
+    )
+    approx = _ivf_topk_impl(spark, sf_dir).select(
+        F.col("vec_id").alias("a_id"),
+        F.row_number().over(W.orderBy(F.desc("cosine"), "vec_id")).alias("a_rk"),
+    )
+    ks = spark.createDataFrame([(k,) for k in RECALL_KS], ["k"]).select(
+        F.col("k").cast("bigint").alias("k")
+    )
+    joined = approx.join(exact, approx["a_id"] == exact["vec_id"], "left")
+    return (
+        ks.crossJoin(F.broadcast(joined))
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when((F.col("a_rk") <= F.col("k")) & (F.col("e_rk") <= F.col("k")), 1)
+            ).cast("bigint").alias("n_hits"),
+            F.round(
+                F.count(
+                    F.when((F.col("a_rk") <= F.col("k")) & (F.col("e_rk") <= F.col("k")), 1)
+                )
+                * 1.0
+                / F.col("k"),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
