@@ -418,3 +418,49 @@ def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+ERROR_RATE_ALERT = 0.3
+
+
+@query(
+    "stream_error_alert",
+    oracle=f"""
+    WITH per_window AS (
+      SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket_10m,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT bucket_10m, n_events, n_errors,
+           round(n_errors * 1.0 / n_events, 4) AS error_rate,
+           (n_errors * 1.0 / n_events > {ERROR_RATE_ALERT}) AS alert
+    FROM per_window
+    """,
+    doc="Structured Streaming error-rate alerting: tumbling 10-minute windows "
+    f"compute per-window error fraction; windows above {ERROR_RATE_ALERT:.0%} carry an "
+    "alert flag == batch twin. The monitoring shape an ingest pipeline runs "
+    "beside itself: state is one (count, error-count) pair per open window, "
+    "bounded by the watermark horizon regardless of stream length "
+    "(streaming extension; SURVEY §2.9)",
+    tags=("streaming",),
+)
+def stream_error_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    rate = F.col("n_errors") * 1.0 / F.col("n_events")
+    return out.select(
+        F.floor(F.unix_timestamp("w.start") / 600).cast("bigint").alias("bucket_10m"),
+        F.col("n_events").cast("bigint"),
+        F.col("n_errors").cast("bigint"),
+        F.round(rate, 4).alias("error_rate"),
+        (rate > ERROR_RATE_ALERT).alias("alert"),
+    )

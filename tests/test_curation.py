@@ -288,3 +288,32 @@ def test_pca_first_component_is_unit_and_stable(spark, sf_dir):
     # deterministic: identical on re-run
     again = {r["j"]: r["pc1"] for r in embedding_pca_power_iteration(spark, sf_dir).collect()}
     assert all(again[r["j"]] == r["pc1"] for r in rows)
+
+
+def test_kmv_merge_equals_global_sketch(spark, sf_dir):
+    """KMV mergeability on real data: the min-k of the UNION of the
+    per-source k-minimum sets must equal the k-minimum set computed
+    globally — the property that makes KMV a one-pass partial
+    aggregate (each partition ships <= k values to the merge)."""
+    from http_datafusion_spark.functions.hashing import md5_int
+    from http_datafusion_spark.operators.curation import KMV_K, _H_NORM
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)
+    d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
+    hashed = (
+        sh.join(d, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .select("source", "shingle", (md5_int(F.col("shingle")) / F.lit(_H_NORM)).alias("h"))
+    )
+    rows = hashed.collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r["source"], set()).add((r["h"], r["shingle"]))
+    union_of_sketches = set()
+    for vals in per_source.values():
+        union_of_sketches |= set(sorted(vals)[:KMV_K])
+    merged = sorted(union_of_sketches)[:KMV_K]
+    global_k = sorted({(r["h"], r["shingle"]) for r in rows})[:KMV_K]
+    assert merged == global_k
