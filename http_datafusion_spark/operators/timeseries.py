@@ -344,6 +344,28 @@ MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
     f"100 TB is the one genuinely hard op here — the approx path is q_agg_approx's "
     f"percentile sketch; this row is the exact small-keyspace form)",
     tags=("timeseries", "bench"),
+    # Proxy-bench formulation (fair-baseline policy, see BASELINE.md):
+    # the window-median in the ANSI oracle re-sorts each partition per
+    # row group and grew x9 on x5 data in DuckDB; the keyed GROUP BY
+    # median + join is the plan DuckDB would want (2.4 s vs 5.6 s at
+    # sf5, result-identical — asserted with the other bench_oracle
+    # variants in tests/test_approx_and_misc.py).
+    bench_oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           round(max(m.med), 4) AS med,
+           round(max(d.mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN med m USING (event_type) JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
 )
 def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
