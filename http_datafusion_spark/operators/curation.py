@@ -2033,3 +2033,46 @@ def embedding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------- cross-source duplication matrix
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source)    AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           CAST(count(*) AS BIGINT)       AS n_dup_pairs,
+           round(avg(p.est_jaccard), 4)   AS avg_est_jaccard
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.doc_a
+    JOIN src sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+    doc="cross-source duplication matrix: near-dup pairs attributed to their "
+    "(source, source) cell — WHICH feeds copy from which (mirror sites, "
+    "aggregators, within-source boilerplate). The attribution is two broadcast "
+    "joins of the doc->source dimension onto the (sub-quadratic) pair list and a "
+    "|sources|^2-bounded aggregation; the symmetric cell is canonicalized with "
+    "least/greatest so each pair counts once (north-star dedup / analytics)",
+    tags=("dedup", "agg"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+            F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+        )
+    )

@@ -464,3 +464,53 @@ def stream_error_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 4).alias("error_rate"),
         (rate > ERROR_RATE_ALERT).alias("alert"),
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@query(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_1h,
+             user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4)     AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_1h, user_id, n, total_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY bucket_1h
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM counts
+    ) WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+    doc=f"streaming top-{TOPK_PER_WINDOW} heavy users per hourly window: the "
+    "windowed (window, user) counts aggregate in the stream (state = one counter "
+    "pair per open pane per user, watermark-bounded); the top-k selection ranks "
+    "the COMPLETE-mode sink output — the serving-layer pattern, since cross-row "
+    "ranking inside an unfinished window is unstable by definition == batch twin "
+    "(streaming extension; SURVEY §2.9 + §2.5)",
+    tags=("streaming",),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_to_memory(agg, "complete")
+    counts = out.select(
+        F.floor(F.unix_timestamp("w.start") / 3600).cast("bigint").alias("bucket_1h"),
+        "user_id",
+        F.col("n").cast("bigint"),
+        "total_value",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("bucket_1h").orderBy(F.desc("n"), "user_id")
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW).drop("rk")
