@@ -2076,3 +2076,102 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
         )
     )
+
+
+# --------------------------------------------- k-anonymity audit
+
+KANON_K = 5
+
+
+@query(
+    "privacy_kanonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cell_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT)                                    AS n_cells,
+           CAST(sum(CASE WHEN cell_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_cells,
+           CAST(sum(CASE WHEN cell_size < {KANON_K} THEN cell_size ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+           CAST(min(cell_size) AS BIGINT)                              AS min_cell,
+           round(sum(CASE WHEN cell_size < {KANON_K} THEN cell_size ELSE 0 END) * 1.0
+                 / sum(cell_size), 6)                                  AS at_risk_frac
+    FROM cells
+    """,
+    doc=f"k-anonymity audit (k={KANON_K}) over the quasi-identifier tuple "
+    "(nation, market segment): equivalence-class sizes via one partial-agg "
+    "shuffle, then the release gate — how many classes (and rows) are "
+    "re-identifiable below k. The pre-publication privacy check a dataset "
+    "release pipeline runs; the cell table is QI-cardinality-bounded so the "
+    "audit output is tiny at any corpus size (north-star pipeline / privacy)",
+    tags=("pipeline", "agg"),
+)
+def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_size")
+    )
+    small = F.col("cell_size") < KANON_K
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("n_violating_cells"),
+        F.sum(F.when(small, F.col("cell_size")).otherwise(0)).cast("bigint").alias("n_at_risk_rows"),
+        F.min("cell_size").cast("bigint").alias("min_cell"),
+        F.round(
+            F.sum(F.when(small, F.col("cell_size")).otherwise(0)) * 1.0 / F.sum("cell_size"), 6
+        ).alias("at_risk_frac"),
+    )
+
+
+# --------------------------------------- language-ID evaluation
+
+from http_datafusion_spark.operators.text import _EN_STOPWORDS  # noqa: E402
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             CAST(len(list_filter(words, w -> list_contains({list(_EN_STOPWORDS)!r}, w))) AS DOUBLE)
+               / greatest(len(words), 1) AS en_score,
+             CAST(len(list_filter(words, w -> length(w) > 6)) AS DOUBLE)
+               / greatest(len(words), 1) AS long_word_ratio
+      FROM t
+    )
+    SELECT lang            AS actual_lang,
+           CASE WHEN en_score >= 0.05 THEN 'en-like'
+                WHEN long_word_ratio >= 0.4 THEN 'agglutinative-like'
+                ELSE 'other' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="language-ID EVALUATION: the lang-guess heuristic cross-tabulated against "
+    "the ground-truth lang column — the confusion matrix a classifier-driven "
+    "filter stage must publish before it gates data (silently dropping an "
+    "underrepresented language is a dataset bug, not a quality win). Map-side "
+    "scoring + one |langs x guesses|-bounded aggregation "
+    "(north-star text analysis / evaluation)",
+    tags=("text", "agg"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = d.select("lang", whitespace_tokens(F.lower(F.col("text"))).alias("lw"))
+    words = F.col("lw")
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    denom = F.greatest(F.size(words), F.lit(1)).cast("double")
+    en_score = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / denom
+    long_ratio = F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("double") / denom
+    guess = (
+        F.when(en_score >= 0.05, "en-like")
+        .when(long_ratio >= 0.4, "agglutinative-like")
+        .otherwise("other")
+    )
+    return d.select(F.col("lang").alias("actual_lang"), guess.alias("predicted")).groupBy(
+        "actual_lang", "predicted"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
