@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline (bench-tagged) queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints JSON to stdout, LAST line compact:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "value_min": ..., "sf": <sf>}
+
+(The per-query variance band is a separate, preceding JSON line — the
+driver's bounded tail capture parses the last line, and round 4 showed
+a single band-bearing line outgrows that window: BENCH_r04 recorded
+parsed:null. Every stdout line is valid JSON on its own.)
 
 Each query is timed to FULL materialization: a noop-format write,
 which evaluates every output expression on every row and discards the
@@ -88,6 +93,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     total_min = round(sum(b[0] for b in bands.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two stdout lines, BOTH valid JSON. The driver tail-captures stdout
+    # with a bounded window and parses the LAST line, so the last line
+    # must stay compact: headline + per-query medians only. The variance
+    # band (3 floats per query — what overflowed the window and left
+    # BENCH_r04 with parsed:null) goes on its own preceding line.
+    print(json.dumps({"detail": "per_query_band_min_median_max", "band": bands, "sf": sf_val}))
     print(
         json.dumps(
             {
@@ -95,10 +107,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "band": bands,
                 "value_min": total_min,
                 "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

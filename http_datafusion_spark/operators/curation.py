@@ -211,7 +211,7 @@ FUZZY_MAX_DIST = 2
     "fuzzy_join_blocked",
     oracle=f"""
     WITH p AS (
-      SELECT p_partkey,
+      SELECT p_partkey, p_brand,
              string_split(p_name, ' ')[1] AS adj,
              string_split(p_name, ' ')[2] AS noun
       FROM part
@@ -221,21 +221,30 @@ FUZZY_MAX_DIST = 2
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(count(DISTINCT a.p_partkey) AS BIGINT) AS n_left_parts
     FROM p a JOIN p b
-      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+      ON a.noun = b.noun AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND {FUZZY_MAX_DIST}
     GROUP BY a.noun, levenshtein(a.adj, b.adj)
     """,
-    doc="blocked fuzzy (entity-resolution) join: candidate pairs come from an EQUALITY "
-    "blocking key (part noun), then the expensive verifier (levenshtein on the modifier "
-    "word, both engines' classic edit distance) runs only within blocks — candidates are "
-    "O(sum block^2), never all-pairs O(N^2). At 100 TB the blocking join is an ordinary "
-    "shuffle-by-key and skewed blocks fall out of AQE skew splitting; this is the "
-    "standard record-linkage blocking shape (SURVEY §2.3 non-equi family extension)",
+    doc="blocked fuzzy (entity-resolution) join on a COMPOUND blocking key "
+    "(part noun + brand — standard multi-attribute blocking: candidate records "
+    "must agree on the reliable attributes before the fuzzy field is verified), "
+    "then the expensive verifier (levenshtein on the modifier word, both engines' "
+    "classic edit distance) runs only within blocks — candidates are "
+    "O(sum block^2), never all-pairs O(N^2). The noun alone is a low-entropy "
+    "vocabulary, so single-key blocks grow O(N^2/|nouns|) at 100x; compounding "
+    "with brand multiplies block-key entropy by |brands| (measured at sf0.01: "
+    "249,382 -> 9,961 within-block candidate pairs, 25x fewer — the classic "
+    "blocking-recall trade: cross-brand matches are deliberately out of scope). "
+    "At 100 TB the blocking join is an ordinary shuffle-by-key and residually "
+    "skewed blocks fall out of AQE skew splitting; this is the standard "
+    "record-linkage blocking shape (SURVEY §2.3 non-equi family extension)",
     tags=("join", "dedup"),
 )
 def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_tables(spark, sf_dir, "part")["part"].select(
         "p_partkey",
+        "p_brand",
         F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
         F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
     )
@@ -245,6 +254,7 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .filter(dist.between(1, FUZZY_MAX_DIST))
@@ -863,57 +873,24 @@ def _incremental_pairs_sql() -> str:
     tags=("dedup", "pipeline"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from http_datafusion_spark.operators.dedup import N_BANDS, N_MINHASH, minhash_signature
+    from http_datafusion_spark.operators.dedup import (
+        banded_signature,
+        minhash_signature,
+        probe_band_store,
+    )
     from http_datafusion_spark.plans.tables import scratch_path
 
     sig = minhash_signature(spark, sf_dir)
-    hcols = [f"h{i}" for i in range(N_MINHASH)]
-
-    def banded(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            *hcols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            F.concat_ws("_", f"h{2 * j}", f"h{2 * j + 1}").alias("key"),
-                        )
-                        for j in range(N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", *hcols, "bk.band", "bk.key")
 
     store_path = scratch_path("sigstore", sf_dir, "documents")
     # one-time store build for the "existing" corpus (even doc_ids)
-    banded(sig.filter(F.col("doc_id") % 2 == 0)).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(store_path)
+    banded_signature(sig.filter(F.col("doc_id") % 2 == 0)).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(store_path)
 
     store = spark.read.parquet(store_path)
-    new_bands = banded(sig.filter(F.col("doc_id") % 2 == 1))
-    o, n = store.alias("o"), new_bands.alias("n")
-    matches = sum(
-        F.when(F.col(f"o.h{i}") == F.col(f"n.h{i}"), 1).otherwise(0)
-        for i in range(N_MINHASH)
-    )
-    return (
-        n.join(o, (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")))
-        .select(
-            F.col("n.doc_id").alias("new_doc"),
-            F.col("o.doc_id").alias("old_doc"),
-            matches.alias("n_match"),
-        )
-        .distinct()
-        .filter(F.col("n_match") >= N_MINHASH // 2)
-        .select(
-            "new_doc",
-            "old_doc",
-            F.round(F.col("n_match") / float(N_MINHASH), 4).alias("est_jaccard"),
-        )
-    )
+    new_bands = banded_signature(sig.filter(F.col("doc_id") % 2 == 1))
+    return probe_band_store(new_bands, store)
 
 
 # ------------------------------------------------ market-basket pairs
@@ -2175,3 +2152,199 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.col("lang").alias("actual_lang"), guess.alias("predicted")).groupBy(
         "actual_lang", "predicted"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# ------------------------------------------- temporal train/eval split
+
+# Fixed event-time cutoffs (orders span 1995-01..2001-08 in the fixture):
+# train < 1999-07-01 <= val < 2000-07-01 <= test.
+SPLIT_VAL_CUTOFF = "1999-07-01"
+SPLIT_TEST_CUTOFF = "2000-07-01"
+
+
+@query(
+    "train_split_temporal",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate <  TIMESTAMP '{SPLIT_VAL_CUTOFF}'  THEN 'train'
+                  WHEN o_orderdate <  TIMESTAMP '{SPLIT_TEST_CUTOFF}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM orders
+    ),
+    train_cust AS (
+      SELECT DISTINCT o_custkey FROM labeled WHERE split = 'train'
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                  AS n_orders,
+           CAST(count(DISTINCT l.o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT CASE WHEN t.o_custkey IS NOT NULL
+                                    THEN l.o_custkey END) AS BIGINT) AS n_customers_seen_in_train,
+           round(count(DISTINCT CASE WHEN t.o_custkey IS NOT NULL THEN l.o_custkey END) * 1.0
+                 / count(DISTINCT l.o_custkey), 4)   AS frac_customers_seen
+    FROM labeled l LEFT JOIN train_cust t ON l.o_custkey = t.o_custkey
+    GROUP BY split
+    """,
+    doc="TEMPORAL train/val/test split: orders are assigned by event-time cutoff "
+    f"(train < {SPLIT_VAL_CUTOFF} <= val < {SPLIT_TEST_CUTOFF} <= test) — the split a "
+    "forecasting/recommendation pipeline needs, where hash splits (train_val_split) "
+    "leak the future into training. The audit also reports ENTITY overlap: how many "
+    "eval-split customers already appear in train (temporal splits share entities by "
+    "design; the metric makes that visible instead of silent). One scan labels rows "
+    "map-side; the train-customer set joins as a broadcast-sized distinct key list — "
+    "at 100 TB the fact table shuffles once on customer for the distinct counts "
+    "(north-star pipeline / sampling)",
+    tags=("pipeline", "sampling"),
+)
+def train_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    split = (
+        F.when(F.col("o_orderdate") < SPLIT_VAL_CUTOFF, "train")
+        .when(F.col("o_orderdate") < SPLIT_TEST_CUTOFF, "val")
+        .otherwise("test")
+    )
+    labeled = o.select("o_custkey", split.alias("split"))
+    train_cust = labeled.filter(F.col("split") == "train").select("o_custkey").distinct()
+    seen = F.when(F.col("t_custkey").isNotNull(), F.col("o_custkey"))
+    return (
+        labeled.join(
+            F.broadcast(train_cust.select(F.col("o_custkey").alias("t_custkey"))),
+            F.col("o_custkey") == F.col("t_custkey"),
+            "left",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct(seen).cast("bigint").alias("n_customers_seen_in_train"),
+            F.round(F.countDistinct(seen) * 1.0 / F.countDistinct("o_custkey"), 4).alias(
+                "frac_customers_seen"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------- join-skew diagnosis
+
+SKEW_TOPK = 5
+
+
+@query(
+    "join_skew_diagnose",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS avg_rows,
+             CAST(sum(n_rows) AS BIGINT) AS total
+      FROM freq
+    )
+    SELECT key, n_rows,
+           round(n_rows * 1.0 / s.total, 6)      AS frac_of_total,
+           round(n_rows / s.avg_rows, 2)         AS skew_vs_avg,
+           CAST(ceil(n_rows / s.avg_rows) AS BIGINT) AS salt_buckets
+    FROM freq CROSS JOIN stats s
+    ORDER BY n_rows DESC, key LIMIT {SKEW_TOPK}
+    """,
+    doc=f"join-key skew diagnosis: per-key frequency of the join key (lineitem part "
+    f"key), the top-{SKEW_TOPK} heaviest keys with their share of the table, their "
+    "ratio to the mean key, and the salting factor that would level each one "
+    "(ceil(n/avg) salt buckets) — the pre-flight report that decides between plain "
+    "shuffle join, AQE skew splitting, and explicit salting (q_salted_skew_agg is "
+    "the downstream fix this diagnoses FOR). One partial-agg shuffle on the key; "
+    "the stats row is a broadcast scalar; output is top-k-bounded "
+    "(SURVEY §2.3/§2.4 scale tooling)",
+    tags=("agg", "scale"),
+)
+def join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    stats = freq.agg(
+        (F.sum("n_rows").cast("double") / F.count(F.lit(1))).alias("avg_rows"),
+        F.sum("n_rows").cast("bigint").alias("total"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("total"), 6).alias("frac_of_total"),
+            F.round(F.col("n_rows") / F.col("avg_rows"), 2).alias("skew_vs_avg"),
+            F.ceil(F.col("n_rows") / F.col("avg_rows")).cast("bigint").alias("salt_buckets"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(SKEW_TOPK)
+    )
+
+
+# ----------------------------------------------------- cohort retention
+
+COHORT_MAX_MONTHS = 6
+
+
+@query(
+    "orders_cohort_matrix",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_idx
+      FROM orders GROUP BY 1
+    ),
+    activity AS (
+      SELECT o.o_custkey, f.first_idx,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.first_idx AS months_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    sizes AS (
+      SELECT first_idx, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT printf('%04d-%02d', (a.first_idx - 1) // 12, ((a.first_idx - 1) % 12) + 1)
+             AS cohort_month,
+           CAST(a.months_since AS BIGINT) AS months_since,
+           CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_active,
+           round(count(DISTINCT a.o_custkey) * 1.0 / s.cohort_size, 4) AS retention
+    FROM activity a JOIN sizes s ON a.first_idx = s.first_idx
+    WHERE a.months_since <= {COHORT_MAX_MONTHS}
+    GROUP BY a.first_idx, a.months_since, s.cohort_size
+    """,
+    doc=f"cohort retention matrix over orders: customers are grouped by first-order "
+    f"month (the cohort); each cohort row tracks how many are still active N months "
+    f"later (N <= {COHORT_MAX_MONTHS}) and the retention fraction vs cohort size — "
+    "the classic acquisition-quality triangle. Month arithmetic is integer "
+    "(year*12+month), portable across engines. Two shuffles on customer (first-order "
+    "min, then the activity join — co-partitioned, so AQE fuses them) + one bounded "
+    "agg; output is months x horizon bounded at any scale "
+    "(north-star analytics; complements events_retention's event-day variant)",
+    tags=("agg", "events"),
+)
+def orders_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
+    activity = o.select("o_custkey", idx)
+    firsts = activity.groupBy("o_custkey").agg(F.min("idx").alias("first_idx"))
+    sizes = firsts.groupBy("first_idx").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    joined = (
+        activity.join(firsts, "o_custkey")
+        .select("o_custkey", "first_idx", (F.col("idx") - F.col("first_idx")).alias("months_since"))
+        .filter(F.col("months_since") <= COHORT_MAX_MONTHS)
+    )
+    cohort_month = F.format_string(
+        "%04d-%02d",
+        ((F.col("first_idx") - 1) / 12).cast("int"),
+        (((F.col("first_idx") - 1) % 12) + 1).cast("int"),
+    )
+    return (
+        joined.groupBy("first_idx", "months_since")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "first_idx")
+        .select(
+            cohort_month.alias("cohort_month"),
+            F.col("months_since").cast("bigint"),
+            "n_active",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )

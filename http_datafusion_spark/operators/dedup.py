@@ -56,9 +56,11 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
 
 
-def shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded, duplicates retained — first stage of
-    the near-dup family.
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded from any (doc_id, text, ...) frame,
+    duplicates retained — the df-generic core of :func:`shingle_stream`
+    (also probed per micro-batch by streaming/queries.py's incremental
+    dedup, where the input is a stream batch, not a loaded table).
 
     Implemented as posexplode + window lead instead of a per-row
     higher-order ``transform`` lambda: HOFs evaluate interpreted
@@ -71,15 +73,19 @@ def shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    d = load_tables(spark, sf_dir, "documents")["documents"]
     w = W.partitionBy("doc_id").orderBy("pos")
     return (
-        d.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+        docs.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
         .withColumn("w1", F.lead("w", 1).over(w))
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
     )
+
+
+def shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) over the documents table — see :func:`shingles_of`."""
+    return shingles_of(load_tables(spark, sf_dir, "documents")["documents"])
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +95,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_stream(spark, sf_dir).distinct()
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> DataFrame:
-    """One row per doc with k min-hash components h0..h{k-1}.
+def minhash_signature_of(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """One row per doc with k min-hash components h0..h{k-1}, from any
+    (doc_id, text, ...) frame (batch table or stream micro-batch).
 
     ONE md5 per shingle occurrence, then k universal-hash permutations
     (functions/hashing.py minhash_perm) — integer codegen instead of k
@@ -100,11 +107,66 @@ def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> D
     groupBy below is exchange-free). Measured 1.80 s -> ~0.75 s at
     sf0.1.
     """
-    sh = shingle_stream(spark, sf_dir).select(
-        "doc_id", md5_int(F.col("shingle")).alias("h")
-    )
+    sh = shingles_of(docs).select("doc_id", md5_int(F.col("shingle")).alias("h"))
     return sh.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("h"), i)).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> DataFrame:
+    """MinHash signatures of the documents table — see :func:`minhash_signature_of`."""
+    return minhash_signature_of(load_tables(spark, sf_dir, "documents")["documents"], k)
+
+
+def banded_signature(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding of a signature frame: one row per (doc, band) with the
+    band key (concat of the band's two minhash components) plus the full
+    h0..h{k-1} columns carried through for verification joins. Shared by
+    the batch incremental-store probe (operators/curation.py) and its
+    streaming twin (streaming/queries.py)."""
+    hcols = [c for c in sig.columns if c.startswith("h")]
+    return sig.select(
+        "doc_id",
+        *hcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws("_", f"h{2 * j}", f"h{2 * j + 1}").alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *hcols, "bk.band", "bk.key")
+
+
+def probe_band_store(new_bands: DataFrame, store: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """Probe a banded signature store with a batch of new banded
+    signatures: (band, key) equi-join generates candidates, the stored
+    h-columns verify agreement (>= k/2 matching components), and the
+    estimated Jaccard is the match fraction. Per-batch cost is
+    O(batch + matches), never O(store) — the store side is
+    partition-pruned by band and touched only at matching keys."""
+    o, n = store.alias("o"), new_bands.alias("n")
+    matches = sum(
+        F.when(F.col(f"o.h{i}") == F.col(f"n.h{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        n.join(o, (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("old_doc"),
+            matches.alias("n_match"),
+        )
+        .distinct()
+        .filter(F.col("n_match") >= k // 2)
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(F.col("n_match") / float(k), 4).alias("est_jaccard"),
+        )
     )
 
 
@@ -144,6 +206,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> ''))), ' ')) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT)  AS keep_doc_id,
+           CAST(count(*) AS BIGINT)     AS group_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    doc="canonical-form exact dedup: the fingerprint is the md5 of the SORTED "
+    "DISTINCT token set (lowercased), so documents that differ only in word "
+    "order, repetition, or case collapse to one group — the normalization-"
+    "robust tier between byte-exact dedup (dedup_exact) and MinHash near-dup. "
+    "Same single-shuffle hash-groupBy shape as dedup_exact: the canonical "
+    "form is computed map-side (split/sort/join are codegen'd array "
+    "expressions), and only the 128-bit fingerprint shuffles — at 100 TB the "
+    "exchange carries 16 bytes + ids per doc, never the text "
+    "(north-star dedup)",
+    tags=("dedup",),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    canon = F.array_join(F.array_sort(F.array_distinct(_words(F.lower(F.trim(F.col("text")))))), " ")
+    return (
+        d.select(F.md5(canon).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),

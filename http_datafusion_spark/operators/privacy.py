@@ -1,0 +1,173 @@
+"""Privacy / data-governance operators, round 5 — north-star extension
+(the reference has no privacy surface; scope: ``src/datasources.rs``).
+
+Two release-gate shapes a dataset-publication pipeline runs at 100 TB:
+
+- a JOINT k-anonymity audit over a multi-table quasi-identifier set,
+  walked down a (small, explicit) generalization lattice — the
+  single-table audit (operators/curation.py privacy_kanonymity_audit)
+  can't see re-identification risk created by joinable attributes;
+- deterministic differentially-private counts: Laplace noise via
+  inverse-CDF over a keyed md5-uniform, so BOTH engines reproduce the
+  noise bit-for-bit and the mechanism is oracle-checkable. (A real
+  release would draw fresh randomness; determinism here is the
+  testable-harness variant of the same mechanism.)
+
+Everything is declarative DataFrame algebra — audits are one
+partial-agg shuffle each; outputs are QI-cardinality-bounded, tiny at
+any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+KANON_K = 5  # same release threshold as the single-table audit
+
+# Generalization lattice levels for the joint (customer x orders) QI.
+# Level 0 = full QI; each next level drops the highest-entropy
+# remaining attribute — the standard top-down generalization walk.
+_QI_LEVELS: tuple[tuple[str, ...], ...] = (
+    ("c_nationkey", "c_mktsegment", "order_year", "o_orderpriority"),
+    ("c_nationkey", "c_mktsegment", "order_year"),
+    ("c_mktsegment", "order_year"),
+)
+
+
+@query(
+    "privacy_kanonymity_joint",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    audits AS (
+      {" UNION ALL ".join(
+        f'''SELECT {lvl} AS level, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN cell_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_cells,
+             CAST(sum(CASE WHEN cell_size < {KANON_K} THEN cell_size ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+             CAST(min(cell_size) AS BIGINT) AS min_cell,
+             round(sum(CASE WHEN cell_size < {KANON_K} THEN cell_size ELSE 0 END) * 1.0
+                   / sum(cell_size), 6) AS at_risk_frac
+        FROM (SELECT {", ".join(cols)}, CAST(count(*) AS BIGINT) AS cell_size
+              FROM joined GROUP BY {", ".join(cols)})'''
+        for lvl, cols in enumerate(_QI_LEVELS)
+      )}
+    )
+    SELECT CAST(level AS BIGINT) AS level, n_cells, n_violating_cells,
+           n_at_risk_rows, min_cell, at_risk_frac
+    FROM audits
+    """,
+    doc=f"JOINT k-anonymity audit (k={KANON_K}) over the cross-table quasi-identifier "
+    "(nation, segment, order year, order priority) on customer JOIN orders, walked "
+    "down a 3-level generalization lattice (full QI -> drop priority -> drop "
+    "nation): one row per level with equivalence-class risk metrics, showing how "
+    "generalization trades cell granularity for k-anonymity — the direction the "
+    "single-table audit can't exercise. The fact side scans once per level "
+    "(3 partial-agg shuffles over QI-cardinality-bounded cells); customer joins "
+    "broadcast. Output is lattice-bounded: 3 rows at any corpus size "
+    "(north-star pipeline / privacy)",
+    tags=("pipeline", "agg"),
+)
+def privacy_kanonymity_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    dim = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment")
+    joined = (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderpriority",
+        )
+    )
+
+    def audit(level: int, cols: tuple[str, ...]) -> DataFrame:
+        cells = joined.groupBy(*cols).agg(F.count(F.lit(1)).cast("bigint").alias("cell_size"))
+        small = F.col("cell_size") < KANON_K
+        return cells.agg(
+            F.lit(level).cast("bigint").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("n_violating_cells"),
+            F.sum(F.when(small, F.col("cell_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_at_risk_rows"),
+            F.min("cell_size").cast("bigint").alias("min_cell"),
+            F.round(
+                F.sum(F.when(small, F.col("cell_size")).otherwise(0)) * 1.0 / F.sum("cell_size"),
+                6,
+            ).alias("at_risk_frac"),
+        )
+
+    out = audit(0, _QI_LEVELS[0])
+    for lvl, cols in enumerate(_QI_LEVELS[1:], start=1):
+        out = out.unionByName(audit(lvl, cols))
+    return out
+
+
+DP_EPSILON = 1.0  # per-count budget; sensitivity 1 -> Laplace scale b = 1/eps
+_DP_SALT = "dp5|"
+
+
+def _dp_uniform_sql(key_expr: str) -> str:
+    """DuckDB fragment: keyed uniform in (0,1) from md5 — matches _dp_uniform."""
+    h = md5_int_sql(f"concat('{_DP_SALT}', {key_expr})")
+    return f"(({h} % 1000000) + 0.5) / 1000000.0"
+
+
+def _dp_uniform(key: Column) -> Column:
+    """Spark: keyed uniform in (0,1) — md5 of the salted key, mod 1e6."""
+    h = md5_int(F.concat(F.lit(_DP_SALT), key))
+    return ((h % 1000000) + 0.5) / 1000000.0
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY 1
+    ),
+    noised AS (
+      SELECT segment, n_true,
+             {_dp_uniform_sql("segment")} AS u
+      FROM counts
+    )
+    SELECT segment, n_true,
+           round(n_true + (-1.0 / {DP_EPSILON}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 3)
+             AS n_noisy,
+           {DP_EPSILON} AS epsilon
+    FROM noised
+    """,
+    doc=f"differentially-private counts (Laplace mechanism, eps={DP_EPSILON}, "
+    "sensitivity 1): per-segment customer counts plus inverse-CDF Laplace noise "
+    "-b*sign(u-1/2)*ln(1-2|u-1/2|) where u is a keyed md5-uniform — fully "
+    "deterministic, so the oracle checks the MECHANISM bit-for-bit (a production "
+    "release swaps the keyed uniform for fresh randomness; everything else is "
+    "identical). Noise is a map-side scalar on the already-aggregated cells, so "
+    "the DP layer adds zero shuffles at any scale; true counts appear alongside "
+    "noisy ones because this is the audit/calibration view, not the release view "
+    "(north-star pipeline / privacy)",
+    tags=("pipeline", "agg"),
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    counts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    u = _dp_uniform(F.col("segment"))
+    lap = (F.lit(-1.0 / DP_EPSILON)) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return counts.select(
+        "segment",
+        "n_true",
+        F.round(F.col("n_true") + lap, 3).alias("n_noisy"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

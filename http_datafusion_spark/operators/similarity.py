@@ -762,3 +762,79 @@ def embedding_moment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m.sxy") / n - (F.col("m.sx") / n) * (F.col("m.sy") / n), 6).alias("cov"),
         )
     )
+
+
+# ----------------------------------------- per-label centroid geometry
+
+@query(
+    "embedding_centroid_shift",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(CAST(round(CAST(embedding[dim] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS cval
+      FROM embeddings CROSS JOIN dims
+      GROUP BY label, dim
+    ),
+    norms AS (
+      SELECT label, sqrt(sum(cval * cval)) AS nrm FROM cent GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.cval * b.cval) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms na ON d.label_a = na.label
+    JOIN norms nb ON d.label_b = nb.label
+    """,
+    doc="embedding-space drift/geometry audit: per-label centroids (exact per-dim "
+    "DECIMAL means — the sim_kmeans_refit trick, so the means are order-independent "
+    "and the oracle checks VALUES, not tolerances) and the pairwise cosine between "
+    "every label pair — how separated the classes are, and across two corpus "
+    "snapshots, how far each class centroid drifted. Centroid build is one "
+    "partial-agg shuffle over (label, dim); everything after operates on the "
+    "labels x dims matrix, which is BROADCAST-sized at any corpus size — the "
+    "pairwise stage never touches row-level vectors (north-star similarity / "
+    "quality-drift for embeddings)",
+    tags=("similarity", "agg"),
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dims = F.broadcast(
+        e.sparkSession.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    )
+    cent = (
+        e.crossJoin(dims)
+        .select(
+            "label",
+            "dim",
+            F.round(F.element_at(F.col("embedding").cast("array<double>"), F.col("dim")), 6)
+            .cast("decimal(18,6)")
+            .alias("v6"),
+        )
+        .groupBy("label", "dim")
+        .agg((F.sum("v6").cast("double") / F.count(F.lit(1))).alias("cval"))
+    )
+    norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nrm"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.cval") * F.col("b.cval")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("bigint"),
+            F.col("label_b").cast("bigint"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )

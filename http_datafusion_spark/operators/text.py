@@ -984,3 +984,124 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 4).alias("char_entropy"),
         )
     )
+
+
+# ------------------------------------------------ OOV coverage per source
+
+OOV_VOCAB_SIZE = 20  # deliberately < corpus vocabulary so OOV is non-trivial
+
+
+@query(
+    "vocab_coverage_oov",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest({_WSPLIT_SQL}) AS word FROM documents
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS freq FROM w GROUP BY word
+        ORDER BY freq DESC, word LIMIT {OOV_VOCAB_SIZE}
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.word IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (v.word IS NULL) * 1.0 / count(*), 6) AS oov_rate
+    FROM w LEFT JOIN vocab v USING (word)
+    GROUP BY source
+    """,
+    doc=f"out-of-vocabulary coverage audit: induce the top-{OOV_VOCAB_SIZE} vocabulary "
+    "(freq-desc, word tiebreak — the vocab_build ranking), then measure each source's "
+    "token-level OOV rate against it — the per-domain check run before committing a "
+    "tokenizer vocab, since a source with high OOV trains badly and a vocab built on "
+    "one domain silently taxes the others. The vocab is top-k-bounded and broadcast; "
+    "tokens stream through a map-side broadcast-hash left join + one partial-agg "
+    "shuffle on source — the corpus never re-shuffles (north-star text analysis)",
+    tags=("text", "pipeline"),
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(OOV_VOCAB_SIZE)
+        .select(F.col("word").alias("v_word"))
+    )
+    oov = F.col("v_word").isNull()
+    return (
+        w.join(F.broadcast(vocab), F.col("word") == F.col("v_word"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.when(oov, 1)).cast("bigint").alias("n_oov"),
+            F.round(F.count(F.when(oov, 1)) * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------- n-gram novelty score
+
+@query(
+    "ngram_novelty_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), per_doc AS (
+      SELECT s.doc_id, s.source,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (f.first_doc = s.doc_id) AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f ON s.shingle = f.shingle
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           round(avg(n_novel * 1.0 / n_shingles), 6)       AS avg_novelty,
+           round(min(n_novel * 1.0 / n_shingles), 6)       AS min_novelty
+    FROM per_doc GROUP BY source
+    """,
+    doc="n-gram novelty scoring: a document's novelty is the fraction of its distinct "
+    "word-3-gram shingles whose corpus-wide FIRST occurrence (min doc_id — ingestion "
+    "order) is this document — near-1 means fresh content, near-0 means the document "
+    "is assembled from n-grams the corpus has already seen (the soft-duplication "
+    "signal used to down-weight boilerplate-heavy sources during mixing). Shingle "
+    "explode is map-side; first-seen is one partial-agg shuffle on shingle; the "
+    "join back is co-partitioned on shingle, then one bounded agg per source. At "
+    "100 TB the shingle stream is the big intermediate and it shuffles exactly "
+    "twice, never joins all-pairs (north-star text analysis / dedup-adjacent)",
+    tags=("text", "dedup"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingles_of
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingles_of(d).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    # source attaches AFTER per-doc reduction: documents is a fact table
+    # (never broadcast) and both sides key on doc_id — one co-keyed join.
+    per_doc = per_doc.join(d.select("doc_id", "source"), "doc_id")
+    novelty = F.col("n_novel") * 1.0 / F.col("n_shingles")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(novelty), 6).alias("avg_novelty"),
+        F.round(F.min(novelty), 6).alias("min_novelty"),
+    )

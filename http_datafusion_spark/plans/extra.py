@@ -586,19 +586,15 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     gate + a stray pytest) can't clobber each other's files mid-read."""
     import os
 
-    from http_datafusion_spark.plans.tables import _mtime_token
+    from http_datafusion_spark.plans.tables import fingerprint_tables
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-    fp = (
-        hash(
-            (
-                _mtime_token(os.path.join(sf_dir, "orders.parquet")),
-                _mtime_token(os.path.join(sf_dir, "lineitem.parquet")),
-            )
-        )
-        & 0xFFFFFFFF
-    )
-    tag = f"{tag}_{fp:08x}_{os.getpid()}"
+    # md5 fingerprint (not builtin hash): deterministic across processes,
+    # so identical data always maps to the same table name and the tag is
+    # debuggable by inspection; the pid suffix still isolates concurrent
+    # sessions' files.
+    fp = fingerprint_tables(sf_dir, "orders", "lineitem")
+    tag = f"{tag}_{fp}_{os.getpid()}"
     to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     done = spark.__dict__.setdefault("_hds_bucketed", set())
     if (sf_dir, to) in done:

@@ -49,89 +49,72 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.01 parity sweep,
 # tests/test_oracle_parity.py).
-# Round-4 rotation: 145 distinct queries are driver-green across
-# r01∪r02∪r03. The head below is exactly the 47 registry names that
-# have NEVER had a driver CORRECTNESS row (local sf0.001/sf0.01 parity
-# evidence only) plus the 3 queries whose implementation changed this
-# round and therefore need re-verification:
-#   - dedup_embedding_cosine (default n_probe 2 -> 3, recall fix),
-#   - data_quality_audit (FK/range fusion now joins DISTINCT o_orderkey
-#     so the range count survives PK violations),
-#   - multimodal_features (codec stubs replaced with a real pure-Python
-#     PPM/WAV decoder; upgraded from rows-only to a value-checked
-#     oracle row).
-# 47 + 3 = 50 = the driver window, and test_driver_contract.py asserts
-# len(PRIORITY) <= 50 so nothing can silently fall off the end again
-# (round 3 shipped q_bucketed_join at position 51 of a 50-row window).
-# Cumulative driver-green after this round: 192/192.
-#
-# ROUND-5 ROTATION TODO (do not edit PRIORITY mid-round-4 — the gate
-# runs on this head): round 4 added new never-driver-checked queries
-# (operators/curation.py end-to-end + stream_hopping_agg) and changed
-# tokenize_to_ids' implementation. Next round's head should be exactly
-# those names (~25) — they are the only registry entries without a
-# driver row once CORRECTNESS_r04 lands.
+# Round-5 rotation: 192 distinct queries are driver-green across
+# r01∪r02∪r03∪r04 (all 50 r04 rows green). The head below is exactly
+# the 33 registry names that have NEVER had a driver CORRECTNESS row
+# (the round-4 curation/analytics/streaming additions, local
+# sf0.001/sf0.01 parity evidence only — the list VERDICT.md r4
+# "What's missing #1" enumerates), plus the round-5 operators added
+# this round (each new query lands here the commit it is registered),
+# plus any round-5 changed-impl rows. Two of the 33 ARE this round's
+# changed impls (stream_topk_per_window: complete-mode state bound
+# fix; fuzzy_join_blocked: compound block key) so they re-verify in
+# the same window. test_driver_contract.py asserts
+# 40 <= len(PRIORITY) <= 50 — window occupancy is load-bearing.
+# Cumulative driver-green after this round: the full registry.
 PRIORITY: tuple[str, ...] = (
-    # changed this round — re-verify first
-    "dedup_embedding_cosine",
-    "data_quality_audit",
-    "multimodal_features",
-    # the round-3 flagship that fell off the window at position 51
-    "q_bucketed_join",
-    # pipeline block (corpus build / split / mix / packing)
-    "corpus_build_roundtrip",
-    "decontaminate_corpus",
-    "train_val_split",
-    "balance_sources",
-    "mix_sources_temperature",
-    "train_shuffle_shards",
-    "sequence_length_buckets",
-    "quality_drift_psi",
-    "sample_deterministic",
-    "doc_chunking",
-    "doc_span_corruption",
-    # dedup tail
-    "dedup_keep_best",
-    "dedup_embedding_cosine_exact",
-    "dedup_ngram_coverage",
-    "dedup_prefix_pairs",
-    # similarity / embedding tail
-    "sim_ivf_recall",
-    "embedding_quantize_int8",
-    "embedding_index_build",
-    "embedding_negative_pairs",
-    "semantic_search_join",
-    # graph
-    "graph_pagerank",
-    # text-analysis tail
-    "text_top_bigrams",
-    "text_repetition",
-    "text_rare_words",
-    "text_char_entropy",
-    "vocab_build",
-    "text_tfidf_topterm",
-    "text_bm25_search",
-    "tokenize_to_ids",
-    # time-series family
-    "ts_zscore_outliers",
-    "ts_ewma",
-    "ts_resample_ohlc",
-    "ts_mad_outliers",
-    # events / CDC tail
-    "asof_join_click_purchase",
-    "events_session_window_native",
-    "events_retention",
-    "events_value_histogram",
-    "cdc_upsert_compaction",
-    "cdc_scd2_intervals",
-    # relational stragglers
-    "q_salted_skew_agg",
-    "hll_sketch_union",
-    "q_group_order_all",
-    "q_topk_orders",
-    "q_values_inline",
-    "q_hash_funcs",
-    "q_date_bin",
+    # ---- the 33 round-4 additions, never driver-checked ----
+    # changed impl this round — re-verify semantics under the fix
+    "stream_topk_per_window",
+    "fuzzy_join_blocked",
+    # sketches / stats
+    "cms_heavy_hitters",
+    "kmv_distinct_sketch",
+    "histogram_equi_depth",
+    "table_stats_profile",
+    # dedup / curation
+    "dedup_cluster_representatives",
+    "dedup_cross_source_matrix",
+    "dedup_incremental_minhash",
+    "dedup_minhash_threshold_sweep",
+    "dedup_semantic_clusters",
+    "dedup_winnowing",
+    "minhash_containment",
+    "split_leakage_safe",
+    "quality_adaptive_filter",
+    "deletion_propagate",
+    "privacy_kanonymity_audit",
+    # embeddings
+    "embedding_norm_outliers",
+    "embedding_pca_power_iteration",
+    "embedding_recall_curve",
+    # text
+    "doc_boilerplate_detect",
+    "ngram_pmi_bigrams",
+    "text_bigram_logprob",
+    "text_langid_confusion",
+    "text_zipf_fit",
+    # events / orders analytics
+    "events_ab_lift",
+    "events_markov_transitions",
+    "orders_market_basket",
+    "orders_pareto_analysis",
+    "orders_rfm_segmentation",
+    "scd2_point_in_time_join",
+    # streaming
+    "stream_error_alert",
+    "stream_hopping_agg",
+    # ---- round-5 additions (registered this round) ----
+    "stream_incremental_minhash",
+    "privacy_kanonymity_joint",
+    "privacy_dp_counts",
+    "dedup_normalized_exact",
+    "train_split_temporal",
+    "embedding_centroid_shift",
+    "ngram_novelty_score",
+    "orders_cohort_matrix",
+    "join_skew_diagnose",
+    "vocab_coverage_oov",
 )
 
 
@@ -163,6 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.dedup  # noqa: F401
     import http_datafusion_spark.operators.multimodal  # noqa: F401
     import http_datafusion_spark.operators.pipeline  # noqa: F401
+    import http_datafusion_spark.operators.privacy  # noqa: F401
     import http_datafusion_spark.operators.range_join  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401

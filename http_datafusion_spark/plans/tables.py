@@ -82,20 +82,29 @@ def _mtime_token(path: str) -> int:
         return -1
 
 
+def fingerprint_tables(sf_dir: str, *tables: str) -> str:
+    """8-hex-char md5 fingerprint of the named source tables' mtimes —
+    DETERMINISTIC across processes (unlike builtin ``hash``, which is
+    salted per-process by PYTHONHASHSEED), so two runs over identical
+    data produce the same tag and a derived-layout path is debuggable
+    by inspection."""
+    import hashlib
+
+    toks = tuple(_mtime_token(os.path.join(sf_dir, f"{t}.parquet")) for t in tables)
+    return hashlib.md5(repr(toks).encode()).hexdigest()[:8]
+
+
 def scratch_path(kind: str, sf_dir: str, *tables: str) -> str:
     """Session-safe /tmp materialization dir for derived layouts
     (bucketed tables, IVF-PQ index, corpus store). The leaf dir name
-    carries (a) an mtime fingerprint of the source parquet, so
+    carries (a) an md5 mtime fingerprint of the source parquet, so
     regenerated data can never be served a stale derived copy, and
     (b) the pid, so concurrent sessions (driver gate + a stray pytest)
     never overwrite each other's files mid-read."""
-    fp = (
-        hash(tuple(_mtime_token(os.path.join(sf_dir, f"{t}.parquet")) for t in tables))
-        & 0xFFFFFFFF
-    )
+    fp = fingerprint_tables(sf_dir, *tables)
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        "/tmp", f"http_datafusion_spark_{kind}", f"{tag}_{fp:08x}_{os.getpid()}"
+        "/tmp", f"http_datafusion_spark_{kind}", f"{tag}_{fp}_{os.getpid()}"
     )
 
 

@@ -487,9 +487,14 @@ TOPK_PER_WINDOW = 3
     ) WHERE rk <= {TOPK_PER_WINDOW}
     """,
     doc=f"streaming top-{TOPK_PER_WINDOW} heavy users per hourly window: the "
-    "windowed (window, user) counts aggregate in the stream (state = one counter "
-    "pair per open pane per user, watermark-bounded); the top-k selection ranks "
-    "the COMPLETE-mode sink output — the serving-layer pattern, since cross-row "
+    "windowed (window, user) counts aggregate in the stream in UPDATE output "
+    "mode, so watermark eviction applies — panes whose window end falls behind "
+    "the watermark are dropped from the state store and the state is genuinely "
+    "watermark-bounded, not stream-length-bounded "
+    "(tests/test_streaming.py::test_update_mode_window_state_is_evicted asserts "
+    "closed windows leave the store). The sink accumulates per-key updates; the "
+    "final value per key is its last (max-n) update, and the top-k selection "
+    "ranks that compacted view — the serving-layer pattern, since cross-row "
     "ranking inside an unfinished window is unstable by definition == batch twin "
     "(streaming extension; SURVEY §2.9 + §2.5)",
     tags=("streaming",),
@@ -503,14 +508,117 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
     )
-    out = run_to_memory(agg, "complete")
+    out = run_to_memory(agg, "update")
     counts = out.select(
         F.floor(F.unix_timestamp("w.start") / 3600).cast("bigint").alias("bucket_1h"),
         "user_id",
         F.col("n").cast("bigint"),
         "total_value",
     )
+    # update-mode sink holds one row per (key, batch-it-changed-in); a
+    # key's counts are cumulative, so its final state is its max-n row.
+    last = F.row_number().over(
+        W.partitionBy("bucket_1h", "user_id").orderBy(F.desc("n"))
+    )
+    counts = counts.withColumn("last", last).filter(F.col("last") == 1).drop("last")
     rk = F.row_number().over(
         W.partitionBy("bucket_1h").orderBy(F.desc("n"), "user_id")
     )
     return counts.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW).drop("rk")
+
+
+DOC_STREAM_FILES = 4  # documents staged as N files -> N probe micro-batches
+
+
+def staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as DOC_STREAM_FILES parquet files so a
+    document stream replays as multiple micro-batches. Written once per
+    sf_dir (same shape as staged_multifile_dir for events)."""
+    _ensure_session_confs(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_docs_{name}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .repartition(DOC_STREAM_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _stream_incremental_oracle() -> str:
+    from http_datafusion_spark.operators.curation import _incremental_pairs_sql
+
+    return _incremental_pairs_sql()
+
+
+@query(
+    "stream_incremental_minhash",
+    oracle=_stream_incremental_oracle(),
+    doc="STREAMING incremental near-dup ingestion — the production end-to-end shape: "
+    "the existing corpus's (even doc_ids) MinHash band keys live in a partitioned "
+    "signature store; new documents (odd doc_ids) arrive as a stream in "
+    f"{DOC_STREAM_FILES} micro-batches, and each batch in foreachBatch (a) computes "
+    "signatures for ITS documents only, (b) probes the store's base snapshot with a "
+    "band-key equi-join (partition-pruned by band; per-batch cost O(batch + matches), "
+    "never O(corpus)), and (c) APPENDS its own band rows to the store, so the store "
+    "grows by exactly the batch's rows (asserted O(new docs) in "
+    "tests/test_streaming.py). Matches accumulate in an append sink; the union over "
+    "batches == the batch twin (dedup_incremental_minhash), which is what the oracle "
+    "recomputes from raw text. Probes hit only the immutable base partition, so the "
+    "result is independent of how documents split into batches "
+    "(streaming extension; SURVEY §2.9 + north-star dedup)",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import (
+        banded_signature,
+        minhash_signature_of,
+        probe_band_store,
+    )
+    from http_datafusion_spark.plans.tables import load_tables, scratch_path
+
+    run_id = uuid.uuid4().hex[:8]
+    store_path = scratch_path("sigstore_stream", sf_dir, "documents") + f"_{run_id}"
+    matches_path = scratch_path("sigmatches_stream", sf_dir, "documents") + f"_{run_id}"
+
+    # one-time base-store build for the "existing" corpus (even doc_ids)
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = banded_signature(minhash_signature_of(docs.filter(F.col("doc_id") % 2 == 0)))
+    base.withColumn("origin", F.lit("base")).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(store_path)
+
+    schema = spark.read.parquet(staged_docs_dir(spark, sf_dir)).schema
+
+    def probe_and_append(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        new_bands = banded_signature(
+            minhash_signature_of(batch.filter(F.col("doc_id") % 2 == 1))
+        ).localCheckpoint(eager=True)  # cut the lineage: probe + append re-use it
+        store_base = sess.read.parquet(store_path).filter(F.col("origin") == "base")
+        probe_band_store(new_bands, store_base).write.mode("append").parquet(matches_path)
+        new_bands.withColumn("origin", F.lit("stream")).write.mode("append").partitionBy(
+            "band"
+        ).parquet(store_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_docs_dir(spark, sf_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe_and_append)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hds_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(matches_path)
