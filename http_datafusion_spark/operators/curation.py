@@ -2190,10 +2190,12 @@ SPLIT_TEST_CUTOFF = "2000-07-01"
     "forecasting/recommendation pipeline needs, where hash splits (train_val_split) "
     "leak the future into training. The audit also reports ENTITY overlap: how many "
     "eval-split customers already appear in train (temporal splits share entities by "
-    "design; the metric makes that visible instead of silent). One scan labels rows "
-    "map-side; the train-customer set joins as a broadcast-sized distinct key list — "
-    "at 100 TB the fact table shuffles once on customer for the distinct counts "
-    "(north-star pipeline / sampling)",
+    "design; the metric makes that visible instead of silent). ZERO joins and zero "
+    "broadcasts: one groupBy on customer computes each customer's per-split order "
+    "counts plus an in-train flag (the distinct-customer set of a fact table grows "
+    "linearly with the data — billions of keys at 100 TB — so it must never be "
+    "broadcast); a 3-way stack then re-aggregates to the 3 split rows. The fact "
+    "table shuffles exactly once, on customer (north-star pipeline / sampling)",
     tags=("pipeline", "sampling"),
 )
 def train_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2204,23 +2206,22 @@ def train_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     labeled = o.select("o_custkey", split.alias("split"))
-    train_cust = labeled.filter(F.col("split") == "train").select("o_custkey").distinct()
-    seen = F.when(F.col("t_custkey").isNotNull(), F.col("o_custkey"))
-    return (
-        labeled.join(
-            F.broadcast(train_cust.select(F.col("o_custkey").alias("t_custkey"))),
-            F.col("o_custkey") == F.col("t_custkey"),
-            "left",
-        )
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
-            F.countDistinct(seen).cast("bigint").alias("n_customers_seen_in_train"),
-            F.round(F.countDistinct(seen) * 1.0 / F.countDistinct("o_custkey"), 4).alias(
-                "frac_customers_seen"
-            ),
-        )
+    per_cust = labeled.groupBy("o_custkey").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        *[
+            F.sum(F.when(F.col("split") == s, 1).otherwise(0)).alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
+    )
+    stacked = per_cust.selectExpr(
+        "in_train",
+        "stack(3, 'train', n_train, 'val', n_val, 'test', n_test) AS (split, n_orders_cust)",
+    ).filter(F.col("n_orders_cust") > 0)
+    return stacked.groupBy("split").agg(
+        F.sum("n_orders_cust").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("in_train").cast("bigint").alias("n_customers_seen_in_train"),
+        F.round(F.sum("in_train") * 1.0 / F.count(F.lit(1)), 4).alias("frac_customers_seen"),
     )
 
 

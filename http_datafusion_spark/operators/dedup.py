@@ -118,13 +118,18 @@ def minhash_signature(spark: SparkSession, sf_dir: str, k: int = N_MINHASH) -> D
     return minhash_signature_of(load_tables(spark, sf_dir, "documents")["documents"], k)
 
 
-def banded_signature(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def banded_signature(
+    sig: DataFrame, n_bands: int = N_BANDS, k: int = N_MINHASH
+) -> DataFrame:
     """LSH banding of a signature frame: one row per (doc, band) with the
     band key (concat of the band's two minhash components) plus the full
     h0..h{k-1} columns carried through for verification joins. Shared by
     the batch incremental-store probe (operators/curation.py) and its
-    streaming twin (streaming/queries.py)."""
-    hcols = [c for c in sig.columns if c.startswith("h")]
+    streaming twin (streaming/queries.py). The signature columns are
+    derived explicitly from ``k`` (h0..h{k-1}) rather than by prefix
+    matching, so a caller frame carrying an unrelated h-prefixed column
+    (e.g. "hash") can never be banded as a minhash component."""
+    hcols = [f"h{i}" for i in range(k)]
     return sig.select(
         "doc_id",
         *hcols,

@@ -147,15 +147,18 @@ def _dp_uniform(key: Column) -> Column:
            {DP_EPSILON} AS epsilon
     FROM noised
     """,
-    doc=f"differentially-private counts (Laplace mechanism, eps={DP_EPSILON}, "
-    "sensitivity 1): per-segment customer counts plus inverse-CDF Laplace noise "
+    doc="DP-MECHANISM CALIBRATION AUDIT — NOT a private release: the noise here "
+    "is a deterministic function of the public group key (anyone can recompute "
+    "and subtract it), and true counts are emitted alongside noisy ones, so this "
+    "view provides no differential privacy by construction. What it verifies is "
+    f"the Laplace mechanism's arithmetic (eps={DP_EPSILON}, sensitivity 1): "
+    "per-segment customer counts plus inverse-CDF noise "
     "-b*sign(u-1/2)*ln(1-2|u-1/2|) where u is a keyed md5-uniform — fully "
-    "deterministic, so the oracle checks the MECHANISM bit-for-bit (a production "
-    "release swaps the keyed uniform for fresh randomness; everything else is "
-    "identical). Noise is a map-side scalar on the already-aggregated cells, so "
-    "the DP layer adds zero shuffles at any scale; true counts appear alongside "
-    "noisy ones because this is the audit/calibration view, not the release view "
-    "(north-star pipeline / privacy)",
+    "deterministic precisely so the oracle can check the mechanism bit-for-bit. "
+    "A production release swaps the keyed uniform for fresh secret randomness "
+    "and drops n_true; everything else is identical. Noise is a map-side scalar "
+    "on the already-aggregated cells, so the DP layer adds zero shuffles at any "
+    "scale (north-star pipeline / privacy)",
     tags=("pipeline", "agg"),
 )
 def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -533,10 +533,15 @@ DOC_STREAM_FILES = 4  # documents staged as N files -> N probe micro-batches
 def staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as DOC_STREAM_FILES parquet files so a
     document stream replays as multiple micro-batches. Written once per
-    sf_dir (same shape as staged_multifile_dir for events)."""
+    (sf_dir, source-mtime) — the dir name carries an mtime fingerprint
+    of documents.parquet (same guard as plans/tables.scratch_path), so a
+    regenerated source can never silently serve a stale staged copy."""
+    from http_datafusion_spark.plans.tables import fingerprint_tables
+
     _ensure_session_confs(spark)
     name = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"hds_stream_docs_{name}")
+    fp = fingerprint_tables(sf_dir, "documents")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_docs_{name}_{fp}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
         (
@@ -566,15 +571,20 @@ def _stream_incremental_oracle() -> str:
     "signatures for ITS documents only, (b) probes the store's base snapshot with a "
     "band-key equi-join (partition-pruned by band; per-batch cost O(batch + matches), "
     "never O(corpus)), and (c) APPENDS its own band rows to the store, so the store "
-    "grows by exactly the batch's rows (asserted O(new docs) in "
-    "tests/test_streaming.py). Matches accumulate in an append sink; the union over "
+    "grows by exactly the batch's rows (asserted per-batch in "
+    "tests/test_streaming.py::test_incremental_minhash_store_grows_by_batch_only). "
+    "Matches accumulate in an append sink; the union over "
     "batches == the batch twin (dedup_incremental_minhash), which is what the oracle "
     "recomputes from raw text. Probes hit only the immutable base partition, so the "
     "result is independent of how documents split into batches "
     "(streaming extension; SURVEY §2.9 + north-star dedup)",
     tags=("streaming", "dedup", "pipeline"),
 )
-def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_incremental_minhash(
+    spark: SparkSession, sf_dir: str, audit_out: list | None = None
+) -> DataFrame:
+    import shutil
+
     from http_datafusion_spark.operators.dedup import (
         banded_signature,
         minhash_signature_of,
@@ -585,6 +595,7 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:8]
     store_path = scratch_path("sigstore_stream", sf_dir, "documents") + f"_{run_id}"
     matches_path = scratch_path("sigmatches_stream", sf_dir, "documents") + f"_{run_id}"
+    ckpt_path = tempfile.mkdtemp(prefix="hds_ckpt_")
 
     # one-time base-store build for the "existing" corpus (even doc_ids)
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -595,16 +606,28 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(staged_docs_dir(spark, sf_dir)).schema
 
-    def probe_and_append(batch: DataFrame, _batch_id: int) -> None:
+    def probe_and_append(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         new_bands = banded_signature(
             minhash_signature_of(batch.filter(F.col("doc_id") % 2 == 1))
         ).localCheckpoint(eager=True)  # cut the lineage: probe + append re-use it
+        store_before = sess.read.parquet(store_path).count() if audit_out is not None else None
         store_base = sess.read.parquet(store_path).filter(F.col("origin") == "base")
         probe_band_store(new_bands, store_base).write.mode("append").parquet(matches_path)
         new_bands.withColumn("origin", F.lit("stream")).write.mode("append").partitionBy(
             "band"
         ).parquet(store_path)
+        if audit_out is not None:
+            # evidence for the O(new docs) growth claim: the store gains
+            # exactly this batch's band rows, never a function of corpus size
+            audit_out.append(
+                {
+                    "batch_id": batch_id,
+                    "batch_band_rows": new_bands.count(),
+                    "store_rows_before": store_before,
+                    "store_rows_after": sess.read.parquet(store_path).count(),
+                }
+            )
 
     stream = (
         spark.readStream.schema(schema)
@@ -613,7 +636,7 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(probe_and_append)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hds_ckpt_"))
+        .option("checkpointLocation", ckpt_path)
         .start()
     )
     try:
@@ -621,4 +644,9 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    return spark.read.parquet(matches_path)
+    # materialize the result, then reclaim the run-scoped scratch dirs —
+    # repeated gate/test runs must not grow /tmp unboundedly
+    out = spark.read.parquet(matches_path).localCheckpoint(eager=True)
+    for d in (store_path, matches_path, ckpt_path):
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -510,3 +510,12 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # below the join: only bucketed scans (+ sorts), never an Exchange
     assert "Exchange" not in join_part
     assert join_part.count("Bucketed: true") == 2
+
+
+def test_train_split_temporal_no_join_no_broadcast(spark, sf_dir):
+    # The distinct-customer set of a fact table grows linearly with the
+    # data; it must never be broadcast. The zero-join rewrite must hold:
+    # no join operator and no broadcast exchange anywhere in the plan.
+    s = plan_of(QS["train_split_temporal"].spark(spark, sf_dir))
+    assert "Broadcast" not in s
+    assert "Join" not in s

@@ -135,3 +135,51 @@ def test_rate_limited_ingest_bounds_each_trigger(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, twin.collect()))
+
+
+def test_update_mode_window_state_is_evicted(spark, sf_dir):
+    """Watermark eviction in update mode: run the topk query's windowed
+    (window, user) aggregation over a multi-file staging so the
+    watermark advances BETWEEN micro-batches. Closed windows must leave
+    the state store (numRowsRemoved > 0) and the final state must be
+    watermark-bounded — strictly smaller than the stream-length bound
+    (total distinct (window, user) keys)."""
+    from http_datafusion_spark.streaming.queries import staged_multifile_dir
+
+    d = staged_multifile_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    progress: list = []
+    run_to_memory(agg, "update", progress)
+    state = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert state, "no stateful progress recorded"
+    removed = sum(s.get("numRowsRemoved", 0) or 0 for s in state)
+    assert removed > 0  # closed windows were evicted from the store
+    total_keys = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .select(F.window("ts", "1 hour"), "user_id")
+        .distinct()
+        .count()
+    )
+    assert state[-1]["numRowsTotal"] < total_keys  # watermark-, not stream-length-bounded
+
+
+def test_incremental_minhash_store_grows_by_batch_only(spark, sf_dir):
+    """O(new docs) store growth: each foreachBatch appends EXACTLY its
+    own band rows to the signature store — the per-batch delta equals
+    the batch's band-row count, never a function of corpus size."""
+    from http_datafusion_spark.streaming.queries import stream_incremental_minhash
+
+    audit: list = []
+    stream_incremental_minhash(spark, sf_dir, audit_out=audit)
+    assert audit, "no micro-batches audited"
+    assert any(a["batch_band_rows"] > 0 for a in audit)
+    for a in audit:
+        assert a["store_rows_after"] - a["store_rows_before"] == a["batch_band_rows"]
