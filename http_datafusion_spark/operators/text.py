@@ -1105,3 +1105,99 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(novelty), 6).alias("avg_novelty"),
         F.round(F.min(novelty), 6).alias("min_novelty"),
     )
+
+
+# ------------------------------------------- model-based quality scoring
+
+QMODEL_DIM = 256  # hashed feature buckets (fastText-style bag of hashed tokens)
+
+
+def _qmodel_weights_sql() -> str:
+    """DuckDB fragment: the deterministic weight table — one row per
+    hash bucket j with w_j = ((md5_int('qw|'||j) % 2001) - 1000)/1000,
+    i.e. a reproducible pseudo-trained vector in [-1, 1] (3dp grid)."""
+    from http_datafusion_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql("concat('qw|', CAST(j AS VARCHAR))")
+    return f"""
+    SELECT CAST(j AS BIGINT) AS j,
+           CAST((({h} % 2001) - 1000) / 1000.0 AS DECIMAL(18,3)) AS w
+    FROM range({QMODEL_DIM}) t(j)
+    """
+
+
+@query(
+    "quality_model_score",
+    oracle=f"""
+    WITH weights AS ({_qmodel_weights_sql()}),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('qb|', tok)), 1, 15)) AS BIGINT)
+               % {QMODEL_DIM} AS j
+      FROM toks
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT)      AS n_tokens,
+             CAST(sum(w.w) AS DECIMAL(18,3)) AS score_sum
+      FROM feats f JOIN weights w USING (j)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, score_sum,
+           round(CAST(score_sum AS DOUBLE) / n_tokens, 6) AS quality_score,
+           (CAST(score_sum AS DOUBLE) / n_tokens > 0.0)   AS keep
+    FROM scored
+    """,
+    doc="model-based quality scoring — the fastText-style linear classifier that "
+    "is the standard LLM-corpus quality gate (complements the heuristic "
+    "text_quality_score): each token hashes to one of "
+    f"{QMODEL_DIM} feature buckets, a deterministic pseudo-trained weight vector "
+    "(md5-derived, 3dp decimal grid so sums are exact and order-independent) is "
+    "joined in as a BROADCAST — the weight table is model-sized, constant in the "
+    "data, the one relation that should always broadcast — and the per-doc score "
+    "is the mean bucket weight; keep = score > 0 (a production gate applies a "
+    "monotone sigmoid, so thresholding the linear score is equivalent and stays "
+    "engine-exact). Plan: one documents scan, map-side hash, broadcast weight "
+    "join, one per-doc partial-agg shuffle — no Python anywhere "
+    "(north-star text analysis / pipeline quality gate)",
+    tags=("text", "pipeline"),
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    weights = spark.range(QMODEL_DIM).select(
+        F.col("id").alias("j"),
+        (((md5_int(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001) - 1000)
+         / 1000.0).cast("decimal(18,3)").alias("w"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    feats = toks.select(
+        "doc_id",
+        (md5_int(F.concat(F.lit("qb|"), F.col("tok"))) % QMODEL_DIM).alias("j"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("decimal(18,3)").alias("score_sum"),
+        )
+    )
+    mean = F.col("score_sum").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_sum",
+        F.round(mean, 6).alias("quality_score"),
+        (mean > 0.0).alias("keep"),
+    )
