@@ -1396,3 +1396,164 @@ def corpus_build_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------- materialized-view maintenance (merge law)
+
+AGG_MERGE_CUTOFF = "1998-01-01"  # base snapshot < cutoff <= delta batch
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_idx,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT)                                    AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)    AS sum_total,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)    AS min_total,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)    AS max_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4)                                        AS avg_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="incremental aggregate maintenance — the materialized-view merge law: the "
+    f"per-(month, priority) sales rollup is computed as BASE partials (orders < "
+    f"{AGG_MERGE_CUTOFF}) merged with DELTA partials (orders >= cutoff) by the "
+    "mergeable-aggregate algebra (count: sum, sum: sum, min: min, max: max; avg "
+    "derived from merged sum/count — never averaged averages). The oracle "
+    "recomputes the rollup from scratch over ALL orders, proving "
+    "merge(partial(base), partial(delta)) == full recompute value-exactly "
+    "(money sums ride the int64 fixed-point path, functions/fixedpoint.py, so "
+    "the identity is exact, not approximate). This is the update path of every "
+    "continuous rollup at 100 TB: a daily batch touches only its delta, cost "
+    "O(delta + groups), never O(history) (north-star pipeline / SURVEY §2.4 "
+    "partial+final)",
+    tags=("pipeline", "agg"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.fixedpoint import dsum, i100, unscale
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            month_idx.alias("month_idx"), "o_orderpriority"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(i100("o_totalprice")).alias("s100"),
+            F.min(i100("o_totalprice")).alias("min100"),
+            F.max(i100("o_totalprice")).alias("max100"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < AGG_MERGE_CUTOFF))
+    delta = partials(o.filter(F.col("o_orderdate") >= AGG_MERGE_CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month_idx", "o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            dsum("s100").alias("s100"),
+            F.min("min100").alias("min100"),
+            F.max("max100").alias("max100"),
+        )
+    )
+    sum_total = unscale(F.col("s100"), 2).cast("double")
+    return merged.select(
+        "month_idx",
+        "o_orderpriority",
+        "n_orders",
+        sum_total.alias("sum_total"),
+        unscale(F.col("min100"), 2).cast("double").alias("min_total"),
+        unscale(F.col("max100"), 2).cast("double").alias("max_total"),
+        F.round(sum_total / F.col("n_orders"), 4).alias("avg_total"),
+    )
+
+
+# ------------------------------------------------- snapshot diff (data diff)
+
+DIFF_DEL_MOD = 20  # 1/20 of keys deleted in snapshot B
+DIFF_UPD_MOD = 7  # 1/7 of surviving keys repriced in snapshot B
+DIFF_INS_MOD = 31  # 1/31 of keys re-appear as NEW keys (inserts)
+DIFF_INS_OFFSET = 10_000_000_000
+
+
+def _diff_b_sql() -> str:
+    """DuckDB: snapshot B derived from orders (A) by the deterministic
+    delete/update/insert rules — must mirror _snapshot_b exactly."""
+    h = lambda salt: md5_int_sql(f"concat('{salt}|', CAST(o_orderkey AS VARCHAR))")  # noqa: E731
+    return f"""
+    SELECT o_orderkey AS key,
+           CASE WHEN {h('upd')} % {DIFF_UPD_MOD} = 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE)
+                ELSE o_totalprice END AS val
+    FROM orders WHERE {h('del')} % {DIFF_DEL_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey + {DIFF_INS_OFFSET} AS key, o_totalprice AS val
+    FROM orders WHERE {h('ins')} % {DIFF_INS_MOD} = 0
+    """
+
+
+def _snapshot_b(a: DataFrame) -> DataFrame:
+    h = lambda salt: md5_int(F.concat(F.lit(f"{salt}|"), F.col("o_orderkey").cast("string")))  # noqa: E731
+    kept = a.filter(h("del") % DIFF_DEL_MOD != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            h("upd") % DIFF_UPD_MOD == 0,
+            (F.col("o_totalprice").cast("decimal(18,2)") + 1).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    inserted = a.filter(h("ins") % DIFF_INS_MOD == 0).select(
+        (F.col("o_orderkey") + DIFF_INS_OFFSET).alias("key"),
+        F.col("o_totalprice").alias("val"),
+    )
+    return kept.unionByName(inserted)
+
+
+@query(
+    "table_snapshot_diff",
+    oracle=f"""
+    WITH a AS (SELECT o_orderkey AS key, o_totalprice AS val FROM orders),
+    b AS ({_diff_b_sql()})
+    SELECT CASE WHEN b.key IS NULL THEN 'removed'
+                WHEN a.key IS NULL THEN 'added'
+                WHEN a.val <> b.val THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(sum(coalesce(a.key, b.key)) AS BIGINT) AS key_checksum
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+    GROUP BY 1
+    """,
+    doc="table snapshot diff — the data-diff tool every pipeline needs before "
+    "promoting a rebuilt table: snapshot B is DERIVED from orders by "
+    f"deterministic rules (1/{DIFF_DEL_MOD} of keys deleted, 1/{DIFF_UPD_MOD} "
+    f"of survivors repriced +1.00, 1/{DIFF_INS_MOD} re-inserted under new keys), "
+    "then A vs B full-outer-joins on the key and every row is classified "
+    "added/removed/changed/unchanged with per-status counts and key checksums. "
+    "One co-keyed shuffle join — both sides partition on the key, output is "
+    "status-bounded (4 rows); at 100 TB this is the cheapest possible diff "
+    "shape (no sort, no window, no broadcast of either snapshot) "
+    "(north-star pipeline / CDC family)",
+    tags=("pipeline",),
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    a = o.select(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("val"))
+    b = _snapshot_b(o).select(F.col("key").alias("bkey"), F.col("val").alias("bval"))
+    joined = a.join(b, a["key"] == b["bkey"], "full_outer")
+    status = (
+        F.when(F.col("bkey").isNull(), "removed")
+        .when(F.col("key").isNull(), "added")
+        .when(F.col("val") != F.col("bval"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("key"), F.col("bkey"))).cast("bigint").alias("key_checksum"),
+        )
+    )

@@ -174,3 +174,42 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_true") + lap, 3).alias("n_noisy"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# ------------------------------------------------ pseudonymized release
+
+PSEUD_SALT = "pseud-v1"  # release-version salt: rotate to unlink releases
+BAL_BAND = 1000.0  # account-balance generalization width
+
+
+@query(
+    "privacy_pseudonymize_release",
+    oracle=f"""
+    SELECT substr(md5(concat('{PSEUD_SALT}|', CAST(c_custkey AS VARCHAR))), 1, 12)
+             AS pseudonym,
+           c_mktsegment                                          AS segment,
+           CAST(floor(c_acctbal / {BAL_BAND}) AS BIGINT)         AS bal_band,
+           CAST(c_nationkey AS BIGINT)                           AS nation
+    FROM customer
+    """,
+    doc="pseudonymized release view — the de-identification transform before any "
+    "k-anonymity/DP audit applies: the direct identifier (c_custkey, and with it "
+    "c_name, a pure function of it in this schema) is replaced by a salted keyed "
+    f"md5 pseudonym (salt '{PSEUD_SALT}'; rotating the salt unlinks successive "
+    "releases — same-release joins still work, cross-release joins don't), and "
+    f"the continuous quasi-identifier c_acctbal is generalized to width-{BAL_BAND:.0f} "
+    "bands. Purely map-side — zero shuffles at any scale; the release QI "
+    "(segment, bal_band, nation) is exactly what privacy_kanonymity_audit then "
+    "gates (north-star pipeline / privacy)",
+    tags=("pipeline",),
+)
+def privacy_pseudonymize_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{PSEUD_SALT}|"), F.col("c_custkey").cast("string"))), 1, 12
+        ).alias("pseudonym"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / BAL_BAND).cast("bigint").alias("bal_band"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )

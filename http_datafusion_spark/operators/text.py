@@ -1201,3 +1201,98 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("quality_score"),
         (mean > 0.0).alias("keep"),
     )
+
+
+# --------------------------------------- inverted index (serving layout)
+
+TINDEX_BUCKETS = 16  # term-hash partition dirs of the postings store
+
+
+def tindex_store_path(sf_dir: str) -> str:
+    """Materialization dir for the inverted index of one sf_dir (under
+    /tmp; fingerprint+pid-suffixed — see plans/tables.scratch_path)."""
+    from http_datafusion_spark.plans.tables import scratch_path
+
+    return scratch_path("tindex", sf_dir, "documents")
+
+
+def write_inverted_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the postings store PARTITIONED BY term-hash bucket —
+    the text-retrieval serving layout (the lexical twin of
+    write_embedding_index): term -> (df, sorted posting list). A query's
+    terms hash to a handful of buckets, so serving a query reads only
+    those directories — at 100 TB the lookup touches ~|terms|/BUCKETS of
+    the store, never all of it. Postings are sort_array'd so the stored
+    list is deterministic regardless of shuffle order."""
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode_outer(whitespace_tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term").isNotNull())
+    postings = (
+        toks.distinct()  # one posting per (term, doc)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        )
+        .withColumn("bucket", md5_int(F.concat(F.lit("ti|"), F.col("term"))) % TINDEX_BUCKETS)
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+@query(
+    "text_inverted_index_roundtrip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT)    AS df,
+           CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM toks
+    WHERE term IN {tuple(BM25_TERMS)!r}
+    GROUP BY term
+    """,
+    doc="materialized TEXT-retrieval serving layout end-to-end (lexical twin of "
+    "embedding_index_roundtrip): the inverted index — term, df, sorted posting "
+    "list, doc-id checksum — is WRITTEN partitioned by term-hash bucket "
+    f"({TINDEX_BUCKETS} dirs), then the BM25 query terms {BM25_TERMS} are read "
+    "back as a PARTITION-PRUNED scan (their buckets are driver-side constants of "
+    "the terms, the store is touched only at those directories — plan-asserted in "
+    "tests/test_plans.py::test_inverted_index_probe_partition_pruned) and "
+    "summarized per term. The oracle recomputes df/checksum from raw documents, "
+    "proving the round-trip preserved every posting. At 100 TB a query reads "
+    "~|terms|/buckets of the store (north-star text-retrieval scale path)",
+    tags=("text", "pipeline"),
+)
+def text_inverted_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    path = tindex_store_path(sf_dir)
+    write_inverted_index(spark, sf_dir, path)
+    # A retrieval client hashes its own query terms — driver-side
+    # constants, the same md5 rule the store was partitioned by.
+    buckets = sorted(
+        {
+            int(hashlib.md5(f"ti|{t}".encode()).hexdigest()[:15], 16) % TINDEX_BUCKETS
+            for t in BM25_TERMS
+        }
+    )
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned
+        .filter(F.col("term").isin(*BM25_TERMS))
+    )
+    return idx.select(
+        "term",
+        "df",
+        "doc_checksum",
+        F.element_at("postings", 1).cast("bigint").alias("first_doc"),
+    )

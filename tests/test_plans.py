@@ -519,3 +519,31 @@ def test_train_split_temporal_no_join_no_broadcast(spark, sf_dir):
     s = plan_of(QS["train_split_temporal"].spark(spark, sf_dir))
     assert "Broadcast" not in s
     assert "Join" not in s
+
+
+def test_inverted_index_probe_partition_pruned(spark, sf_dir):
+    # The postings store is partitioned by term-hash bucket; reading the
+    # BM25 query terms back must prune to those bucket directories.
+    from http_datafusion_spark.operators.text import (
+        BM25_TERMS,
+        text_inverted_index_roundtrip,
+        tindex_store_path,
+        write_inverted_index,
+    )
+
+    path = tindex_store_path(sf_dir)
+    write_inverted_index(spark, sf_dir, path)
+    import hashlib
+
+    buckets = sorted(
+        {
+            int(hashlib.md5(f"ti|{t}".encode()).hexdigest()[:15], 16) % 16
+            for t in BM25_TERMS
+        }
+    )
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    s = formatted(df)
+    assert "PartitionFilters" in s and "bucket" in s
+    # and the query itself returns the probe terms
+    out = {r.term for r in text_inverted_index_roundtrip(spark, sf_dir).collect()}
+    assert out == set(BM25_TERMS)
