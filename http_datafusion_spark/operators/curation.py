@@ -2349,3 +2349,153 @@ def orders_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
         )
     )
+
+
+# ------------------------------------- exact-n stratified sample (reservoir)
+
+STRAT_N = 20  # fixed sample size per stratum
+STRAT_SALT = "strat-v1"
+
+
+@query(
+    "stratified_fixed_n_sample",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql(f"concat('{STRAT_SALT}|', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {STRAT_N}
+    """,
+    doc=f"exact-n stratified sample: EXACTLY {STRAT_N} documents per source by "
+    "keyed-hash rank — the deterministic, distributed equivalent of per-stratum "
+    "reservoir sampling (Bernoulli sampling, sample_deterministic, cannot hit an "
+    "exact n; a literal reservoir is sequential). Re-runnable and "
+    "parallelism-independent: the sample is a pure function of (salt, doc_id). "
+    "One hash-partitioned window per stratum, pruned to n rows per group by "
+    "WindowGroupLimit — no global sort, output strata x n bounded "
+    "(north-star sampling)",
+    tags=("pipeline", "sampling"),
+)
+def stratified_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = md5_int(F.concat(F.lit(f"{STRAT_SALT}|"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(W.partitionBy("source").orderBy(h, "doc_id"))
+    return (
+        d.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= STRAT_N)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# --------------------------------------------- bootstrap confidence interval
+
+BOOT_B = 32  # bootstrap replicas
+BOOT_SALT = "boot-v1"
+# Poisson(1) inverse-CDF breakpoints (the standard Poisson bootstrap:
+# each row's replica multiplicity ~ Poisson(1) instead of multinomial —
+# independent per row, so it distributes with no global coordination).
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012)
+
+
+def _boot_weight_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_CDF[0]} THEN 0 WHEN {u} < {_POIS_CDF[1]} THEN 1 "
+        f"WHEN {u} < {_POIS_CDF[2]} THEN 2 WHEN {u} < {_POIS_CDF[3]} THEN 3 ELSE 4 END"
+    )
+
+
+_BOOT_KEY_SQL = (
+    f"concat('{BOOT_SALT}|', CAST(r.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))"
+)
+_BOOT_U_SQL = f"(({md5_int_sql(_BOOT_KEY_SQL)} % 1000000) + 0.5) / 1000000.0"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT CAST(b AS BIGINT) AS b FROM range({BOOT_B}) t(b)),
+    weighted AS (
+      SELECT r.b,
+             {_boot_weight_sql(_BOOT_U_SQL)} AS w,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b,
+             round(CAST(sum(w * v) AS DOUBLE) / sum(w), 4) AS m
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_replicas,
+           round(avg(m), 4)                               AS boot_mean,
+           min(CASE WHEN rk = 2 THEN m END)               AS ci_lo,
+           min(CASE WHEN rk = {BOOT_B - 1} THEN m END)    AS ci_hi
+    FROM ranked
+    """,
+    doc=f"Poisson bootstrap confidence interval of the mean order value, B={BOOT_B} "
+    "replicas: each row's multiplicity in replica b is Poisson(1) via inverse-CDF "
+    "over a keyed md5-uniform — the distributed bootstrap (no multinomial "
+    "coordination; each row decides independently, so the replicate pass is one "
+    f"scan crossed with a {BOOT_B}-row broadcast range). CI bounds are exact order "
+    "statistics (ranks 2 and B-1 ~ the 5th/95th percentile of 32), fully "
+    "deterministic on both engines. Money sums ride the int64 fixed-point path; "
+    f"cost at 100 TB is {BOOT_B} partial-agg passes fused into one scan — the "
+    "standard price of a bootstrap, with B-bounded state (north-star "
+    "pipeline / statistics)",
+    tags=("pipeline", "agg"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.functions.fixedpoint import i100
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    reps = spark.range(BOOT_B).select(F.col("id").cast("bigint").alias("b"))
+    u = (
+        (
+            md5_int(
+                F.concat(
+                    F.lit(f"{BOOT_SALT}|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            )
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .otherwise(4)
+    )
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b", w.alias("w"), i100("o_totalprice").alias("v100")
+    )
+    means = weighted.groupBy("b").agg(
+        F.round(
+            (F.sum(F.col("w") * F.col("v100")).cast("decimal(38,0)")
+             / F.lit(100).cast("decimal(8,0)")).cast("double")
+            / F.sum("w"),
+            4,
+        ).alias("m")
+    )
+    rk = F.row_number().over(W.orderBy("m", "b"))
+    ranked = means.select("m", "b", rk.alias("rk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )

@@ -1296,3 +1296,125 @@ def text_inverted_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_checksum",
         F.element_at("postings", 1).cast("bigint").alias("first_doc"),
     )
+
+
+QMODEL_LR = 0.1  # full-batch gradient-step learning rate
+
+_QFEATS_SQL = f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('qb|', tok)), 1, 15)) AS BIGINT)
+               % {QMODEL_DIM} AS j,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    docn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM feats GROUP BY 1)
+"""
+
+
+@query(
+    "quality_model_gradient",
+    oracle=f"""
+    WITH weights AS ({_qmodel_weights_sql()}),
+    {_QFEATS_SQL},
+    pred AS (
+      SELECT f.doc_id,
+             round(CAST(sum(f.cnt * w.w) AS DOUBLE) / max(d.n), 6) AS pred
+      FROM feats f JOIN weights w USING (j) JOIN docn d USING (doc_id)
+      GROUP BY f.doc_id
+    ),
+    err AS (
+      SELECT p.doc_id, p.pred - (p.doc_id % 2) AS err, d.n
+      FROM pred p JOIN docn d USING (doc_id)
+    ),
+    terms AS (
+      SELECT f.j,
+             CAST(e.err AS DECIMAL(18,6)) * f.cnt AS t
+      FROM feats f JOIN err e USING (doc_id)
+    )
+    SELECT t.j,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(t.t) AS DOUBLE)                          AS grad,
+           CAST(w.w AS DOUBLE)                               AS w_old,
+           round(CAST(w.w AS DOUBLE)
+                 - {QMODEL_LR} * CAST(sum(t.t) AS DOUBLE), 6) AS w_new
+    FROM terms t JOIN weights w ON t.j = w.j
+    GROUP BY t.j, w.w
+    """,
+    doc="one full-batch gradient step of the quality model — TRAINING the "
+    "fastText-style classifier as pure relational algebra (squared loss over "
+    "count features, so the step is engine-exact; a production trainer swaps in "
+    "the logistic gradient, same plan shape): per (doc, bucket) token counts x "
+    "per-doc prediction error produce per-bucket gradient terms computed in "
+    "EXACT decimal — err is a 6dp rational, cnt an integer, so t = "
+    "decimal(err)*cnt carries no double rounding and the decimal sum is "
+    "order-independent — and the broadcast weight vector updates as "
+    f"w - {QMODEL_LR}*g. Labels are a deterministic doc_id parity (the harness "
+    "stand-in for real labels). Plan: the feats relation shuffles ONCE on "
+    "doc_id for pred/err, the gradient agg shuffles on bucket (256 groups), "
+    "weights stay broadcast — per-epoch cost is two partial-agg shuffles of one "
+    "scan at any corpus size; the model (256 rows) never leaves broadcast range "
+    "(north-star pipeline / text quality; completes the quality_model_score arc)",
+    tags=("text", "pipeline"),
+)
+def quality_model_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    weights = spark.range(QMODEL_DIM).select(
+        F.col("id").alias("j"),
+        (((md5_int(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001) - 1000)
+         / 1000.0).cast("decimal(18,3)").alias("w"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            (md5_int(F.concat(F.lit("qb|"), F.col("tok"))) % QMODEL_DIM).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pred = (
+        feats.join(F.broadcast(weights), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("w")).cast("double") / F.sum("cnt"), 6
+            ).alias("pred"),
+            F.sum("cnt").cast("bigint").alias("n"),
+        )
+    )
+    err = pred.select(
+        "doc_id", (F.col("pred") - (F.col("doc_id") % 2)).alias("err"), "n"
+    )
+    terms = feats.join(err, "doc_id").select(
+        "j",
+        (F.col("err").cast("decimal(18,6)") * F.col("cnt")).alias("t"),
+    )
+    grad = F.sum("t").cast("double")
+    return (
+        terms.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            grad.alias("grad"),
+        )
+        .join(F.broadcast(weights), "j")
+        .select(
+            "j",
+            "n_docs",
+            "grad",
+            F.col("w").cast("double").alias("w_old"),
+            F.round(
+                F.col("w").cast("double") - QMODEL_LR * F.col("grad"), 6
+            ).alias("w_new"),
+        )
+    )
