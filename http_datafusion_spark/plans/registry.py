@@ -49,72 +49,79 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.01 parity sweep,
 # tests/test_oracle_parity.py).
-# Round-5 rotation: 192 distinct queries are driver-green across
-# r01∪r02∪r03∪r04 (all 50 r04 rows green). The head below is exactly
-# the 33 registry names that have NEVER had a driver CORRECTNESS row
-# (the round-4 curation/analytics/streaming additions, local
-# sf0.001/sf0.01 parity evidence only — the list VERDICT.md r4
-# "What's missing #1" enumerates), plus the round-5 operators added
-# this round (each new query lands here the commit it is registered),
-# plus any round-5 changed-impl rows. Two of the 33 ARE this round's
-# changed impls (stream_topk_per_window: complete-mode state bound
-# fix; fuzzy_join_blocked: compound block key) so they re-verify in
-# the same window. test_driver_contract.py asserts
-# 40 <= len(PRIORITY) <= 50 — window occupancy is load-bearing.
-# Cumulative driver-green after this round: the full registry.
+# Round-6 rotation policy (235/235 cumulative driver-green entering
+# the round, so the window carries — per the r5 verdict's task 8):
+#   (a) changed-impl rows this round: train_split_temporal (zero-join
+#       rewrite of the overlap audit), stream_incremental_minhash
+#       (audit hook + scratch cleanup), dedup_incremental_minhash
+#       (banded_signature now derives h-columns explicitly), and
+#       privacy_dp_counts (doc reframing — cheap semantic re-pin);
+#   (b) the round-6 additions, each registered with its oracle the
+#       commit it lands;
+#   (c) tail re-checks of the heaviest scale-critical paths: the
+#       minhash family, tokenizer arc, as-of family, serving-layout
+#       roundtrips, capstones, and the headline TPC-H joins.
+# test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
+# occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- the 33 round-4 additions, never driver-checked ----
-    # changed impl this round — re-verify semantics under the fix
-    "stream_topk_per_window",
-    "fuzzy_join_blocked",
-    # sketches / stats
-    "cms_heavy_hitters",
-    "kmv_distinct_sketch",
-    "histogram_equi_depth",
-    "table_stats_profile",
-    # dedup / curation
-    "dedup_cluster_representatives",
-    "dedup_cross_source_matrix",
-    "dedup_incremental_minhash",
-    "dedup_minhash_threshold_sweep",
-    "dedup_semantic_clusters",
-    "dedup_winnowing",
-    "minhash_containment",
-    "split_leakage_safe",
-    "quality_adaptive_filter",
-    "deletion_propagate",
-    "privacy_kanonymity_audit",
-    # embeddings
-    "embedding_norm_outliers",
-    "embedding_pca_power_iteration",
-    "embedding_recall_curve",
-    # text
-    "doc_boilerplate_detect",
-    "ngram_pmi_bigrams",
-    "text_bigram_logprob",
-    "text_langid_confusion",
-    "text_zipf_fit",
-    # events / orders analytics
-    "events_ab_lift",
-    "events_markov_transitions",
-    "orders_market_basket",
-    "orders_pareto_analysis",
-    "orders_rfm_segmentation",
-    "scd2_point_in_time_join",
-    # streaming
-    "stream_error_alert",
-    "stream_hopping_agg",
-    # ---- round-5 additions (registered this round) ----
-    "stream_incremental_minhash",
-    "privacy_kanonymity_joint",
-    "privacy_dp_counts",
-    "dedup_normalized_exact",
+    # ---- (a) changed impls, round 6 ----
     "train_split_temporal",
-    "embedding_centroid_shift",
-    "ngram_novelty_score",
-    "orders_cohort_matrix",
-    "join_skew_diagnose",
-    "vocab_coverage_oov",
+    "stream_incremental_minhash",
+    "dedup_incremental_minhash",
+    "privacy_dp_counts",
+    # ---- (b) round-6 additions ----
+    "quality_model_score",
+    "quality_model_gradient",
+    "text_inverted_index_roundtrip",
+    "incremental_agg_merge",
+    "table_snapshot_diff",
+    "privacy_pseudonymize_release",
+    "stratified_fixed_n_sample",
+    "bootstrap_mean_ci",
+    "graph_pagerank_suppliers",
+    # ---- (c) scale-critical tail re-checks ----
+    # minhash / dedup family
+    "dedup_exact",
+    "dedup_normalized_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_near_apply",
+    "dedup_clusters",
+    "minhash_containment",
+    "dedup_bloom_prefilter",
+    "dedup_embedding_cosine",
+    "dedup_segments",
+    "dedup_winnowing",
+    # tokenizer / text arc
+    "vocab_build",
+    "tokenize_to_ids",
+    "text_bm25_search",
+    "text_tfidf_topterm",
+    "text_token_stats",
+    # as-of / temporal family
+    "asof_join_latest_order",
+    "asof_join_click_purchase",
+    "scd2_point_in_time_join",
+    "range_join_attribution",
+    # serving layouts / capstones
+    "embedding_index_roundtrip",
+    "embedding_index_build",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "corpus_filter_pipeline",
+    "corpus_build_roundtrip",
+    "split_leakage_safe",
+    # streaming twins
+    "stream_topk_per_window",
+    "stream_rate_limited",
+    "stream_cdc_upsert",
+    # headline relational
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q5_region_volume",
+    "q_salted_skew_join",
+    "q_bucketed_join",
+    "events_sessionize",
 )
 
 
