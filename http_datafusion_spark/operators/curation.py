@@ -2499,3 +2499,138 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
         F.min(F.when(F.col("rk") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
     )
+
+
+# --------------------------------------------- leave-one-out target encoding
+
+TENC_ROUND = 4
+
+
+@query(
+    "feature_target_encode",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT o.o_orderkey AS orderkey,
+           c.c_mktsegment AS segment,
+           round(CAST(seg.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / (seg.n - 1), {TENC_ROUND}) AS loo_segment_mean
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN seg ON c.c_mktsegment = seg.segment
+    """,
+    doc="leave-one-out target encoding — the leakage-safe categorical feature: "
+    "each order's market segment is encoded as the segment's mean order value "
+    "EXCLUDING the order itself ((sum - self)/(n - 1)), so the feature never "
+    "contains its own target — naive target encoding is the classic subtle "
+    "leak LOO closes. Exact: money rides the decimal/int64 fixed-point path, "
+    "the LOO subtraction is decimal, one double divide at the end. Plan: one "
+    "per-segment partial-agg shuffle, then the (|segments|-row) stats and the "
+    "customer dim broadcast back over a single fact scan — the fact table "
+    "never re-shuffles (north-star pipeline / feature engineering)",
+    tags=("pipeline", "agg"),
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    o = (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    seg = o.groupBy("segment").agg(
+        F.sum("v").cast("decimal(38,2)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return o.join(F.broadcast(seg), "segment").select(
+        F.col("o_orderkey").alias("orderkey"),
+        "segment",
+        F.round((F.col("s") - F.col("v")).cast("double") / (F.col("n") - 1), TENC_ROUND)
+        .alias("loo_segment_mean"),
+    )
+
+
+# ----------------------------------------------- chi-square independence test
+
+
+@query(
+    "segment_chisquare",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM obs),
+    rowt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT pri, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    terms AS (
+      SELECT CAST(round(
+               (obs.o - (rowt.rt * colt.ct * 1.0 / tot.t))
+             * (obs.o - (rowt.rt * colt.ct * 1.0 / tot.t))
+             / (rowt.rt * colt.ct * 1.0 / tot.t), 6) AS DECIMAL(18,6)) AS term
+      FROM obs JOIN rowt USING (seg) JOIN colt USING (pri) CROSS JOIN tot
+    )
+    SELECT CAST((SELECT count(*) FROM rowt) AS BIGINT)  AS n_rows_cat,
+           CAST((SELECT count(*) FROM colt) AS BIGINT)  AS n_cols_cat,
+           CAST(((SELECT count(*) FROM rowt) - 1)
+              * ((SELECT count(*) FROM colt) - 1) AS BIGINT) AS dof,
+           CAST(sum(term) AS DOUBLE)                    AS chi2
+    FROM terms
+    """,
+    doc="chi-square independence test between market segment and order priority "
+    "— the categorical-association audit a feature-selection / drift pipeline "
+    "runs before trusting a crosstab: observed (seg, pri) counts vs "
+    "expected = row_total*col_total/N, chi2 = sum((o-e)^2/e) with per-cell "
+    "terms 6dp-quantized then decimal-summed (order-independent), dof emitted "
+    "for the caller's p-value lookup. One partial-agg shuffle to the "
+    "cells; the marginals are cell-bounded broadcasts; output is one row at "
+    "any scale (north-star statistics)",
+    tags=("pipeline", "agg"),
+)
+def segment_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    obs = (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").cast("bigint").alias("t"))
+    rowt = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rt"))
+    colt = obs.groupBy("pri").agg(F.sum("o").cast("bigint").alias("ct"))
+    e = F.col("rt") * F.col("ct") * 1.0 / F.col("t")
+    terms = (
+        obs.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    nr = rowt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_cat"))
+    ncol = colt.agg(F.count(F.lit(1)).cast("bigint").alias("n_cols_cat"))
+    return (
+        terms.agg(F.sum("term").cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(ncol))
+        .select(
+            "n_rows_cat",
+            "n_cols_cat",
+            ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )

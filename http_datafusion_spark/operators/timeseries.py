@@ -383,3 +383,134 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# ----------------------------------------------- CUSUM change-point estimate
+
+
+@query(
+    "ts_cusum_changepoints",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id, ts, value,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        OVER (PARTITION BY event_type) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY event_type), 6) AS mean_v
+      FROM events
+    ),
+    dev AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value - mean_v, 6) AS DECIMAL(18,6)) AS d
+      FROM base
+    ),
+    cusum AS (
+      SELECT event_type, event_id, ts,
+             sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM dev
+    ),
+    ranked AS (
+      SELECT event_type, event_id, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(c) DESC, ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT)              AS n_events,
+           CAST(event_id AS BIGINT)       AS changepoint_event,
+           CAST(round(c, 6) AS DOUBLE)    AS max_abs_cusum
+    FROM ranked WHERE rk = 1
+    """,
+    doc="offline CUSUM change-point estimate per event type: deviations from the "
+    "per-type mean accumulate in event-time order (6dp-quantized decimal cumsum "
+    "— exact and order-independent given the (ts, event_id) total order), and "
+    "the argmax of |CUSUM| is the classic single-change-point location "
+    "estimator (Page's statistic read offline). Per-type mean comes from the "
+    "same window pass (decimal sum / count). Plan: one shuffle on event_type "
+    "feeding both window specs, per-type state bounded by the partition sort — "
+    "no driver-side iteration; output one row per type "
+    "(north-star time-series / monitoring)",
+    tags=("events", "window"),
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wt = W.partitionBy("event_type")
+    mean_v = F.round(
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).over(wt).cast("double")
+        / F.count(F.lit(1)).over(wt),
+        6,
+    )
+    dev = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") - mean_v, 6).cast("decimal(18,6)").alias("d"),
+    )
+    wo = wt.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    cusum = dev.select(
+        "event_type", "event_id", "ts", F.sum("d").over(wo).alias("c")
+    )
+    rk = F.row_number().over(wt.orderBy(F.abs(F.col("c")).desc(), "ts", "event_id"))
+    n = F.count(F.lit(1)).over(wt)
+    return (
+        cusum.select(
+            "event_type",
+            n.cast("bigint").alias("n_events"),
+            F.col("event_id").cast("bigint").alias("changepoint_event"),
+            F.round("c", 6).cast("double").alias("max_abs_cusum"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------- debounce (burst dedup)
+
+DEBOUNCE_GAP_SEC = 300
+
+
+@query(
+    "events_debounce",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                                       ORDER BY ts, event_id))
+                       >= {DEBOUNCE_GAP_SEC}
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+    FROM g GROUP BY 1, 2
+    """,
+    doc=f"debounce / burst dedup: within each (user, event type) stream, an event "
+    f"is kept only if >= {DEBOUNCE_GAP_SEC}s passed since the previous one — the "
+    "time-proximity dedup a telemetry pipeline runs on retry/double-click bursts "
+    "(dropDuplicates can't express it: the key is TIME ADJACENCY, not equality; "
+    "the streaming twin is dropDuplicatesWithinWatermark's gap semantics). One "
+    "lag over the per-key event-time order, then a per-key count — a single "
+    "shuffle on (user, type), state bounded by the partition sort "
+    "(north-star events / SURVEY §2.5 lag family)",
+    tags=("events", "window"),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    keep = (
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) >= DEBOUNCE_GAP_SEC)
+    ).cast("int")
+    return (
+        e.select("user_id", "event_type", keep.alias("keep"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+    )

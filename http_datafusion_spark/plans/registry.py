@@ -79,6 +79,10 @@ PRIORITY: tuple[str, ...] = (
     "stratified_fixed_n_sample",
     "bootstrap_mean_ci",
     "graph_pagerank_suppliers",
+    "feature_target_encode",
+    "segment_chisquare",
+    "ts_cusum_changepoints",
+    "events_debounce",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -90,14 +94,10 @@ PRIORITY: tuple[str, ...] = (
     "minhash_containment",
     "dedup_bloom_prefilter",
     "dedup_embedding_cosine",
-    "dedup_segments",
-    "dedup_winnowing",
     # tokenizer / text arc
     "vocab_build",
     "tokenize_to_ids",
     "text_bm25_search",
-    "text_tfidf_topterm",
-    "text_token_stats",
     # as-of / temporal family
     "asof_join_latest_order",
     "asof_join_click_purchase",
