@@ -295,48 +295,34 @@ def _minhash_pairs_sql() -> str:
     tags=("dedup", "bench"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The signature feeds three plan branches (band source + both
-    # verify sides). Instead of .cache() — which pins blocks across
-    # invocations and made warm bench runs silently skip the signature
-    # compute — end the signature in an explicit Exchange: Catalyst's
-    # ReuseExchange computes the identical subtree ONCE per execution
-    # and feeds all three consumers from the same shuffle output. Same
-    # single-compute behavior, zero pinned state, and it holds on a
-    # cluster (exchange reuse is per-query, size-independent).
-    sig = minhash_signature(spark, sf_dir).repartition("doc_id")
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws("_", f"h{2 * j}", f"h{2 * j + 1}").alias("key"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a, b = sig.alias("a"), sig.alias("b")
+    # Band rows CARRY the full h0..h{k-1} signature (banded_signature,
+    # the same shape probe_band_store serves the incremental store
+    # with), so the band self-join verifies agreement inline and the
+    # two signature re-joins of the naive plan disappear: one band
+    # shuffle + one distinct instead of three shuffles. Cost is a wider
+    # band row (k ints); measured 1.02 s -> 0.89 s at sf0.1, and at
+    # cluster scale it trades two candidate-sized shuffles for
+    # k*8 bytes/row on the band exchange — strictly fewer stages.
+    # n_match is a pure function of (doc_a, doc_b), so distinct on the
+    # triple equals distinct on the pair.
+    bands = banded_signature(minhash_signature(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0) for i in range(N_MINHASH)
     )
     return (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, F.col("b.doc_id") == F.col("doc_b"))
-        .withColumn("n_match", matches)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            matches.alias("n_match"),
+        )
+        .distinct()
         .filter(F.col("n_match") >= N_MINHASH // 2)
         .select(
             "doc_a",
