@@ -1557,3 +1557,95 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("key"), F.col("bkey"))).cast("bigint").alias("key_checksum"),
         )
     )
+
+
+# ------------------------------------------------------------- data card
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_toks,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER ()                             AS n
+      FROM t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t)                    AS n_docs,
+           (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM t)      AS n_sources,
+           (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM t)        AS n_langs,
+           (SELECT CAST(sum(n_toks) AS BIGINT) FROM t)                 AS total_tokens,
+           (SELECT round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4) FROM t) AS avg_tokens,
+           (SELECT CAST(min(n_chars) AS BIGINT) FROM ranked
+            WHERE rk = CAST(ceil(0.5 * n) AS BIGINT))                  AS p50_chars,
+           (SELECT CAST(min(n_chars) AS BIGINT) FROM ranked
+            WHERE rk = CAST(ceil(0.9 * n) AS BIGINT))                  AS p90_chars,
+           (SELECT round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+            FROM t)                                                    AS exact_dup_rate
+    """,
+    doc="corpus data card — the one-row dataset summary published alongside an "
+    "LLM training corpus (the 'Datasheets for Datasets' quantitative block): "
+    "doc/source/language counts, token totals and mean, exact p50/p90 length "
+    "order statistics (rank-at-ceil(q*n) — engine-exact where interpolated "
+    "percentiles are not), and the normalized exact-duplicate rate. One scan "
+    "feeds every stat; the length percentiles use a single global sort of the "
+    "(n_chars, doc_id) pairs — at 100 TB swap that branch to approx_percentile "
+    "on the same plan, everything else is partial-agg mergeable "
+    "(north-star pipeline capstone)",
+    tags=("pipeline", "text"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.md5(norm).alias("fp"),
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
+    ranked = t.select(
+        "n_chars",
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pcts = ranked.agg(
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("n_chars"))
+        ).cast("bigint").alias("p50_chars"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("bigint"), F.col("n_chars"))
+        ).cast("bigint").alias("p90_chars"),
+    )
+    return stats.crossJoin(F.broadcast(pcts)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "avg_tokens",
+        "p50_chars",
+        "p90_chars",
+        "exact_dup_rate",
+    )

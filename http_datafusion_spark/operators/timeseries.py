@@ -514,3 +514,82 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------- seasonal-naive forecast backtest
+
+BACKTEST_LAG_MONTHS = 12
+
+
+@query(
+    "orders_seasonal_backtest",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS actual
+      FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT priority, month_idx, actual,
+             lag(actual, {BACKTEST_LAG_MONTHS})
+               OVER (PARTITION BY priority ORDER BY month_idx) AS forecast
+      FROM m
+    ),
+    scored AS (
+      SELECT priority,
+             CAST(round(abs(CAST(actual AS DOUBLE) - CAST(forecast AS DOUBLE))
+                        / CAST(actual AS DOUBLE), 6) AS DECIMAL(18,6)) AS ape,
+             CAST(round((CAST(forecast AS DOUBLE) - CAST(actual AS DOUBLE))
+                        / CAST(actual AS DOUBLE), 6) AS DECIMAL(18,6)) AS pe
+      FROM f WHERE forecast IS NOT NULL
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT)                         AS n_months,
+           round(CAST(sum(ape) AS DOUBLE) / count(*), 6)    AS mape,
+           round(CAST(sum(pe) AS DOUBLE) / count(*), 6)     AS mean_bias
+    FROM scored GROUP BY priority
+    """,
+    doc=f"seasonal-naive forecast backtest: forecast(month m) = actual(m - "
+    f"{BACKTEST_LAG_MONTHS}) per order priority — the baseline every forecasting "
+    "model must beat, evaluated in-engine with MAPE and mean bias over the "
+    "months where the lag exists. Monthly actuals are exact decimal money sums; "
+    "per-month errors are 6dp-quantized then decimal-averaged "
+    "(order-independent). Plan: one partial-agg shuffle to (priority, month) — "
+    "months-bounded — then a lag window inside each priority partition; the "
+    "backtest cost is independent of row count beyond the first rollup "
+    "(north-star time-series / evaluation)",
+    tags=("events", "window", "agg"),
+)
+def orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.fixedpoint import i100
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_idx"),
+        )
+        .agg(
+            (F.sum(i100("o_totalprice")).cast("decimal(38,0)")
+             / F.lit(100).cast("decimal(8,0)")).cast("decimal(38,2)").alias("actual")
+        )
+    )
+    w = W.partitionBy("priority").orderBy("month_idx")
+    f = m.withColumn("forecast", F.lag("actual", BACKTEST_LAG_MONTHS).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    act = F.col("actual").cast("double")
+    fc = F.col("forecast").cast("double")
+    scored = f.select(
+        "priority",
+        F.round(F.abs(act - fc) / act, 6).cast("decimal(18,6)").alias("ape"),
+        F.round((fc - act) / act, 6).cast("decimal(18,6)").alias("pe"),
+    )
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 6).alias("mape"),
+        F.round(F.sum("pe").cast("double") / F.count(F.lit(1)), 6).alias("mean_bias"),
+    )

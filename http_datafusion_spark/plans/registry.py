@@ -83,6 +83,8 @@ PRIORITY: tuple[str, ...] = (
     "segment_chisquare",
     "ts_cusum_changepoints",
     "events_debounce",
+    "corpus_datacard",
+    "orders_seasonal_backtest",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -118,10 +120,8 @@ PRIORITY: tuple[str, ...] = (
     # headline relational
     "q1_pricing_summary",
     "q9_product_profit",
-    "q5_region_volume",
     "q_salted_skew_join",
     "q_bucketed_join",
-    "events_sessionize",
 )
 
 
