@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "events_debounce",
     "corpus_datacard",
     "orders_seasonal_backtest",
+    "stream_debounce",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -116,7 +117,6 @@ PRIORITY: tuple[str, ...] = (
     # streaming twins
     "stream_topk_per_window",
     "stream_rate_limited",
-    "stream_cdc_upsert",
     # headline relational
     "q1_pricing_summary",
     "q9_product_profit",

@@ -650,3 +650,87 @@ def stream_incremental_minhash(
     for d in (store_path, matches_path, ckpt_path):
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+TIMEORDER_FILES = 6  # time-range files -> in-order micro-batches
+
+
+def staged_timeordered_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as TIMEORDER_FILES range-partitioned-by-ts parquet
+    files whose mtimes INCREASE with the time range, so the file stream
+    source (which orders files by modification time) replays the table
+    in event-time order, one range per micro-batch — the staging for
+    operators whose semantics depend on cross-batch time order
+    (debounce, as-of state machines). Same fingerprint guard as
+    staged_docs_dir."""
+    from http_datafusion_spark.plans.tables import fingerprint_tables
+
+    _ensure_session_confs(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    fp = fingerprint_tables(sf_dir, "events")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_to_{name}_{fp}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .repartitionByRange(TIMEORDER_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        # part-0000i is the i-th ts range (repartitionByRange orders
+        # partitions by range); stamp increasing mtimes so the source's
+        # modTime ordering equals time order.
+        parts = sorted(
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.path.getmtime(os.path.join(d, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _debounce_oracle() -> str:
+    import http_datafusion_spark.operators.timeseries  # noqa: F401  (registers the twin)
+    from http_datafusion_spark.plans.registry import REGISTRY
+
+    return REGISTRY["events_debounce"].oracle
+
+
+@query(
+    "stream_debounce",
+    oracle=_debounce_oracle(),
+    doc="STREAMING debounce — custom stateful operator (applyInPandasWithState): "
+    "per (user, event_type) the state is (last_event_sec, n_events, n_kept); "
+    "each micro-batch advances it and emits the running totals in update mode, "
+    "so the final per-key row == the batch twin (events_debounce). Replay uses "
+    "the time-ordered staging (staged_timeordered_dir) because the keep rule "
+    "depends on the previous event in TIME — inherent to debouncing; on a real "
+    "bus the same guarantee comes from per-key Kafka partition ordering. State "
+    "is one tuple per key at any stream length "
+    "(streaming extension; SURVEY §2.9 / custom stateful tier (b))",
+    tags=("streaming", "events"),
+)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.streaming.stateful import debounce_stream
+
+    d = staged_timeordered_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = run_to_memory(debounce_stream(stream), "update")
+    # update-mode sink keeps one row per (key, batch); totals are
+    # cumulative, so the final state per key is its max-n row.
+    last = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    )
+    return (
+        out.withColumn("rk", last)
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "n_events", "n_kept")
+    )

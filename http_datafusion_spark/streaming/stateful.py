@@ -183,3 +183,54 @@ def cdc_upsert_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# Streaming debounce: the stateful twin of operators/timeseries.py::
+# events_debounce. State per (user, event_type) is (last_event_sec,
+# n_events, n_kept) — one tuple per key, bounded by key cardinality.
+# Requires an event-time-ordered replay (streaming/queries.py::
+# staged_timeordered_dir): the keep decision depends on the previous
+# event in TIME, so an out-of-order replay would change it (the batch
+# twin's lag() has the same dependence — the property is inherent to
+# debouncing, not an artifact).
+DEBOUNCE_OUTPUT_SCHEMA = "user_id bigint, event_type string, n_events bigint, n_kept bigint"
+DEBOUNCE_STATE_SCHEMA = "last_sec bigint, n bigint, kept bigint"
+DEBOUNCE_GAP_SEC = 300  # same constant as the batch twin
+
+
+def _debounce_update(key, pdfs, state: GroupState):
+    user_id, etype = key
+    last, n, kept = state.get if state.exists else (None, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        secs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()  # floor == unix_timestamp
+        for s in secs:
+            s = int(s)
+            n += 1
+            if last is None or s - last >= DEBOUNCE_GAP_SEC:
+                kept += 1
+            last = s  # gap measures from the previous EVENT, kept or not
+    state.update((int(last), int(n), int(kept)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [etype],
+            "n_events": [n],
+            "n_kept": [kept],
+        }
+    )
+
+
+def debounce_stream(events_stream: DataFrame) -> DataFrame:
+    """Attach the stateful debounce operator to an events stream."""
+    return (
+        events_stream.select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_update,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -183,3 +183,38 @@ def test_incremental_minhash_store_grows_by_batch_only(spark, sf_dir):
     assert any(a["batch_band_rows"] > 0 for a in audit)
     for a in audit:
         assert a["store_rows_after"] - a["store_rows_before"] == a["batch_band_rows"]
+
+
+def test_timeordered_staging_replays_in_event_time_order(spark, sf_dir):
+    """staged_timeordered_dir must replay ranges in event-time order:
+    each micro-batch's max(ts) <= next batch's min(ts) (ranges are
+    disjoint and files are served oldest-mtime first)."""
+    from http_datafusion_spark.streaming.queries import (
+        TIMEORDER_FILES,
+        staged_timeordered_dir,
+    )
+
+    d = staged_timeordered_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    seen: list[tuple] = []
+
+    def check(batch, batch_id):
+        row = batch.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if row.n:
+            seen.append((batch_id, row.lo, row.hi))
+
+    q = stream.writeStream.foreachBatch(check).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(seen) >= TIMEORDER_FILES
+    seen.sort()
+    for (_, _, hi), (_, lo, _) in zip(seen, seen[1:]):
+        assert hi <= lo  # event-time-ordered replay
