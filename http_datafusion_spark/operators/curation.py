@@ -2634,3 +2634,126 @@ def segment_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# -------------------------------------------------- 3-step journey paths
+
+PATH_TOPK = 15
+
+
+@query(
+    "events_path_3gram",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3,
+           CAST(count(*) AS BIGINT)               AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3 LIMIT {PATH_TOPK}
+    """,
+    doc=f"top-{PATH_TOPK} 3-step journey paths: sliding window of three "
+    "consecutive event types per user (double lead over the per-user "
+    "event-time order) with path counts and distinct travellers — the Sankey/"
+    "flow input one step beyond the first-order Markov matrix "
+    "(events_markov_transitions), catching patterns the memoryless model "
+    "can't (view->click->purchase vs view->click->view). One shuffle on "
+    "user_id feeds both leads; the path agg is |types|^3-bounded; top-k "
+    "fuses to TakeOrderedAndProject (north-star events / journey modeling)",
+    tags=("events", "window"),
+)
+def events_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(PATH_TOPK)
+    )
+
+
+# ------------------------------------------------ percentile winsorization
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+             count(*) OVER () AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT min(CASE WHEN rk = CAST(ceil(0.01 * n) AS BIGINT) THEN v END) AS p01,
+             min(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
+      FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+           CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT)   AS n_clipped_lo,
+           CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT)   AS n_clipped_hi,
+           round(CAST(sum(CAST(least(greatest(v, p01), p99)
+                               AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS winsorized_mean,
+           p01, p99
+    FROM ranked CROSS JOIN cuts
+    GROUP BY p01, p99
+    """,
+    doc="percentile winsorization — the robust-feature clip every tabular ML "
+    "pipeline applies before scaling: exact p01/p99 cut points as rank-at-"
+    "ceil(q*n) order statistics (engine-exact where interpolated percentiles "
+    "are not), values clipped into [p01, p99], clipped-row counts and the "
+    "winsorized mean (exact decimal sum) reported with the cuts. The rank pass "
+    "is one global sort of a narrow (value, key) projection — at 100 TB swap "
+    "the cut computation to approx_percentile on the same plan; the clip "
+    "itself is map-side against two broadcast scalars "
+    "(north-star pipeline / feature engineering)",
+    tags=("pipeline", "agg"),
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    ranked = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.01 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("p01"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy("p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("v") < F.col("p01")).cast("int")).cast("bigint").alias("n_clipped_lo"),
+            F.sum((F.col("v") > F.col("p99")).cast("int")).cast("bigint").alias("n_clipped_hi"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+        )
+        .select("n_rows", "n_clipped_lo", "n_clipped_hi", "winsorized_mean", "p01", "p99")
+    )

@@ -1418,3 +1418,135 @@ def quality_model_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_new"),
         )
     )
+
+
+# ----------------------------------------------- BPE merge step (training)
+
+_BPE_VOCAB_SQL = """
+    vocab AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS wf
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1 HAVING length(tok) >= 2
+    ),
+    seqs AS (
+      SELECT word, wf, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM vocab
+    )
+"""
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    """DuckDB: adjacent symbol pairs of the space-joined sequences in
+    CTE ``src`` (columns word, wf, seq), weighted by word frequency."""
+    return f"""
+      SELECT concat(arr[i], ' ', arr[i + 1]) AS pair, CAST(sum(wf) AS BIGINT) AS cnt
+      FROM (SELECT wf, string_split(seq, ' ') AS arr FROM {src}),
+           unnest(range(1, len(arr))) AS t(i)
+      WHERE len(arr) >= 2
+      GROUP BY 1
+    """
+
+
+@query(
+    "bpe_first_merge",
+    oracle=f"""
+    WITH {_BPE_VOCAB_SQL},
+    pairs AS ({_bpe_pairs_sql("seqs")}),
+    top1 AS (SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 1),
+    before AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct_pairs,
+             CAST(sum(cnt) AS BIGINT) AS n_pairs_total
+      FROM pairs
+    ),
+    merged AS (
+      SELECT s.word, s.wf,
+             trim(replace(replace(concat(' ', s.seq, ' '),
+                                  concat(' ', t.pair, ' '),
+                                  concat(' ', replace(t.pair, ' ', ''), ' ')),
+                          concat(' ', t.pair, ' '),
+                          concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq
+      FROM seqs s CROSS JOIN top1 t
+    ),
+    pairs2 AS ({_bpe_pairs_sql("merged")}),
+    top2 AS (SELECT pair AS next_pair, cnt AS next_cnt FROM pairs2
+             ORDER BY cnt DESC, pair LIMIT 1),
+    after AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs_after FROM pairs2)
+    SELECT t.pair AS merge_pair, t.cnt AS merge_count,
+           b.n_distinct_pairs, b.n_pairs_total,
+           t2.next_pair, t2.next_cnt, a.n_pairs_after
+    FROM top1 t CROSS JOIN before b CROSS JOIN top2 t2 CROSS JOIN after a
+    """,
+    doc="one BPE merge iteration — the tokenizer-TRAINING step (Sennrich et al.) "
+    "as pure relational algebra: words become space-joined symbol sequences, "
+    "adjacent-pair counts weighted by corpus word frequency pick the argmax "
+    "merge (count desc, pair tiebreak), the merge is applied corpus-wide "
+    "(double delimiter-safe replace catches back-to-back occurrences), and the "
+    "pair table is recounted — emitting the chosen merge, pre/post pair totals "
+    "and the NEXT candidate, i.e. one full loop of the BPE training recurrence "
+    "(vocab_build -> tokenize_to_ids complete the apply side). Plan: pair "
+    "extraction is a map-side array transform over the VOCABULARY (bounded, "
+    "never the corpus); the merge choice is a 1-row broadcast joined back "
+    "map-side. Iterating K merges = K runs of this plan over the rewritten "
+    "seqs — each O(vocab), independent of corpus size after the one token "
+    "count (north-star text / tokenizer training)",
+    tags=("text", "pipeline"),
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        d.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    seqs = vocab.select(
+        "word", "wf", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq")
+    )
+
+    def pairs_of(df: DataFrame) -> DataFrame:
+        arr = df.select("wf", F.split("seq", " ").alias("arr")).filter(F.size("arr") >= 2)
+        p = arr.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        return p.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("cnt"))
+
+    pairs = pairs_of(seqs)
+    top1 = pairs.orderBy(F.desc("cnt"), "pair").limit(1)
+    before = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_pairs"),
+        F.sum("cnt").cast("bigint").alias("n_pairs_total"),
+    )
+    t = F.broadcast(top1.select(F.col("pair").alias("mpair"), F.col("cnt").alias("mcnt")))
+    pat = F.concat(F.lit(" "), F.col("mpair"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.replace(F.col("mpair"), F.lit(" "), F.lit("")), F.lit(" "))
+    merged = seqs.crossJoin(t).select(
+        "word",
+        "wf",
+        F.trim(
+            F.replace(
+                F.replace(F.concat(F.lit(" "), F.col("seq"), F.lit(" ")), pat, rep), pat, rep
+            )
+        ).alias("seq"),
+    )
+    pairs2 = pairs_of(merged)
+    top2 = pairs2.orderBy(F.desc("cnt"), "pair").limit(1)
+    after = pairs2.agg(F.sum("cnt").cast("bigint").alias("n_pairs_after"))
+    return (
+        top1.select(F.col("pair").alias("merge_pair"), F.col("cnt").alias("merge_count"))
+        .crossJoin(F.broadcast(before))
+        .crossJoin(
+            F.broadcast(
+                top2.select(F.col("pair").alias("next_pair"), F.col("cnt").alias("next_cnt"))
+            )
+        )
+        .crossJoin(F.broadcast(after))
+    )

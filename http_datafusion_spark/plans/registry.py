@@ -86,6 +86,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_datacard",
     "orders_seasonal_backtest",
     "stream_debounce",
+    "events_path_3gram",
+    "feature_winsorize",
+    "bpe_first_merge",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -94,9 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_near_apply",
     "dedup_clusters",
-    "minhash_containment",
     "dedup_bloom_prefilter",
-    "dedup_embedding_cosine",
     # tokenizer / text arc
     "vocab_build",
     "tokenize_to_ids",
@@ -105,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_latest_order",
     "asof_join_click_purchase",
     "scd2_point_in_time_join",
-    "range_join_attribution",
     # serving layouts / capstones
     "embedding_index_roundtrip",
     "embedding_index_build",
