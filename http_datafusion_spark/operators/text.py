@@ -1356,10 +1356,11 @@ _QFEATS_SQL = f"""
     "decimal(err)*cnt carries no double rounding and the decimal sum is "
     "order-independent — and the broadcast weight vector updates as "
     f"w - {QMODEL_LR}*g. Labels are a deterministic doc_id parity (the harness "
-    "stand-in for real labels). Plan: the feats relation shuffles ONCE on "
-    "doc_id for pred/err, the gradient agg shuffles on bucket (256 groups), "
-    "weights stay broadcast — per-epoch cost is two partial-agg shuffles of one "
-    "scan at any corpus size; the model (256 rows) never leaves broadcast range "
+    "stand-in for real labels). Plan: the per-(doc, bucket) counts shuffle on "
+    "their group key, co-key on doc_id for pred/err, and the gradient agg "
+    "shuffles on bucket (256 groups) — every exchange is keyed by doc or "
+    "bucket, nothing global; weights stay broadcast (plan-asserted: no "
+    "SortMergeJoin), and the model (256 rows) never leaves broadcast range "
     "(north-star pipeline / text quality; completes the quality_model_score arc)",
     tags=("text", "pipeline"),
 )
@@ -1549,4 +1550,99 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(F.broadcast(after))
+    )
+
+
+BPE_TRAIN_MERGES = 4
+
+
+def _bpe_train_oracle(k: int = BPE_TRAIN_MERGES) -> str:
+    """Chained-CTE oracle: k BPE merge rounds, each selecting the argmax
+    pair of the previous round's sequences and rewriting them."""
+    apply_tpl = """
+    seqs{nxt} AS (
+      SELECT s.word, s.wf,
+             trim(replace(replace(concat(' ', s.seq, ' '),
+                                  concat(' ', t.pair, ' '),
+                                  concat(' ', replace(t.pair, ' ', ''), ' ')),
+                          concat(' ', t.pair, ' '),
+                          concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq
+      FROM seqs{cur} s CROSS JOIN t{cur} t
+    )"""
+    parts = [_BPE_VOCAB_SQL.replace("seqs AS", "seqs0 AS")]
+    for i in range(k):
+        parts.append(f"p{i} AS ({_bpe_pairs_sql(f'seqs{i}')})")
+        parts.append(f"t{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)")
+        if i + 1 < k:
+            parts.append(apply_tpl.format(cur=i, nxt=i + 1))
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, pair AS merge_pair, cnt AS pair_count FROM t{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query(
+    "bpe_merge_train",
+    oracle=_bpe_train_oracle(),
+    doc=f"BPE tokenizer TRAINING, {BPE_TRAIN_MERGES} merge rounds — the full "
+    "iterative recurrence (bpe_first_merge is one unrolled step): each round "
+    "counts weighted adjacent pairs over the current symbol sequences, selects "
+    "the argmax merge (count desc, pair tiebreak — a 1-row O(1) driver constant, "
+    "the trainer's own merge-table entry, same acceptance as the IVF probe "
+    "constants), applies it corpus-wide with the delimiter-safe double replace, "
+    "and localCheckpoints the rewritten vocabulary so plan depth stays flat "
+    "across rounds (the components.py fixpoint discipline). Output is the merge "
+    "table a BPE tokenizer ships: (step, pair, count at selection). Each round "
+    "costs O(vocabulary), not O(corpus) — the corpus is touched once for word "
+    "frequencies; at 100 TB rounds are dominated by the one-time token count "
+    "(north-star text / tokenizer training capstone)",
+    tags=("text", "pipeline"),
+)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        d.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    seqs = vocab.select(
+        "word", "wf", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq")
+    ).localCheckpoint(eager=True)
+
+    def pairs_of(df: DataFrame) -> DataFrame:
+        arr = df.select("wf", F.split("seq", " ").alias("arr")).filter(F.size("arr") >= 2)
+        p = arr.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        return p.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("cnt"))
+
+    merges: list[tuple[int, str, int]] = []
+    for step in range(BPE_TRAIN_MERGES):
+        top = pairs_of(seqs).orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0].pair, int(top[0].cnt)
+        merges.append((step, pair, cnt))
+        pat, rep = F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " ")
+        seqs = seqs.select(
+            "word",
+            "wf",
+            F.trim(
+                F.replace(
+                    F.replace(F.concat(F.lit(" "), F.col("seq"), F.lit(" ")), pat, rep),
+                    pat,
+                    rep,
+                )
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step bigint, merge_pair string, pair_count bigint"
     )

@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "events_path_3gram",
     "feature_winsorize",
     "bpe_first_merge",
+    "bpe_merge_train",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -97,7 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_near_apply",
     "dedup_clusters",
-    "dedup_bloom_prefilter",
     # tokenizer / text arc
     "vocab_build",
     "tokenize_to_ids",

@@ -547,3 +547,27 @@ def test_inverted_index_probe_partition_pruned(spark, sf_dir):
     # and the query itself returns the probe terms
     out = {r.term for r in text_inverted_index_roundtrip(spark, sf_dir).collect()}
     assert out == set(BM25_TERMS)
+
+
+def test_target_encode_fact_never_reshuffles(spark, sf_dir):
+    # One hash exchange (the segment partial-agg); the stats and dim
+    # join back as broadcasts over a single fact scan.
+    import re
+
+    s = plan_of(QS["feature_target_encode"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in s
+    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
+
+
+def test_gradient_weights_stay_broadcast(spark, sf_dir):
+    s = plan_of(QS["quality_model_gradient"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_bootstrap_single_scan(spark, sf_dir):
+    # 32 replicas must NOT mean 32 scans: one orders scan crossed with
+    # the broadcast replica range.
+    s = plan_of(QS["bootstrap_mean_ci"].spark(spark, sf_dir))
+    assert s.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in s  # the broadcast cross join
