@@ -1646,3 +1646,80 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step bigint, merge_pair string, pair_count bigint"
     )
+
+
+def _bpe_apply_oracle(k: int = BPE_TRAIN_MERGES) -> str:
+    """Oracle: train the k merges (chained CTEs, as bpe_merge_train),
+    then apply them in order to every document token and report
+    per-source subword stats."""
+    train = _bpe_train_oracle(k)
+    head, _tail = train.rsplit("\n", 1)  # drop the final UNION ALL select
+    # nested application of the k merges, innermost = step 0
+    expr = "concat(' ', trim(regexp_replace(tok, '(.)', '\\1 ', 'g')), ' ')"
+    for i in range(k):
+        expr = (
+            f"replace(replace({expr}, concat(' ', t{i}.pair, ' '), "
+            f"concat(' ', replace(t{i}.pair, ' ', ''), ' ')), "
+            f"concat(' ', t{i}.pair, ' '), "
+            f"concat(' ', replace(t{i}.pair, ' ', ''), ' '))"
+        )
+    crosses = " ".join(f"CROSS JOIN t{i}" for i in range(k))
+    return f"""{head},
+    doc_toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    applied AS (
+      SELECT doc_id, source,
+             len(string_split(trim({expr}), ' ')) AS n_sub
+      FROM doc_toks {crosses}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)        AS n_words,
+           CAST(sum(n_sub) AS BIGINT)      AS n_subwords,
+           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 4) AS subwords_per_word
+    FROM applied GROUP BY source
+    """
+
+
+@query(
+    "tokenize_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc=f"BPE tokenizer APPLY — the serving half of bpe_merge_train: the "
+    f"{BPE_TRAIN_MERGES} learned merges are applied IN TRAINING ORDER to every "
+    "document token (the order-sensitivity is the essence of BPE: later merges "
+    "can only fire where earlier ones created their symbols), then per-source "
+    "subword counts report the compression the learned vocabulary achieves. "
+    "The merge table rides as driver constants (a tokenizer ships its merge "
+    "file); application is a map-side chain of delimiter-safe replaces — pure "
+    "codegen string ops, no Python, no joins on the corpus path, one agg "
+    "shuffle on source. At 100 TB this is exactly a production tokenizer pass: "
+    "broadcast-merge-table + scan (north-star text / tokenizer serving)",
+    tags=("text", "pipeline"),
+)
+def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [r.merge_pair for r in bpe_merge_train(spark, sf_dir).orderBy("step").collect()]
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("tok", "(.)", "$1 ")), F.lit(" ")
+    )
+    for pair in merges:
+        pat, rep = F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " ")
+        seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+    applied = toks.select(
+        "source", F.size(F.split(F.trim(seq), " ")).alias("n_sub")
+    )
+    return applied.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.round(F.sum("n_sub").cast("double") / F.count(F.lit(1)), 4).alias(
+            "subwords_per_word"
+        ),
+    )

@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "feature_winsorize",
     "bpe_first_merge",
     "bpe_merge_train",
+    "tokenize_bpe_apply",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "corpus_filter_pipeline",
     "corpus_build_roundtrip",
-    "split_leakage_safe",
     # streaming twins
     "stream_topk_per_window",
     "stream_rate_limited",
