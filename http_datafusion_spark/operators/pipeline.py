@@ -1649,3 +1649,189 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_chars",
         "exact_dup_rate",
     )
+
+
+# ---------------------------------------------- mixture budget planning
+
+MIX_TOKEN_BUDGET = 20_000  # target training-token budget
+
+
+@query(
+    "mixture_budget_plan",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens,
+             round(avg(n_chars * 1.0
+                       / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                  x -> x <> '')), 1)), 6) AS quality
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_tokens, quality,
+             sum(n_tokens) OVER (ORDER BY quality DESC, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM src
+    )
+    SELECT source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN cum_tokens <= {MIX_TOKEN_BUDGET} THEN 1.0
+                WHEN cum_tokens - n_tokens >= {MIX_TOKEN_BUDGET} THEN 0.0
+                ELSE round(({MIX_TOKEN_BUDGET} - (cum_tokens - n_tokens)) * 1.0
+                           / n_tokens, 6) END AS take_frac
+    FROM ranked
+    """,
+    doc=f"data-mixture budget planning: given per-source token counts and a "
+    "quality signal (chars-per-token here; any score plugs in), fill a "
+    f"{MIX_TOKEN_BUDGET}-token training budget greedily from the highest-"
+    "quality source down — full sources while the budget lasts, a fractional "
+    "sampling rate for the source that straddles the boundary, zero after "
+    "(the knapsack-relaxation mixture planner every pretraining run needs; "
+    "mix_sources_temperature is the temperature alternative this compares "
+    "against). One per-source agg shuffle, then a cumsum window over the "
+    "|sources|-bounded ranking — the plan output is what a sampler like "
+    "sample_deterministic then executes (north-star pipeline / mixing)",
+    tags=("pipeline", "sampling"),
+)
+def mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_toks = F.size(whitespace_tokens(F.col("text")))
+    src = d.groupBy("source").agg(
+        F.sum(n_toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.avg(F.col("n_chars") * 1.0 / F.greatest(n_toks, F.lit(1))), 6
+        ).alias("quality"),
+    )
+    w = W.orderBy(F.desc("quality"), "source").rowsBetween(W.unboundedPreceding, 0)
+    ranked = src.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    prev = F.col("cum_tokens") - F.col("n_tokens")
+    take = (
+        F.when(F.col("cum_tokens") <= MIX_TOKEN_BUDGET, F.lit(1.0))
+        .when(prev >= MIX_TOKEN_BUDGET, F.lit(0.0))
+        .otherwise(F.round((MIX_TOKEN_BUDGET - prev) * 1.0 / F.col("n_tokens"), 6))
+    )
+    return ranked.select("source", "n_tokens", "quality", "cum_tokens", take.alias("take_frac"))
+
+
+# ------------------------------------------------ compaction bin planning
+
+COMPACT_TARGET_CHARS = 15_000  # target "file" size per compaction bin
+
+
+@query(
+    "compaction_bin_plan",
+    oracle=f"""
+    WITH seg AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS seg_chars
+      FROM documents GROUP BY source
+    ),
+    planned AS (
+      SELECT source, seg_chars,
+             CAST(floor((sum(seg_chars) OVER (ORDER BY seg_chars DESC, source
+                                              ROWS UNBOUNDED PRECEDING)
+                         - seg_chars) / {COMPACT_TARGET_CHARS}) AS BIGINT) AS bin
+      FROM seg
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT)       AS n_segments,
+           CAST(sum(seg_chars) AS BIGINT) AS bin_chars,
+           round(sum(seg_chars) * 1.0 / {COMPACT_TARGET_CHARS}, 4) AS fill_ratio
+    FROM planned GROUP BY bin
+    """,
+    doc="small-file compaction planning — the table-maintenance op every "
+    "long-lived 100 TB lake needs: segments (per-source byte totals here; "
+    "real deployments feed file listings) are first-fit packed into target-"
+    f"size bins ({COMPACT_TARGET_CHARS} chars) by a cumsum-floor assignment "
+    "over the size-descending order, and the plan reports per-bin segment "
+    "counts and fill ratios — the work units a compactor then executes. "
+    "Deterministic, one agg + one |segments|-bounded window; the plan "
+    "output is bins-bounded (north-star pipeline / lake maintenance)",
+    tags=("pipeline",),
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    seg = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("seg_chars"))
+    w = W.orderBy(F.desc("seg_chars"), "source").rowsBetween(W.unboundedPreceding, 0)
+    planned = seg.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("seg_chars").over(w) - F.col("seg_chars")) / COMPACT_TARGET_CHARS
+        ).cast("bigint"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_chars").cast("bigint").alias("bin_chars"),
+        F.round(F.sum("seg_chars") * 1.0 / COMPACT_TARGET_CHARS, 4).alias("fill_ratio"),
+    )
+
+
+# ------------------------------------------------- join size pre-flight
+
+
+@query(
+    "join_size_preflight",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+          FROM lineitem GROUP BY 1),
+    pred AS (
+      SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS predicted_rows,
+             CAST(count(*) AS BIGINT)         AS n_matching_keys,
+             CAST(max(a.ca * b.cb) AS BIGINT) AS max_key_output
+      FROM a JOIN b USING (k)
+    ),
+    actual AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT predicted_rows, actual_rows, n_matching_keys, max_key_output,
+           (predicted_rows = actual_rows) AS exact_match
+    FROM pred CROSS JOIN actual
+    """,
+    doc="join-size pre-flight: the exact output cardinality of orders JOIN "
+    "lineitem predicted from per-key count histograms (sum over matching keys "
+    "of cntA*cntB) BEFORE running the join, verified against the actual join "
+    "count in the same plan — the estimator a planner/cost gate runs on two "
+    "key histograms that are each orders of magnitude smaller than the join "
+    "output; max_key_output is the per-key hotspot bound that decides skew "
+    "handling (join_skew_diagnose's companion). Two partial-agg shuffles + a "
+    "co-keyed histogram join; the verification join is the expensive thing "
+    "being predicted and exists here only to prove the identity "
+    "(north-star pipeline / planner tooling)",
+    tags=("pipeline", "agg"),
+)
+def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    a = t["orders"].groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = t["lineitem"].groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    pred = a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("predicted_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_output"),
+    )
+    actual = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return (
+        pred.crossJoin(F.broadcast(actual))
+        .select(
+            "predicted_rows",
+            "actual_rows",
+            "n_matching_keys",
+            "max_key_output",
+            (F.col("predicted_rows") == F.col("actual_rows")).alias("exact_match"),
+        )
+    )

@@ -91,6 +91,9 @@ PRIORITY: tuple[str, ...] = (
     "bpe_first_merge",
     "bpe_merge_train",
     "tokenize_bpe_apply",
+    "mixture_budget_plan",
+    "compaction_bin_plan",
+    "join_size_preflight",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -113,14 +116,11 @@ PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_pq_adc_topk",
     "corpus_filter_pipeline",
-    "corpus_build_roundtrip",
     # streaming twins
     "stream_topk_per_window",
-    "stream_rate_limited",
     # headline relational
     "q1_pricing_summary",
     "q9_product_profit",
-    "q_salted_skew_join",
     "q_bucketed_join",
 )
 
