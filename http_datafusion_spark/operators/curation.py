@@ -2757,3 +2757,55 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_rows", "n_clipped_lo", "n_clipped_hi", "winsorized_mean", "p01", "p99")
     )
+
+
+# ------------------------------------------------------ Benford digit audit
+
+
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM digits)
+    SELECT d, n,
+           round(n * 1.0 / t, 6)              AS observed_freq,
+           round(log10(1.0 + 1.0 / d), 6)     AS benford_freq,
+           round(n * 1.0 / t - round(log10(1.0 + 1.0 / d), 6), 6) AS deviation
+    FROM digits CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit of order values — the classic "
+    "fabricated-data / corrupted-feed detector a data-quality pipeline runs on "
+    "money columns: observed leading-digit frequencies vs log10(1 + 1/d), with "
+    "per-digit deviations (a chi-square over these cells is segment_chisquare's "
+    "shape). The digit extraction truncates to integer first so floating "
+    "formatting can never leak into the digit (both engines take the same "
+    "substr of the same integer string). One partial-agg shuffle to 9 cells; "
+    "output digit-bounded (north-star statistics / data quality)",
+    tags=("pipeline", "agg"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1).cast("bigint")
+    digits = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("bigint").alias("t"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("d")), 6)
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("observed_freq"),
+            benford.alias("benford_freq"),
+            F.round(F.col("n") * 1.0 / F.col("t") - benford, 6).alias("deviation"),
+        )
+    )

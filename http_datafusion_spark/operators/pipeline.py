@@ -26,6 +26,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1835,3 +1837,96 @@ def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("predicted_rows") == F.col("actual_rows")).alias("exact_match"),
         )
     )
+
+
+# ---------------------------------------- manifest-based snapshot versioning
+
+SNAPVER_APPEND_MOD = 5  # docs with doc_id % 5 == 0 arrive in version 2
+
+
+def _snapver_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir+mtime+pid) a two-version manifest store:
+    version 1 = documents with doc_id % SNAPVER_APPEND_MOD != 0,
+    version 2 = v1 plus the remaining docs as an APPENDED file set —
+    files are immutable, versions are manifest JSON files listing their
+    member data files (the core mechanic of Delta/Iceberg-style table
+    formats, minimally: append-only + manifest = snapshot isolation +
+    time travel)."""
+    import json
+
+    from http_datafusion_spark.plans.tables import scratch_path
+
+    root = scratch_path("snapver", sf_dir, "documents")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.filter(F.col("doc_id") % SNAPVER_APPEND_MOD != 0)
+    delta = d.filter(F.col("doc_id") % SNAPVER_APPEND_MOD == 0)
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta"))
+
+    def files_of(sub: str) -> list[str]:
+        p = os.path.join(root, sub)
+        return sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    v1 = files_of("base")
+    v2 = v1 + files_of("delta")
+    for ver, files in ((1, v1), (2, v2)):
+        with open(os.path.join(root, "_manifests", f"v{ver}.json"), "w") as fh:
+            json.dump({"version": ver, "files": files}, fh)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def read_snapshot(spark: SparkSession, sf_dir: str, version: int) -> DataFrame:
+    """Time-travel read: load exactly the files the version's manifest
+    lists — later appends are invisible (snapshot isolation)."""
+    import json
+
+    root = _snapver_store(spark, sf_dir)
+    with open(os.path.join(root, "_manifests", f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+@query(
+    "snapshot_versioned_read",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS char_checksum
+    FROM documents WHERE doc_id % {SNAPVER_APPEND_MOD} <> 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM documents
+    """,
+    doc="manifest-based snapshot versioning — the table-format mechanic (Delta/"
+    "Iceberg minimal core) built from primitives the engine already has: data "
+    "files are immutable, a version is a manifest listing its member files, an "
+    "append creates new files plus a new manifest, and a TIME-TRAVEL read "
+    "loads exactly one manifest's file set (read_snapshot) — concurrent "
+    "readers of v1 never see v2's append (snapshot isolation by "
+    "construction). The query reads BOTH versions through their manifests and "
+    "checksums them; the oracle recomputes each version's membership rule "
+    "from the raw table, proving the store round-trip exact. At 100 TB "
+    "manifests list file paths (KB-scale metadata), never data "
+    "(north-star pipeline / lake table format)",
+    tags=("pipeline",),
+)
+def snapshot_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def summarize(ver: int) -> DataFrame:
+        return read_snapshot(spark, sf_dir, ver).agg(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("char_checksum"),
+        )
+
+    return summarize(1).unionByName(summarize(2))

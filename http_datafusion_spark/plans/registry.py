@@ -94,6 +94,8 @@ PRIORITY: tuple[str, ...] = (
     "mixture_budget_plan",
     "compaction_bin_plan",
     "join_size_preflight",
+    "snapshot_versioned_read",
+    "orders_benford_audit",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -103,13 +105,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_near_apply",
     "dedup_clusters",
     # tokenizer / text arc
-    "vocab_build",
     "tokenize_to_ids",
     "text_bm25_search",
     # as-of / temporal family
     "asof_join_latest_order",
     "asof_join_click_purchase",
-    "scd2_point_in_time_join",
     # serving layouts / capstones
     "embedding_index_roundtrip",
     "embedding_index_build",
