@@ -268,3 +268,75 @@ def test_dedup_embedding_cosine_default_is_candidate_gated(spark, sf_dir):
         .count()
     )
     assert n_cand < n * (n - 1) / 2
+
+
+# ---------------------------------------- round-6 operator invariants
+
+
+def test_debounce_invariants(spark, sf_dir):
+    from http_datafusion_spark.plans.registry import all_queries
+
+    rows = all_queries()["events_debounce"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_kept <= r.n_events  # first event always kept
+
+
+def test_winsorize_invariants(spark, sf_dir):
+    from http_datafusion_spark.plans.registry import all_queries
+
+    r = all_queries()["feature_winsorize"].spark(spark, sf_dir).collect()[0]
+    assert r.p01 <= r.p99
+    # ~1% clipped each side (rank-at-ceil semantics make it <= 1%)
+    assert r.n_clipped_lo <= r.n_rows * 0.011
+    assert r.n_clipped_hi <= r.n_rows * 0.011
+    assert r.p01 <= r.winsorized_mean <= r.p99
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    from http_datafusion_spark.plans.registry import all_queries
+
+    r = all_queries()["bootstrap_mean_ci"].spark(spark, sf_dir).collect()[0]
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    assert r.n_replicas == 32
+
+
+def test_pagerank_is_a_distribution_tail(spark, sf_dir):
+    # Top-k ranks are positive and sorted; the full supplier rank vector
+    # sums to ~1 only over ALL nodes, but every emitted rank must exceed
+    # the teleport floor (1-d)/N_s.
+    from http_datafusion_spark.plans.registry import all_queries
+
+    rows = all_queries()["graph_pagerank_suppliers"].spark(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: (-r.pagerank, r.suppkey))
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_snapshot_isolation_v1_unchanged_by_append(spark, sf_dir):
+    # Reading v1 through its manifest must be identical before and after
+    # v2 exists (it does, by construction of the store) — the snapshot-
+    # isolation property itself.
+    from http_datafusion_spark.operators.pipeline import (
+        SNAPVER_APPEND_MOD,
+        read_snapshot,
+    )
+    from http_datafusion_spark.plans.tables import load_tables
+
+    v1 = read_snapshot(spark, sf_dir, 1)
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    expect = d.filter(F.col("doc_id") % SNAPVER_APPEND_MOD != 0)
+    assert v1.count() == expect.count()
+    assert v1.exceptAll(expect.select(*v1.columns)).count() == 0
+
+
+def test_bpe_merge_counts_monotone_nonincreasing(spark, sf_dir):
+    # Greedy BPE picks the global argmax each round, so selected counts
+    # can never increase from one merge to the next... except when a
+    # merge CREATES a more frequent pair; assert the weaker invariant
+    # that all counts are positive and steps are consecutive.
+    from http_datafusion_spark.plans.registry import all_queries
+
+    rows = all_queries()["bpe_merge_train"].spark(spark, sf_dir).orderBy("step").collect()
+    assert [r.step for r in rows] == list(range(len(rows)))
+    assert all(r.pair_count > 0 for r in rows)
+    assert len({r.merge_pair for r in rows}) == len(rows)  # merges are distinct
