@@ -2809,3 +2809,60 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("t") - benford, 6).alias("deviation"),
         )
     )
+
+
+# ---------------------------------------- trailing-window features (PIT-safe)
+
+TRAIL_DAYS = 90
+
+
+@query(
+    "feature_trailing_90d",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    )
+    SELECT o_orderkey AS orderkey,
+           CAST(count(*) OVER w - 1 AS BIGINT)                 AS n_prior_orders_90d,
+           CAST(round(CAST(sum(v) OVER w - v AS DOUBLE), 2) AS DOUBLE) AS prior_spend_90d
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND CURRENT ROW)
+    """,
+    doc=f"trailing-{TRAIL_DAYS}-day point-in-time features: for every order, the "
+    "customer's prior order count and spend within the trailing window — THE "
+    "feature-store shape (recommendation/credit features), leakage-safe because "
+    "the RANGE frame ends at the current row and the row's own contribution is "
+    "subtracted (same-day siblings do remain visible — RANGE groups peers; a "
+    "stricter variant keys the frame on a unique event sequence). Exact: money "
+    "in decimal, day arithmetic in integers. One shuffle on customer feeding a "
+    "single range-frame window — per-key state is the window buffer, never the "
+    "history (north-star pipeline / feature engineering; SURVEY §2.5 RANGE "
+    "frames applied)",
+    tags=("pipeline", "window"),
+)
+def feature_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-TRAIL_DAYS, 0)
+    )
+    return base.select(
+        F.col("o_orderkey").alias("orderkey"),
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("n_prior_orders_90d"),
+        F.round((F.sum("v").over(w) - F.col("v")).cast("double"), 2).alias(
+            "prior_spend_90d"
+        ),
+    )

@@ -96,13 +96,14 @@ PRIORITY: tuple[str, ...] = (
     "join_size_preflight",
     "snapshot_versioned_read",
     "orders_benford_audit",
+    "feature_trailing_90d",
+    "stream_snapshot_append",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
     "dedup_normalized_exact",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
-    "dedup_near_apply",
     "dedup_clusters",
     # tokenizer / text arc
     "tokenize_to_ids",
@@ -114,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "embedding_index_roundtrip",
     "embedding_index_build",
     "sim_ivf_topk",
-    "sim_pq_adc_topk",
     "corpus_filter_pipeline",
     # streaming twins
     "stream_topk_per_window",

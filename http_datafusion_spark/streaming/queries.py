@@ -734,3 +734,143 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "event_type", "n_events", "n_kept")
     )
+
+
+DOCS_MOD_FILES = 4  # deterministic batch membership: doc_id % 4 == file index
+
+
+def staged_docs_mod_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as DOCS_MOD_FILES single-file parquets where file
+    i holds exactly doc_id % N == i, with mtimes increasing in i — so a
+    maxFilesPerTrigger=1 replay has DETERMINISTIC batch membership
+    (batch k == residue class k), unlike a repartition() staging whose
+    file contents depend on scan parallelism. SQL-expressible membership
+    is what lets a commit-log replay be oracle-checked per version."""
+    import shutil
+
+    from http_datafusion_spark.plans.tables import fingerprint_tables, load_tables
+
+    _ensure_session_confs(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    fp = fingerprint_tables(sf_dir, "documents")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_docmod_{name}_{fp}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        base = None
+        for i in range(DOCS_MOD_FILES):
+            tmp = os.path.join(d, f"_tmp_{i}")
+            docs.filter(F.col("doc_id") % DOCS_MOD_FILES == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"residue-{i}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if base is None:
+                base = int(os.path.getmtime(dst))
+            os.utime(dst, (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _snapshot_append_oracle() -> str:
+    per_version = " UNION ALL ".join(
+        f"""SELECT CAST({v} AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT)     AS n_docs,
+             CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+             CAST(sum(n_chars) AS BIGINT) AS char_checksum
+        FROM documents WHERE doc_id % {DOCS_MOD_FILES} < {v}"""
+        for v in range(1, DOCS_MOD_FILES + 1)
+    )
+    return per_version
+
+
+@query(
+    "stream_snapshot_append",
+    oracle=_snapshot_append_oracle(),
+    doc="STREAMING transactional table sink — the streaming half of "
+    "snapshot_versioned_read: each micro-batch foreachBatch-writes its rows as "
+    "immutable files then commits manifest v(k+1) = v(k)'s files + its own "
+    "(the commit protocol of a lake table format: data files first, one "
+    "atomic metadata pointer last — a crashed batch leaves orphan files, "
+    "never a corrupt table). The query then TIME-TRAVELS the whole commit "
+    "log: every manifest version is read through its file list and "
+    "checksummed; the oracle recomputes each version's membership (batch k == "
+    "doc_id residue class k, made deterministic by the mod-staging) from the "
+    "raw table. State per commit is a KB-scale file list, never data "
+    "(streaming extension; SURVEY §2.9 + lake table format)",
+    tags=("streaming", "pipeline"),
+)
+def stream_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from http_datafusion_spark.plans.tables import scratch_path
+
+    run_id = uuid.uuid4().hex[:8]
+    root = scratch_path("snapstream", sf_dir, "documents") + f"_{run_id}"
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="hds_ckpt_")
+
+    d = staged_docs_mod_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        data_dir = os.path.join(root, f"batch_{batch_id}")
+        batch.write.mode("overwrite").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(man_dir) if f.endswith(".json")
+        )
+        prev_files: list[str] = []
+        if versions:
+            with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
+                prev_files = json.load(fh)["files"]
+        ver = (versions[-1] if versions else 0) + 1
+        # data files are durable before the manifest pointer appears —
+        # the atomic-commit ordering of every table format
+        with open(os.path.join(man_dir, f"v{ver}.json"), "w") as fh:
+            json.dump({"version": ver, "files": prev_files + new_files}, fh)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    import functools
+
+    outs = []
+    for f in sorted(os.listdir(man_dir)):
+        with open(os.path.join(man_dir, f)) as fh:
+            m = json.load(fh)
+        outs.append(
+            spark.read.parquet(*m["files"]).agg(
+                F.lit(m["version"]).cast("bigint").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+                F.sum("n_chars").cast("bigint").alias("char_checksum"),
+            )
+        )
+    result = functools.reduce(lambda a, b: a.unionByName(b), outs).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
