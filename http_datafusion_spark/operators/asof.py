@@ -238,3 +238,80 @@ def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_pid"),
         F.round("asof_value", 6).alias("asof_value"),
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    ev AS (
+      SELECT event_id, user_id % m + 1 AS custkey,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_sec
+      FROM events, mx
+    )
+    SELECT event_id, custkey,
+           o_orderkey                                 AS nearest_orderkey,
+           CAST(abs(CAST(floor(epoch(o_orderdate)) AS BIGINT) - t_sec) AS BIGINT)
+                                                      AS delta_sec
+    FROM ev LEFT JOIN orders ON o_custkey = custkey
+    QUALIFY row_number() OVER (
+      PARTITION BY event_id
+      ORDER BY abs(CAST(floor(epoch(o_orderdate)) AS BIGINT) - t_sec) ASC NULLS LAST,
+               CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) <= t_sec
+                    THEN 0 ELSE 1 END,
+               o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+    doc="NEAREST as-of join — the remaining direction mode of the as-of family "
+    "(pandas merge_asof direction='nearest'): each event attaches its "
+    "customer's closest order in TIME, either side, ties to the backward "
+    "match then max orderkey. Composed from the two one-sided union-merge "
+    "passes (backward + forward, each one shuffle on the key, no pair "
+    "explosion) joined 1:1 on the event key with a map-side distance pick — "
+    "at 100 TB still O(N log N) per side where the oracle's inequality-join "
+    "formulation explodes to events x orders-per-key "
+    "(beyond-reference operator; SURVEY §2.3 as-of family complete)",
+    tags=("asof", "join"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events", "orders", "customer")
+    max_ck = t["customer"].agg(F.max("c_custkey").alias("m"))
+    ev = (
+        t["events"]
+        .crossJoin(F.broadcast(max_ck))
+        .select(
+            "event_id",
+            (F.col("user_id") % F.col("m") + 1).alias("custkey"),
+            F.unix_timestamp("ts").alias("t_sec"),
+        )
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_timestamp("o_orderdate").alias("o_sec"),
+        "o_orderkey",
+    )
+    bwd = asof_join(
+        ev, orders, on="custkey", left_time="t_sec", right_time="o_sec",
+        payload_cols=["o_orderkey", "o_sec"], direction="backward",
+    ).select(
+        "event_id",
+        "custkey",
+        F.col("asof_o_orderkey").alias("b_key"),
+        (F.col("t_sec") - F.col("asof_o_sec")).alias("b_d"),
+    )
+    fwd = asof_join(
+        ev, orders, on="custkey", left_time="t_sec", right_time="o_sec",
+        payload_cols=["o_orderkey", "o_sec"], direction="forward",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("asof_o_orderkey").alias("f_key"),
+        (F.col("asof_o_sec") - F.col("t_sec")).alias("f_d"),
+    )
+    j = bwd.join(fwd, F.col("event_id") == F.col("f_event_id"))
+    take_b = F.col("f_d").isNull() | (F.col("b_d").isNotNull() & (F.col("b_d") <= F.col("f_d")))
+    return j.select(
+        "event_id",
+        "custkey",
+        F.when(take_b, F.col("b_key")).otherwise(F.col("f_key")).alias("nearest_orderkey"),
+        F.when(take_b, F.col("b_d")).otherwise(F.col("f_d")).cast("bigint").alias("delta_sec"),
+    )

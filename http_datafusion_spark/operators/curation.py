@@ -2866,3 +2866,62 @@ def feature_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_spend_90d"
         ),
     )
+
+
+# ---------------------------------------------------- survival / retention
+
+SURV_HORIZON = 12  # months
+
+
+@query(
+    "customer_survival_curve",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             least(max(year(o_orderdate) * 12 + month(o_orderdate))
+                   - min(year(o_orderdate) * 12 + month(o_orderdate)),
+                   {SURV_HORIZON}) AS lm
+      FROM orders GROUP BY 1
+    ),
+    hist AS (SELECT lm, CAST(count(*) AS BIGINT) AS n FROM life GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM life),
+    grid AS (SELECT CAST(k AS BIGINT) AS k FROM range({SURV_HORIZON + 1}) g(k))
+    SELECT k AS month_k,
+           CAST(sum(CASE WHEN h.lm >= g.k THEN h.n ELSE 0 END) AS BIGINT)
+             AS n_surviving,
+           round(sum(CASE WHEN h.lm >= g.k THEN h.n ELSE 0 END) * 1.0 / max(t.t), 6)
+             AS survival_frac
+    FROM grid g CROSS JOIN hist h CROSS JOIN tot t
+    GROUP BY g.k
+    """,
+    doc=f"customer survival curve (Kaplan-Meier shape, no censoring in this "
+    f"closed dataset): lifetime = months between first and last order, capped "
+    f"at {SURV_HORIZON}; survival(k) = fraction of customers whose lifetime "
+    "reaches month k — the retention curve a subscription/engagement team "
+    "reads (orders_cohort_matrix is its per-cohort decomposition). One "
+    "customer-keyed agg shuffle to lifetimes, then everything is months-"
+    "bounded: the histogram x grid product is "
+    f"~{SURV_HORIZON + 1}x{SURV_HORIZON + 1} rows at any corpus size "
+    "(north-star statistics / retention)",
+    tags=("pipeline", "agg"),
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    life = o.groupBy("o_custkey").agg(
+        F.least(F.max(midx) - F.min(midx), F.lit(SURV_HORIZON)).alias("lm")
+    )
+    hist = life.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = life.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    grid = spark.range(SURV_HORIZON + 1).select(F.col("id").cast("bigint").alias("k"))
+    surviving = F.sum(F.when(F.col("lm") >= F.col("k"), F.col("n")).otherwise(0))
+    return (
+        grid.crossJoin(F.broadcast(hist))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            surviving.cast("bigint").alias("n_surviving"),
+            F.round(surviving * 1.0 / F.max("t"), 6).alias("survival_frac"),
+        )
+        .select(F.col("k").alias("month_k"), "n_surviving", "survival_frac")
+    )

@@ -98,6 +98,8 @@ PRIORITY: tuple[str, ...] = (
     "orders_benford_audit",
     "feature_trailing_90d",
     "stream_snapshot_append",
+    "asof_join_nearest",
+    "customer_survival_curve",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -113,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_click_purchase",
     # serving layouts / capstones
     "embedding_index_roundtrip",
-    "embedding_index_build",
     "sim_ivf_topk",
     "corpus_filter_pipeline",
     # streaming twins
