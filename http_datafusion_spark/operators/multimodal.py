@@ -404,3 +404,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("unit_sum").cast("double") / F.sum("n_units"), 4
         ).alias("mean_unit"),
     )
+
+
+# ----------------------------------------------- binary exact dedup
+
+BLOB_DUP_SEEDS = 50  # payloads are seeded by doc_id % SEEDS -> byte-identical groups
+
+
+@query(
+    "multimodal_blob_dedup",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id % {BLOB_DUP_SEEDS} AS seed,
+             CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+             CAST(count(*) AS BIGINT)    AS group_size
+      FROM documents GROUP BY 1
+    )
+    SELECT keep_doc_id, group_size,
+           CASE WHEN seed % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CAST(CASE WHEN seed % 2 = 0
+                THEN 11 + (4 + seed % 5) * (1 + seed % 7) * 3
+                ELSE 44 + 2 * (16 + seed % 50) END AS BIGINT) AS n_bytes
+    FROM g
+    """,
+    doc="EXACT dedup over BINARY media payloads — the dedup family extended to "
+    "the multimodal modality: genuine PPM/WAV files are synthesized executor-"
+    f"side seeded by doc_id % {BLOB_DUP_SEEDS} (so byte-identical duplicates "
+    "exist by construction), fingerprinted by md5 OVER THE RAW BYTES in the "
+    "same Arrow pass, and hash-grouped with a min-id survivor — the payload "
+    "never leaves the executor and only the 16-byte fingerprint shuffles, the "
+    "dedup_exact discipline applied to binary columns. The oracle predicts "
+    "every group (survivor, size, type, byte length) from the closed-form "
+    "generators WITHOUT running a codec, so the byte-level grouping is "
+    "value-checked end to end (north-star multimodal + dedup)",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            seeds = [i % BLOB_DUP_SEEDS for i in ids]
+            kinds = ["image" if s % 2 == 0 else "audio" for s in seeds]
+            payloads = [
+                synth_ppm(s, s) if k == "image" else synth_wav(s, s)
+                for s, k in zip(seeds, kinds)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": kinds,
+                    "fingerprint": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    fp = d.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id bigint, media_type string, fingerprint string, n_bytes bigint",
+    )
+    return (
+        fp.groupBy("fingerprint", "media_type", "n_bytes")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        )
+        .select("keep_doc_id", "group_size", "media_type", "n_bytes")
+    )

@@ -100,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_snapshot_append",
     "asof_join_nearest",
     "customer_survival_curve",
+    "multimodal_blob_dedup",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family
     "dedup_exact",
@@ -121,7 +122,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_topk_per_window",
     # headline relational
     "q1_pricing_summary",
-    "q9_product_profit",
     "q_bucketed_join",
 )
 
