@@ -1,0 +1,101 @@
+"""Distributed EXACT order statistics — no single-partition sort.
+
+The naive exact percentile (`row_number() OVER (ORDER BY v)`) plans an
+`Exchange SinglePartition`: every row of the table funnels through one
+task — correct at sf0.1, dead at 100 TB. The classic scalable plan,
+implemented here declaratively:
+
+1. a deterministic equi-depth-ish bucketing of the value domain from
+   `approx_percentile` boundaries (a Greenwald-Khanna sketch — itself a
+   deterministic one-pass partial aggregate; B-1 driver constants, the
+   IVF-centroid acceptance);
+2. one partial-agg shuffle for per-bucket counts; the cumulative offsets
+   are B driver constants;
+3. for each requested global rank: locate its bucket, then a window
+   PARTITIONED BY the bucket (parallel, bounded by the bucket's rows)
+   finds the row at the local rank.
+
+The bucket boundaries only decide WHERE the rank is searched, never the
+answer — the result is the exact k-th smallest (v, tiebreak) row for any
+boundary choice, so oracle exactness survives the sketch.
+
+tests/test_plans.py::test_winsorize_has_no_single_partition_exchange
+pins the property this module exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+ORD_BUCKETS = 32
+
+
+def bucketed_ranked(
+    df: DataFrame, value: str, tiebreak: str, bounds: list[float]
+) -> DataFrame:
+    """The rank-search relation: rows bucketed by the boundary list with
+    a local row_number PER BUCKET — the window that replaces the naive
+    global sort. Its plan must never contain an Exchange SinglePartition
+    (tests/test_plans.py pins this)."""
+    b = F.lit(0)
+    for i, cut in enumerate(bounds):
+        b = F.when(F.col(value) > F.lit(cut), i + 1).otherwise(b)
+    w = W.partitionBy("bucket").orderBy(value, tiebreak)
+    return df.select(value, tiebreak, b.alias("bucket")).withColumn(
+        "lrk", F.row_number().over(w)
+    )
+
+
+def exact_rank_values(
+    df: DataFrame, value: str, tiebreak: str, ranks: list[int]
+) -> dict[int, float]:
+    """Exact k-th smallest values of ``value`` (ties broken by
+    ``tiebreak``) for 1-based global ranks ``ranks``, without ever
+    sorting the table in one partition. Returns {rank: value} driver
+    constants (the caller embeds them as literals — the clip/report
+    stage becomes pure map-side)."""
+    # 1. boundary sketch (deterministic, one pass)
+    qs = [i / ORD_BUCKETS for i in range(1, ORD_BUCKETS)]
+    bounds = df.agg(
+        F.percentile_approx(value, qs, 10_000).alias("b")
+    ).collect()[0]["b"]
+
+    def bucket_of(col: Column) -> Column:
+        b = F.lit(0)
+        for i, cut in enumerate(bounds):
+            b = F.when(col > F.lit(cut), i + 1).otherwise(b)
+        return b
+
+    # 2. per-bucket counts -> cumulative offsets (B driver constants)
+    cnts = dict(
+        (r["bucket"], r["n"])
+        for r in df.select(bucket_of(F.col(value)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for b in range(ORD_BUCKETS):
+        offsets[b] = acc
+        acc += cnts.get(b, 0)
+
+    # 3. bucket-partitioned local rank per requested global rank
+    out: dict[int, float] = {}
+    ranked = bucketed_ranked(df, value, tiebreak, bounds)
+    wanted = []
+    for rk in ranks:
+        b = max(b for b in range(ORD_BUCKETS) if offsets[b] < rk) if rk > 0 else 0
+        wanted.append((rk, b, rk - offsets[b]))
+    cond = None
+    for _, b, lrk in wanted:
+        c = (F.col("bucket") == b) & (F.col("lrk") == lrk)
+        cond = c if cond is None else (cond | c)
+    hits = ranked.filter(cond).select(value, "bucket", "lrk").collect()
+    for rk, b, lrk in wanted:
+        for h in hits:
+            if h["bucket"] == b and h["lrk"] == lrk:
+                out[rk] = h[value]
+    return out

@@ -2719,43 +2719,35 @@ def events_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline applies before scaling: exact p01/p99 cut points as rank-at-"
     "ceil(q*n) order statistics (engine-exact where interpolated percentiles "
     "are not), values clipped into [p01, p99], clipped-row counts and the "
-    "winsorized mean (exact decimal sum) reported with the cuts. The rank pass "
-    "is one global sort of a narrow (value, key) projection — at 100 TB swap "
-    "the cut computation to approx_percentile on the same plan; the clip "
-    "itself is map-side against two broadcast scalars "
+    "winsorized mean (exact decimal sum) reported with the cuts. The cuts "
+    "come from the DISTRIBUTED exact-rank plan (functions/ordstats.py: sketch "
+    "boundaries -> bucket counts -> bucket-partitioned local rank) — no "
+    "single-partition sort anywhere, plan-asserted; the clip itself is "
+    "map-side against two literal scalars "
     "(north-star pipeline / feature engineering)",
     tags=("pipeline", "agg"),
 )
 def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    import math
+
+    from http_datafusion_spark.functions.ordstats import exact_rank_values
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    ranked = o.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    cuts = ranked.agg(
-        F.min(
-            F.when(F.col("rk") == F.ceil(0.01 * F.col("n")).cast("bigint"), F.col("v"))
-        ).alias("p01"),
-        F.min(
-            F.when(F.col("rk") == F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("v"))
-        ).alias("p99"),
-    )
-    clipped = F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
-    return (
-        ranked.crossJoin(F.broadcast(cuts))
-        .groupBy("p01", "p99")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum((F.col("v") < F.col("p01")).cast("int")).cast("bigint").alias("n_clipped_lo"),
-            F.sum((F.col("v") > F.col("p99")).cast("int")).cast("bigint").alias("n_clipped_hi"),
-            F.round(
-                F.sum(clipped.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("winsorized_mean"),
-        )
-        .select("n_rows", "n_clipped_lo", "n_clipped_hi", "winsorized_mean", "p01", "p99")
+    v = o.select(F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k"))
+    n = v.count()
+    rk_lo, rk_hi = math.ceil(0.01 * n), math.ceil(0.99 * n)
+    cuts = exact_rank_values(v, "v", "k", [rk_lo, rk_hi])
+    p01, p99 = cuts[rk_lo], cuts[rk_hi]
+    clipped = F.least(F.greatest(F.col("v"), F.lit(p01)), F.lit(p99))
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("v") < p01).cast("int")).cast("bigint").alias("n_clipped_lo"),
+        F.sum((F.col("v") > p99).cast("int")).cast("bigint").alias("n_clipped_hi"),
+        F.round(
+            F.sum(clipped.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("winsorized_mean"),
+        F.lit(p01).alias("p01"),
+        F.lit(p99).alias("p99"),
     )
 
 

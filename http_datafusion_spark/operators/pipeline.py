@@ -1628,18 +1628,16 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
-    ranked = t.select(
-        "n_chars",
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    pcts = ranked.agg(
-        F.min(
-            F.when(F.col("rk") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("n_chars"))
-        ).cast("bigint").alias("p50_chars"),
-        F.min(
-            F.when(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("bigint"), F.col("n_chars"))
-        ).cast("bigint").alias("p90_chars"),
+    import math
+
+    from http_datafusion_spark.functions.ordstats import exact_rank_values
+
+    n = t.count()
+    r50, r90 = math.ceil(0.5 * n), math.ceil(0.9 * n)
+    cuts = exact_rank_values(t.select("n_chars", "doc_id"), "n_chars", "doc_id", [r50, r90])
+    pcts = stats.sparkSession.range(1).select(
+        F.lit(int(cuts[r50])).cast("bigint").alias("p50_chars"),
+        F.lit(int(cuts[r90])).cast("bigint").alias("p90_chars"),
     )
     return stats.crossJoin(F.broadcast(pcts)).select(
         "n_docs",

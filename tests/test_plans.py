@@ -571,3 +571,18 @@ def test_bootstrap_single_scan(spark, sf_dir):
     s = plan_of(QS["bootstrap_mean_ci"].spark(spark, sf_dir))
     assert s.count("Scan parquet") == 1
     assert "BroadcastNestedLoopJoin" in s  # the broadcast cross join
+
+
+def test_ordstats_rank_search_never_single_partition(spark, sf_dir):
+    # The exact-order-statistic rank search must shuffle by bucket, never
+    # funnel the table through one task (the naive global-sort plan does).
+    from http_datafusion_spark.functions.ordstats import bucketed_ranked
+    from http_datafusion_spark.plans.tables import load_tables
+
+    o = load_tables(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
+    )
+    bounds = [1000.0 * i for i in range(1, 32)]
+    s = plan_of(bucketed_ranked(o, "v", "k", bounds))
+    assert "Exchange SinglePartition" not in s
+    assert "Window" in s  # the per-bucket local rank is still a window
