@@ -426,43 +426,69 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-type mean accumulate in event-time order (6dp-quantized decimal cumsum "
     "— exact and order-independent given the (ts, event_id) total order), and "
     "the argmax of |CUSUM| is the classic single-change-point location "
-    "estimator (Page's statistic read offline). Per-type mean comes from the "
-    "same window pass (decimal sum / count). Plan: one shuffle on event_type "
-    "feeding both window specs, per-type state bounded by the partition sort — "
-    "no driver-side iteration; output one row per type "
-    "(north-star time-series / monitoring)",
+    "estimator (Page's statistic read offline). Event type is a LOW-"
+    "cardinality key, so a per-type window would funnel each type's whole "
+    "history through one task at 100 TB; instead the prefix sum is SEGMENTED "
+    "two-phase (the scan-parallel prefix-sum algorithm, relationally): local "
+    "cumsum within (type, month) partitions, month totals telescoped into "
+    "per-month offsets by a months-bounded window, offsets joined back "
+    "broadcast — exact, because decimal addition is associative, so the "
+    "oracle's naive one-window cumsum agrees bit-for-bit. The argmax is "
+    "likewise per-(type, month) winners re-ranked across the months-bounded "
+    "winner set (north-star time-series / monitoring)",
     tags=("events", "window"),
 )
 def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
-    wt = W.partitionBy("event_type")
-    mean_v = F.round(
-        F.sum(F.round("value", 6).cast("decimal(18,6)")).over(wt).cast("double")
-        / F.count(F.lit(1)).over(wt),
-        6,
+    # per-type mean: ordinary partial-agg shuffle (types-bounded), broadcast back
+    means = e.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
-    dev = e.select(
+    chunk = (F.year("ts") * 12 + F.month("ts")).cast("bigint")
+    dev = e.join(F.broadcast(means), "event_type").select(
         "event_type",
         "event_id",
         "ts",
-        F.round(F.col("value") - mean_v, 6).cast("decimal(18,6)").alias("d"),
+        chunk.alias("chunk"),
+        F.round(F.col("value") - F.col("mean_v"), 6).cast("decimal(18,6)").alias("d"),
+        "n_events",
     )
-    wo = wt.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
-    cusum = dev.select(
-        "event_type", "event_id", "ts", F.sum("d").over(wo).alias("c")
+    # phase 1: local cumsum within (type, month) — parallel across months
+    wl = W.partitionBy("event_type", "chunk").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
     )
-    rk = F.row_number().over(wt.orderBy(F.abs(F.col("c")).desc(), "ts", "event_id"))
-    n = F.count(F.lit(1)).over(wt)
+    local = dev.withColumn("lc", F.sum("d").over(wl))
+    # phase 2: month totals -> exclusive per-month offsets (months-bounded window)
+    totals = dev.groupBy("event_type", "chunk").agg(F.sum("d").alias("tot"))
+    wo = W.partitionBy("event_type").orderBy("chunk").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn("off", F.coalesce(F.sum("tot").over(wo), F.lit(0))).select(
+        "event_type", "chunk", "off"
+    )
+    cusum = local.join(F.broadcast(offsets), ["event_type", "chunk"]).withColumn(
+        "c", F.col("lc") + F.col("off")
+    )
+    # argmax |c|: per-(type, month) winner, then across the bounded winner set
+    wm = W.partitionBy("event_type", "chunk").orderBy(
+        F.abs(F.col("c")).desc(), "ts", "event_id"
+    )
+    winners = cusum.withColumn("mrk", F.row_number().over(wm)).filter(F.col("mrk") == 1)
+    wg = W.partitionBy("event_type").orderBy(F.abs(F.col("c")).desc(), "ts", "event_id")
     return (
-        cusum.select(
+        winners.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") == 1)
+        .select(
             "event_type",
-            n.cast("bigint").alias("n_events"),
+            "n_events",
             F.col("event_id").cast("bigint").alias("changepoint_event"),
             F.round("c", 6).cast("double").alias("max_abs_cusum"),
-            rk.alias("rk"),
         )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
     )
 
 
