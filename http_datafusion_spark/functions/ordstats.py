@@ -99,3 +99,75 @@ def exact_rank_values(
             if h["bucket"] == b and h["lrk"] == lrk:
                 out[rk] = h[value]
     return out
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value: str,
+    tiebreaks: list[str],
+    rank_name: str = "grk",
+    descending: bool = False,
+    cumsum_of: str | None = None,
+    cumsum_name: str = "gcum",
+) -> DataFrame:
+    """EXACT global row_number over (value [DESC], tiebreaks...) without
+    an Exchange SinglePartition: sketch boundaries bucket the value
+    domain (equal values always share a bucket, so the within-bucket
+    order extends the global order); per-bucket counts telescope into
+    exclusive offsets via a buckets-bounded window; global rank = offset
+    + bucket-local row_number. Replaces `row_number()/ntile() OVER
+    (ORDER BY ...)` wherever the input is table-sized."""
+    qs = [i / ORD_BUCKETS for i in range(1, ORD_BUCKETS)]
+    bounds = df.agg(F.percentile_approx(value, qs, 10_000).alias("b")).collect()[0]["b"]
+    v = F.col(value)
+    b = F.lit(0)
+    for i, cut in enumerate(bounds):
+        b = F.when(v > F.lit(cut), i + 1).otherwise(b)
+    if descending:
+        b = F.lit(ORD_BUCKETS - 1) - b  # mirror so bucket order follows DESC
+    bucketed = df.withColumn("__bkt", b)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if cumsum_of is not None:
+        aggs.append(F.sum(cumsum_of).alias("__s"))
+    counts = bucketed.groupBy("__bkt").agg(*aggs)
+    woff = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(woff), F.lit(0)))
+    keep = ["__bkt", "__off"]
+    if cumsum_of is not None:
+        offsets = offsets.withColumn(
+            "__soff", F.coalesce(F.sum("__s").over(woff), F.lit(0))
+        )
+        keep.append("__soff")
+    offsets = offsets.select(*keep)
+    order = [F.desc(value) if descending else F.asc(value)] + [F.asc(t) for t in tiebreaks]
+    wl = W.partitionBy("__bkt").orderBy(*order)
+    wcum = wl.rowsBetween(W.unboundedPreceding, 0)
+    out = bucketed.withColumn("__lrk", F.row_number().over(wl))
+    if cumsum_of is not None:
+        out = out.withColumn("__lcum", F.sum(cumsum_of).over(wcum))
+    out = out.join(F.broadcast(offsets), "__bkt").withColumn(
+        rank_name, (F.col("__off") + F.col("__lrk")).cast("bigint")
+    )
+    drop = ["__bkt", "__lrk", "__off"]
+    if cumsum_of is not None:
+        # exact when the summed column is DECIMAL/integer (associative);
+        # the caller owns quantization for floats
+        out = out.withColumn(cumsum_name, F.col("__soff") + F.col("__lcum"))
+        drop += ["__soff", "__lcum"]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column | int, tiles: int) -> Column:
+    """Spark/SQL ntile(t) reconstructed from a 1-based global rank and
+    the total row count: the first n % t tiles hold ceil(n/t) rows, the
+    rest floor(n/t) — bit-identical to the window function, computable
+    map-side once the rank exists."""
+    n = F.lit(n) if isinstance(n, int) else n
+    q = F.floor(n / tiles)
+    rem = n % tiles
+    big = rem * (q + 1)
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank - big - 1) / q) + 1)
+        .cast("int")
+    )

@@ -594,27 +594,37 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sketch(df: DataFrame, part_cols: list[str], label: F.Column | None) -> DataFrame:
-        w = (
-            Window.partitionBy(*part_cols).orderBy("h", "shingle")
-            if part_cols
-            else Window.orderBy("h", "shingle")
+        # TWO-PHASE k-min (the mergeability the docstring claims, made
+        # physical): each input partition keeps its own k smallest
+        # (h, shingle) rows — the global k smallest all rank <= k in
+        # whatever partition they sit in, so pruning is lossless — then
+        # the global rank runs over <= partitions x k survivors, never
+        # the full distinct-shingle stream. The group count (for the
+        # cnt < k fallback) is an ordinary partial-agg shuffle.
+        g = part_cols or ["__g"]
+        gdf = df if part_cols else df.withColumn("__g", F.lit(1))
+        counts = gdf.groupBy(*g).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w1 = Window.partitionBy(*g, "__pid").orderBy("h", "shingle")
+        local = (
+            gdf.withColumn("__pid", F.spark_partition_id())
+            .withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= KMV_K)
         )
-        wc = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
-        ranked = df.select(
-            *(part_cols or []),
-            "h",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("cnt"),
+        w2 = Window.partitionBy(*g).orderBy("h", "shingle")
+        kth = (
+            local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == KMV_K)
+            .groupBy(*g)
+            .agg(F.max("h").alias("hk"))
         )
         est = F.round(
-            F.when(
-                F.col("cnt") >= KMV_K,
-                (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
-            ).otherwise(F.col("cnt").cast("double")),
+            F.when(F.col("cnt") >= KMV_K, (KMV_K - 1) / F.col("hk")).otherwise(
+                F.col("cnt").cast("double")
+            ),
             4,
         )
-        grp = ranked.groupBy(*(part_cols or []), "cnt")
-        out = grp.agg(
+        out = counts.join(kth, g, "left").select(
+            *g,
             F.least(F.col("cnt"), F.lit(KMV_K)).cast("bigint").alias("n_sketch"),
             est.alias("kmv_est"),
         )
@@ -655,13 +665,20 @@ HIST_SAMPLE_MOD = 10  # keep rows where md5 % 10 == 0 -> 10% sample
     """,
     doc=f"equi-depth histogram ({HIST_BUCKETS} buckets) over a deterministic 1/"
     f"{HIST_SAMPLE_MOD} hash-sample of l_extendedprice — the CBO statistic for range-"
-    "selectivity estimation. Sampling BEFORE the ntile is the scale design: the global "
-    "sort the window needs runs over the sample, not the corpus, and a hash-sample is "
-    "reproducible across runs/executors (rand() is not). Complements "
+    "selectivity estimation. Sampling keeps the statistic cheap and hash-sampling "
+    "keeps it reproducible across runs/executors (rand() is not); the ntile itself "
+    "is computed WITHOUT a single-partition window — the distributed global-rank "
+    "plan (functions/ordstats) plus ntile_from_rank reproduces the window "
+    "function bit-for-bit, so even the unsampled form would scale. Complements "
     "table_stats_profile's ndv/min/max (SURVEY §2.4/§2.5 extension)",
     tags=("agg", "window", "pipeline"),
 )
 def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     key = F.concat(
         F.lit("hist|"),
@@ -669,12 +686,23 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_"),
         F.col("l_linenumber").cast("string"),
     )
-    sampled = li.filter(md5_int(key) % HIST_SAMPLE_MOD == 0).select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    sampled = (
+        li.filter(md5_int(key) % HIST_SAMPLE_MOD == 0)
+        .select(
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            # one composite tiebreak so the rank order (price, orderkey,
+            # linenumber) is a single ascending column pair
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
+        )
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    tiled = sampled.select(
-        "l_extendedprice", F.ntile(HIST_BUCKETS).over(w).alias("bucket")
+    n = sampled.count()
+    ranked = bucketed_global_rank(sampled, "l_extendedprice", ["tb"], "rk")
+    tiled = ranked.select(
+        "l_extendedprice",
+        ntile_from_rank(F.col("rk"), n, HIST_BUCKETS).alias("bucket"),
     )
     return tiled.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1587,28 +1615,43 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY 1
     """,
     doc="RFM customer segmentation: per-customer recency/frequency/monetary "
-    "rollup, quartile scores via ntile (customer-key tiebreak makes the "
-    "quartiles deterministic), segment code r*100+f*10+m, and per-segment "
-    "population stats. One partial-agg shuffle on the customer key + three "
-    "windows over the CUSTOMER-level (already reduced) relation — the windows "
-    "never see fact-table rows, which is what keeps the global ntile sort "
-    "viable at 100 TB (customer count << order count) (SURVEY §2.5 extension)",
+    "rollup, quartile scores, segment code r*100+f*10+m, and per-segment "
+    "population stats. The quartiles are ntile(4) SEMANTICS computed without "
+    "a global ntile window: each metric gets an exact distributed global rank "
+    "(functions/ordstats.bucketed_global_rank — sketch buckets, offset "
+    "telescoping, bucket-partitioned local rank; customer-key tiebreak keeps "
+    "it deterministic), and ntile_from_rank reproduces the window function's "
+    "tile arithmetic bit-for-bit map-side — so the customer relation never "
+    "funnels through one task even at 1.5B customers (SURVEY §2.5 extension)",
     tags=("window", "agg"),
 )
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir, "orders")["orders"]
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    from http_datafusion_spark.functions.ordstats import (
+        bucketed_global_rank,
+        ntile_from_rank,
     )
-    scored = per_cust.select(
-        "o_custkey",
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .withColumn("rec_s", F.unix_timestamp("last_order").cast("double"))
+        .localCheckpoint(eager=True)  # 3 rank passes + sketches reuse it
+    )
+    n = per_cust.count()
+    a = bucketed_global_rank(per_cust, "rec_s", ["o_custkey"], "rk_r", descending=True)
+    a = bucketed_global_rank(a, "frequency", ["o_custkey"], "rk_f", descending=True)
+    a = bucketed_global_rank(a, "monetary", ["o_custkey"], "rk_m", descending=True)
+    scored = a.select(
         "frequency",
         "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m"),
+        ntile_from_rank(F.col("rk_r"), n, 4).alias("r"),
+        ntile_from_rank(F.col("rk_f"), n, 4).alias("f"),
+        ntile_from_rank(F.col("rk_m"), n, 4).alias("m"),
     )
     return scored.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("bigint").alias("rfm_segment")
@@ -1718,28 +1761,44 @@ PARETO_TARGET = 0.8
     doc=f"Pareto concentration analysis: customers ranked by revenue, cumulative "
     f"share window, minimum head count covering {PARETO_TARGET:.0%} of revenue and "
     "the revenue share of the top decile — the 80/20 report behind skew-aware "
-    "partitioning decisions. Revenue sums are exact DECIMAL (order-independent); "
-    "the windows run over the CUSTOMER-level rollup, never fact rows, so the "
-    "global sort is customer-bounded at any corpus size (SURVEY §2.5 extension)",
+    "partitioning decisions. Revenue sums are exact DECIMAL (order-independent, "
+    "so the two-phase prefix sum telescopes bit-exactly); rank AND cumulative "
+    "revenue come from the distributed global-rank plan (functions/ordstats."
+    "bucketed_global_rank with cumsum — sketch buckets, offset telescoping, "
+    "bucket-partitioned windows), so the customer rollup never funnels "
+    "through one task at any corpus size (SURVEY §2.5 extension)",
     tags=("window", "agg"),
 )
 def orders_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .withColumn("rev_d", F.col("rev").cast("double"))
+        .localCheckpoint(eager=True)  # sketch + rank pass reuse it
     )
-    w_ord = Window.orderBy(F.desc("rev"), "o_custkey")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w_ord).alias("rk"),
-        F.sum("rev").over(w_cum).cast("decimal(18,2)").alias("cum_rev"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
-        F.sum("rev").over(w_all).cast("decimal(18,2)").alias("total_rev"),
+    totals = per_cust.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev").cast("decimal(18,2)").alias("total_rev"),
+    )
+    ranked = (
+        bucketed_global_rank(
+            per_cust, "rev_d", ["o_custkey"], "rk", descending=True,
+            cumsum_of="rev", cumsum_name="cum_raw",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rk",
+            F.col("cum_raw").cast("decimal(18,2)").alias("cum_rev"),
+            "n_cust",
+            "total_rev",
+        )
     )
     return ranked.agg(
         F.max("n_cust").cast("bigint").alias("n_customers"),

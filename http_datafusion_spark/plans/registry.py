@@ -69,6 +69,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_incremental_minhash",
     "dedup_incremental_minhash",
     "privacy_dp_counts",
+    # scale-hardening rewrites (functions/ordstats two-phase plans):
+    "kmv_distinct_sketch",
+    "orders_rfm_segmentation",
+    "orders_pareto_analysis",
+    "histogram_equi_depth",
     # ---- (b) round-6 additions ----
     "quality_model_score",
     "quality_model_gradient",
@@ -102,18 +107,15 @@ PRIORITY: tuple[str, ...] = (
     "customer_survival_curve",
     "multimodal_blob_dedup",
     # ---- (c) scale-critical tail re-checks ----
-    # minhash / dedup family
+    # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_exact",
-    "dedup_normalized_exact",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
     "dedup_clusters",
     # tokenizer / text arc
     "tokenize_to_ids",
-    "text_bm25_search",
     # as-of / temporal family
     "asof_join_latest_order",
-    "asof_join_click_purchase",
     # serving layouts / capstones
     "embedding_index_roundtrip",
     "sim_ivf_topk",
@@ -122,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_topk_per_window",
     # headline relational
     "q1_pricing_summary",
-    "q_bucketed_join",
 )
 
 
