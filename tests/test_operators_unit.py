@@ -340,3 +340,41 @@ def test_bpe_merge_counts_monotone_nonincreasing(spark, sf_dir):
     assert [r.step for r in rows] == list(range(len(rows)))
     assert all(r.pair_count > 0 for r in rows)
     assert len({r.merge_pair for r in rows}) == len(rows)  # merges are distinct
+
+
+def test_bucketed_global_rank_equals_naive_window(spark, sf_dir):
+    # The distributed rank/cumsum must agree with the single-partition
+    # window formulation row-for-row (incl. tie handling and ntile).
+    from pyspark.sql import Window as W
+
+    from http_datafusion_spark.functions.ordstats import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+    from http_datafusion_spark.plans.tables import load_tables
+
+    o = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = o.count()
+    fast = bucketed_global_rank(
+        o, "v", ["k"], "rk", descending=True, cumsum_of="dv", cumsum_name="cum"
+    ).select("k", "rk", F.col("cum").cast("decimal(18,2)").alias("cum"),
+             ntile_from_rank(F.col("rk"), n, 4).alias("t"))
+    w = W.orderBy(F.desc("v"), "k")
+    naive = o.select(
+        "k",
+        F.row_number().over(w).alias("rk"),
+        F.sum("dv").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("decimal(18,2)")
+        .alias("cum"),
+        F.ntile(4).over(w).alias("t"),
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
