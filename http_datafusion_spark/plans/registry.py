@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_nearest",
     "customer_survival_curve",
     "multimodal_blob_dedup",
+    "geo_grid_join",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_exact",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_clusters",
     # tokenizer / text arc
-    "tokenize_to_ids",
     # as-of / temporal family
     "asof_join_latest_order",
     # serving layouts / capstones
