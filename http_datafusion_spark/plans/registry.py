@@ -51,16 +51,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py).
 # Round-6 rotation policy (235/235 cumulative driver-green entering
 # the round, so the window carries — per the r5 verdict's task 8):
-#   (a) changed-impl rows this round: train_split_temporal (zero-join
-#       rewrite of the overlap audit), stream_incremental_minhash
-#       (audit hook + scratch cleanup), dedup_incremental_minhash
-#       (banded_signature now derives h-columns explicitly), and
-#       privacy_dp_counts (doc reframing — cheap semantic re-pin);
-#   (b) the round-6 additions, each registered with its oracle the
-#       commit it lands;
-#   (c) tail re-checks of the heaviest scale-critical paths: the
-#       minhash family, tokenizer arc, as-of family, serving-layout
-#       roundtrips, capstones, and the headline TPC-H joins.
+#   (a) changed-impl rows: train_split_temporal (zero-join rewrite),
+#       stream_incremental_minhash (audit hook + scratch cleanup),
+#       dedup_incremental_minhash (banded_signature explicit h-columns),
+#       privacy_dp_counts (doc reframing), PLUS the four
+#       functions/ordstats scale-hardening rewrites (kmv, rfm, pareto,
+#       equi-depth histogram — two-phase plans, semantics unchanged)
+#       and dedup_minhash_pairs (verify-inline rewrite, listed in (c));
+#   (b) the 32 round-6 additions, each registered with its oracle the
+#       commit it landed;
+#   (c) tail re-checks of the heaviest still-unchanged scale-critical
+#       paths (minhash family, as-of, serving-layout roundtrips,
+#       capstones, headline TPC-H) — squeezed to 10 slots by the large
+#       (a)+(b) load; everything rotated out is covered by the local
+#       271-query parity sweep and cumulative driver history.
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
@@ -113,7 +117,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
     "dedup_clusters",
-    # tokenizer / text arc
     # as-of / temporal family
     "asof_join_latest_order",
     # serving layouts / capstones
