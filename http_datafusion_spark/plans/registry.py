@@ -111,12 +111,12 @@ PRIORITY: tuple[str, ...] = (
     "customer_survival_curve",
     "multimodal_blob_dedup",
     "geo_grid_join",
+    "stream_temporal_join",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_exact",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
-    "dedup_clusters",
     # as-of / temporal family
     "asof_join_latest_order",
     # serving layouts / capstones

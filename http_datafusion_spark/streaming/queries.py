@@ -874,3 +874,92 @@ def stream_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+UNION_TO_FILES = 6  # time-range files of the union replay
+
+
+def staged_union_timeordered_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the (orders UNION events) temporal-join input as
+    time-range-partitioned files with increasing mtimes — the
+    event-time-ordered replay the streaming as-of join requires (same
+    mechanics as staged_timeordered_dir, applied to the two-sided
+    union: side 0 = orders carrying (orderkey, price), side 1 = events
+    carrying event_id)."""
+    from http_datafusion_spark.plans.tables import fingerprint_tables, load_tables
+
+    _ensure_session_confs(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    fp = fingerprint_tables(sf_dir, "events", "orders", "customer")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_union_{name}_{fp}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        t = load_tables(spark, sf_dir, "events", "orders", "customer")
+        max_ck = t["customer"].agg(F.max("c_custkey").alias("m"))
+        o = t["orders"].select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("t_sec"),
+            F.lit(0).cast("int").alias("side"),
+            F.col("o_orderkey").cast("bigint").alias("id"),
+            F.round("o_totalprice", 2).cast("double").alias("val"),
+        )
+        e = (
+            t["events"]
+            .crossJoin(F.broadcast(max_ck))
+            .select(
+                (F.col("user_id") % F.col("m") + 1).cast("bigint").alias("custkey"),
+                F.unix_timestamp("ts").cast("bigint").alias("t_sec"),
+                F.lit(1).cast("int").alias("side"),
+                F.col("event_id").cast("bigint").alias("id"),
+                F.lit(0.0).alias("val"),
+            )
+        )
+        (
+            o.unionByName(e)
+            .repartitionByRange(UNION_TO_FILES, "t_sec")
+            .sortWithinPartitions("t_sec")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        parts = sorted(
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.path.getmtime(os.path.join(d, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _temporal_join_oracle() -> str:
+    import http_datafusion_spark.operators.asof  # noqa: F401  (registers the twin)
+    from http_datafusion_spark.plans.registry import REGISTRY
+
+    return REGISTRY["asof_join_latest_order"].oracle
+
+
+@query(
+    "stream_temporal_join",
+    oracle=_temporal_join_oracle(),
+    doc="STREAMING temporal (as-of) join — Flink's temporal-table join as a "
+    "custom stateful operator: orders and events ride ONE event-time-ordered "
+    "union stream (side marker; staged_union_timeordered_dir), state per "
+    "customer is the latest order by (t, orderkey) — deterministic under any "
+    "within-batch arrival order because the fold is a max, with orders applied "
+    "before same-timestamp events (the <= of backward as-of) — and every event "
+    "emits enriched with that state in append mode. Result == the batch "
+    "asof_join_latest_order, checked against the SAME oracle. State is one "
+    "tuple per customer at any stream length; on a real bus the ordering "
+    "guarantee is per-key Kafka partition order + a watermark hold "
+    "(streaming extension; SURVEY §2.9 + as-of family)",
+    tags=("streaming", "asof", "join"),
+)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.streaming.stateful import temporal_join_stream
+
+    d = staged_union_timeordered_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    out = run_to_memory(temporal_join_stream(stream), "append")
+    return out.select("event_id", "custkey", "asof_orderkey", "asof_price")

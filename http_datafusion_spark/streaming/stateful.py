@@ -234,3 +234,59 @@ def debounce_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# Streaming temporal (as-of) join: the Flink "temporal table join" shape.
+# Orders and events ride ONE time-ordered stream with a side marker;
+# state per customer key is the latest order seen (by (t, orderkey) —
+# deterministic under any within-batch arrival order); each event row
+# emits enriched with that state. == the batch asof_join_latest_order.
+ASOF_OUTPUT_SCHEMA = (
+    "event_id bigint, custkey bigint, asof_orderkey bigint, asof_price double"
+)
+ASOF_STATE_SCHEMA = "t bigint, okey bigint, price double"
+
+
+def _asof_update(key, pdfs, state: GroupState):
+    (custkey,) = key
+    t, okey, price = state.get if state.exists else (None, None, None)
+    out_ids, out_keys, out_prices = [], [], []
+    for pdf in pdfs:
+        # orders (side 0) before events (side 1) at the same timestamp —
+        # the <= semantics of the backward as-of; orderkey ascending so
+        # the max orderkey wins ties on t (the batch twin's tiebreak)
+        pdf = pdf.sort_values(["t_sec", "side", "id"])
+        for ts, side, rid, val in zip(
+            pdf["t_sec"].tolist(), pdf["side"].tolist(), pdf["id"].tolist(), pdf["val"].tolist()
+        ):
+            if side == 0:  # order: fold into latest-order state
+                if t is None or (int(ts), int(rid)) > (t, okey):
+                    t, okey, price = int(ts), int(rid), float(val)
+            else:  # event: emit enriched with current state
+                out_ids.append(int(rid))
+                out_keys.append(okey)
+                out_prices.append(price)
+    if t is not None:
+        state.update((t, okey, price))
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "custkey": [int(custkey)] * len(out_ids),
+            "asof_orderkey": out_keys,
+            "asof_price": out_prices,
+        }
+    )
+
+
+def temporal_join_stream(union_stream: DataFrame) -> DataFrame:
+    """Attach the temporal-join state machine to a (custkey, t_sec,
+    side, id, val) union stream. Requires event-time-ordered replay
+    across batches (staged_union_timeordered_dir); within a batch the
+    UDF sorts, across batches the staging guarantees order."""
+    return union_stream.groupBy("custkey").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
