@@ -838,3 +838,131 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
         )
     )
+
+
+# --------------------------------- Johnson-Lindenstrauss random projection
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16  # sqrt = 4, so the 1/sqrt(k) scale is exact
+JL_SAMPLE_IDS = 20  # audit pairs drawn from vec_id < N (bounded)
+
+
+def _jl_sign_sql(i: str, j: str) -> str:
+    from http_datafusion_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql(f"concat('jl|', CAST({i} AS VARCHAR), '|', CAST({j} AS VARCHAR))")
+    return f"(({h} % 2) * 2 - 1)"
+
+
+@query(
+    "embedding_jl_projection",
+    oracle=f"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {JL_SAMPLE_IDS}
+    ),
+    comp AS (
+      SELECT vec_id, i.i AS i,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM sample, (SELECT unnest(range(1, {JL_IN_DIM} + 1)) AS i) i
+    ),
+    proj AS (
+      SELECT c.vec_id, j.j AS j,
+             CAST(sum(c.x * {_jl_sign_sql("c.i", "j.j")}) AS DECIMAL(28,6)) AS y
+      FROM comp c, (SELECT unnest(range(1, {JL_OUT_DIM} + 1)) AS j) j
+      GROUP BY c.vec_id, j.j
+    ),
+    d_orig AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST((a.x - b.x) AS DECIMAL(18,6))
+                      * CAST((a.x - b.x) AS DECIMAL(18,6))) AS DOUBLE) AS d2
+      FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    d_proj AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST((a.y - b.y) AS DECIMAL(18,6))
+                      * CAST((a.y - b.y) AS DECIMAL(18,6))) AS DOUBLE) AS d2p
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT o.id_a, o.id_b,
+           o.d2                  AS d2_orig,
+           p.d2p / 16            AS d2_proj,
+           (p.d2p / 16) / o.d2   AS ratio
+    FROM d_orig o JOIN d_proj p ON o.id_a = p.id_a AND o.id_b = p.id_b
+    """,
+    doc=f"Johnson-Lindenstrauss random projection audit: embeddings project "
+    f"{JL_IN_DIM}->{JL_OUT_DIM} dims through a +-1 md5-derived sign matrix "
+    f"scaled by 1/sqrt({JL_OUT_DIM}) (=1/4, exact), and every sampled pair "
+    "reports original vs projected squared distance and their ratio — the "
+    "distance-preservation evidence that justifies running dedup/ANN on the "
+    "cheap projection (the JL lemma's epsilon, measured not assumed). All "
+    "sums are quantized decimals (order-independent); the sign matrix is "
+    f"{JL_IN_DIM}x{JL_OUT_DIM} broadcast-sized at any corpus size; the "
+    "projection itself is one (vec, out-dim) partial-agg shuffle — the audit "
+    "pair set is bounded, the PROJECTION path is corpus-scalable "
+    "(north-star similarity / dimensionality reduction)",
+    tags=("similarity", "pipeline"),
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    sample = e.filter(F.col("vec_id") < JL_SAMPLE_IDS).select("vec_id", "embedding")
+    comp = sample.select(
+        "vec_id", F.posexplode("embedding").alias("p", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    dims = spark.range(1, JL_OUT_DIM + 1).select(F.col("id").alias("j"))
+    sign = (
+        md5_int(
+            F.concat(
+                F.lit("jl|"), F.col("i").cast("string"), F.lit("|"), F.col("j").cast("string")
+            )
+        )
+        % 2
+    ) * 2 - 1
+    proj = (
+        comp.crossJoin(F.broadcast(dims))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * sign).cast("decimal(28,6)").alias("y"))
+    )
+    a_c, b_c = comp.alias("a"), comp.alias("b")
+    diff = (F.col("a.x") - F.col("b.x")).cast("decimal(18,6)")
+    d_orig = (
+        a_c.join(
+            b_c,
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.sum(diff * diff).cast("double").alias("d2"))
+    )
+    a_p, b_p = proj.alias("a"), proj.alias("b")
+    pdiff = (F.col("a.y") - F.col("b.y")).cast("decimal(18,6)")
+    d_proj = (
+        a_p.join(
+            b_p,
+            (F.col("a.j") == F.col("b.j")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("pid_a"), F.col("b.vec_id").alias("pid_b"))
+        .agg(F.sum(pdiff * pdiff).cast("double").alias("d2p"))
+    )
+    # every emitted value is a deterministic function of exact decimals,
+    # so NO final rounding is needed — both engines produce bit-identical
+    # doubles (decimal->double conversion and IEEE divide are exact maps)
+    return (
+        d_orig.join(
+            d_proj,
+            (F.col("id_a") == F.col("pid_a")) & (F.col("id_b") == F.col("pid_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("d2").alias("d2_orig"),
+            (F.col("d2p") / 16).alias("d2_proj"),
+            ((F.col("d2p") / 16) / F.col("d2")).alias("ratio"),
+        )
+    )

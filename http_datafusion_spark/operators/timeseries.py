@@ -619,3 +619,53 @@ def orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 6).alias("mape"),
         F.round(F.sum("pe").cast("double") / F.count(F.lit(1)), 6).alias("mean_bias"),
     )
+
+
+# --------------------------------------------- fulfillment latency profile
+
+
+@query(
+    "order_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST((epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400 AS BIGINT) AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT)                   AS n_lines,
+           round(avg(days), 4)                        AS avg_days,
+           round(median(days), 4)                     AS p50_days,
+           round(quantile_cont(days, 0.90), 4)        AS p90_days,
+           CAST(max(days) AS BIGINT)                  AS max_days
+    FROM lat GROUP BY priority
+    """,
+    doc="order-fulfillment latency profile: ship-date minus order-date in whole "
+    "days per priority class, with mean/median/p90/max — the SLA report an "
+    "operations dashboard refreshes hourly (and the regression target "
+    "orders_seasonal_backtest forecasts against). Integer day deltas make "
+    "avg/median interpolation engine-exact (the q_agg_percentiles discipline). "
+    "One co-keyed fact-fact join on orderkey + a priority-bounded agg — at "
+    "100 TB both facts shuffle once on the join key, percentiles are grouped "
+    "aggregates, never windows (north-star time-series / operations)",
+    tags=("events", "agg", "join"),
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    lat = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")) / 86400
+            ).cast("bigint").alias("days"),
+        )
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.avg("days"), 4).alias("avg_days"),
+        F.round(F.median("days"), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.90)), 4).alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

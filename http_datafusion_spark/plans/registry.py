@@ -112,10 +112,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_blob_dedup",
     "geo_grid_join",
     "stream_temporal_join",
+    "order_fulfillment_latency",
+    "embedding_jl_projection",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
-    "dedup_exact",
-    "dedup_minhash_signature",
     "dedup_minhash_pairs",
     # as-of / temporal family
     "asof_join_latest_order",
