@@ -474,3 +474,72 @@ def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_doc_id", "group_size", "media_type", "n_bytes")
     )
+
+
+# --------------------------------------------------- resize audit (codec)
+
+RESIZE_W, RESIZE_H = 8, 4
+
+
+@query(
+    "multimodal_resize_audit",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             4 + doc_id % 5  AS w0,
+             1 + n_chars % 7 AS h0
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, w0, h0,
+             (((y.y * h0 // {RESIZE_H}) * w0 + (x.x * w0 // {RESIZE_W})) * 3 + c.c) AS off
+      FROM img,
+           (SELECT unnest(range({RESIZE_H})) AS y) y,
+           (SELECT unnest(range({RESIZE_W})) AS x) x,
+           (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS w1,
+           CAST({RESIZE_H} AS BIGINT) AS h1,
+           CAST(max(w0) AS BIGINT)    AS w0,
+           CAST(max(h0) AS BIGINT)    AS h0,
+           CAST(sum((doc_id * 31 + off * 7) % 256) AS BIGINT) AS raster_sum
+    FROM px GROUP BY doc_id
+    """,
+    doc="image resize audit — the REAL nearest-neighbor PPM resize codec "
+    f"(resize_ppm: decode -> resample -> re-encode) run executor-side on every "
+    f"image payload, downscaling to {RESIZE_W}x{RESIZE_H}; the emitted resized-"
+    "raster byte sum is predicted by the oracle in CLOSED FORM (the source "
+    "raster is a formula of (doc_id, offset), and nearest-neighbor maps output "
+    "pixel (x,y) to src offset ((y*h0//H)*w0 + x*w0//W)*3+c), so the codec's "
+    "byte-level resample arithmetic is value-checked without any codec on the "
+    "oracle side. Payloads never leave executors; one Arrow pass, one "
+    "doc-bounded agg (north-star multimodal / decode-transform tier)",
+    tags=("multimodal",),
+)
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "w1": [], "h1": [], "w0": [], "h0": [], "raster_sum": []}
+            for doc_id, nc in zip(pdf["doc_id"].tolist(), pdf["n_chars"].tolist()):
+                if doc_id % 2 != 0:
+                    continue
+                src = synth_ppm(doc_id, nc)
+                meta0 = decode_ppm(src)
+                resized = resize_ppm(src, RESIZE_W, RESIZE_H)
+                meta1 = decode_ppm(resized)
+                raster = resized[len(resized) - meta1["n_units"]:]
+                rows["doc_id"].append(doc_id)
+                rows["w1"].append(meta1["width"])
+                rows["h1"].append(meta1["height"])
+                rows["w0"].append(meta0["width"])
+                rows["h0"].append(meta0["height"])
+                rows["raster_sum"].append(int(sum(raster)))
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        batches,
+        schema="doc_id bigint, w1 bigint, h1 bigint, w0 bigint, h0 bigint, raster_sum bigint",
+    )

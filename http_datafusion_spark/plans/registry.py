@@ -114,13 +114,13 @@ PRIORITY: tuple[str, ...] = (
     "stream_temporal_join",
     "order_fulfillment_latency",
     "embedding_jl_projection",
+    "multimodal_resize_audit",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_minhash_pairs",
     # as-of / temporal family
     "asof_join_latest_order",
     # serving layouts / capstones
-    "embedding_index_roundtrip",
     "sim_ivf_topk",
     "corpus_filter_pipeline",
     # streaming twins

@@ -218,3 +218,30 @@ def test_timeordered_staging_replays_in_event_time_order(spark, sf_dir):
     seen.sort()
     for (_, _, hi), (_, lo, _) in zip(seen, seen[1:]):
         assert hi <= lo  # event-time-ordered replay
+
+
+def test_watermark_drops_late_rows_and_accounts_them(spark, sf_dir):
+    """Late-data accounting: the round-robin multifile staging delivers
+    out-of-event-time-order batches, so after batch 1 advances the
+    watermark near max(ts), later batches' old rows are LATE — append
+    mode must drop them and report numRowsDroppedByWatermark."""
+    from http_datafusion_spark.streaming.queries import staged_multifile_dir
+
+    d = staged_multifile_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    progress: list = []
+    run_to_memory(agg, "append", progress)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) or 0)
+        for p in progress
+        if p.get("stateOperators")
+    )
+    assert dropped > 0  # late rows were dropped AND accounted for
