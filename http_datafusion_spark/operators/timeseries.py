@@ -669,3 +669,172 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days", F.lit(0.90)), 4).alias("p90_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# ------------------------------------------- difference-in-differences
+
+DID_SPLIT_FRAC = 0.5  # event-time midpoint splits pre/post
+
+
+@query(
+    "events_impact_did",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+      FROM events
+    ),
+    labeled AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2 >= lo + hi
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events CROSS JOIN span
+    ),
+    cells AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
+      FROM labeled GROUP BY grp, period
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_events,
+           round(max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_v END)
+               - max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_v END)
+               - (max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_v END)
+                - max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_v END)), 6)
+             AS did_estimate,
+           round(max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_v END), 6)
+             AS treat_post_mean,
+           round(max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_v END), 6)
+             AS control_post_mean
+    FROM cells
+    """,
+    doc="difference-in-differences impact estimate: users split into treatment/"
+    "control by id parity (the harness stand-in for an assignment table), the "
+    "event-time span's midpoint splits pre/post, and the DiD estimator "
+    "(T_post - T_pre) - (C_post - C_pre) removes both the group baseline and "
+    "the common time trend — the causal readout A/B lift (events_ab_lift) "
+    "cannot give when treatment predates randomization. Cell means come from "
+    "exact decimal sums; the 2x2 cell table is all that shuffles past the "
+    "first scan; the span is a 1-row broadcast (north-star statistics / "
+    "causal inference)",
+    tags=("events", "agg"),
+)
+def events_impact_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    span = e.agg(
+        F.min(F.unix_timestamp("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_timestamp("ts")).cast("bigint").alias("hi"),
+    )
+    labeled = e.crossJoin(F.broadcast(span)).select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias("grp"),
+        F.when(
+            F.unix_timestamp("ts").cast("bigint") * 2 >= F.col("lo") + F.col("hi"), "post"
+        ).otherwise("pre").alias("period"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    cells = labeled.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_v"),
+    )
+    cell = lambda g, p: F.max(  # noqa: E731
+        F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
+    )
+    return cells.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            cell("treat", "post")
+            - cell("treat", "pre")
+            - (cell("control", "post") - cell("control", "pre")),
+            6,
+        ).alias("did_estimate"),
+        F.round(cell("treat", "post"), 6).alias("treat_post_mean"),
+        F.round(cell("control", "post"), 6).alias("control_post_mean"),
+    )
+
+
+# ------------------------------------------------- autocorrelation (ACF)
+
+ACF_MAX_LAG = 24  # hourly lags
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_n
+      FROM hourly
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag FROM range(1, {ACF_MAX_LAG} + 1) t(k)),
+    prods AS (
+      SELECT l.lag,
+             CAST(round((a.n - s.mean_n) * (b.n - s.mean_n), 6) AS DECIMAL(28,6)) AS p
+      FROM hourly a
+      JOIN lags l ON true
+      JOIN hourly b ON b.slot = a.slot + l.lag
+      CROSS JOIN stats s
+    ),
+    denom AS (
+      SELECT CAST(sum(CAST(round((h.n - s.mean_n) * (h.n - s.mean_n), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS d
+      FROM hourly h CROSS JOIN stats s
+    )
+    SELECT p.lag,
+           CAST(count(*) AS BIGINT)                      AS n_pairs,
+           round(CAST(sum(p.p) AS DOUBLE) / max(d.d), 6) AS acf
+    FROM prods p CROSS JOIN denom d
+    GROUP BY p.lag
+    """,
+    doc=f"autocorrelation function of the hourly event-count series, lags 1.."
+    f"{ACF_MAX_LAG}: the seasonality detector (a daily cycle shows as an ACF "
+    "peak at lag 24) that decides window sizes for ts_seasonal ops and "
+    "forecast baselines (orders_seasonal_backtest's lag-12 is the monthly "
+    "analogue). The series is hours-bounded after one rollup shuffle, so the "
+    "lag self-join is bounded x bounded; products quantize to decimals "
+    "(order-independent) and the denominator is a 1-row broadcast "
+    "(north-star time-series / diagnostics)",
+    tags=("events", "agg"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    hourly = (
+        e.groupBy(F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("slot"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias("mean_n"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.slot") == F.col("a.slot") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.round(
+                (F.col("a.n") - F.col("mean_n")) * (F.col("b.n") - F.col("mean_n")), 6
+            ).cast("decimal(28,6)").alias("p"),
+        )
+    )
+    denom = hourly.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            F.round((F.col("n") - F.col("mean_n")) * (F.col("n") - F.col("mean_n")), 6)
+            .cast("decimal(28,6)")
+        ).cast("double").alias("d")
+    )
+    return (
+        prods.crossJoin(F.broadcast(denom))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("p").cast("double") / F.max("d"), 6).alias("acf"),
+        )
+    )

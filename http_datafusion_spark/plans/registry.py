@@ -115,14 +115,14 @@ PRIORITY: tuple[str, ...] = (
     "order_fulfillment_latency",
     "embedding_jl_projection",
     "multimodal_resize_audit",
+    "events_impact_did",
+    "ts_autocorrelation",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_minhash_pairs",
     # as-of / temporal family
     "asof_join_latest_order",
     # serving layouts / capstones
-    "sim_ivf_topk",
-    "corpus_filter_pipeline",
     # streaming twins
     "stream_topk_per_window",
     # headline relational
