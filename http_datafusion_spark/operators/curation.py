@@ -2976,3 +2976,92 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("k").alias("month_k"), "n_surviving", "survival_frac")
     )
+
+
+# ---------------------------------------------------- price index (Laspeyres)
+
+PRICE_INDEX_BASE_YEAR = 1995
+
+
+@query(
+    "orders_price_index",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+                  AS DECIMAL(38,8)) AS spend
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, qty AS q0,
+             CAST(spend / qty AS DECIMAL(38,10)) AS p0
+      FROM li WHERE yr = {PRICE_INDEX_BASE_YEAR} AND qty > 0
+    ),
+    cur AS (
+      SELECT l.l_partkey, l.yr,
+             CAST(l.spend / l.qty AS DECIMAL(38,10)) AS pt,
+             b.q0, b.p0
+      FROM li l JOIN base b ON l.l_partkey = b.l_partkey
+      WHERE l.qty > 0
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(pt * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE), 6)
+             AS laspeyres_index
+    FROM cur GROUP BY yr
+    """,
+    doc=f"Laspeyres price index by ship year (base {PRICE_INDEX_BASE_YEAR}): "
+    "sum(p_t*q_0)/sum(p_0*q_0) over the parts traded in both periods — the "
+    "inflation-adjusted price tracking an assortment/procurement team runs. "
+    "Unit prices derive as exact decimal spend/quantity ratios at fixed scale "
+    "(both engines perform the identical decimal division), the basket weights "
+    "are the base year's quantities, and both index sums are exact decimals "
+    "divided once at the end. One (part, year) rollup shuffle, then the "
+    "part-keyed base join — parts-bounded relations only "
+    "(north-star statistics / econ analytics)",
+    tags=("agg", "join"),
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_raw = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    li = (
+        li_raw.groupBy(
+            "l_partkey", F.year("l_shipdate").cast("bigint").alias("yr")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty"),
+            F.sum(
+                F.col("l_quantity").cast("decimal(18,2)")
+                * (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
+            ).cast("decimal(38,8)").alias("spend"),
+        )
+    )
+    base = li.filter(
+        (F.col("yr") == PRICE_INDEX_BASE_YEAR) & (F.col("qty") > 0)
+    ).select(
+        "l_partkey",
+        F.col("qty").alias("q0"),
+        (F.col("spend") / F.col("qty")).cast("decimal(38,10)").alias("p0"),
+    )
+    cur = (
+        li.filter(F.col("qty") > 0)
+        .join(base, "l_partkey")
+        .select(
+            "yr",
+            (F.col("spend") / F.col("qty")).cast("decimal(38,10)").alias("pt"),
+            "q0",
+            "p0",
+        )
+    )
+    return cur.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(F.col("pt") * F.col("q0")).cast("double")
+            / F.sum(F.col("p0") * F.col("q0")).cast("double"),
+            6,
+        ).alias("laspeyres_index"),
+    )

@@ -1928,3 +1928,56 @@ def snapshot_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(1).unionByName(summarize(2))
+
+
+# -------------------------------------------- functional-dependency audit
+
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           (sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0) AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS c FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "fd_discovery_audit",
+    oracle=" UNION ALL ".join(_fd_sql(*c) for c in _FD_CANDIDATES),
+    doc="functional-dependency discovery (Metanome/profiling shape): for each "
+    "candidate FD A->B, count the A-groups carrying more than one distinct B — "
+    "zero violations means the dependency holds on this data, which is how a "
+    "profiler proposes keys, catches denormalization drift, and validates "
+    "assumed join cardinalities (join_size_preflight's companion: an FD on the "
+    "join key caps fan-out at 1). Each candidate is one partial-agg shuffle on "
+    "its LHS; violating-group counts are group-bounded; candidates run "
+    "independently and union at the end (north-star pipeline / data profiling)",
+    tags=("pipeline", "agg"),
+)
+def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+
+    def audit(table: str, lhs: str, rhs: str) -> DataFrame:
+        groups = t[table].groupBy(lhs).agg(F.countDistinct(rhs).alias("c"))
+        viol = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        return groups.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            viol.cast("bigint").alias("n_violating"),
+            (viol == 0).alias("holds"),
+        )
+
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), (audit(*c) for c in _FD_CANDIDATES)
+    )

@@ -117,14 +117,14 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_resize_audit",
     "events_impact_did",
     "ts_autocorrelation",
+    "orders_price_index",
+    "fd_discovery_audit",
     # ---- (c) scale-critical tail re-checks ----
     # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
     "dedup_minhash_pairs",
     # as-of / temporal family
-    "asof_join_latest_order",
     # serving layouts / capstones
     # streaming twins
-    "stream_topk_per_window",
     # headline relational
     "q1_pricing_summary",
 )
