@@ -119,13 +119,13 @@ PRIORITY: tuple[str, ...] = (
     "ts_autocorrelation",
     "orders_price_index",
     "fd_discovery_audit",
-    # ---- (c) scale-critical tail re-checks ----
-    # minhash / dedup family (dedup_minhash_pairs: verify-inline rewrite)
+    # ---- (c) tail re-checks ----
+    # dedup_minhash_pairs is a CHANGED impl (verify-inline rewrite) and
+    # must re-verify; q1 is the flagship. The 45 new/changed rows above
+    # consumed the rest of the 50-slot window — every other operator
+    # keeps its cumulative driver-green history plus the local
+    # 280-query parity sweep (tests/test_oracle_parity.py).
     "dedup_minhash_pairs",
-    # as-of / temporal family
-    # serving layouts / capstones
-    # streaming twins
-    # headline relational
     "q1_pricing_summary",
 )
 
