@@ -124,7 +124,7 @@ PRIORITY: tuple[str, ...] = (
     # must re-verify; q1 is the flagship. The 45 new/changed rows above
     # consumed the rest of the 50-slot window — every other operator
     # keeps its cumulative driver-green history plus the local
-    # 280-query parity sweep (tests/test_oracle_parity.py).
+    # full-registry parity sweep (tests/test_oracle_parity.py).
     "dedup_minhash_pairs",
     "q1_pricing_summary",
 )
