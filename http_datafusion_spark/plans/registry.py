@@ -120,13 +120,13 @@ PRIORITY: tuple[str, ...] = (
     "orders_price_index",
     "fd_discovery_audit",
     # ---- (c) tail re-checks ----
-    # dedup_minhash_pairs is a CHANGED impl (verify-inline rewrite) and
-    # must re-verify; q1 is the flagship. The 45 new/changed rows above
+    # dedup_minhash_pairs and text_tfidf_topterm are CHANGED impls
+    # (verify-inline / argmax-aggregate rewrites) and must re-verify. The 45 new/changed rows above
     # consumed the rest of the 50-slot window — every other operator
     # keeps its cumulative driver-green history plus the local
     # full-registry parity sweep (tests/test_oracle_parity.py).
     "dedup_minhash_pairs",
-    "q1_pricing_summary",
+    "text_tfidf_topterm",
 )
 
 

@@ -108,3 +108,16 @@ def test_bench_oracle_variants_are_result_equivalent(sf_dir):
             assert a == b, f"{spec.name}: bench_oracle diverges from oracle"
     finally:
         con.close()
+
+
+def test_orc_roundtrip_source(spark, sf_dir, tmp_path):
+    # ORC: the third columnar format Spark ships natively (the reference's
+    # arrow dependency reads none of these from SQL; SURVEY §2.1 latent
+    # file sources). Write/read round-trip value-exact.
+    from http_datafusion_spark.plans.tables import load_tables
+
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    orc_dir = str(tmp_path / "orc")
+    n.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
