@@ -3065,3 +3065,98 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("laspeyres_index"),
     )
+
+
+# ----------------------------------------------- bot / automation detection
+
+BOT_TYPES_REF = 5  # alphabet size for max-entropy normalization
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH per_event AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    type_counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM type_counts GROUP BY 1),
+    entropy AS (
+      SELECT t.user_id,
+             CAST(max(tt.n) AS BIGINT) AS n_events,
+             round(CAST(sum(CAST(round(-(t.c * 1.0 / tt.n) * log2(t.c * 1.0 / tt.n), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE), 6) AS type_entropy
+      FROM type_counts t JOIN totals tt USING (user_id)
+      GROUP BY t.user_id
+    ),
+    regularity AS (
+      SELECT user_id,
+             round(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS DOUBLE)
+                   / count(gap), 4) AS mean_gap,
+             CAST(count(DISTINCT CAST(round(gap / 60.0) AS BIGINT)) AS BIGINT)
+               AS distinct_gap_minutes
+      FROM per_event WHERE gap IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT e.user_id, e.n_events, e.type_entropy,
+           r.mean_gap, r.distinct_gap_minutes,
+           (e.type_entropy > 2.2 AND r.distinct_gap_minutes <= 3) AS bot_suspect
+    FROM entropy e JOIN regularity r ON e.user_id = r.user_id
+    """,
+    doc="bot/automation detection heuristics per user: behavioral type entropy "
+    "(a scripted client cycling uniformly through event types maxes it out), "
+    "mean inter-event gap and the DIVERSITY of gap minutes (a cron-like client "
+    "has a near-constant gap -> few distinct values) — flag = high entropy AND "
+    "low gap diversity, the two-signal rule that neither alone supports (a "
+    "power user has high entropy but diverse gaps). Entropy terms quantize to "
+    "decimals (order-independent); everything is per-user keyed — one lag "
+    "window + two partial-agg shuffles on user_id, no global state "
+    "(north-star events / abuse detection)",
+    tags=("events", "window", "agg"),
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(wseq)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    regularity = gaps.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("gap").cast("decimal(18,0)")).cast("double") / F.count("gap"),
+            4,
+        ).alias("mean_gap"),
+        F.countDistinct(F.round(F.col("gap") / 60.0).cast("bigint"))
+        .cast("bigint")
+        .alias("distinct_gap_minutes"),
+    )
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wu = W.partitionBy("user_id")
+    p = F.col("c") * 1.0 / F.sum("c").over(wu)
+    terms = tc.select(
+        "user_id",
+        "c",
+        F.round(-p * F.log2(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    entropy = terms.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.round(F.sum("term").cast("double"), 6).alias("type_entropy"),
+    )
+    return entropy.join(regularity, "user_id").select(
+        "user_id",
+        "n_events",
+        "type_entropy",
+        "mean_gap",
+        "distinct_gap_minutes",
+        (
+            (F.col("type_entropy") > 2.2) & (F.col("distinct_gap_minutes") <= 3)
+        ).alias("bot_suspect"),
+    )

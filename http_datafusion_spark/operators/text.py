@@ -1734,3 +1734,98 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subwords_per_word"
         ),
     )
+
+
+# ------------------------------------------- JS divergence (vocab drift)
+
+JSD_VOCAB = 50  # top-V corpus words define the comparison support
+
+
+@query(
+    "vocab_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    corpus AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1
+      ORDER BY c DESC, word LIMIT {JSD_VOCAB}
+    ),
+    ctot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+    sc AS (
+      SELECT t.source, t.word, CAST(count(*) AS BIGINT) AS c
+      FROM toks t JOIN corpus v ON t.word = v.word
+      GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+    cells AS (
+      SELECT st.source, v.word,
+             (coalesce(s.c, 0) + 1) * 1.0 / (st.n + {JSD_VOCAB}) AS p,
+             (v.c + 1) * 1.0 / (ct.n + {JSD_VOCAB})               AS q
+      FROM stot st
+      CROSS JOIN corpus v
+      CROSS JOIN ctot ct
+      LEFT JOIN sc s ON s.source = st.source AND s.word = v.word
+    ),
+    terms AS (
+      SELECT source,
+             CAST(round(0.5 * p * log2(p / ((p + q) / 2))
+                      + 0.5 * q * log2(q / ((p + q) / 2)), 8) AS DECIMAL(18,8)) AS t
+      FROM cells
+    )
+    SELECT source, round(CAST(sum(t) AS DOUBLE), 6) AS js_divergence
+    FROM terms GROUP BY source
+    """,
+    doc=f"Jensen-Shannon divergence between each source's word distribution and "
+    f"the corpus distribution over the top-{JSD_VOCAB} vocabulary (Laplace-"
+    "smoothed so the support matches) — the textual drift detector that "
+    "complements quality_drift_psi's length-histogram PSI: JS is symmetric, "
+    "bounded [0,1] in log2, and robust to zero counts, which is why corpus-"
+    "comparison papers report it. Per-cell terms quantize to decimals "
+    "(order-independent); every relation past the token count is vocab- or "
+    "sources-bounded, so the comparison costs one scan + bounded joins at any "
+    "corpus size (north-star text analysis / drift)",
+    tags=("text", "pipeline"),
+)
+def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "source", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    corpus = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(JSD_VOCAB)
+    )
+    ctot = corpus.agg(F.sum("c").cast("bigint").alias("n"))
+    sc = (
+        toks.join(F.broadcast(corpus.select("word")), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    cells = (
+        stot.crossJoin(F.broadcast(corpus.select(F.col("word"), F.col("c").alias("vc"))))
+        .crossJoin(F.broadcast(ctot.select(F.col("n").alias("cn"))))
+        .join(sc, ["source", "word"], "left")
+        .select(
+            "source",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1) * 1.0 / (F.col("n") + JSD_VOCAB)).alias("p"),
+            ((F.col("vc") + 1) * 1.0 / (F.col("cn") + JSD_VOCAB)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.round(
+        0.5 * F.col("p") * F.log2(F.col("p") / m) + 0.5 * F.col("q") * F.log2(F.col("q") / m),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        cells.select("source", term.alias("t"))
+        .groupBy("source")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("js_divergence"))
+    )

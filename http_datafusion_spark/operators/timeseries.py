@@ -838,3 +838,85 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p").cast("double") / F.max("d"), 6).alias("acf"),
         )
     )
+
+
+# ------------------------------------------------------ backlog (running balance)
+
+
+@query(
+    "orders_backlog_timeseries",
+    oracle="""
+    WITH opened AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS delta
+      FROM orders GROUP BY 1
+    ),
+    closed AS (
+      SELECT CAST(floor(epoch(mx) / 86400) AS BIGINT) AS day,
+             CAST(-count(*) AS BIGINT) AS delta
+      FROM (SELECT l_orderkey, max(l_shipdate) AS mx FROM lineitem GROUP BY 1)
+      GROUP BY 1
+    ),
+    daily AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net
+      FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
+      GROUP BY day
+    ),
+    run AS (
+      SELECT day, net,
+             CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS backlog
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT)      AS n_days,
+           CAST(max(backlog) AS BIGINT)  AS peak_backlog,
+           CAST(min(CASE WHEN backlog = mb THEN day END) AS BIGINT) AS peak_day,
+           CAST(max(CASE WHEN day = md THEN backlog END) AS BIGINT) AS final_backlog
+    FROM run CROSS JOIN (SELECT max(backlog) AS mb, max(day) AS md FROM run)
+    """,
+    doc="order-backlog running balance — the event-sourcing ledger shape: "
+    "orders open at o_orderdate (+1) and close when their last line ships "
+    "(-1, max l_shipdate per order), the two deltas union into a per-day net "
+    "and the running sum is the open-order backlog over time; emitted: peak "
+    "backlog, its day, and the final balance. The cumsum runs over the "
+    "DAYS-bounded daily series (two partial-agg shuffles reduce both fact "
+    "tables to it), so the window is calendar-bounded at any corpus size — "
+    "the same reduce-then-scan discipline as ts_cusum_changepoints "
+    "(north-star time-series / operations ledger)",
+    tags=("events", "agg", "window"),
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    opened = (
+        t["orders"]
+        .groupBy(F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("delta"))
+    )
+    closed = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .groupBy(F.floor(F.unix_timestamp("mx") / 86400).cast("bigint").alias("day"))
+        .agg((-F.count(F.lit(1))).cast("bigint").alias("delta"))
+    )
+    daily = (
+        opened.unionByName(closed)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    run = daily.withColumn("backlog", F.sum("net").over(wrun).cast("bigint"))
+    ends = run.agg(F.max("backlog").alias("mb"), F.max("day").alias("md"))
+    return (
+        run.crossJoin(F.broadcast(ends))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("backlog").cast("bigint").alias("peak_backlog"),
+            F.min(F.when(F.col("backlog") == F.col("mb"), F.col("day")))
+            .cast("bigint")
+            .alias("peak_day"),
+            F.max(F.when(F.col("day") == F.col("md"), F.col("backlog")))
+            .cast("bigint")
+            .alias("final_backlog"),
+        )
+    )

@@ -53,13 +53,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the round, so the window carries — per the r5 verdict's task 8):
 #   (a) changed-impl rows: train_split_temporal (zero-join rewrite),
 #       stream_incremental_minhash (audit hook + scratch cleanup),
-#       dedup_incremental_minhash (banded_signature explicit h-columns),
-#       privacy_dp_counts (doc reframing), PLUS the four
+#       dedup_incremental_minhash (banded_signature explicit h-columns;
+#       privacy_dp_counts changed DOC only — no code — and yields its
+#       slot), PLUS the four
 #       functions/ordstats scale-hardening rewrites (kmv, rfm, pareto,
 #       equi-depth histogram — two-phase plans, semantics unchanged)
 #       and dedup_minhash_pairs (verify-inline rewrite, listed in (c));
-#   (b) the 32 round-6 additions, each registered with its oracle the
-#       commit it landed;
+#   (b) the round-6 additions, each registered with its oracle the
+#       commit it landed — except bpe_first_merge (its logic is
+#       subsumed by the bpe_merge_train capstone verified here) and
+#       events_path_3gram, both deferred to the r7 window head
+#       (the normal rotation mechanism; local parity covers them now);
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
 #       capstones, headline TPC-H) — squeezed to 10 slots by the large
@@ -72,7 +76,6 @@ PRIORITY: tuple[str, ...] = (
     "train_split_temporal",
     "stream_incremental_minhash",
     "dedup_incremental_minhash",
-    "privacy_dp_counts",
     # scale-hardening rewrites (functions/ordstats two-phase plans):
     "kmv_distinct_sketch",
     "orders_rfm_segmentation",
@@ -95,9 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_datacard",
     "orders_seasonal_backtest",
     "stream_debounce",
-    "events_path_3gram",
     "feature_winsorize",
-    "bpe_first_merge",
     "bpe_merge_train",
     "tokenize_bpe_apply",
     "mixture_budget_plan",
@@ -119,6 +120,9 @@ PRIORITY: tuple[str, ...] = (
     "ts_autocorrelation",
     "orders_price_index",
     "fd_discovery_audit",
+    "orders_backlog_timeseries",
+    "events_bot_detection",
+    "vocab_js_divergence",
     # ---- (c) tail re-checks ----
     # dedup_minhash_pairs and text_tfidf_topterm are CHANGED impls
     # (verify-inline / argmax-aggregate rewrites) and must re-verify. The 45 new/changed rows above
