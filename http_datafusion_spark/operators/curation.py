@@ -3160,3 +3160,60 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("type_entropy") > 2.2) & (F.col("distinct_gap_minutes") <= 3)
         ).alias("bot_suspect"),
     )
+
+
+# ------------------------------------------------------- Gini coefficient
+
+
+@query(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(
+             2.0 * CAST(sum(CAST(rk AS DECIMAL(38,0)) * rev) AS DOUBLE)
+               / (count(*) * CAST(sum(rev) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of customer revenue — the inequality scalar behind "
+    "the Pareto report (orders_pareto_analysis shows the curve; this is its "
+    "area statistic): G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over ascending-"
+    "ranked revenues. The rank comes from the DISTRIBUTED global-rank plan "
+    "(functions/ordstats — no single-partition sort of the customer rollup); "
+    "rank-weighted revenue sums are exact decimals, one double division at "
+    "the end (north-star statistics / concentration)",
+    tags=("agg", "window"),
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+        .withColumn("rev_d", F.col("rev").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = bucketed_global_rank(per_cust, "rev_d", ["o_custkey"], "rk")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("rk").cast("decimal(38,0)") * F.col("rev")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("rev").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -74,7 +74,6 @@ REGISTRY: dict[str, QuerySpec] = {}
 PRIORITY: tuple[str, ...] = (
     # ---- (a) changed impls, round 6 ----
     "train_split_temporal",
-    "stream_incremental_minhash",
     "dedup_incremental_minhash",
     # scale-hardening rewrites (functions/ordstats two-phase plans):
     "kmv_distinct_sketch",
@@ -123,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeseries",
     "events_bot_detection",
     "vocab_js_divergence",
+    "orders_gini_coefficient",
     # ---- (c) tail re-checks ----
     # dedup_minhash_pairs and text_tfidf_topterm are CHANGED impls
     # (verify-inline / argmax-aggregate rewrites) and must re-verify. The 45 new/changed rows above
