@@ -1829,3 +1829,99 @@ def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum("t").cast("double"), 6).alias("js_divergence"))
     )
+
+
+# ---------------------------------------------------- burstiness (VMR)
+
+BURST_VOCAB = 30  # top-V corpus words profiled
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1 ORDER BY c DESC, word LIMIT {BURST_VOCAB}
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT t.word, t.doc_id, CAST(count(*) AS BIGINT) AS k
+      FROM toks t JOIN vocab v ON t.word = v.word
+      GROUP BY 1, 2
+    ),
+    moments AS (
+      SELECT v.word, v.c,
+             CAST(sum(coalesce(p.k, 0)) AS BIGINT)        AS total,
+             CAST(sum(coalesce(p.k, 0) * coalesce(p.k, 0)) AS BIGINT) AS total_sq,
+             CAST(count(p.doc_id) AS BIGINT)               AS n_docs_with
+      FROM vocab v LEFT JOIN per_doc p ON v.word = p.word
+      GROUP BY v.word, v.c
+    )
+    SELECT m.word,
+           m.total                                         AS n_occurrences,
+           m.n_docs_with,
+           round(CAST(m.total AS DOUBLE) / nd.n_docs, 6)   AS mean_per_doc,
+           round((CAST(m.total_sq AS DOUBLE) / nd.n_docs
+                  - (CAST(m.total AS DOUBLE) / nd.n_docs)
+                    * (CAST(m.total AS DOUBLE) / nd.n_docs))
+                 / (CAST(m.total AS DOUBLE) / nd.n_docs), 6) AS burstiness_vmr
+    FROM moments m CROSS JOIN nd
+    """,
+    doc=f"word burstiness (Church & Gale): variance-to-mean ratio of per-"
+    f"document counts for the top-{BURST_VOCAB} words — VMR ~ 1 is Poisson "
+    "(function words spread evenly), VMR >> 1 is bursty (content words clump "
+    "in the documents that are ABOUT them), the signal behind df-based IDF "
+    "actually working. Zero-count docs enter the moments via the totals "
+    "(sum/sum-of-squares over occurrences, divided by the corpus doc count), "
+    "so no dense word x doc matrix ever materializes; everything past the "
+    "token count is vocab-bounded (north-star text analysis / lexicostatistics)",
+    tags=("text",),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(BURST_VOCAB)
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per_doc = (
+        toks.join(F.broadcast(vocab.select("word")), "word")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    moments = (
+        vocab.join(per_doc, "word", "left")
+        .groupBy("word", "c")
+        .agg(
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias("total"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0)) * F.coalesce(F.col("k"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_sq"),
+            F.count("doc_id").cast("bigint").alias("n_docs_with"),
+        )
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    return (
+        moments.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            F.col("total").alias("n_occurrences"),
+            "n_docs_with",
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(
+                (F.col("total_sq").cast("double") / F.col("n_docs") - mean * mean) / mean,
+                6,
+            ).alias("burstiness_vmr"),
+        )
+    )
