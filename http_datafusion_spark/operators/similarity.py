@@ -966,3 +966,153 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("d2p") / 16) / F.col("d2")).alias("ratio"),
         )
     )
+
+
+# ----------------------------------------- MMR diversity re-ranking
+
+MMR_LAMBDA = 0.7
+MMR_K = 5  # final diversified list size (from the TOP_K candidates)
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy: K selection steps, each picking argmax of
+    lambda*rel - (1-lambda)*max-sim-to-selected over the remainder."""
+    dot_qc = _DOT_SQL.format(a="qv", b="embedding")
+    dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+      SELECT e.vec_id, round({dot_qc} / (e.nrm * q.qn), 6) AS rel,
+             e.embedding, e.nrm
+      FROM e CROSS JOIN q WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY rel DESC, e.vec_id LIMIT {TOP_K}
+    ),
+    psim AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round({dot_ab} / (a.nrm * b.nrm), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel,
+             {MMR_LAMBDA} * rel AS mmr_raw
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT pick, vec_id, rel, mmr_raw FROM s1)"""
+    parts = [head]
+    for k in range(2, MMR_K + 1):
+        parts.append(f"""
+    s{k} AS (
+      SELECT CAST({k} AS BIGINT) AS pick, c.vec_id, c.rel,
+             {MMR_LAMBDA} * c.rel
+               - {round(1 - MMR_LAMBDA, 6)} * max(p.sim) AS mmr_raw
+      FROM cand c
+      JOIN psim p ON p.va = c.vec_id AND p.vb IN (SELECT vec_id FROM sel{k - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY mmr_raw DESC, c.vec_id LIMIT 1
+    ),
+    sel{k} AS (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM s{k})""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT pick, vec_id, rel AS relevance, round(mmr_raw, 6) AS mmr_score
+    FROM sel{MMR_K}"""
+    )
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"maximal-marginal-relevance re-ranking (Carbonell & Goldstein): the "
+    f"exact top-{TOP_K} cosine candidates are greedily re-ranked into a "
+    f"{MMR_K}-item diversified list, each pick maximizing lambda*relevance - "
+    f"(1-lambda)*max-similarity-to-already-selected (lambda={MMR_LAMBDA}) — "
+    "the standard retrieval-diversity pass between ANN and the user. "
+    "Relevance and all pairwise candidate similarities are sequential-fold "
+    "cosines 6dp-quantized on both engines (the float-element product is the "
+    "one place fold order alone is not enough), computed relationally; "
+    "the greedy itself runs over the K-bounded candidate table (driver "
+    "arithmetic on IEEE doubles == the oracle's chained-CTE selection, pick "
+    "by pick). At 100 TB the expensive part is the ANN top-k feeding this; "
+    "the re-rank is O(K^2) on constants "
+    "(north-star similarity / retrieval serving)",
+    tags=("similarity",),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double-cast folds: the oracle multiplies CAST(x AS DOUBLE) element
+    # products, so the Spark fold must promote BEFORE multiplying —
+    # float32 products differ in the last bits and can flip a 6dp round
+    def ddot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = with_norm.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        with_norm.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                ddot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6
+            ).alias("rel"),
+            "embedding",
+            "nrm",
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(TOP_K)
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    psim = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                ddot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    rels = {int(r.vec_id): float(r.rel) for r in cand.select("vec_id", "rel").collect()}
+    sims = {(int(r.va), int(r.vb)): float(r.sim) for r in psim.collect()}
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for pick in range(1, MMR_K + 1):
+        best = None
+        for vid in sorted(rels):
+            if vid in chosen:
+                continue
+            penalty = max((sims[(vid, s)] for s in chosen), default=None)
+            # raw IEEE score — ordering matches the oracle's raw ORDER BY;
+            # the 6dp presentation round happens IN SPARK below (engine
+            # round semantics, not Python's)
+            score = (
+                MMR_LAMBDA * rels[vid]
+                if penalty is None
+                else MMR_LAMBDA * rels[vid] - round(1 - MMR_LAMBDA, 6) * penalty
+            )
+            if best is None or score > best[3]:
+                best = (pick, vid, rels[vid], score)
+        selected.append(best)
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "pick bigint, vec_id bigint, relevance double, mmr_score double"
+    ).select("pick", "vec_id", "relevance", F.round("mmr_score", 6).alias("mmr_score"))
