@@ -244,10 +244,11 @@ def test_ngram_coverage_no_pairwise_join(spark, sf_dir):
 
 def test_tfidf_df_broadcast_and_rank_pruned(spark, sf_dir):
     s = plan_of(QS["text_tfidf_topterm"].spark(spark, sf_dir))
-    # vocab-sized df table broadcast to the score join; rank-1 filter
-    # pruned before the final window (no full (doc,word) sort survives)
+    # vocab-sized df table broadcast to the score join; the per-doc
+    # argmax is an AGGREGATE (min-struct), so no rank window — and
+    # therefore no per-partition sort — appears anywhere in the plan
     assert "BroadcastHashJoin" in s
-    assert "WindowGroupLimit" in s
+    assert "Window" not in s
     assert "SortMergeJoin" not in s
 
 
