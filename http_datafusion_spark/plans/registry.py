@@ -60,10 +60,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       equi-depth histogram — two-phase plans, semantics unchanged)
 #       and dedup_minhash_pairs (verify-inline rewrite, listed in (c));
 #   (b) the round-6 additions, each registered with its oracle the
-#       commit it landed — except bpe_first_merge (its logic is
-#       subsumed by the bpe_merge_train capstone verified here) and
-#       events_path_3gram, both deferred to the r7 window head
-#       (the normal rotation mechanism; local parity covers them now);
+#       commit it landed — except FOUR deferred to the r7 window head
+#       (the normal rotation mechanism; all four are locally
+#       oracle-exact at sf0.001+sf0.01): bpe_first_merge (logic
+#       subsumed by the bpe_merge_train capstone verified here),
+#       events_path_3gram, text_burstiness, sim_mmr_rerank;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
 #       capstones, headline TPC-H) — squeezed to 10 slots by the large
