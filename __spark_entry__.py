@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query; omitted for the few
-    non-SQL-expressible ops (driver records a rows-only check)."""
+    """DuckDB-runnable oracle SQL per query. Every registered query —
+    including the streaming, stateful, and multimodal ones — carries an
+    oracle; there are zero rows-only entries."""
     return {
         name: spec.oracle
         for name, spec in all_queries().items()
