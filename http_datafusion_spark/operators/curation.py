@@ -3217,3 +3217,96 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------- attribution model compare
+
+ATTR_WINDOW_SEC = 3600  # touches within the hour before a purchase
+
+
+@query(
+    "attribution_models_compare",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS conv_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.conv_id, e.event_type AS channel,
+             CAST(floor(epoch(e.ts)) AS BIGINT) AS tt, e.event_id
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND CAST(floor(epoch(e.ts)) AS BIGINT) < p.pt
+       AND p.pt - CAST(floor(epoch(e.ts)) AS BIGINT) <= {ATTR_WINDOW_SEC}
+    ),
+    ranked AS (
+      SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id ORDER BY tt, event_id)       AS rk_first,
+             row_number() OVER (PARTITION BY conv_id ORDER BY tt DESC, event_id DESC) AS rk_last,
+             count(*)     OVER (PARTITION BY conv_id)                             AS n_touches
+      FROM touches
+    )
+    SELECT channel,
+           CAST(sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+           CAST(sum(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)  AS last_touch,
+           round(CAST(sum(CAST(round(1.0 / n_touches, 6) AS DECIMAL(18,6)))
+                 AS DOUBLE), 4)                                          AS linear_credit
+    FROM ranked GROUP BY channel
+    """,
+    doc="multi-touch attribution model comparison: for every purchase, the "
+    f"user's view/click touches in the prior {ATTR_WINDOW_SEC // 60} minutes "
+    "are credited under FIRST-touch, LAST-touch, and LINEAR (1/n per touch) "
+    "rules side by side — the report a marketing team reads before picking a "
+    "model, and the input a Shapley method refines. Linear credits quantize "
+    "to decimals (order-independent sums). Touch collection is a per-user "
+    "co-keyed join windowed by the tolerance (the asof_join_click_purchase "
+    "machinery generalized to many-per-conversion); ranking windows partition "
+    "by conversion id — bounded by touches-per-purchase "
+    "(north-star events / attribution)",
+    tags=("events", "window", "join"),
+)
+def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("conv_id"),
+        F.unix_timestamp("ts").cast("bigint").alias("pt"),
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.unix_timestamp("ts").cast("bigint").alias("tt"),
+            "event_id",
+        )
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("tt") < F.col("pt"))
+            & (F.col("pt") - F.col("tt") <= ATTR_WINDOW_SEC),
+        )
+    )
+    wf = W.partitionBy("conv_id").orderBy("tt", "event_id")
+    wl = W.partitionBy("conv_id").orderBy(F.desc("tt"), F.desc("event_id"))
+    wc = W.partitionBy("conv_id")
+    ranked = touches.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum((F.col("rk_first") == 1).cast("int")).cast("bigint").alias("first_touch"),
+        F.sum((F.col("rk_last") == 1).cast("int")).cast("bigint").alias("last_touch"),
+        F.round(
+            F.sum(F.round(1.0 / F.col("n_touches"), 6).cast("decimal(18,6)")).cast("double"),
+            4,
+        ).alias("linear_credit"),
+    )

@@ -920,3 +920,66 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_backlog"),
         )
     )
+
+
+# --------------------------------------------- seasonal decomposition
+
+
+@query(
+    "orders_seasonality_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx,
+             CAST(month(o_orderdate) AS BIGINT)                          AS month_of_year,
+             CAST(count(*) AS BIGINT)                                    AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT midx, month_of_year, n,
+             round(avg(n) OVER (ORDER BY midx ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING), 6)
+               AS trend,
+             count(*) OVER (ORDER BY midx ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               AS w
+      FROM monthly
+    ),
+    detrended AS (
+      SELECT month_of_year,
+             CAST(round(n - trend, 6) AS DECIMAL(18,6)) AS resid
+      FROM trended WHERE w = 13
+    )
+    SELECT month_of_year,
+           CAST(count(*) AS BIGINT)                         AS n_months,
+           round(CAST(sum(resid) AS DOUBLE) / count(*), 6)  AS seasonal_index
+    FROM detrended GROUP BY month_of_year
+    """,
+    doc="classical seasonal decomposition of the monthly order-count series: a "
+    "centered 13-month moving average estimates the trend, full-window months "
+    "are detrended, and residuals average per calendar month into the additive "
+    "seasonal index — the decomposition behind every 'is December always like "
+    "this' question, and the structural version of what ts_autocorrelation "
+    "detects. The windows run over the MONTHS-bounded rollup (the series, "
+    "never the fact rows); residuals quantize to decimals "
+    "(north-star time-series / decomposition)",
+    tags=("events", "window", "agg"),
+)
+def orders_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("midx"),
+        F.month("o_orderdate").cast("bigint").alias("month_of_year"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = W.orderBy("midx").rowsBetween(-6, 6)
+    trended = monthly.select(
+        "month_of_year",
+        "n",
+        F.round(F.avg("n").over(wt), 6).alias("trend"),
+        F.count(F.lit(1)).over(wt).alias("w"),
+    )
+    detrended = trended.filter(F.col("w") == 13).select(
+        "month_of_year",
+        F.round(F.col("n") - F.col("trend"), 6).cast("decimal(18,6)").alias("resid"),
+    )
+    return detrended.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.sum("resid").cast("double") / F.count(F.lit(1)), 6).alias("seasonal_index"),
+    )
