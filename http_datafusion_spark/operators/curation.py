@@ -3310,3 +3310,131 @@ def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("linear_credit"),
     )
+
+
+# ------------------------------------------- duplicate-invoice detection
+
+DUPINV_DAYS = 30  # same customer, same amount band, within a month
+DUPINV_BAND = 10_000  # amount band width
+
+
+@query(
+    "orders_duplicate_invoice_detect",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS amt,
+             CAST(floor(o_totalprice / {DUPINV_BAND}) AS BIGINT) AS band,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(a.amt AS DOUBLE) AS amount_a,
+           CAST(b.amt AS DOUBLE) AS amount_b,
+           CAST(abs(b.day - a.day) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.band = b.band
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(b.day - a.day) <= {DUPINV_DAYS}
+    """,
+    doc=f"suspicious-invoice detection — the accounts-payable fraud/ops "
+    f"control: pairs of orders from the SAME customer with amounts in the "
+    f"same {DUPINV_BAND}-unit band within {DUPINV_DAYS} days (double "
+    "submissions, retried or split charges). The self-join is BLOCKED on "
+    "(customer, amount band) — an equi-join that shuffles by the compound "
+    "key, so candidates are O(sum block^2) over same-band same-customer "
+    "groups, never all-pairs; the day window is a residual predicate on the "
+    "block. The fuzzy_join_blocked pattern applied to transactions; exact "
+    "amounts ride along as decimals for the reviewer "
+    "(north-star pipeline / financial controls)",
+    tags=("join", "pipeline"),
+)
+def orders_duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("amt"),
+        F.floor(F.col("o_totalprice") / DUPINV_BAND).cast("bigint").alias("band"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.col("b.day") - F.col("a.day")) <= DUPINV_DAYS),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.amt").cast("double").alias("amount_a"),
+            F.col("b.amt").cast("double").alias("amount_b"),
+            F.abs(F.col("b.day") - F.col("a.day")).cast("bigint").alias("days_apart"),
+        )
+    )
+
+
+# ------------------------------------------------- HHI concentration
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH spend AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT p_type, CAST(sum(s) AS DECIMAL(38,2)) AS t FROM spend GROUP BY 1),
+    shares AS (
+      SELECT sp.p_type,
+             CAST(round(10000.0 * (CAST(sp.s AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                              * (CAST(sp.s AS DOUBLE) / CAST(tt.t AS DOUBLE)), 8)
+                  AS DECIMAL(18,8)) AS term
+      FROM spend sp JOIN tot tt ON sp.p_type = tt.p_type
+    )
+    SELECT p_type,
+           CAST(count(*) AS BIGINT)              AS n_suppliers,
+           round(CAST(sum(term) AS DOUBLE), 4)   AS hhi
+    FROM shares GROUP BY p_type
+    """,
+    doc="supplier-concentration HHI per part category: the Herfindahl-"
+    "Hirschman index (sum of squared market shares x 10000 — the antitrust/"
+    "supply-chain-risk scale where >2500 is 'highly concentrated') over each "
+    "supplier's spend share within the category. Spend sums are exact "
+    "decimals; share-squared terms quantize then decimal-sum (order-"
+    "independent). One (category, supplier) rollup shuffle; everything after "
+    "is category-bounded (north-star statistics / supply-chain risk — the "
+    "supplier-side dual of orders_gini_coefficient's customer view)",
+    tags=("agg", "join"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    spend = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("s")
+        )
+    )
+    tot = spend.groupBy("p_type").agg(F.sum("s").cast("decimal(38,2)").alias("t"))
+    share = F.col("s").cast("double") / F.col("t").cast("double")
+    shares = spend.join(F.broadcast(tot), "p_type").select(
+        "p_type",
+        F.round(10000.0 * share * share, 8).cast("decimal(18,8)").alias("term"),
+    )
+    return shares.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.round(F.sum("term").cast("double"), 4).alias("hhi"),
+    )
