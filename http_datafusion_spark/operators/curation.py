@@ -3438,3 +3438,138 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.round(F.sum("term").cast("double"), 4).alias("hhi"),
     )
+
+
+# ---------------------------------------------- Markov model evaluation
+
+
+@query(
+    "markov_next_event_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT cur, nxt AS pred
+      FROM (SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+                                                ORDER BY c DESC, nxt) AS rk
+            FROM trans)
+      WHERE rk = 1
+    )
+    SELECT p.cur AS state,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           m.pred AS predicted_next,
+           CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS accuracy
+    FROM pairs p JOIN model m ON p.cur = m.cur
+    GROUP BY p.cur, m.pred
+    """,
+    doc="first-order Markov model EVALUATION — closing the journey-modeling arc "
+    "(events_markov_transitions trains the matrix; this grades it): the argmax "
+    "next-event prediction per state is scored against every observed "
+    "transition, yielding per-state accuracy — the baseline every sequence "
+    "model must beat, and the readout that says whether user behavior is "
+    "predictable at all. In-sample by design (the harness has one corpus); a "
+    "production eval swaps the pairs relation for a held-out split "
+    "(train_split_temporal provides it). The model is states-bounded and "
+    "broadcasts; transitions shuffle once on user_id for the lead, once on "
+    "state for the score (north-star events / model evaluation)",
+    tags=("events", "window", "agg"),
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select("cur", "nxt")
+    )
+    trans = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wm = W.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    model = (
+        trans.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    hit = F.sum((F.col("nxt") == F.col("pred")).cast("int"))
+    return (
+        pairs.join(F.broadcast(model), "cur")
+        .groupBy(F.col("cur").alias("state"), F.col("pred").alias("predicted_next"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            hit.cast("bigint").alias("n_correct"),
+            F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .select("state", "n_transitions", "predicted_next", "n_correct", "accuracy")
+    )
+
+
+# ------------------------------------------------ discount elasticity
+
+DISC_BAND = 0.02  # discount bands of 2 percentage points
+
+
+@query(
+    "discount_elasticity",
+    oracle=f"""
+    WITH banded AS (
+      SELECT CAST(floor(l_discount / {DISC_BAND}) AS BIGINT) AS band,
+             CAST(round(l_quantity, 2) AS DECIMAL(18,2)) AS q
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT band,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty
+      FROM banded GROUP BY band
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             round((count(*) * sum(CAST(round(band * avg_qty, 6) AS DECIMAL(28,6)))
+                    - sum(band) * sum(CAST(round(avg_qty, 6) AS DECIMAL(28,6))))
+                   / (count(*) * sum(CAST(band * band AS DECIMAL(28,0)))
+                      - sum(band) * sum(band)), 6) AS slope
+      FROM cells
+    )
+    SELECT c.band, c.n, c.avg_qty, f.slope AS qty_per_band_slope
+    FROM cells c CROSS JOIN fit f
+    """,
+    doc=f"discount elasticity: average line quantity per {DISC_BAND:.0%}-wide "
+    "discount band plus the least-squares slope of avg quantity vs band — the "
+    "does-discounting-move-volume readout a pricing team checks before deeper "
+    "modeling (the closed-form regression is the text_zipf_fit discipline on "
+    "an econ axis). Quantities sum as exact decimals; the regression runs over "
+    "the bands-bounded cell table; slope is broadcast back onto each band row "
+    "(north-star statistics / pricing analytics)",
+    tags=("agg",),
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    banded = li.select(
+        F.floor(F.col("l_discount") / DISC_BAND).cast("bigint").alias("band"),
+        F.round("l_quantity", 2).cast("decimal(18,2)").alias("q"),
+    )
+    cells = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+    )
+    k = F.count(F.lit(1))
+    sxy = F.sum(F.round(F.col("band") * F.col("avg_qty"), 6).cast("decimal(28,6)"))
+    sy = F.sum(F.round(F.col("avg_qty"), 6).cast("decimal(28,6)"))
+    sx = F.sum("band")
+    sxx = F.sum((F.col("band") * F.col("band")).cast("decimal(28,0)"))
+    fit = cells.agg(
+        F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias("slope")
+    )
+    return cells.crossJoin(F.broadcast(fit)).select(
+        "band", "n", "avg_qty", F.col("slope").alias("qty_per_band_slope")
+    )
