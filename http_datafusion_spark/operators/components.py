@@ -394,3 +394,74 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "suppkey")
         .limit(PR_TOPK)
     )
+
+
+# ------------------------------------------- link prediction (Jaccard)
+
+LINKPRED_TOPK = 15
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    common AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT c.s1, c.s2, c.n_common,
+           round(c.n_common * 1.0 / (d1.d + d2.d - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN deg d1 ON c.s1 = d1.s
+    JOIN deg d2 ON c.s2 = d2.s
+    ORDER BY jaccard DESC, s1, s2 LIMIT {LINKPRED_TOPK}
+    """,
+    doc=f"link prediction on the customer-supplier bipartite graph: supplier "
+    f"pairs ranked by JACCARD of their customer neighborhoods (top-{LINKPRED_TOPK}) "
+    "— the classic co-occurrence link predictor (who will share customers "
+    "next / who substitutes for whom), and the graph-analytics sibling of the "
+    "near-dup Jaccard family. Candidates come from the co-occurrence "
+    "self-join ON the shared customer — only pairs with >= 1 common neighbor "
+    "ever materialize, never suppliers^2; degrees join back "
+    "states-bounded; the hot-customer skew falls out of AQE exactly like hot "
+    "LSH bands (north-star graph analytics; pairs with graph_pagerank)",
+    tags=("graph", "join", "agg"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.plans.tables import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    e = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common") * 1.0 / (F.col("d1") + F.col("d2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(LINKPRED_TOPK)
+    )

@@ -3573,3 +3573,87 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.crossJoin(F.broadcast(fit)).select(
         "band", "n", "avg_qty", F.col("slope").alias("qty_per_band_slope")
     )
+
+
+# ------------------------------------------------ price-volume-mix bridge
+
+PVM_Y0, PVM_Y1 = 1996, 1997
+
+
+@query(
+    "revenue_bridge_pvm",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT p.p_type,
+             CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+             CAST(sum(CAST(round(l.l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN ({PVM_Y0}, {PVM_Y1})
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT p_type,
+             max(CASE WHEN yr = {PVM_Y0} THEN qty END) AS q0,
+             max(CASE WHEN yr = {PVM_Y0} THEN rev END) AS r0,
+             max(CASE WHEN yr = {PVM_Y1} THEN qty END) AS q1,
+             max(CASE WHEN yr = {PVM_Y1} THEN rev END) AS r1
+      FROM yearly GROUP BY p_type
+      HAVING max(CASE WHEN yr = {PVM_Y0} THEN qty END) IS NOT NULL
+         AND max(CASE WHEN yr = {PVM_Y1} THEN qty END) IS NOT NULL
+    )
+    SELECT p_type,
+           CAST(r1 - r0 AS DOUBLE)                               AS delta_rev,
+           round((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 4) AS volume_effect,
+           round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                  - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                 * CAST(q1 AS DOUBLE), 4)                        AS price_effect
+    FROM wide
+    """,
+    doc=f"revenue bridge (price-volume decomposition), {PVM_Y0} -> {PVM_Y1} per "
+    "part category: delta revenue split into the volume effect (quantity change "
+    "at old unit price) and price effect (unit-price change at new volume) — "
+    "the waterfall every finance review opens with; the two effects sum to the "
+    "delta by construction. Yearly quantity/revenue are exact decimals; unit "
+    "prices divide identically on both engines; one (category, year) rollup "
+    "shuffle, category-bounded after (north-star statistics / finance bridge)",
+    tags=("agg", "join"),
+)
+def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    yearly = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(PVM_Y0, PVM_Y1))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("qty"),
+            F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev"),
+        )
+    )
+    pick = lambda yr, c: F.max(F.when(F.col("yr") == yr, F.col(c)))  # noqa: E731
+    wide = (
+        yearly.groupBy("p_type")
+        .agg(
+            pick(PVM_Y0, "qty").alias("q0"),
+            pick(PVM_Y0, "rev").alias("r0"),
+            pick(PVM_Y1, "qty").alias("q1"),
+            pick(PVM_Y1, "rev").alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    return wide.select(
+        "p_type",
+        (F.col("r1") - F.col("r0")).cast("double").alias("delta_rev"),
+        F.round((q1d - q0d) * (r0d / q0d), 4).alias("volume_effect"),
+        F.round((r1d / q1d - r0d / q0d) * q1d, 4).alias("price_effect"),
+    )
