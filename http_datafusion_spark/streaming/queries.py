@@ -72,12 +72,15 @@ def run_to_memory(
     (numInputRows etc.) are appended to it before the query stops — the
     observable evidence for rate-limit/backpressure behavior.
     """
+    import shutil
+
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="hds_ckpt_")
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hds_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -87,6 +90,9 @@ def run_to_memory(
     finally:
         q.stop()
         q.awaitTermination(30)
+        # the memory sink holds the results; the checkpoint has no
+        # further use — repeated gate/test runs must not grow /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     return agg.sparkSession.table(name)
 
 
