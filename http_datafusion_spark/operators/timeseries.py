@@ -983,3 +983,67 @@ def orders_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_months"),
         F.round(F.sum("resid").cast("double") / F.count(F.lit(1)), 6).alias("seasonal_index"),
     )
+
+
+# ------------------------------------------------- DAU / WAU / stickiness
+
+WAU_DAYS = 7
+
+
+@query(
+    "events_dau_wau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    wau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - {WAU_DAYS - 1} AND d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, a.dau, w.wau,
+           round(a.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM days d JOIN dau a ON d.day = a.day JOIN wau w ON d.day = w.day
+    """,
+    doc=f"DAU / WAU({WAU_DAYS}d) / stickiness per day — the product-analytics "
+    "headline metrics: daily distinct actives, trailing-week distinct actives, "
+    "and their ratio (how much of the weekly audience shows up daily). The "
+    "event stream first reduces to DISTINCT (user, day) pairs — the only "
+    "relation the rolling distinct ever touches — and the trailing window is "
+    "a days-grid range join over those pairs: cost is user-days x window, "
+    "never events x window, and per-day counts are exact (no HLL needed at "
+    "this reduction; swap in hll_sketch_union for multi-year horizons) "
+    "(north-star events / product analytics)",
+    tags=("events", "agg", "join"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    ud = e.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    u = ud.select(F.col("user_id").alias("u_user"), F.col("day").alias("u_day"))
+    wau = (
+        days.join(
+            u,
+            (F.col("u_day") >= F.col("day") - (WAU_DAYS - 1))
+            & (F.col("u_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("u_user").cast("bigint").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day", "dau", "wau", F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness")
+        )
+    )
