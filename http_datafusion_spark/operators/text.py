@@ -1925,3 +1925,175 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burstiness_vmr"),
         )
     )
+
+
+# --------------------------------------- pseudo-relevance feedback (PRF)
+
+PRF_FEEDBACK_DOCS = 3  # round-1 docs mined for expansion terms
+PRF_EXPAND_PER_DOC = 2  # top tf-idf terms taken from each feedback doc
+
+_PRF_BASE_SQL = f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM doclen
+    ),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+"""
+
+
+def _prf_score_sql(termset: str, out: str) -> str:
+    """Per-doc BM25 over a term TABLE ``termset(word)`` — contributions
+    quantized then decimal-summed (order-independent, unlike the
+    literal-column fixed-order variant)."""
+    return f"""
+    {out} AS (
+      SELECT t.doc_id,
+             CAST(sum(CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * ({BM25_K1} + 1.0)
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)), 6)
+             AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS score,
+             CAST(count(*) AS BIGINT) AS n_matched
+      FROM tf t
+      JOIN {termset} q ON t.word = q.word
+      JOIN dfreq d ON t.word = d.word
+      JOIN doclen l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )"""
+
+
+def _prf_oracle() -> str:
+    q0 = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+    WITH {_PRF_BASE_SQL},
+    q1(word) AS (VALUES {q0}),
+    {_prf_score_sql("q1", "r1")},
+    top1 AS (
+      SELECT doc_id FROM r1 ORDER BY score DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}
+    ),
+    cand AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln(s.n_docs / d.df), 6) AS tfidf
+      FROM tf t JOIN top1 ON t.doc_id = top1.doc_id
+      JOIN dfreq d ON t.word = d.word
+      CROSS JOIN stats s
+      WHERE t.word NOT IN (SELECT word FROM q1)
+    ),
+    expansion AS (
+      SELECT DISTINCT word
+      FROM (SELECT word, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, word) AS rk
+            FROM cand)
+      WHERE rk <= {PRF_EXPAND_PER_DOC}
+    ),
+    q2(word) AS (SELECT word FROM q1 UNION SELECT word FROM expansion),
+    {_prf_score_sql("q2", "r2")}
+    SELECT r2.doc_id,
+           CAST(r2.score AS DOUBLE) AS prf_score,
+           r2.n_matched,
+           (top1.doc_id IS NOT NULL) AS was_feedback_doc
+    FROM r2 LEFT JOIN top1 ON r2.doc_id = top1.doc_id
+    ORDER BY r2.score DESC, r2.doc_id LIMIT {BM25_TOP}
+    """
+
+
+@query(
+    "text_prf_query_expansion",
+    oracle=_prf_oracle(),
+    doc=f"pseudo-relevance feedback (Rocchio-style PRF) — the full IR serving "
+    f"loop in one plan: BM25 round 1 over {BM25_TERMS} picks the top-"
+    f"{PRF_FEEDBACK_DOCS} feedback docs, their top-{PRF_EXPAND_PER_DOC} TF-IDF "
+    "terms (minus the original query) expand the term set, and BM25 round 2 "
+    "scores the corpus against the expanded query — the relational BM25 here "
+    "takes the terms as a TABLE (broadcast-sized), which is what makes data-"
+    "dependent expansion possible where the literal-column bench variant "
+    "cannot; per-(doc, term) contributions quantize then decimal-sum so "
+    "scores are order-independent. Everything data-dependent stays in-plan: "
+    "no driver round-trip between rounds. At 100 TB: two corpus passes + "
+    "vocab-/k-bounded joins (north-star text / retrieval capstone)",
+    tags=("text", "pipeline", "similarity"),
+)
+def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    def score(termset: DataFrame) -> DataFrame:
+        contrib = F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf")
+            * (BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        return (
+            tf.join(F.broadcast(termset), "word")
+            .join(dfreq, "word")
+            .join(doclen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(contrib).cast("decimal(28,6)").alias("score"),
+                F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            )
+        )
+
+    q1 = spark.createDataFrame([(t,) for t in BM25_TERMS], "word string")
+    r1 = score(q1)
+    top1 = r1.orderBy(F.desc("score"), "doc_id").limit(PRF_FEEDBACK_DOCS).select("doc_id")
+    cand = (
+        tf.join(F.broadcast(top1), "doc_id")
+        .join(dfreq, "word")
+        .crossJoin(F.broadcast(stats))
+        .filter(~F.col("word").isin(*BM25_TERMS))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word"))
+    expansion = (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") <= PRF_EXPAND_PER_DOC)
+        .select("word")
+        .distinct()
+    )
+    q2 = q1.unionByName(expansion).distinct()
+    r2 = score(q2)
+    return (
+        r2.join(top1.withColumn("fb", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("score").cast("double").alias("prf_score"),
+            "n_matched",
+            F.coalesce(F.col("fb"), F.lit(False)).alias("was_feedback_doc"),
+        )
+        .orderBy(F.desc("prf_score"), "doc_id")
+        .limit(BM25_TOP)
+    )
