@@ -19,7 +19,7 @@ The bucket boundaries only decide WHERE the rank is searched, never the
 answer — the result is the exact k-th smallest (v, tiebreak) row for any
 boundary choice, so oracle exactness survives the sketch.
 
-tests/test_plans.py::test_winsorize_has_no_single_partition_exchange
+tests/test_plans.py::test_ordstats_rank_search_never_single_partition
 pins the property this module exists for.
 """
 
