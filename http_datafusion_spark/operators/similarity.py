@@ -1116,3 +1116,85 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "pick bigint, vec_id bigint, relevance double, mmr_score double"
     ).select("pick", "vec_id", "relevance", F.round("mmr_score", 6).alias("mmr_score"))
+
+
+# ------------------------------------- nearest-centroid classifier eval
+
+
+@query(
+    "sim_centroid_classifier_eval",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS m
+      FROM comp GROUP BY label, i
+    ),
+    dists AS (
+      SELECT c.vec_id, c.label, t.clabel,
+             sum(CAST((c.x - t.m) AS DECIMAL(18,6))
+                 * CAST((c.x - t.m) AS DECIMAL(18,6))) AS d2
+      FROM comp c JOIN cent t ON c.i = t.i
+      GROUP BY c.vec_id, c.label, t.clabel
+    ),
+    assigned AS (
+      SELECT vec_id, label AS true_label, clabel AS pred_label
+      FROM (SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+            FROM dists)
+      WHERE rk = 1
+    )
+    SELECT true_label, pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="nearest-centroid classifier evaluation — closing the embedding-"
+    "classifier arc (sim_label_centroids/sim_kmeans_refit build centroids; "
+    "this grades them): per-label per-dim centroids as 6dp-quantized decimal "
+    "means, every vector assigned to its nearest centroid by EXACT decimal "
+    "squared distance (no float rounding anywhere past the input quantize, "
+    "ties to first label), and the label x label confusion matrix emitted — "
+    "the in-sample separability readout that says whether the embedding "
+    "space supports centroid serving at all (embedding_centroid_shift "
+    "measures the geometry; this measures the decisions). Plan: one "
+    "(label, dim) partial-agg shuffle for centroids (labels x dims bounded, "
+    "broadcast back), one (vec, label) distance agg, argmin per vector — "
+    "never a vectors x vectors product (north-star similarity / evaluation)",
+    tags=("similarity", "agg"),
+)
+def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("p", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    diff = (F.col("x") - F.col("m")).cast("decimal(18,6)")
+    dists = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel"))
+    assigned = (
+        dists.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
+    )
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
