@@ -213,3 +213,65 @@ def privacy_pseudonymize_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / BAL_BAND).cast("bigint").alias("bal_band"),
         F.col("c_nationkey").cast("bigint").alias("nation"),
     )
+
+
+# ------------------------------------------------------ l-diversity audit
+
+LDIV_L = 3  # required distinct sensitive values per equivalence class
+
+
+@query(
+    "privacy_ldiversity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS cell_size,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN n_sensitive < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_cells,
+           CAST(sum(CASE WHEN n_sensitive < {LDIV_L} THEN cell_size ELSE 0 END) AS BIGINT)
+             AS n_at_risk_rows,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+           round(sum(CASE WHEN n_sensitive < {LDIV_L} THEN cell_size ELSE 0 END) * 1.0
+                 / sum(cell_size), 6) AS at_risk_frac
+    FROM cells
+    """,
+    doc=f"l-diversity audit (l={LDIV_L}) over the (nation, segment) quasi-"
+    "identifier with order priority as the sensitive attribute — the attack "
+    "k-anonymity misses: a cell can hold k rows yet leak the sensitive value "
+    "when all k SHARE it (homogeneity attack); l-diversity requires >= l "
+    "distinct sensitive values per equivalence class. One partial-agg shuffle "
+    "to QI-bounded cells, 1-row output; completes the release-gate family "
+    "(privacy_kanonymity_audit -> _joint -> this -> privacy_dp_counts) "
+    "(north-star pipeline / privacy)",
+    tags=("pipeline", "agg"),
+)
+def privacy_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment")
+    cells = (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cell_size"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    low = F.col("n_sensitive") < LDIV_L
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_homogeneous_cells"),
+        F.sum(F.when(low, F.col("cell_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_risk_rows"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+        F.round(
+            F.sum(F.when(low, F.col("cell_size")).otherwise(0)) * 1.0 / F.sum("cell_size"),
+            6,
+        ).alias("at_risk_frac"),
+    )

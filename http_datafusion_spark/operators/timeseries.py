@@ -1047,3 +1047,72 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", "dau", "wau", F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness")
         )
     )
+
+
+# --------------------------------------------- SLO error-budget burn rate
+
+SLO_TARGET = 0.20  # error-rate objective (synthetic corpus runs hot)
+BURN_ALERT = 1.5  # page when short-window burn exceeds this multiple
+
+
+@query(
+    "events_error_budget_burn",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT h, n, errs,
+             CAST(sum(errs) OVER w1 AS BIGINT) AS e1,
+             CAST(sum(n)    OVER w1 AS BIGINT) AS n1,
+             CAST(sum(errs) OVER w6 AS BIGINT) AS e6,
+             CAST(sum(n)    OVER w6 AS BIGINT) AS n6
+      FROM hourly
+      WINDOW w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+             w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h AS hour,
+           round(e1 * 1.0 / n1 / {SLO_TARGET}, 6) AS burn_1h,
+           round(e6 * 1.0 / n6 / {SLO_TARGET}, 6) AS burn_6h,
+           (e1 * 1.0 / n1 / {SLO_TARGET} > {BURN_ALERT}
+            AND e6 * 1.0 / n6 / {SLO_TARGET} > {BURN_ALERT}) AS page
+    FROM win
+    """,
+    doc=f"SLO error-budget burn-rate alerting (the Google SRE multiwindow "
+    f"policy): per hour, the error-rate-over-objective burn multiple in a "
+    "short (1h) and long (6h) window; a page fires only when BOTH exceed "
+    f"{BURN_ALERT}x — the short window gives fast detection, the long window "
+    "suppresses blips, which single-threshold alerting (stream_error_alert's "
+    "shape) cannot do. Windows run over the hours-bounded rollup; rates "
+    "divide identical integers on both engines "
+    "(north-star time-series / SRE operations)",
+    tags=("events", "window", "agg"),
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("bigint").alias("errs"),
+    )
+    w1 = W.orderBy("h").rowsBetween(0, 0)
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        F.sum("errs").over(w1).cast("bigint").alias("e1"),
+        F.sum("n").over(w1).cast("bigint").alias("n1"),
+        F.sum("errs").over(w6).cast("bigint").alias("e6"),
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+    )
+    b1 = F.col("e1") * 1.0 / F.col("n1") / SLO_TARGET
+    b6 = F.col("e6") * 1.0 / F.col("n6") / SLO_TARGET
+    return win.select(
+        F.col("h").alias("hour"),
+        F.round(b1, 6).alias("burn_1h"),
+        F.round(b6, 6).alias("burn_6h"),
+        ((b1 > BURN_ALERT) & (b6 > BURN_ALERT)).alias("page"),
+    )
