@@ -3657,3 +3657,77 @@ def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((q1d - q0d) * (r0d / q0d), 4).alias("volume_effect"),
         F.round((r1d / q1d - r0d / q0d) * q1d, 4).alias("price_effect"),
     )
+
+
+# ------------------------------------------- attribution window sensitivity
+
+ATTR_SWEEP_WINDOWS = (300, 900, 1800, 3600)  # candidate windows, seconds
+
+
+@query(
+    "attribution_window_sweep",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS pid, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    first_purchase AS (
+      SELECT c.event_id, min(p.pt - c.t) AS delta
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id AND p.pt > c.t
+      GROUP BY c.event_id
+    ),
+    windows AS (SELECT CAST(unnest(ARRAY{list(ATTR_SWEEP_WINDOWS)}) AS BIGINT) AS w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks FROM clicks)
+    SELECT w.w AS window_sec,
+           CAST(count(CASE WHEN f.delta <= w.w THEN 1 END) AS BIGINT) AS n_attributed,
+           round(count(CASE WHEN f.delta <= w.w THEN 1 END) * 1.0 / max(t.n_clicks), 6)
+             AS attribution_rate
+    FROM windows w CROSS JOIN first_purchase f CROSS JOIN tot t
+    GROUP BY w.w
+    """,
+    doc="attribution-window sensitivity sweep: for each candidate window "
+    f"{ATTR_SWEEP_WINDOWS}, the fraction of clicks whose first later purchase "
+    "falls inside it — the calibration curve that justifies the tolerance "
+    "asof_join_click_purchase hardcodes (the dedup_minhash_threshold_sweep "
+    "discipline applied to attribution: compute the per-click delta ONCE, "
+    "read every window off it for free). The click->purchase join is "
+    "per-user co-keyed; deltas reduce to one row per click before the "
+    "windows-bounded sweep (north-star events / calibration)",
+    tags=("events", "join", "agg"),
+)
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_timestamp("ts").cast("bigint").alias("t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_timestamp("ts").cast("bigint").alias("pt")
+    )
+    first_purchase = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("pt") > F.col("t")),
+        )
+        .groupBy("event_id")
+        .agg(F.min(F.col("pt") - F.col("t")).alias("delta"))
+    )
+    windows = spark.createDataFrame(
+        [(w,) for w in ATTR_SWEEP_WINDOWS], "w bigint"
+    )
+    tot = clicks.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicks"))
+    hit = F.count(F.when(F.col("delta") <= F.col("w"), 1))
+    return (
+        F.broadcast(windows)
+        .crossJoin(first_purchase)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("w").alias("window_sec"))
+        .agg(
+            hit.cast("bigint").alias("n_attributed"),
+            F.round(hit * 1.0 / F.max("n_clicks"), 6).alias("attribution_rate"),
+        )
+    )
