@@ -2097,3 +2097,117 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("prf_score"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# ---------------------------------------------------- Heaps' law fit
+
+HEAPS_CHECKPOINTS = 10
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    nd AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+    firsts AS (SELECT word, CAST(min(doc_id) AS BIGINT) AS fd FROM toks GROUP BY 1),
+    dtoks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+    cps AS (
+      SELECT CAST(floor((nd.mx + 1) * k / {HEAPS_CHECKPOINTS}.0) - 1 AS BIGINT) AS thr
+      FROM nd, (SELECT unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS k) t(k)
+    ),
+    pts AS (
+      SELECT c.thr,
+             (SELECT CAST(sum(nt) AS BIGINT) FROM dtoks WHERE doc_id <= c.thr) AS tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM firsts WHERE fd <= c.thr)   AS vocab
+      FROM cps c
+    ),
+    logs AS (
+      SELECT thr, tokens, vocab,
+             CAST(round(ln(tokens), 6) AS DECIMAL(18,6)) AS lx,
+             CAST(round(ln(vocab), 6) AS DECIMAL(18,6))  AS ly
+      FROM pts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(tokens) AS BIGINT) AS total_tokens,
+           CAST(max(vocab) AS BIGINT)  AS total_vocab,
+           round((count(*) * CAST(sum(CAST(round(CAST(lx AS DOUBLE)
+                                                 * CAST(ly AS DOUBLE), 6)
+                                          AS DECIMAL(18,6))) AS DOUBLE)
+                  - CAST(sum(lx) AS DOUBLE) * CAST(sum(ly) AS DOUBLE))
+                 / (count(*) * CAST(sum(CAST(round(CAST(lx AS DOUBLE)
+                                                   * CAST(lx AS DOUBLE), 6)
+                                            AS DECIMAL(18,6))) AS DOUBLE)
+                    - CAST(sum(lx) AS DOUBLE) * CAST(sum(lx) AS DOUBLE)), 6)
+             AS heaps_beta
+    FROM logs
+    """,
+    doc=f"Heaps'-law fit: vocabulary growth V(n) ~ K*n^beta measured at "
+    f"{HEAPS_CHECKPOINTS} ingestion-order checkpoints (each word's FIRST "
+    "document decides when it enters the vocabulary — no per-prefix rescan; "
+    "dense doc_ids make the checkpoints exact deciles) and beta estimated by "
+    "the closed-form log-log regression (the text_zipf_fit discipline; Zipf "
+    "and Heaps are the two halves of the same power law). beta well below 1 "
+    "is natural text; beta ~ 1 means vocabulary grows linearly — the "
+    "synthetic-corpus / template-spam tell. Everything past the token count "
+    "is words- or checkpoints-bounded "
+    "(north-star text analysis / lexicostatistics)",
+    tags=("text",),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    nd = d.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    firsts = toks.groupBy("word").agg(F.min("doc_id").cast("bigint").alias("fd"))
+    dtoks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    ks = spark.range(1, HEAPS_CHECKPOINTS + 1).select(F.col("id").alias("k"))
+    cps = ks.crossJoin(F.broadcast(nd)).select(
+        (F.floor((F.col("mx") + 1) * F.col("k") / float(HEAPS_CHECKPOINTS)) - 1)
+        .cast("bigint")
+        .alias("thr")
+    )
+    tokens = (
+        F.broadcast(cps)
+        .crossJoin(dtoks)
+        .filter(F.col("doc_id") <= F.col("thr"))
+        .groupBy("thr")
+        .agg(F.sum("nt").cast("bigint").alias("tokens"))
+    )
+    vocab = (
+        F.broadcast(cps)
+        .crossJoin(firsts)
+        .filter(F.col("fd") <= F.col("thr"))
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    logs = (
+        tokens.join(vocab, "thr")
+        .select(
+            "thr",
+            "tokens",
+            "vocab",
+            F.round(F.log("tokens"), 6).cast("decimal(18,6)").alias("lx"),
+            F.round(F.log("vocab"), 6).cast("decimal(18,6)").alias("ly"),
+        )
+    )
+    k = F.count(F.lit(1))
+    sxy = F.sum(
+        F.round(F.col("lx").cast("double") * F.col("ly").cast("double"), 6).cast("decimal(18,6)")
+    ).cast("double")
+    sxx = F.sum(
+        F.round(F.col("lx").cast("double") * F.col("lx").cast("double"), 6).cast("decimal(18,6)")
+    ).cast("double")
+    sx = F.sum("lx").cast("double")
+    sy = F.sum("ly").cast("double")
+    return logs.agg(
+        k.cast("bigint").alias("n_points"),
+        F.max("tokens").cast("bigint").alias("total_tokens"),
+        F.max("vocab").cast("bigint").alias("total_vocab"),
+        F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias("heaps_beta"),
+    )

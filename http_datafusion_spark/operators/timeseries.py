@@ -1116,3 +1116,78 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b6, 6).alias("burn_6h"),
         ((b1 > BURN_ALERT) & (b6 > BURN_ALERT)).alias("page"),
     )
+
+
+# ------------------------------------------------- Little's Law check
+
+
+@query(
+    "orders_littles_law_check",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey,
+             CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS d_open,
+             CAST(floor(epoch(mx.close_ts) / 86400) AS BIGINT)   AS d_close
+      FROM orders o
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS close_ts
+            FROM lineitem GROUP BY 1) mx
+        ON o.o_orderkey = mx.l_orderkey
+    ),
+    span AS (
+      SELECT CAST(min(d_open) AS BIGINT) AS lo, CAST(max(d_close) AS BIGINT) AS hi
+      FROM life
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) * 1.0 / (max(s.hi) - min(s.lo) + 1), 6)  AS lambda_per_day,
+           round(CAST(sum(CAST(d_close - d_open + 1 AS DECIMAL(18,0))) AS DOUBLE)
+                 / count(*), 6)                                    AS w_days,
+           round(CAST(sum(CAST(d_close - d_open + 1 AS DECIMAL(18,0))) AS DOUBLE)
+                 / (max(s.hi) - min(s.lo) + 1), 6)                 AS l_avg_open,
+           round((count(*) * 1.0 / (max(s.hi) - min(s.lo) + 1))
+                 * (CAST(sum(CAST(d_close - d_open + 1 AS DECIMAL(18,0))) AS DOUBLE)
+                    / count(*))
+                 / (CAST(sum(CAST(d_close - d_open + 1 AS DECIMAL(18,0))) AS DOUBLE)
+                    / (max(s.hi) - min(s.lo) + 1)), 6)             AS littles_ratio
+    FROM life CROSS JOIN span s
+    """,
+    doc="Little's Law validation on the order system: L = lambda * W, with "
+    "lambda = arrival rate (orders/day over the observed span), W = mean "
+    "time-in-system (open->last-ship days, inclusive), and L = time-averaged "
+    "open orders computed INDEPENDENTLY as total order-days / span — the "
+    "ratio lambda*W / L must be exactly 1 by the law's accounting identity "
+    "(both numerators are the same order-day sum), which the emitted "
+    "littles_ratio verifies in-engine: the sanity invariant an ops pipeline "
+    "asserts over its own backlog metrics (orders_backlog_timeseries / "
+    "order_fulfillment_latency are its two factors). One co-keyed fact join "
+    "+ exact integer day sums (north-star operations / queueing theory)",
+    tags=("events", "agg", "join"),
+)
+def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    close = t["lineitem"].groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    life = (
+        t["orders"]
+        .join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("d_open"),
+            F.floor(F.unix_timestamp("close_ts") / 86400).cast("bigint").alias("d_close"),
+        )
+    )
+    span = life.agg(
+        F.min("d_open").cast("bigint").alias("lo"), F.max("d_close").cast("bigint").alias("hi")
+    )
+    days = F.max("hi") - F.min("lo") + 1
+    order_days = F.sum((F.col("d_close") - F.col("d_open") + 1).cast("decimal(18,0)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    lam = n * 1.0 / days
+    w = order_days / n
+    l_avg = order_days / days
+    return life.crossJoin(F.broadcast(span)).agg(
+        n.cast("bigint").alias("n_orders"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(w, 6).alias("w_days"),
+        F.round(l_avg, 6).alias("l_avg_open"),
+        F.round(lam * w / l_avg, 6).alias("littles_ratio"),
+    )
