@@ -465,3 +465,117 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "s1", "s2")
         .limit(LINKPRED_TOPK)
     )
+
+
+# ------------------------------------------------- golden-record merge
+
+
+@query(
+    "golden_record_merge",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT c.component, d.doc_id, d.lang, d.source, d.n_chars
+      FROM comp c JOIN documents d ON c.node = d.doc_id
+    ),
+    lang_votes AS (
+      SELECT component, lang, CAST(count(*) AS BIGINT) AS v
+      FROM members GROUP BY 1, 2
+    ),
+    lang_pick AS (
+      SELECT component, lang AS majority_lang
+      FROM (SELECT component, lang,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY v DESC, lang) AS rk
+            FROM lang_votes)
+      WHERE rk = 1
+    ),
+    golden AS (
+      SELECT m.component,
+             CAST(count(*) AS BIGINT)                 AS n_members,
+             CAST(min(m.doc_id) AS BIGINT)            AS survivor_id,
+             CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS golden_text_doc,
+             CAST(count(DISTINCT m.lang) AS BIGINT)   AS n_lang_values,
+             CAST(count(DISTINCT m.source) AS BIGINT) AS n_source_values
+      FROM (SELECT *, row_number() OVER (PARTITION BY component
+                                         ORDER BY n_chars DESC, doc_id) AS rk
+            FROM members) m
+      GROUP BY m.component
+    )
+    SELECT CAST(g.component AS BIGINT) AS cluster_id,
+           g.n_members, g.survivor_id, g.golden_text_doc,
+           l.majority_lang, g.n_lang_values, g.n_source_values,
+           (g.n_lang_values > 1 OR g.n_source_values > 1) AS has_conflicts
+    FROM golden g JOIN lang_pick l ON g.component = l.component
+    """,
+    doc="golden-record merge — the survivorship step after entity resolution: "
+    "each near-dup cluster collapses to ONE record under per-field policies "
+    "(id: min member; text: longest-wins; lang: majority vote with "
+    "deterministic tiebreak), with per-field conflict counts so data stewards "
+    "see what the policies overrode — dedup_cluster_representatives picks a "
+    "row, this CONSTRUCTS one field-by-field, which is what MDM systems "
+    "actually ship. Policies are per-cluster aggregates over cluster-bounded "
+    "groups; the clustering itself is the scalable large-star/small-star "
+    "contraction (north-star pipeline / master data management)",
+    tags=("dedup", "pipeline"),
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.plans.tables import load_tables
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    members = comp.join(d, comp["node"] == d["doc_id"]).select(
+        "component", "doc_id", "lang", "source", "n_chars"
+    )
+    votes = members.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    lrk = F.row_number().over(W.partitionBy("component").orderBy(F.desc("v"), "lang"))
+    lang_pick = (
+        votes.withColumn("rk", lrk)
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("lang").alias("majority_lang"))
+    )
+    trk = F.row_number().over(
+        W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    golden = (
+        members.withColumn("rk", trk)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("survivor_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("golden_text_doc"),
+            F.countDistinct("lang").cast("bigint").alias("n_lang_values"),
+            F.countDistinct("source").cast("bigint").alias("n_source_values"),
+        )
+    )
+    return golden.join(lang_pick, "component").select(
+        F.col("component").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "survivor_id",
+        "golden_text_doc",
+        "majority_lang",
+        "n_lang_values",
+        "n_source_values",
+        ((F.col("n_lang_values") > 1) | (F.col("n_source_values") > 1)).alias("has_conflicts"),
+    )

@@ -1198,3 +1198,105 @@ def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ----------------------------------------------- IVF nprobe tuning sweep
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle() -> str:
+    branches = []
+    for p in NPROBE_SWEEP:
+        branches.append(f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) * 1.0 / {TOP_K}, 6) AS recall_at_{TOP_K}
+    FROM (
+      SELECT a.vec_id
+      FROM assigned a, q
+      WHERE a.bucket IN (SELECT cid FROM probe_rk WHERE rk <= {p})
+        AND a.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='a.embedding', b='qv')} / (a.nrm * qn) DESC, a.vec_id
+      LIMIT {TOP_K}
+    ) ap JOIN exact USING (vec_id)""")
+    return f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (
+      SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    probe_rk AS (
+      SELECT cid, row_number() OVER (
+        ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+                 i -> (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                    * (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))), cid) AS rk
+      FROM cents, q
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='e.embedding', b='qv')} / (e.nrm * qn) DESC, e.vec_id
+      LIMIT {TOP_K}
+    )
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@query(
+    "sim_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    doc=f"IVF nprobe tuning curve: recall@{TOP_K} vs exact for every probe "
+    f"width in {NPROBE_SWEEP} ({NPROBE_SWEEP[-1]} == all {N_CENTROIDS} "
+    "buckets, recall 1 by construction) — the latency/recall trade-off table "
+    "an ANN deployment reads to pick nprobe (sim_ivf_recall is one point of "
+    "this curve). The scored assignment is computed ONCE (Arrow fold-exact "
+    "kernel) and every probe width reads off it — the threshold-sweep "
+    "discipline applied to index tuning "
+    "(north-star similarity / index tuning)",
+    tags=("similarity",),
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    vecs = _fetch_vectors(spark, sf_dir, (QUERY_VEC_ID, *CENTROID_VEC_IDS))
+    qv = vecs[QUERY_VEC_ID]
+    cids = sorted(CENTROID_VEC_IDS)
+    C = np.stack([vecs[c] for c in cids])
+    qd2 = fold_sqdist(C, qv[None, :])[:, 0]
+    order = sorted(range(len(cids)), key=lambda i: (qd2[i], cids[i]))
+    ranked_buckets = [cids[i] for i in order]
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    scored = (
+        e.select("vec_id", "label", "embedding")
+        .mapInPandas(
+            _assign_score_fn(cids, C, qv),
+            schema="vec_id bigint, label bigint, embedding array<float>, bucket bigint, cosine_raw double",
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .localCheckpoint(eager=True)  # one scoring pass feeds every width
+    )
+    exact = (
+        scored.orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+
+    def branch(p: int) -> DataFrame:
+        ap = (
+            scored.filter(F.col("bucket").isin(ranked_buckets[:p]))
+            .orderBy(F.col("cosine_raw").desc(), "vec_id")
+            .limit(TOP_K)
+            .select(F.col("vec_id").alias("a_id"))
+        )
+        hits = ap.join(exact, ap["a_id"] == exact["vec_id"])
+        return hits.agg(
+            F.lit(p).cast("bigint").alias("nprobe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.round(F.count(F.lit(1)) * 1.0 / TOP_K, 6).alias(f"recall_at_{TOP_K}"),
+        )
+
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), (branch(p) for p in NPROBE_SWEEP)
+    )
