@@ -1981,3 +1981,92 @@ def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(
         lambda a, b: a.unionByName(b), (audit(*c) for c in _FD_CANDIDATES)
     )
+
+
+# ------------------------------------------------ release readiness gate
+
+REL_MAX_DUP_RATE = 0.05
+REL_MIN_AVG_TOKENS = 10.0
+REL_KANON_K = 5
+REL_MIN_SOURCES = 10
+
+
+@query(
+    "release_readiness_report",
+    oracle=f"""
+    WITH dup AS (
+      SELECT 'exact_dup_rate_below_{REL_MAX_DUP_RATE}' AS check_name,
+             round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   * 1.0 / count(*), 6) AS value,
+             (1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   * 1.0 / count(*)) <= {REL_MAX_DUP_RATE} AS passed
+      FROM documents
+    ),
+    toklen AS (
+      SELECT 'avg_tokens_at_least_{REL_MIN_AVG_TOKENS}' AS check_name,
+             round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> ''))), 6) AS value,
+             avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> ''))) >= {REL_MIN_AVG_TOKENS} AS passed
+      FROM documents
+    ),
+    kanon AS (
+      SELECT 'kanon_no_cell_below_{REL_KANON_K}' AS check_name,
+             CAST(sum(CASE WHEN n < {REL_KANON_K} THEN 1 ELSE 0 END) AS DOUBLE) AS value,
+             sum(CASE WHEN n < {REL_KANON_K} THEN 1 ELSE 0 END) = 0 AS passed
+      FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+    ),
+    srcs AS (
+      SELECT 'at_least_{REL_MIN_SOURCES}_sources' AS check_name,
+             CAST(count(DISTINCT source) AS DOUBLE) AS value,
+             count(DISTINCT source) >= {REL_MIN_SOURCES} AS passed
+      FROM documents
+    )
+    SELECT * FROM dup UNION ALL SELECT * FROM toklen
+    UNION ALL SELECT * FROM kanon UNION ALL SELECT * FROM srcs
+    """,
+    doc="release-readiness report — the ship/no-ship gate a dataset release "
+    "runs LAST, one named row per check with its measured value and verdict: "
+    f"normalized exact-dup rate <= {REL_MAX_DUP_RATE} (dedup ran), mean "
+    f"tokens/doc >= {REL_MIN_AVG_TOKENS} (not fragment soup), no "
+    f"(lang, source) cell below k={REL_KANON_K} (the k-anonymity shape on "
+    f"corpus metadata), >= {REL_MIN_SOURCES} sources (mixture breadth). The "
+    "scheduler pattern of data_quality_audit applied at corpus grain — each "
+    "check is one bounded aggregate, the report is checks-bounded, and a "
+    "single false 'passed' blocks promotion (snapshot_versioned_read's "
+    "manifest commit is what it blocks) "
+    "(north-star pipeline / release capstone)",
+    tags=("pipeline", "agg"),
+)
+def release_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    dup_rate = 1.0 - F.countDistinct(F.md5(norm)) * 1.0 / F.count(F.lit(1))
+    dup = d.agg(
+        F.lit(f"exact_dup_rate_below_{REL_MAX_DUP_RATE}").alias("check_name"),
+        F.round(dup_rate, 6).alias("value"),
+        (dup_rate <= REL_MAX_DUP_RATE).alias("passed"),
+    )
+    ntoks = F.size(whitespace_tokens(F.col("text")))
+    toklen = d.agg(
+        F.lit(f"avg_tokens_at_least_{REL_MIN_AVG_TOKENS}").alias("check_name"),
+        F.round(F.avg(ntoks), 6).alias("value"),
+        (F.avg(ntoks) >= REL_MIN_AVG_TOKENS).alias("passed"),
+    )
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    low = F.sum(F.when(F.col("n") < REL_KANON_K, 1).otherwise(0))
+    kanon = cells.agg(
+        F.lit(f"kanon_no_cell_below_{REL_KANON_K}").alias("check_name"),
+        low.cast("double").alias("value"),
+        (low == 0).alias("passed"),
+    )
+    srcs = d.agg(
+        F.lit(f"at_least_{REL_MIN_SOURCES}_sources").alias("check_name"),
+        F.countDistinct("source").cast("double").alias("value"),
+        (F.countDistinct("source") >= REL_MIN_SOURCES).alias("passed"),
+    )
+    return functools.reduce(lambda a, b: a.unionByName(b), (dup, toklen, kanon, srcs))
