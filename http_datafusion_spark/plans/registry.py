@@ -59,12 +59,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       functions/ordstats scale-hardening rewrites (kmv, rfm, pareto,
 #       equi-depth histogram — two-phase plans, semantics unchanged)
 #       and dedup_minhash_pairs (verify-inline rewrite, listed in (c));
-#   (b) the round-6 additions, each registered with its oracle the
-#       commit it landed — except FOUR deferred to the r7 window head
-#       (the normal rotation mechanism; all four are locally
-#       oracle-exact at sf0.001+sf0.01): bpe_first_merge (logic
-#       subsumed by the bpe_merge_train capstone verified here),
-#       events_path_3gram, text_burstiness, sim_mmr_rerank;
+#   (b) round-6 additions, each registered with its oracle the commit
+#       it landed. The round added 65 operators against 50 slots, so 23
+#       late additions are DEFERRED to the r7 window head (the normal
+#       rotation mechanism; every one is locally oracle-exact at
+#       sf0.001+sf0.01 via tests/test_oracle_parity.py). The exact r7
+#       opening set, verified never-driver-checked against
+#       CORRECTNESS_r01..r05: attribution_models_compare,
+#       attribution_window_sweep, bpe_first_merge, discount_elasticity,
+#       events_dau_wau, events_error_budget_burn, events_path_3gram,
+#       golden_record_merge, graph_link_prediction,
+#       markov_next_event_eval, orders_duplicate_invoice_detect,
+#       orders_littles_law_check, orders_seasonality_decompose,
+#       privacy_ldiversity_audit, release_readiness_report,
+#       revenue_bridge_pvm, sim_centroid_classifier_eval,
+#       sim_ivf_nprobe_sweep, sim_mmr_rerank, supplier_concentration_hhi,
+#       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
 #       capstones, headline TPC-H) — squeezed to 10 slots by the large
