@@ -121,3 +121,56 @@ def test_orc_roundtrip_source(spark, sf_dir, tmp_path):
     n.write.mode("overwrite").orc(orc_dir)
     back = spark.read.orc(orc_dir)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    # df.observe(): accumulator-style metrics collected DURING execution
+    # — the zero-extra-pass instrumentation a production pipeline attaches
+    # to every stage (vs. running a second aggregate over the input).
+    from pyspark.sql import Observation
+    from http_datafusion_spark.plans.tables import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    obs = Observation("li_metrics")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+    out.collect()  # one execution drives both the query and the metrics
+    expected_n = li.count()
+    expected_disc = li.filter(F.col("l_discount") > 0.05).count()
+    assert obs.get["n_rows"] == expected_n
+    assert obs.get["n_discounted"] == expected_disc
+
+
+def test_sql_join_hints_honored(spark, sf_dir):
+    # SQL-level join hints: the /*+ BROADCAST(t) */ surface a SQL-only
+    # user steers plans with (DataFusion exposes none; Catalyst does).
+    from http_datafusion_spark.plans.tables import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("hint_orders")
+    t["customer"].createOrReplaceTempView("hint_customer")
+    hinted = spark.sql(
+        """
+        SELECT /*+ BROADCAST(hint_customer) */ c_mktsegment, count(*) AS n
+        FROM hint_orders JOIN hint_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    s = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    merge_hinted = spark.sql(
+        """
+        SELECT /*+ MERGE(hint_customer) */ c_mktsegment, count(*) AS n
+        FROM hint_orders JOIN hint_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    s2 = merge_hinted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in s2  # the hint overrides the auto broadcast
