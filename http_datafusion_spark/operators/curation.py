@@ -3731,3 +3731,83 @@ def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hit * 1.0 / F.max("n_clicks"), 6).alias("attribution_rate"),
         )
     )
+
+
+# ------------------------------------------------- price dispersion audit
+
+DISPERSION_TOPK = 15
+DISPERSION_MIN_LINES = 5
+
+
+@query(
+    "part_price_dispersion",
+    oracle=f"""
+    WITH lines AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    stats AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(unit_price) AS DOUBLE)                        AS s,
+             CAST(sum(CAST(round(CAST(unit_price AS DOUBLE)
+                                 * CAST(unit_price AS DOUBLE), 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) AS ss
+      FROM lines GROUP BY 1 HAVING count(*) >= {DISPERSION_MIN_LINES}
+    )
+    SELECT l_partkey AS partkey, n_lines,
+           round(s / n_lines, 4) AS mean_unit_price,
+           round(sqrt((ss - s * s / n_lines) / (n_lines - 1)) / (s / n_lines), 6)
+             AS price_cv
+    FROM stats
+    ORDER BY round(sqrt((ss - s * s / n_lines) / (n_lines - 1)) / (s / n_lines), 6)
+             DESC, l_partkey
+    LIMIT {DISPERSION_TOPK}
+    """,
+    doc=f"unit-price dispersion audit: coefficient of variation of per-line "
+    f"unit price per part (>= {DISPERSION_MIN_LINES} lines), top-"
+    f"{DISPERSION_TOPK} most dispersed — the pricing-consistency / data-entry-"
+    "error detector a procurement audit runs (a part selling at wildly "
+    "different unit prices is a discount-policy hole or a keying mistake). "
+    "Unit prices are fixed-scale decimal divisions (identical on both "
+    "engines); sum/sum-of-squares are exact decimals so mean/CV are "
+    "engine-identical (the ts_zscore_outliers discipline per part). One "
+    "partial-agg shuffle on partkey, TakeOrdered top-k "
+    "(north-star statistics / pricing audit)",
+    tags=("agg",),
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    lines = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)").alias("up"),
+    )
+    stats = (
+        lines.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("up").cast("double").alias("s"),
+            F.sum(
+                F.round(F.col("up").cast("double") * F.col("up").cast("double"), 4)
+                .cast("decimal(28,4)")
+            ).cast("double").alias("ss"),
+        )
+        .filter(F.col("n_lines") >= DISPERSION_MIN_LINES)
+    )
+    mean = F.col("s") / F.col("n_lines")
+    cv = F.round(
+        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n_lines")) / (F.col("n_lines") - 1))
+        / mean,
+        6,
+    )
+    return (
+        stats.select(
+            F.col("l_partkey").alias("partkey"),
+            "n_lines",
+            F.round(mean, 4).alias("mean_unit_price"),
+            cv.alias("price_cv"),
+        )
+        .orderBy(F.desc("price_cv"), "partkey")
+        .limit(DISPERSION_TOPK)
+    )
