@@ -543,3 +543,80 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id bigint, w1 bigint, h1 bigint, w0 bigint, h0 bigint, raster_sum bigint",
     )
+
+
+# --------------------------------------------------- WAV decimation audit
+
+DECIMATE_BY = 2  # keep every 2nd sample (rate/2 resample)
+
+
+@query(
+    "multimodal_wav_decimate_audit",
+    oracle=f"""
+    WITH aud AS (
+      SELECT doc_id,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             16 + n_chars % 50          AS n_samples
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    kept AS (
+      SELECT doc_id, rate, n_samples,
+             i.i AS i,
+             ((doc_id * 131 + (i.i * {DECIMATE_BY}) * 17) % 4096) - 2048 AS s
+      FROM aud, (SELECT unnest(range(0, 66)) AS i) i
+      WHERE i.i * {DECIMATE_BY} < n_samples
+    )
+    SELECT doc_id,
+           CAST(max(rate) / {DECIMATE_BY} AS BIGINT)       AS out_rate,
+           CAST(count(*) AS BIGINT)                         AS out_samples,
+           CAST(sum(s) AS BIGINT)                           AS sample_checksum
+    FROM kept GROUP BY doc_id
+    """,
+    doc=f"audio decimation audit — the WAV analogue of multimodal_resize_audit: "
+    f"every audio payload is decoded with the real RIFF/PCM codec, decimated "
+    f"by {DECIMATE_BY} (keep every {DECIMATE_BY}nd sample, halve the rate — "
+    "the naive resampler; a production one low-pass-filters first, same "
+    "plumbing), re-encoded, decoded AGAIN, and the output rate/sample-count/"
+    "sample-sum are value-checked against the closed-form generator — so the "
+    "codec's byte-level round-trip arithmetic is proven for the audio "
+    "modality too. Payloads never leave executors; one Arrow pass "
+    "(north-star multimodal / decode-transform tier)",
+    tags=("multimodal",),
+)
+def multimodal_wav_decimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "out_rate": [], "out_samples": [], "sample_checksum": []}
+            for doc_id, nc in zip(pdf["doc_id"].tolist(), pdf["n_chars"].tolist()):
+                if doc_id % 2 != 1:
+                    continue
+                src = synth_wav(doc_id, nc)
+                meta = decode_wav(src)
+                data = src[len(src) - meta["n_units"] * 2:]
+                samples = _struct.unpack(f"<{meta['n_units']}h", data)
+                dec = samples[::DECIMATE_BY]
+                rate = meta["sample_rate"] // DECIMATE_BY
+                payload = _struct.pack(f"<{len(dec)}h", *dec)
+                fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                out = (
+                    b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+                    + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(payload)) + payload
+                )
+                meta2 = decode_wav(out)  # round-trip through the real codec
+                data2 = out[len(out) - meta2["n_units"] * 2:]
+                samples2 = _struct.unpack(f"<{meta2['n_units']}h", data2)
+                rows["doc_id"].append(doc_id)
+                rows["out_rate"].append(meta2["sample_rate"])
+                rows["out_samples"].append(meta2["n_units"])
+                rows["sample_checksum"].append(int(sum(samples2)))
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        batches,
+        schema="doc_id bigint, out_rate bigint, out_samples bigint, sample_checksum bigint",
+    )

@@ -1191,3 +1191,99 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l_avg, 6).alias("l_avg_open"),
         F.round(lam * w / l_avg, 6).alias("littles_ratio"),
     )
+
+
+# -------------------------------------------- session concurrency histogram
+
+CONC_GAP_SEC = 1800  # session gap (matches sessionize)
+
+
+@query(
+    "events_concurrency_histogram",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, epoch_s,
+             CASE WHEN epoch_s - lag(epoch_s) OVER w >= {CONC_GAP_SEC}
+                    OR lag(epoch_s) OVER w IS NULL THEN 1 ELSE 0 END AS starts
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   event_id
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             CAST(min(epoch_s) AS BIGINT) AS s_start,
+             CAST(max(epoch_s) AS BIGINT) AS s_end
+      FROM (SELECT user_id, epoch_s,
+                   sum(starts) OVER (PARTITION BY user_id ORDER BY epoch_s
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks)
+      GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_start AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT s_end + 1 AS t, -1 AS d FROM sessions
+    ),
+    sweep AS (
+      SELECT t, CAST(sum(sum(d)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrency
+      FROM deltas GROUP BY t
+    ),
+    levels AS (
+      SELECT concurrency,
+             CAST(lead(t) OVER (ORDER BY t) - t AS BIGINT) AS dur
+      FROM sweep
+    )
+    SELECT concurrency,
+           CAST(sum(dur) AS BIGINT) AS seconds_at_level
+    FROM levels WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY concurrency
+    """,
+    doc="concurrent-session histogram — the capacity-sizing readout: user "
+    f"sessions (gap {CONC_GAP_SEC}s, the sessionize rule) become +1/-1 "
+    "boundary deltas, the sweep-line running sum is the instantaneous "
+    "concurrency, and level durations aggregate into seconds-at-each-level — "
+    "peak concurrency and its dwell time fall straight out (the "
+    "orders_backlog ledger discipline applied to sessions, at second "
+    "granularity). The sweep runs over the boundary events (2 per session), "
+    "never raw events; at 100 TB the cumsum two-phases like "
+    "ts_cusum_changepoints (north-star events / capacity planning)",
+    tags=("events", "window", "agg"),
+)
+def events_concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wseq = W.partitionBy("user_id").orderBy("epoch_s", "event_id")
+    marks = e.select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("epoch_s"), "event_id"
+    ).withColumn(
+        "starts",
+        F.when(
+            F.lag("epoch_s").over(wseq).isNull()
+            | ((F.col("epoch_s") - F.lag("epoch_s").over(wseq)) >= CONC_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    wcum = wseq.rowsBetween(W.unboundedPreceding, 0)
+    sessions = (
+        marks.withColumn("sid", F.sum("starts").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("epoch_s").cast("bigint").alias("s_start"),
+            F.max("epoch_s").cast("bigint").alias("s_end"),
+        )
+    )
+    deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select((F.col("s_end") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("nd"))
+    wsweep = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    sweep = per_t.select("t", F.sum("nd").over(wsweep).cast("bigint").alias("concurrency"))
+    levels = sweep.select(
+        "concurrency", (F.lead("t").over(W.orderBy("t")) - F.col("t")).cast("bigint").alias("dur")
+    )
+    return (
+        levels.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy("concurrency")
+        .agg(F.sum("dur").cast("bigint").alias("seconds_at_level"))
+    )

@@ -74,7 +74,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       privacy_ldiversity_audit, release_readiness_report,
 #       revenue_bridge_pvm, sim_centroid_classifier_eval,
 #       sim_ivf_nprobe_sweep, sim_mmr_rerank, supplier_concentration_hhi,
-#       part_price_dispersion,
+#       part_price_dispersion, events_concurrency_histogram,
+#       multimodal_wav_decimate_audit,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
