@@ -2070,3 +2070,73 @@ def release_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("source") >= REL_MIN_SOURCES).alias("passed"),
     )
     return functools.reduce(lambda a, b: a.unionByName(b), (dup, toklen, kanon, srcs))
+
+
+DECON_SWEEP = (1, 2, 3, 5)  # candidate shared-shingle thresholds
+
+
+@query(
+    "decontaminate_threshold_sweep",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0
+    ), shared AS (
+      SELECT c.doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared
+      FROM sh c JOIN bench b ON c.shingle = b.shingle
+      WHERE c.doc_id % {DECON_MOD} <> 0
+      GROUP BY c.doc_id
+    ),
+    thresholds AS (SELECT CAST(unnest(ARRAY{list(DECON_SWEEP)}) AS BIGINT) AS thr),
+    ncorpus AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+      FROM sh WHERE doc_id % {DECON_MOD} <> 0
+    )
+    SELECT t.thr AS min_shared_shingles,
+           CAST(count(CASE WHEN s.n_shared >= t.thr THEN 1 END) AS BIGINT) AS n_flagged,
+           round(count(CASE WHEN s.n_shared >= t.thr THEN 1 END) * 1.0 / max(nc.n), 6)
+             AS flagged_frac
+    FROM thresholds t CROSS JOIN shared s CROSS JOIN ncorpus nc
+    GROUP BY t.thr
+    """,
+    doc="decontamination threshold calibration: per-doc shared-shingle counts "
+    "vs the benchmark set computed ONCE, then every candidate threshold in "
+    f"{DECON_SWEEP} read off them — the curve that justifies "
+    "decontaminate_corpus's cutoff (too low throws away clean data, too high "
+    "leaks eval items; the flagged-fraction-vs-threshold elbow decides). The "
+    "minhash/attribution sweep discipline applied to leakage control "
+    "(north-star pipeline / decontamination calibration)",
+    tags=("pipeline", "dedup", "agg"),
+)
+def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    shared = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared"))
+    )
+    ncorpus = corpus.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    thresholds = spark.createDataFrame([(t,) for t in DECON_SWEEP], "thr bigint")
+    hit = F.count(F.when(F.col("n_shared") >= F.col("thr"), 1))
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(shared)
+        .crossJoin(F.broadcast(ncorpus))
+        .groupBy(F.col("thr").alias("min_shared_shingles"))
+        .agg(
+            hit.cast("bigint").alias("n_flagged"),
+            F.round(hit * 1.0 / F.max("n"), 6).alias("flagged_frac"),
+        )
+    )

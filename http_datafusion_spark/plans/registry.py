@@ -75,7 +75,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       revenue_bridge_pvm, sim_centroid_classifier_eval,
 #       sim_ivf_nprobe_sweep, sim_mmr_rerank, supplier_concentration_hhi,
 #       part_price_dispersion, events_concurrency_histogram,
-#       multimodal_wav_decimate_audit,
+#       multimodal_wav_decimate_audit, decontaminate_threshold_sweep,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
