@@ -3811,3 +3811,65 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_cv"), "partkey")
         .limit(DISPERSION_TOPK)
     )
+
+
+# -------------------------------------------- transition coverage report
+
+
+@query(
+    "events_transition_coverage",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    observed AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a.t AS from_type, b.t AS to_type,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_observed,
+           (o.n IS NULL) AS never_observed
+    FROM types a CROSS JOIN types b
+    LEFT JOIN observed o ON o.cur = a.t AND o.nxt = b.t
+    """,
+    doc="transition coverage report: the FULL event-type x event-type grid with "
+    "observed counts and a never-observed flag — the absence view the Markov "
+    "matrix (events_markov_transitions) cannot show, and the one that catches "
+    "both instrumentation gaps (a transition that should fire but never does) "
+    "and state-machine violations when a 'never' cell suddenly lights up in "
+    "the next run (diff two of these with table_snapshot_diff). The grid is "
+    "types²-bounded; observed counts come from one per-user lead pass "
+    "(north-star events / instrumentation QA)",
+    tags=("events", "window", "agg"),
+)
+def events_transition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    observed = (
+        e.select(F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = types.select(F.col("t").alias("from_type"))
+    b = types.select(F.col("t").alias("to_type"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .join(
+            observed,
+            (F.col("from_type") == F.col("cur")) & (F.col("to_type") == F.col("nxt")),
+            "left",
+        )
+        .select(
+            "from_type",
+            "to_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_observed"),
+            F.col("n").isNull().alias("never_observed"),
+        )
+    )

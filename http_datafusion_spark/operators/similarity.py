@@ -1300,3 +1300,77 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(
         lambda a, b: a.unionByName(b), (branch(p) for p in NPROBE_SWEEP)
     )
+
+
+# ------------------------------------------------- OOD detection
+
+OOD_TOPK = 20
+
+
+@query(
+    "sim_ood_detection",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS m
+      FROM comp GROUP BY label, i
+    ),
+    dists AS (
+      SELECT c.vec_id, c.label, t.clabel,
+             sum(CAST((c.x - t.m) AS DECIMAL(18,6))
+                 * CAST((c.x - t.m) AS DECIMAL(18,6))) AS d2
+      FROM comp c JOIN cent t ON c.i = t.i
+      GROUP BY c.vec_id, c.label, t.clabel
+    ),
+    nearest AS (
+      SELECT vec_id, label,
+             min(CAST(d2 AS DOUBLE)) AS min_d2
+      FROM dists GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, round(min_d2, 6) AS ood_score
+    FROM nearest
+    ORDER BY min_d2 DESC, vec_id LIMIT {OOD_TOPK}
+    """,
+    doc=f"out-of-distribution detection: each vector's distance to its NEAREST "
+    f"label centroid is its OOD score, top-{OOD_TOPK} most distant emitted — "
+    "the encoder-drift / mislabel / junk-input detector an embedding pipeline "
+    "gates ingestion with (the data-quality twin of "
+    "sim_centroid_classifier_eval: same centroids, min instead of argmin). "
+    "Exact decimal distances end to end; labels x dims centroids broadcast; "
+    "never vectors x vectors (north-star similarity / data quality)",
+    tags=("similarity", "agg"),
+)
+def sim_ood_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("p", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    diff = (F.col("x") - F.col("m")).cast("decimal(18,6)")
+    dists = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    nearest = dists.groupBy("vec_id", "label").agg(
+        F.min(F.col("d2").cast("double")).alias("min_d2")
+    )
+    return (
+        nearest.select("vec_id", "label", F.round("min_d2", 6).alias("ood_score"))
+        .orderBy(F.desc("min_d2"), "vec_id")
+        .limit(OOD_TOPK)
+    )
