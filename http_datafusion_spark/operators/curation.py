@@ -3873,3 +3873,122 @@ def events_transition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("never_observed"),
         )
     )
+
+
+# ------------------------------------------------ ABC-XYZ classification
+
+ABC_A, ABC_B = 0.5, 0.8  # cumulative-revenue class boundaries
+XYZ_X, XYZ_Y = 0.05, 0.15  # demand-CV class boundaries
+
+
+@query(
+    "parts_abc_xyz",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS midx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q,
+             CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(rev) AS DECIMAL(38,2)) AS total_rev,
+             CAST(sum(q) AS DOUBLE) / count(*) AS mean_q,
+             CAST(sum(CAST(round(CAST(q AS DOUBLE) * CAST(q AS DOUBLE), 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) AS ssq
+      FROM monthly GROUP BY 1 HAVING count(*) >= 6
+    ),
+    ranked AS (
+      SELECT l_partkey, n_months, total_rev, mean_q, ssq,
+             CAST(sum(total_rev) OVER (ORDER BY total_rev DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+             CAST(sum(total_rev) OVER () AS DOUBLE) AS all_rev
+      FROM per_part
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CASE WHEN cum_rev <= {ABC_A} * all_rev THEN 'A'
+                  WHEN cum_rev <= {ABC_B} * all_rev THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN sqrt((ssq / n_months - mean_q * mean_q)
+                            * n_months / (n_months - 1)) / mean_q <= {XYZ_X} THEN 'X'
+                  WHEN sqrt((ssq / n_months - mean_q * mean_q)
+                            * n_months / (n_months - 1)) / mean_q <= {XYZ_Y} THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             total_rev
+      FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(total_rev) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY 1, 2
+    """,
+    doc=f"ABC-XYZ inventory classification: parts classed by cumulative-revenue "
+    f"share (A <= {ABC_A:.0%}, B <= {ABC_B:.0%} of total, else C — the Pareto "
+    f"cut) crossed with monthly-demand variability (CV <= {XYZ_X} X, <= "
+    f"{XYZ_Y} Y, else Z) — the 9-cell grid that decides stocking policy per "
+    "part (AX = automate, CZ = make-to-order). Monthly rollups are exact "
+    "decimals; the revenue rank/cumsum is parts-bounded (a dimension here; on "
+    "fact-derived keys use functions/ordstats); CV moments quantize-then-sum "
+    "(north-star statistics / inventory management)",
+    tags=("agg", "window"),
+)
+def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint").alias("midx"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("q"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev"),
+    )
+    per_part = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("rev").cast("decimal(38,2)").alias("total_rev"),
+            (F.sum("q").cast("double") / F.count(F.lit(1))).alias("mean_q"),
+            F.sum(
+                F.round(F.col("q").cast("double") * F.col("q").cast("double"), 4)
+                .cast("decimal(28,4)")
+            ).cast("double").alias("ssq"),
+        )
+        .filter(F.col("n_months") >= 6)
+    )
+    word = W.orderBy(F.desc("total_rev"), "l_partkey").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "n_months",
+        "total_rev",
+        "mean_q",
+        "ssq",
+        F.sum("total_rev").over(word).cast("double").alias("cum_rev"),
+        F.sum("total_rev").over(wall).cast("double").alias("all_rev"),
+    )
+    cv = (
+        F.sqrt(
+            (F.col("ssq") / F.col("n_months") - F.col("mean_q") * F.col("mean_q"))
+            * F.col("n_months")
+            / (F.col("n_months") - 1)
+        )
+        / F.col("mean_q")
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_rev") <= ABC_A * F.col("all_rev"), "A")
+        .when(F.col("cum_rev") <= ABC_B * F.col("all_rev"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(cv <= XYZ_X, "X").when(cv <= XYZ_Y, "Y").otherwise("Z").alias("xyz"),
+        "total_rev",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("total_rev").cast("double").alias("class_revenue"),
+    )

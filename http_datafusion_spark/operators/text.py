@@ -2211,3 +2211,76 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vocab").cast("bigint").alias("total_vocab"),
         F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias("heaps_beta"),
     )
+
+
+# --------------------------------------------- stopword induction
+
+STOPWORD_DF_FRAC = 0.6  # appears in > this fraction of documents
+STOPWORD_MAX_VMR = 2.0  # and spreads evenly (low burstiness)
+
+
+@query(
+    "text_stopword_induction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT word, doc_id, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY 1, 2
+    ),
+    word_stats AS (
+      SELECT word,
+             CAST(count(*) AS BIGINT)        AS df,
+             CAST(sum(k) AS BIGINT)          AS total,
+             CAST(sum(k * k) AS BIGINT)      AS total_sq
+      FROM per_doc GROUP BY word
+    )
+    SELECT w.word,
+           round(w.df * 1.0 / nd.n_docs, 6) AS doc_frac,
+           round((CAST(w.total_sq AS DOUBLE) / nd.n_docs
+                  - (CAST(w.total AS DOUBLE) / nd.n_docs)
+                    * (CAST(w.total AS DOUBLE) / nd.n_docs))
+                 / (CAST(w.total AS DOUBLE) / nd.n_docs), 6) AS vmr
+    FROM word_stats w CROSS JOIN nd
+    WHERE w.df * 1.0 / nd.n_docs > {STOPWORD_DF_FRAC}
+      AND (CAST(w.total_sq AS DOUBLE) / nd.n_docs
+           - (CAST(w.total AS DOUBLE) / nd.n_docs)
+             * (CAST(w.total AS DOUBLE) / nd.n_docs))
+          / (CAST(w.total AS DOUBLE) / nd.n_docs) <= {STOPWORD_MAX_VMR}
+    """,
+    doc=f"statistical stopword induction: words appearing in > {STOPWORD_DF_FRAC:.0%} "
+    f"of documents AND with variance-to-mean ratio <= {STOPWORD_MAX_VMR} — high "
+    "document frequency alone also catches domain terms; the burstiness "
+    "second signal (text_burstiness's statistic, inverted) keeps only words "
+    "that spread EVENLY, which is the distributional definition of a function "
+    "word — so the list is induced from the corpus instead of imported from a "
+    "hand-curated language pack (the _EN_STOPWORDS the langid heuristic uses "
+    "is exactly what this learns). Everything past the token count is "
+    "vocabulary-bounded (north-star text analysis / lexicon induction)",
+    tags=("text", "pipeline"),
+)
+def text_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per_doc = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    stats = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("k").cast("bigint").alias("total"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("total_sq"),
+    )
+    j = stats.crossJoin(F.broadcast(nd))
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    vmr = (F.col("total_sq").cast("double") / F.col("n_docs") - mean * mean) / mean
+    doc_frac = F.col("df") * 1.0 / F.col("n_docs")
+    return j.filter((doc_frac > STOPWORD_DF_FRAC) & (vmr <= STOPWORD_MAX_VMR)).select(
+        "word",
+        F.round(doc_frac, 6).alias("doc_frac"),
+        F.round(vmr, 6).alias("vmr"),
+    )

@@ -76,7 +76,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       sim_ivf_nprobe_sweep, sim_mmr_rerank, supplier_concentration_hhi,
 #       part_price_dispersion, events_concurrency_histogram,
 #       multimodal_wav_decimate_audit, decontaminate_threshold_sweep,
-#       sim_ood_detection, events_transition_coverage,
+#       sim_ood_detection, events_transition_coverage, parts_abc_xyz,
+#       text_stopword_induction,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
