@@ -3992,3 +3992,76 @@ def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("total_rev").cast("double").alias("class_revenue"),
     )
+
+
+# -------------------------------------------- order-interval regularity
+
+REGULARITY_MIN_ORDERS = 5
+
+
+@query(
+    "customer_order_regularity",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               - lag(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS g
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_custkey,
+             CAST(count(g) AS BIGINT) AS n_gaps,
+             CAST(sum(CAST(g AS DECIMAL(18,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(g * g AS DECIMAL(28,0))) AS DOUBLE) AS ss
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY 1 HAVING count(g) >= {REGULARITY_MIN_ORDERS - 1}
+    )
+    SELECT o_custkey AS custkey, n_gaps,
+           round(s / n_gaps, 4) AS mean_gap_days,
+           round(sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps), 6)
+             AS gap_cv,
+           (sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps) < 0.5)
+             AS subscription_like
+    FROM stats
+    """,
+    doc=f"order-interval regularity per customer (>= {REGULARITY_MIN_ORDERS} "
+    "orders): mean inter-order gap and its coefficient of variation — CV well "
+    "below 1 means clock-like reordering (subscription-like, safe to forecast "
+    "per customer), CV >= 1 is memoryless/sporadic (forecast only in "
+    "aggregate) — the segmentation a replenishment or CRM pipeline keys on "
+    "(events_bot_detection's gap-regularity signal applied to commerce). One "
+    "per-customer lag pass + exact integer-day moment sums "
+    "(north-star statistics / demand segmentation)",
+    tags=("agg", "window"),
+)
+def customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select("o_custkey", (day - F.lag(day).over(w)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    stats = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("g").cast("bigint").alias("n_gaps"),
+            F.sum(F.col("g").cast("decimal(18,0)")).cast("double").alias("s"),
+            F.sum((F.col("g") * F.col("g")).cast("decimal(28,0)")).cast("double").alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= REGULARITY_MIN_ORDERS - 1)
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    cv = (
+        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+        / mean
+    )
+    return stats.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_gaps",
+        F.round(mean, 4).alias("mean_gap_days"),
+        F.round(cv, 6).alias("gap_cv"),
+        (cv < 0.5).alias("subscription_like"),
+    )

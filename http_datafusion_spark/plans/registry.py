@@ -77,7 +77,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       part_price_dispersion, events_concurrency_histogram,
 #       multimodal_wav_decimate_audit, decontaminate_threshold_sweep,
 #       sim_ood_detection, events_transition_coverage, parts_abc_xyz,
-#       text_stopword_induction,
+#       text_stopword_induction, customer_order_regularity,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,

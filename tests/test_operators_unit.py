@@ -378,3 +378,14 @@ def test_bucketed_global_rank_equals_naive_window(spark, sf_dir):
     )
     assert fast.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast).count() == 0
+
+
+def test_bucketed_global_rank_constant_column(spark, sf_dir):
+    # All values equal -> every row lands in one bucket; the rank must
+    # still be an exact permutation of 1..n ordered by the tiebreak.
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    df = spark.range(100).select(F.lit(7.0).alias("v"), F.col("id").alias("k"))
+    ranked = bucketed_global_rank(df, "v", ["k"], "rk").orderBy("rk").collect()
+    assert [r.rk for r in ranked] == list(range(1, 101))
+    assert [r.k for r in ranked] == list(range(100))  # tiebreak order
