@@ -4065,3 +4065,109 @@ def customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         (cv < 0.5).alias("subscription_like"),
     )
+
+
+# ----------------------------------------- held-out LM evaluation
+
+
+@query(
+    "text_heldout_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    train_uni AS (
+      SELECT unnest(words) AS word FROM w WHERE doc_id % 2 = 0
+    ),
+    uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM train_uni GROUP BY word),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+    train_bi AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(words)),
+                          i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+            FROM w WHERE doc_id % 2 = 0 AND len(words) >= 2)
+      GROUP BY 1, 2
+    ),
+    eval_bi AS (
+      SELECT source, bg.w1 AS w1, bg.w2 AS w2
+      FROM (SELECT source,
+                   unnest(list_transform(range(1, len(words)),
+                          i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+            FROM w WHERE doc_id % 2 = 1 AND len(words) >= 2)
+    ),
+    scored AS (
+      SELECT e.source,
+             CAST(round(-ln((coalesce(tb.c, 0) + {BIGRAM_ADD_K})
+                            / (coalesce(uc.c, 0) + {BIGRAM_ADD_K} * vsize.v)), 6)
+                  AS DECIMAL(18,6)) AS nll,
+             (tb.c IS NULL) AS unseen
+      FROM eval_bi e
+      LEFT JOIN train_bi tb ON tb.w1 = e.w1 AND tb.w2 = e.w2
+      LEFT JOIN uc ON uc.word = e.w1
+      CROSS JOIN vsize
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                             AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 4)        AS avg_heldout_nll,
+           round(sum(CASE WHEN unseen THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS unseen_bigram_frac
+    FROM scored GROUP BY source
+    """,
+    doc=f"HELD-OUT bigram-LM evaluation per source: the model trains on even "
+    "doc_ids only and scores the odd half — the train/test discipline the "
+    "in-sample text_bigram_logprob deliberately lacks (in-sample NLL always "
+    "flatters; this is the number a data-selection paper would report), with "
+    f"add-k={BIGRAM_ADD_K} smoothing giving unseen bigrams the principled "
+    "fallback mass and the unseen-bigram fraction reported as the "
+    "generalization-gap readout per source. Count tables are train-vocab-"
+    "bounded broadcasts; eval bigrams stream through one left-join pass; "
+    "per-token NLLs quantize then decimal-sum (north-star text / LM "
+    "evaluation)",
+    tags=("text", "pipeline"),
+)
+def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select(
+        "doc_id", "source", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", "w1", "w2")
+    )
+    train_bi = (
+        bi.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    train_uc = (
+        dw.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.col("w1").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    vsize = train_uc.count()
+    ev = bi.filter(F.col("doc_id") % 2 == 1)
+    nll = F.round(
+        -F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + BIGRAM_ADD_K)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + BIGRAM_ADD_K * F.lit(vsize))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        ev.join(F.broadcast(train_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(train_uc.select(F.col("word").alias("w1"), "cu")), "w1", "left")
+        .select("source", nll.alias("nll"), F.col("cb").isNull().alias("unseen"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_heldout_nll"),
+        F.round(
+            F.sum(F.col("unseen").cast("int")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("unseen_bigram_frac"),
+    )
