@@ -969,3 +969,117 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
     out = run_to_memory(temporal_join_stream(stream), "append")
     return out.select("event_id", "custkey", "asof_orderkey", "asof_price")
+
+
+def _stream_quality_oracle() -> str:
+    import http_datafusion_spark.operators.text as _text  # noqa: F401
+
+    from http_datafusion_spark.operators.text import QMODEL_DIM, _qmodel_weights_sql
+
+    return f"""
+    WITH weights AS ({_qmodel_weights_sql()}),
+    toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(concat('qb|', tok)), 1, 15)) AS BIGINT)
+               % {QMODEL_DIM} AS j
+      FROM toks
+    ),
+    scored AS (
+      SELECT f.doc_id, f.source,
+             CAST(sum(w.w) AS DOUBLE) / count(*) AS score
+      FROM feats f JOIN weights w USING (j)
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                  AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS keep_rate
+    FROM scored GROUP BY source
+    """
+
+
+@query(
+    "stream_quality_gate",
+    oracle=_stream_quality_oracle(),
+    doc="STREAMING quality gate — quality_model_score deployed in the ingest "
+    "stream: documents arrive in micro-batches, each batch's tokens hash to "
+    "feature buckets and join the BROADCAST weight vector (a stream-static "
+    "broadcast join — the model rides with the stream, no state store), "
+    "per-doc mean-weight scores gate keep/drop INSIDE the micro-batch (docs "
+    "arrive whole, so the decision is batch-local — foreachBatch, no state "
+    "store), and the per-source keep rates over all batches == the batch "
+    "twin. This is the shape a "
+    "production corpus filter actually runs as: the gate decides per "
+    "micro-batch at ingest, not in a nightly sweep "
+    "(streaming extension; SURVEY §2.9 + quality-model arc complete)",
+    tags=("streaming", "text", "pipeline"),
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from http_datafusion_spark.functions.hashing import md5_int
+    from http_datafusion_spark.operators.text import QMODEL_DIM, whitespace_tokens
+    from http_datafusion_spark.plans.tables import scratch_path
+
+    run_id = uuid.uuid4().hex[:8]
+    out_path = scratch_path("qgate_stream", sf_dir, "documents") + f"_{run_id}"
+    ckpt = tempfile.mkdtemp(prefix="hds_ckpt_")
+    d = staged_docs_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+
+    def score_batch(batch: DataFrame, _bid: int) -> None:
+        # per-doc scoring is batch-local (a doc arrives whole), so the
+        # gate decides inside the micro-batch — no cross-batch state
+        sess = batch.sparkSession
+        weights = sess.range(QMODEL_DIM).select(
+            F.col("id").alias("j"),
+            (((md5_int(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001) - 1000)
+             / 1000.0).cast("decimal(18,3)").alias("w"),
+        )
+        feats = batch.select(
+            "doc_id", "source",
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+        ).select(
+            "doc_id", "source",
+            (md5_int(F.concat(F.lit("qb|"), F.col("tok"))) % QMODEL_DIM).alias("j"),
+        )
+        (
+            feats.join(F.broadcast(weights), "j")
+            .groupBy("doc_id", "source")
+            .agg((F.sum("w").cast("double") / F.count(F.lit(1))).alias("score"))
+            .select("source", (F.col("score") > 0).alias("keep"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = stream.writeStream.foreachBatch(score_batch).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    decisions = spark.read.parquet(out_path)
+    out = (
+        decisions.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("int")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
