@@ -4171,3 +4171,66 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("unseen").cast("int")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("unseen_bigram_frac"),
     )
+
+
+# ------------------------------------------------ exact weighted median
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH lines AS (
+      SELECT l_extendedprice AS v, l_orderkey * 8 + l_linenumber AS tb,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt
+      FROM lineitem
+    ),
+    tot AS (SELECT CAST(sum(wt) AS DECIMAL(38,2)) AS t FROM lines),
+    ranked AS (
+      SELECT v, wt,
+             CAST(sum(wt) OVER (ORDER BY v, tb ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,2)) AS cum
+      FROM lines
+    )
+    SELECT CAST((SELECT count(*) FROM lines) AS BIGINT)       AS n_lines,
+           CAST(max(t.t) AS DOUBLE)                           AS total_weight,
+           round(min(CASE WHEN CAST(cum AS DOUBLE) * 2 >= CAST(t.t AS DOUBLE)
+                          THEN v END), 2)                     AS weighted_median,
+           round(min(CASE WHEN CAST(cum AS DOUBLE) * 10 >= CAST(t.t AS DOUBLE) * 9
+                          THEN v END), 2)                     AS weighted_p90
+    FROM ranked CROSS JOIN tot t
+    """,
+    doc="EXACT weighted percentiles — an aggregate neither engine ships "
+    "natively: the quantity-weighted median and p90 of line price (each "
+    "line counts by units sold, not once — 'the price at which half the "
+    "VOLUME trades', which the unweighted median misrepresents whenever "
+    "cheap items move in bulk). The first value whose cumulative weight "
+    "crosses the quantile of total weight; weights accumulate as exact "
+    "decimals, the crossing test multiplies instead of divides (no "
+    "rounding anywhere). The Spark side runs the prefix sum through the "
+    "DISTRIBUTED global-rank plan (functions/ordstats cumsum — no single-"
+    "partition sort of the fact table); the oracle's naive window agrees "
+    "because decimal addition is associative "
+    "(north-star statistics / weighted aggregates)",
+    tags=("agg", "window"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    lines = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    ).localCheckpoint(eager=True)
+    tot = lines.agg(F.sum("wt").cast("decimal(38,2)").alias("t"))
+    ranked = bucketed_global_rank(
+        lines, "v", ["tb"], "rk", cumsum_of="wt", cumsum_name="cum"
+    ).crossJoin(F.broadcast(tot))
+    cum_d = F.col("cum").cast("double")
+    t_d = F.col("t").cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.max("t").cast("double").alias("total_weight"),
+        F.round(F.min(F.when(cum_d * 2 >= t_d, F.col("v"))), 2).alias("weighted_median"),
+        F.round(F.min(F.when(cum_d * 10 >= t_d * 9, F.col("v"))), 2).alias("weighted_p90"),
+    )

@@ -1287,3 +1287,63 @@ def events_concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("concurrency")
         .agg(F.sum("dur").cast("bigint").alias("seconds_at_level"))
     )
+
+
+# ------------------------------------------------- velocity rules (fraud)
+
+VELOCITY_WINDOW_SEC = 60
+VELOCITY_K = 3  # >= K events inside the window trips the rule
+
+
+@query(
+    "events_velocity_flags",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN {VELOCITY_WINDOW_SEC} PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS n_in_window
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_in_window >= {VELOCITY_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tripped,
+           CAST(max(n_in_window) AS BIGINT) AS peak_velocity,
+           (max(n_in_window) >= {VELOCITY_K}) AS flagged
+    FROM windowed GROUP BY user_id
+    """,
+    doc=f"velocity-rule screening — the fraud/rate-abuse primitive: for every "
+    f"event, the count of the same user's events in the trailing "
+    f"{VELOCITY_WINDOW_SEC}s (a RANGE frame on event time — same-timestamp "
+    f"peers group together, as a velocity rule wants), users tripping >= "
+    f"{VELOCITY_K} flagged with their peak velocity. One per-user range-frame "
+    "window + one per-user agg — no self-join, state bounded by the window "
+    "span per key; the streaming deployment is the same rule inside "
+    "applyInPandasWithState (stream_debounce's machinery, inverted) "
+    "(north-star events / fraud ops)",
+    tags=("events", "window", "agg"),
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-VELOCITY_WINDOW_SEC, 0)
+    )
+    windowed = e.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window")
+    )
+    return windowed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("n_in_window") >= VELOCITY_K).cast("int"))
+        .cast("bigint")
+        .alias("n_tripped"),
+        F.max("n_in_window").cast("bigint").alias("peak_velocity"),
+        (F.max("n_in_window") >= VELOCITY_K).alias("flagged"),
+    )

@@ -79,7 +79,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       sim_ood_detection, events_transition_coverage, parts_abc_xyz,
 #       text_stopword_induction, customer_order_regularity,
 #       graph_triangle_count, text_heldout_perplexity,
-#       stream_quality_gate,
+#       stream_quality_gate, weighted_median_price, events_velocity_flags,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
