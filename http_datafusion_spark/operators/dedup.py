@@ -1024,3 +1024,84 @@ def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("container_len").cast("bigint").alias("container_len"),
         )
     )
+
+
+# ---------------------------------------------- LSH candidate budget plan
+
+
+def _candidate_budget_oracle() -> str:
+    band_variants = []
+    for nb in (2, 4):
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, concat(h{(N_MINHASH // nb) * j}, '_', "
+            + ", '_', ".join(
+                f"h{(N_MINHASH // nb) * j + r}" for r in range(1, N_MINHASH // nb)
+            )
+            + ") AS key FROM sig"
+            if N_MINHASH // nb > 1
+            else f"SELECT doc_id, {j} AS band, CAST(h{j} AS VARCHAR) AS key FROM sig"
+            for j in range(nb)
+        )
+        band_variants.append(f"""
+    SELECT CAST({nb} AS BIGINT) AS n_bands,
+           CAST({N_MINHASH // nb} AS BIGINT) AS rows_per_band,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS predicted_candidates,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM (SELECT band, key, CAST(count(*) AS BIGINT) AS c
+          FROM ({band_rows}) GROUP BY 1, 2)
+    WHERE c > 1""")
+    return f"WITH sig AS ({_minhash_signature_sql()}) " + " UNION ALL ".join(band_variants)
+
+
+@query(
+    "dedup_candidate_budget",
+    oracle=_candidate_budget_oracle(),
+    doc="LSH candidate-budget planning: for each banding configuration (2 bands "
+    f"of {N_MINHASH // 2} rows, {N_BANDS} bands of {N_MINHASH // N_BANDS}), the EXACT "
+    "candidate-pair count the banding join would emit — sum over band buckets "
+    "of C(c,2), read off the bucket histogram WITHOUT running any join (the "
+    "join_size_preflight discipline applied to LSH tuning: more bands = higher "
+    "recall = quadratically more candidates, and this is the number that "
+    "decides whether the cluster can afford it). One signature pass + a "
+    "bucket-histogram agg per configuration; output is configs-bounded "
+    "(north-star dedup / capacity planning)",
+    tags=("dedup", "agg"),
+)
+def dedup_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    sig = minhash_signature(spark, sf_dir).localCheckpoint(eager=True)
+
+    def plan(nb: int) -> DataFrame:
+        rows_per = N_MINHASH // nb
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.concat_ws(
+                                "_", *[f"h{rows_per * j + r}" for r in range(rows_per)]
+                            ).alias("key"),
+                        )
+                        for j in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("bk.band", "bk.key")
+        hist = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        return hist.agg(
+            F.lit(nb).cast("bigint").alias("n_bands"),
+            F.lit(rows_per).cast("bigint").alias("rows_per_band"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias(
+                "predicted_candidates"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+
+    return functools.reduce(lambda a, b: a.unionByName(b), (plan(nb) for nb in (2, 4)))

@@ -1347,3 +1347,69 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_in_window").cast("bigint").alias("peak_velocity"),
         (F.max("n_in_window") >= VELOCITY_K).alias("flagged"),
     )
+
+
+# --------------------------------------------- arrival-process dispersion
+
+
+@query(
+    "events_arrival_dispersion",
+    oracle="""
+    WITH minutes AS (
+      SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (
+      SELECT CAST(min(m) AS BIGINT) AS lo, CAST(max(m) AS BIGINT) AS hi FROM minutes
+    ),
+    stats AS (
+      SELECT CAST(max(s.hi) - min(s.lo) + 1 AS BIGINT)       AS n_slots,
+             CAST(sum(n) AS BIGINT)                          AS total,
+             CAST(sum(CAST(n * n AS DECIMAL(28,0))) AS DOUBLE) AS ssq
+      FROM minutes CROSS JOIN span s
+    )
+    SELECT n_slots, total,
+           round(total * 1.0 / n_slots, 6)             AS mean_per_min,
+           round((ssq / n_slots
+                  - (total * 1.0 / n_slots) * (total * 1.0 / n_slots))
+                 * n_slots / (n_slots - 1)
+                 / (total * 1.0 / n_slots), 6)          AS index_of_dispersion
+    FROM stats
+    """,
+    doc="arrival-process dispersion test: index of dispersion (variance/mean) "
+    "of per-minute event counts over the full span — 1 means Poisson arrivals "
+    "(the assumption capacity models like orders_littles_law_check lean on), "
+    "well above 1 means bursty/clustered arrivals (size for peaks, not "
+    "means), well below 1 means throttled/scheduled traffic. Empty minutes "
+    "enter through the span denominator, so no dense grid materializes; "
+    "moments are exact-integer sums over the minutes-bounded rollup "
+    "(north-star time-series / queueing diagnostics)",
+    tags=("events", "agg"),
+)
+def events_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    minutes = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    span = minutes.agg(
+        F.min("m").cast("bigint").alias("lo"), F.max("m").cast("bigint").alias("hi")
+    )
+    j = minutes.crossJoin(F.broadcast(span))
+    n_slots = (F.max("hi") - F.min("lo") + 1).cast("bigint")
+    total = F.sum("n").cast("bigint")
+    ssq = F.sum((F.col("n") * F.col("n")).cast("decimal(28,0)")).cast("double")
+    stats = j.agg(n_slots.alias("n_slots"), total.alias("total"), ssq.alias("ssq"))
+    mean = F.col("total") * 1.0 / F.col("n_slots")
+    return stats.select(
+        "n_slots",
+        "total",
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(
+            (F.col("ssq") / F.col("n_slots") - mean * mean)
+            * F.col("n_slots")
+            / (F.col("n_slots") - 1)
+            / mean,
+            6,
+        ).alias("index_of_dispersion"),
+    )
