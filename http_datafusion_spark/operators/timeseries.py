@@ -1413,3 +1413,100 @@ def events_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("index_of_dispersion"),
     )
+
+
+# ---------------------------------------------- cross-correlation (CCF)
+
+CCF_MAX_LAG = 6
+
+
+@query(
+    "events_crosscorrelation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mx,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS my
+      FROM hourly
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag FROM range(0, {CCF_MAX_LAG} + 1) t(k)),
+    prods AS (
+      SELECT l.lag,
+             CAST(round((a.x - s.mx) * (b.y - s.my), 6) AS DECIMAL(28,6)) AS p
+      FROM hourly a
+      JOIN lags l ON true
+      JOIN hourly b ON b.slot = a.slot + l.lag
+      CROSS JOIN stats s
+    ),
+    denoms AS (
+      SELECT sqrt(CAST(sum(CAST(round((h.x - s.mx) * (h.x - s.mx), 6) AS DECIMAL(28,6)))
+                       AS DOUBLE)
+                  * CAST(sum(CAST(round((h.y - s.my) * (h.y - s.my), 6) AS DECIMAL(28,6)))
+                         AS DOUBLE)) AS d
+      FROM hourly h CROSS JOIN stats s
+    )
+    SELECT p.lag,
+           CAST(count(*) AS BIGINT)                      AS n_pairs,
+           round(CAST(sum(p.p) AS DOUBLE) / max(d.d), 6) AS ccf
+    FROM prods p CROSS JOIN denoms d
+    GROUP BY p.lag
+    """,
+    doc=f"cross-correlation of hourly view and error counts at lags 0..{CCF_MAX_LAG} "
+    "— the lead/lag diagnostic ACF (ts_autocorrelation) can't give: a CCF peak "
+    "at lag k > 0 says error load FOLLOWS traffic by k hours (capacity-driven "
+    "failures), at lag 0 says they co-occur (deploy/incident), nowhere says "
+    "they're unrelated. Same bounded machinery as the ACF: hours-bounded "
+    "series, bounded lag self-join, quantized-decimal products, scalar "
+    "denominator broadcast (north-star time-series / incident diagnostics)",
+    tags=("events", "agg"),
+)
+def events_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("slot")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).cast("bigint").alias("x"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("bigint").alias("y"),
+    )
+    stats = hourly.agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("mx"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("my"),
+    )
+    lags = spark.range(0, CCF_MAX_LAG + 1).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.slot") == F.col("a.slot") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.round((F.col("a.x") - F.col("mx")) * (F.col("b.y") - F.col("my")), 6)
+            .cast("decimal(28,6)")
+            .alias("p"),
+        )
+    )
+    denoms = hourly.crossJoin(F.broadcast(stats)).agg(
+        F.sqrt(
+            F.sum(
+                F.round((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")), 6)
+                .cast("decimal(28,6)")
+            ).cast("double")
+            * F.sum(
+                F.round((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")), 6)
+                .cast("decimal(28,6)")
+            ).cast("double")
+        ).alias("d")
+    )
+    return (
+        prods.crossJoin(F.broadcast(denoms))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("p").cast("double") / F.max("d"), 6).alias("ccf"),
+        )
+    )

@@ -81,6 +81,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       graph_triangle_count, text_heldout_perplexity,
 #       stream_quality_gate, weighted_median_price, events_velocity_flags,
 #       events_arrival_dispersion, dedup_candidate_budget,
+#       events_crosscorrelation,
 #       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
 #   (c) tail re-checks of the heaviest still-unchanged scale-critical
 #       paths (minhash family, as-of, serving-layout roundtrips,
