@@ -1160,7 +1160,8 @@ def _qmodel_weights_sql() -> str:
       FROM feats f JOIN weights w USING (j)
       GROUP BY f.doc_id
     )
-    SELECT doc_id, n_tokens, score_sum,
+    SELECT doc_id, n_tokens,
+           round(CAST(score_sum AS DOUBLE), 3) AS score_sum,
            round(CAST(score_sum AS DOUBLE) / n_tokens, 6) AS quality_score,
            (CAST(score_sum AS DOUBLE) / n_tokens > 0.0)   AS keep
     FROM scored
@@ -1205,10 +1206,16 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean = F.col("score_sum").cast("double") / F.col("n_tokens")
+    # score_sum is summed on an exact 3dp decimal grid (order-independent),
+    # then RENDERED as a rounded double: the driver hashes stringified
+    # values, and Spark's DECIMAL(18,3) prints '3.410' where DuckDB's
+    # decimal prints '3.41' — numerically identical, hash-divergent
+    # (the one red row of CORRECTNESS_r06). Registry convention
+    # (plans/registry.py:12-13): floating outputs are rounded doubles.
     return scored.select(
         "doc_id",
         "n_tokens",
-        "score_sum",
+        F.round(F.col("score_sum").cast("double"), 3).alias("score_sum"),
         F.round(mean, 6).alias("quality_score"),
         (mean > 0.0).alias("keep"),
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -61,12 +62,33 @@ def _values_equal(a: object, b: object) -> tuple[bool, bool]:
         except (TypeError, ValueError):
             return (False, False)
         if fa == fb:
+            # A Decimal on one side vs a float on the other is numerically
+            # equal but RENDERS differently (Decimal('3.410') vs 3.41), and
+            # the driver hashes rendered values — so a mixed-dtype pair is
+            # never 'exact' unless the strings also agree. This is exactly
+            # how quality_model_score shipped driver-red while 505 local
+            # tests were green (CORRECTNESS_r06): the old coercion hid the
+            # Decimal(18,3)-vs-double scale gap.
+            mixed = isinstance(a, Decimal) != isinstance(b, Decimal)
+            if mixed and _render(a) != _render(b):
+                return (True, False)
             return (True, True)
         close = math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
         return (close, False)
+    if isinstance(a, Decimal) and isinstance(b, Decimal) and a == b and str(a) != str(b):
+        # same value at different scales ('3.410' vs '3.41') — hash-divergent
+        return (True, False)
     if str(a) == str(b):
         return (True, True)
     return (False, False)
+
+
+def _render(v: object) -> str:
+    """How a numeric value stringifies for hashing purposes: Decimals keep
+    their scale verbatim; floats via repr (trailing zeros dropped)."""
+    if isinstance(v, Decimal):
+        return str(v)
+    return repr(float(v))
 
 
 def compare_query(

@@ -174,3 +174,30 @@ def test_sql_join_hints_honored(spark, sf_dir):
     )
     s2 = merge_hinted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in s2  # the hint overrides the auto broadcast
+
+
+def test_compare_harness_decimal_float_rendering_split():
+    """Regression for the CORRECTNESS_r06 red row: a Spark DECIMAL(18,3)
+    value ('3.410') vs a DuckDB double (3.41) is numerically equal but
+    hash-divergent in the driver (it hashes rendered values). The local
+    harness must never call such a pair 'exact' again — compare.py's old
+    float() coercion did, which is how quality_model_score shipped red
+    while the 505-test sweep was green."""
+    from decimal import Decimal
+
+    from http_datafusion_spark.plans.compare import _values_equal
+
+    # the exact failing class: Decimal with trailing-zero scale vs float
+    ok, exact = _values_equal(Decimal("3.410"), 3.41)
+    assert ok and not exact
+    ok, exact = _values_equal(3.41, Decimal("3.410"))
+    assert ok and not exact
+    # same-scale Decimal vs float renders identically -> exact is fine
+    ok, exact = _values_equal(Decimal("3.41"), 3.41)
+    assert ok  # (exactness allowed: both render '3.41')
+    # Decimal-vs-Decimal at different scales: equal value, divergent hash
+    ok, exact = _values_equal(Decimal("3.410"), Decimal("3.41"))
+    assert ok and not exact
+    # genuinely different values still fail outright
+    ok, _ = _values_equal(Decimal("3.410"), 3.42)
+    assert not ok
