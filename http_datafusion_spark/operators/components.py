@@ -451,9 +451,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    # d1/d2 are per-supplier degrees — supplier-LINEAR (10k x SF), so no
+    # baked-in broadcast hints; AQE broadcasts only when runtime-small.
     return (
-        common.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        common.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",

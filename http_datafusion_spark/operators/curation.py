@@ -348,22 +348,28 @@ def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="deletion propagation (GDPR-style cascade): a deletion key set (flagged "
     "customers) cascades customer -> orders -> lineitem; each fact table is scanned "
-    "ONCE with the (small) key set broadcast as a left-join marker, so the audit counts "
-    "deleted vs surviving rows per table with zero shuffles of the fact side — the "
-    "right-to-erasure shape at 100 TB, where the request list is always tiny relative "
-    "to the corpus (north-star pipeline)",
+    "ONCE with the key set as a left-join marker. No forced broadcast: the key set is "
+    "hint-free, so AQE broadcasts it when the request list is genuinely tiny (the "
+    "common right-to-erasure case) and falls back to shuffle joins when it is a "
+    "linear fraction of the corpus — the demo predicate selects ~9% of customers "
+    "(north-star pipeline)",
     tags=("pipeline", "join"),
 )
 def deletion_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     del_cust = t["customer"].filter(F.col("c_acctbal") < 0).select("c_custkey")
-    # one scan each: broadcast the (tiny) deletion keys as a marker
+    # One scan each, NO baked-in broadcast hints: the demo predicate
+    # (c_acctbal < 0) selects ~9% of ALL customers — a linear fraction —
+    # and del_orders is fact-derived, so neither side is guaranteed
+    # small. A real erasure request list usually IS tiny, and AQE will
+    # broadcast it then; when it isn't, these degrade to shuffle joins
+    # instead of a driver OOM.
     o = t["orders"].join(
-        F.broadcast(del_cust), F.col("o_custkey") == F.col("c_custkey"), "left"
+        del_cust, F.col("o_custkey") == F.col("c_custkey"), "left"
     ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("del"))
     del_orders = o.filter("del").select("o_orderkey")
     li = t["lineitem"].join(
-        F.broadcast(del_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left"
+        del_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left"
     ).select(F.col("o_orderkey").isNotNull().alias("del"))
 
     cust = t["customer"].agg(
@@ -749,9 +755,10 @@ PMI_TOPK = 15
     """,
     doc="pointwise mutual information over adjacent word bigrams — collocation mining "
     "(Church & Hanks 1990): PMI = log2(p(xy)/(p(x)p(y))), min-count floor against noise. "
-    "Unigram and bigram count tables are vocabulary-bounded, so both sides of the score "
-    "join BROADCAST at any corpus size; the token stream itself is never shuffled — two "
-    "map passes + two bounded partial aggs (north-star text analysis)",
+    "Unigram and bigram count tables grow with the corpus (Heaps' law), so the score "
+    "joins are hint-free — AQE broadcasts only when runtime-small; the min-count-"
+    "filtered bigram side stays compact, and the token stream is aggregated before "
+    "any join (north-star text analysis)",
     tags=("text",),
 )
 def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,10 +786,12 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
+    # a/b are the full unigram count table (vocabulary — corpus-growing);
+    # no baked-in broadcast hints, AQE decides from runtime sizes.
     return (
         bc.filter(F.col("c") >= PMI_MIN_COUNT)
-        .join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        .join(a, "w1")
+        .join(b, "w2")
         .select("w1", "w2", F.col("c").alias("n_pair"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
@@ -844,9 +853,13 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # za/zb are per-document shingle-set sizes — corpus-LINEAR, never a
+    # broadcast candidate. Both sides are already hash-partitioned on doc
+    # keys from the upstream groupBys, so the plain shuffle join here is
+    # cheap; AQE may still broadcast when runtime stats allow.
     return (
-        shared.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -956,7 +969,8 @@ BASKET_TOPK = 15
     "line items — the a-priori first pass. The pair join is WITHIN-basket only "
     "(equi-join on orderkey), so work is O(sum basket^2) with baskets bounded by "
     "order width (<= ~a dozen items), never a cross-corpus pair explosion; the "
-    "per-item support table is item-bounded and broadcasts. Top-k by lift fuses "
+    "per-item support table grows with the part catalog (linear in SF), so it "
+    "joins hint-free — AQE broadcasts it only when small. Top-k by lift fuses "
     "to TakeOrderedAndProject (SURVEY §2.3/§2.4 extension)",
     tags=("join", "agg"),
 )
@@ -980,9 +994,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    # sa/sb are per-part support counts — the part table grows ~200k×SF
+    # (linear), so no baked-in broadcast hints; AQE decides.
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -1365,8 +1381,9 @@ BIGRAM_ADD_K = 0.5
     "smoothing: -ln P(w2|w1) = -ln((c(w1w2)+k)/(c(w1)+kV)) averaged per doc — the "
     "sharper fluency signal completing the unigram NLL's LM family (a doc of real "
     "words in scrambled order passes unigram NLL but fails this one). Bigram and "
-    "unigram count tables are vocabulary-bounded, so both score-join sides "
-    "broadcast; per-token NLL rounds to 6dp then sums in exact DECIMAL so the "
+    "unigram count tables grow with the corpus (bigram vocab strictly faster), "
+    "so both score joins are hint-free — AQE broadcasts only when runtime-small; "
+    "per-token NLL rounds to 6dp then sums in exact DECIMAL so the "
     "per-doc mean is partial-order independent (north-star text analysis)",
     tags=("text",),
 )
@@ -1392,9 +1409,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(18,6)")
+    # bc (bigram counts) and ucb (unigram counts) are corpus-growing —
+    # bigram vocab is strictly larger than unigram vocab. No baked-in
+    # broadcast hints: AQE broadcasts when small, shuffle-joins at scale.
     return (
-        bi.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(ucb), "w1")
+        bi.join(bc, ["w1", "w2"])
+        .join(ucb, "w1")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
@@ -2100,9 +2120,11 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_pairs(spark, sf_dir)
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # sa/sb project (doc_id, source) for EVERY document — corpus-linear,
+    # never a broadcast candidate; the candidate-pair side is the small one.
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_x"),
             F.greatest("src_a", "src_b").alias("source_y"),
@@ -3419,7 +3441,8 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "part")
     spend = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+        # part grows ~200k x SF — hint-free join, AQE decides at runtime
+        .join(t["part"].select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "l_suppkey")
         .agg(
@@ -3626,8 +3649,9 @@ def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = (
         t["lineitem"]
         .filter(F.year("l_shipdate").isin(PVM_Y0, PVM_Y1))
+        # part grows ~200k x SF — hint-free join, AQE decides at runtime
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            t["part"].select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_type", F.year("l_shipdate").cast("bigint").alias("yr"))
@@ -4121,8 +4145,9 @@ def customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flatters; this is the number a data-selection paper would report), with "
     f"add-k={BIGRAM_ADD_K} smoothing giving unseen bigrams the principled "
     "fallback mass and the unseen-bigram fraction reported as the "
-    "generalization-gap readout per source. Count tables are train-vocab-"
-    "bounded broadcasts; eval bigrams stream through one left-join pass; "
+    "generalization-gap readout per source. Train count tables grow with the "
+    "train corpus, so both score joins are hint-free (AQE decides); eval "
+    "bigrams stream through one left-join pass; "
     "per-token NLLs quantize then decimal-sum (north-star text / LM "
     "evaluation)",
     tags=("text", "pipeline"),
@@ -4159,9 +4184,13 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(18,6)")
+    # train_bi/train_uc are train-corpus n-gram count tables — they grow
+    # with the data (round-6 re-introduced the forced-broadcast
+    # anti-pattern here; round 7 removes it). Plain left joins: AQE
+    # broadcasts at small scale, shuffle-joins co-keyed at 100 TB.
     scored = (
-        ev.join(F.broadcast(train_bi), ["w1", "w2"], "left")
-        .join(F.broadcast(train_uc.select(F.col("word").alias("w1"), "cu")), "w1", "left")
+        ev.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uc.select(F.col("word").alias("w1"), "cu"), "w1", "left")
         .select("source", nll.alias("nll"), F.col("cb").isNull().alias("unseen"))
     )
     return scored.groupBy("source").agg(

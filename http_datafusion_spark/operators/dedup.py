@@ -300,9 +300,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with), so the band self-join verifies agreement inline and the
     # two signature re-joins of the naive plan disappear: one band
     # shuffle + one distinct instead of three shuffles. Cost is a wider
-    # band row (k ints); measured 1.02 s -> 0.89 s at sf0.1, and at
-    # cluster scale it trades two candidate-sized shuffles for
-    # k*8 bytes/row on the band exchange — strictly fewer stages.
+    # band row (k ints). Driver-bench medians at sf0.1: 1.302 s (r5,
+    # naive) -> 1.221 s (r6, this plan); isolated same-session A/Bs
+    # showed larger gains (1.02 -> 0.89) but lack full-suite JVM warmup
+    # context. At sf1 the rewrite measured -51%. At cluster scale it
+    # trades two candidate-sized shuffles for k*8 bytes/row on the band
+    # exchange — strictly fewer stages.
     # n_match is a pure function of (doc_a, doc_b), so distinct on the
     # triple equals distinct on the pair.
     bands = banded_signature(minhash_signature(spark, sf_dir))

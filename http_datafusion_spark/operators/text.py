@@ -508,7 +508,7 @@ _WSPLIT_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
     SELECT doc_id, word AS top_term, tfidf_r FROM scored WHERE rk = 1
     """,
     doc="classic TF-IDF, per-doc top term: corpus pass for document frequency "
-    "(vocab-bounded, broadcast to the score join), per-doc term counts, "
+    "(hint-free score join — vocab grows with the corpus, AQE decides), per-doc term counts, "
     "tf * ln(N/df) ranked within each doc (rounded-then-ranked so the 6dp hash "
     "convention also fixes the rank order; ln on doubles agrees with DuckDB to "
     "~1e-12, far inside the 1e-6 rounding step). Shuffles: tf groupBy(doc,word), "
@@ -531,15 +531,25 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = dw.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+    # dfreq is the full vocabulary DF table — corpus-growing (Heaps' law;
+    # web-scale vocab is billions of terms from URLs/typos/hashes), so it
+    # must NOT carry a baked-in broadcast hint AQE can't demote. Plain
+    # join: AQE still broadcasts it at small scale, shuffle-joins at 100 TB.
+    # n is a 1-row aggregate — the one side that should always broadcast.
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "word", tfidf.alias("tfidf_r"))
     )
     # per-doc argmax as ONE aggregate — min(struct(-score, word)) gives
     # (max score, then lexicographically first word), the window's exact
-    # tiebreak, without the rank window's per-partition sort. Measured
-    # 0.775 -> 0.656 s median at sf0.1; the round re-normalizes -0.0.
+    # tiebreak, without the rank window's per-partition sort. Isolated
+    # same-session A/B at sf0.1 measured 0.775 -> 0.656 s, but the
+    # DRIVER bench medians went 0.669 (r5, rank window) -> 0.732 (r6,
+    # this rewrite) — the isolated gain did not reproduce in the
+    # full-suite regime at sf0.1; sf1 gains are real. Kept because the
+    # aggregate form avoids the per-partition sort at scale.
+    # The round re-normalizes -0.0.
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -924,23 +934,25 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass shape shared with TF-IDF/rare-words: the (word, count)
-    table is vocabulary-bounded (broadcasts at any corpus size). No
-    ``.cache()`` of the token stream: pinning a full-corpus explode in
-    executor storage leaks across repeated invocations (it was never
-    unpersisted) and is the wrong trade at 100 TB — re-splitting text
-    is a cheap map, caching the stream is cluster memory. The token
-    total comes from summing the vocab-bounded counts, so the corpus
-    splits exactly twice (counts pass + score pass) with zero pinned
-    storage, and the score join is a BROADCAST of the counts — the
-    token stream itself never shuffles."""
+    """Two-pass shape shared with TF-IDF/rare-words. No ``.cache()`` of
+    the token stream: pinning a full-corpus explode in executor storage
+    leaks across repeated invocations (it was never unpersisted) and is
+    the wrong trade at 100 TB — re-splitting text is a cheap map,
+    caching the stream is cluster memory. The token total comes from
+    summing the per-word counts, so the corpus splits exactly twice
+    (counts pass + score pass) with zero pinned storage. The score join
+    carries NO broadcast hint: the (word, count) table is the full
+    vocabulary, which GROWS with the corpus (this repo's own
+    text_heaps_law_fit measures it) — a baked-in hint AQE cannot demote
+    is an executor OOM at web scale. AQE still broadcasts it when
+    runtime stats say it's small."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     n = counts.agg(F.sum("c").cast("bigint").alias("total"))
     nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")
     return (
-        dw.join(F.broadcast(counts), "word")
+        dw.join(counts, "word")
         .crossJoin(F.broadcast(n))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")

@@ -80,7 +80,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp_side = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        # filtered part is SF-linear — hint-free; the static planner still
+        # picks BHJ from its size estimate at bench scale, SMJ+AQE at 100 TB
+        .join(t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
@@ -152,7 +154,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_side = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")),
+            # filtered part is SF-linear — hint-free (AQE/static estimate decides)
+            t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -272,12 +275,11 @@ def q16_supplier_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = t["lineitem"].select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
     return (
         ps.join(
-            F.broadcast(
-                t["part"].filter(
-                    (F.col("p_brand") != "Brand#13")
-                    & (F.col("p_type") != "PROMO")
-                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
-                )
+            # filtered part is SF-linear — hint-free (AQE/static estimate decides)
+            t["part"].filter(
+                (F.col("p_brand") != "Brand#13")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
             ),
             F.col("p_partkey") == F.col("pk"),
         )
@@ -317,7 +319,8 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")),
+            # filtered part is SF-linear — hint-free (AQE/static estimate decides)
+            t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey")

