@@ -61,6 +61,12 @@ def exact_rank_values(
     bounds = df.agg(
         F.percentile_approx(value, qs, 10_000).alias("b")
     ).collect()[0]["b"]
+    if bounds is None:
+        # percentile_approx of zero rows is NULL — fail with the cause,
+        # not a TypeError iterating None further down
+        raise ValueError(
+            f"exact_rank_values: input has no non-null rows of {value!r}"
+        )
 
     def bucket_of(col: Column) -> Column:
         b = F.lit(0)
@@ -81,6 +87,14 @@ def exact_rank_values(
     for b in range(ORD_BUCKETS):
         offsets[b] = acc
         acc += cnts.get(b, 0)
+    bad = [rk for rk in ranks if rk < 1 or rk > acc]
+    if bad:
+        # a rank beyond the row count would otherwise be silently absent
+        # from the returned dict and surface as an opaque KeyError in
+        # callers (feature_winsorize, corpus_datacard)
+        raise ValueError(
+            f"exact_rank_values: ranks {bad} out of range for {acc} rows"
+        )
 
     # 3. bucket-partitioned local rank per requested global rank
     out: dict[int, float] = {}

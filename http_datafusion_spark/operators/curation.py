@@ -3019,12 +3019,14 @@ PRICE_INDEX_BASE_YEAR = 1995
     ),
     base AS (
       SELECT l_partkey, qty AS q0,
-             CAST(spend / qty AS DECIMAL(38,10)) AS p0
+             CAST(round(CAST(spend AS DOUBLE) / CAST(qty AS DOUBLE), 10)
+                  AS DECIMAL(38,10)) AS p0
       FROM li WHERE yr = {PRICE_INDEX_BASE_YEAR} AND qty > 0
     ),
     cur AS (
       SELECT l.l_partkey, l.yr,
-             CAST(l.spend / l.qty AS DECIMAL(38,10)) AS pt,
+             CAST(round(CAST(l.spend AS DOUBLE) / CAST(l.qty AS DOUBLE), 10)
+                  AS DECIMAL(38,10)) AS pt,
              b.q0, b.p0
       FROM li l JOIN base b ON l.l_partkey = b.l_partkey
       WHERE l.qty > 0
@@ -3038,8 +3040,10 @@ PRICE_INDEX_BASE_YEAR = 1995
     doc=f"Laspeyres price index by ship year (base {PRICE_INDEX_BASE_YEAR}): "
     "sum(p_t*q_0)/sum(p_0*q_0) over the parts traded in both periods — the "
     "inflation-adjusted price tracking an assortment/procurement team runs. "
-    "Unit prices derive as exact decimal spend/quantity ratios at fixed scale "
-    "(both engines perform the identical decimal division), the basket weights "
+    "Unit prices are DOUBLE divisions rounded at 10dp then re-quantized to "
+    "decimal — decimal '/' semantics differ between engines (DuckDB promotes "
+    "to DOUBLE, Spark divides in decimal), so parity comes from IEEE division "
+    "plus a fixed rounding grid, not from decimal semantics. Basket weights "
     "are the base year's quantities, and both index sums are exact decimals "
     "divided once at the end. One (part, year) rollup shuffle, then the "
     "part-keyed base join — parts-bounded relations only "
@@ -3062,19 +3066,22 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(38,8)").alias("spend"),
         )
     )
+    unit_price = F.round(
+        F.col("spend").cast("double") / F.col("qty").cast("double"), 10
+    ).cast("decimal(38,10)")
     base = li.filter(
         (F.col("yr") == PRICE_INDEX_BASE_YEAR) & (F.col("qty") > 0)
     ).select(
         "l_partkey",
         F.col("qty").alias("q0"),
-        (F.col("spend") / F.col("qty")).cast("decimal(38,10)").alias("p0"),
+        unit_price.alias("p0"),
     )
     cur = (
         li.filter(F.col("qty") > 0)
         .join(base, "l_partkey")
         .select(
             "yr",
-            (F.col("spend") / F.col("qty")).cast("decimal(38,10)").alias("pt"),
+            unit_price.alias("pt"),
             "q0",
             "p0",
         )
@@ -3782,10 +3789,11 @@ DISPERSION_MIN_LINES = 5
     )
     SELECT l_partkey AS partkey, n_lines,
            round(s / n_lines, 4) AS mean_unit_price,
-           round(sqrt((ss - s * s / n_lines) / (n_lines - 1)) / (s / n_lines), 6)
-             AS price_cv
+           round(sqrt(greatest(ss - s * s / n_lines, 0) / (n_lines - 1))
+                 / (s / n_lines), 6) AS price_cv
     FROM stats
-    ORDER BY round(sqrt((ss - s * s / n_lines) / (n_lines - 1)) / (s / n_lines), 6)
+    ORDER BY round(sqrt(greatest(ss - s * s / n_lines, 0) / (n_lines - 1))
+                   / (s / n_lines), 6)
              DESC, l_partkey
     LIMIT {DISPERSION_TOPK}
     """,
@@ -3820,8 +3828,17 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") >= DISPERSION_MIN_LINES)
     )
     mean = F.col("s") / F.col("n_lines")
+    # greatest(..., 0): ss is built from 4dp-quantized squares while s*s/n
+    # is unquantized, so a (near-)constant-price part can drive the numerator
+    # slightly NEGATIVE -> sqrt = NaN, and the top-k order would then hinge on
+    # both engines sorting NaN identically. Clamp on both sides (ADVICE r6).
     cv = F.round(
-        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n_lines")) / (F.col("n_lines") - 1))
+        F.sqrt(
+            F.greatest(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n_lines"), F.lit(0.0)
+            )
+            / (F.col("n_lines") - 1)
+        )
         / mean,
         6,
     )
@@ -3936,9 +3953,9 @@ XYZ_X, XYZ_Y = 0.05, 0.15  # demand-CV class boundaries
              CASE WHEN cum_rev <= {ABC_A} * all_rev THEN 'A'
                   WHEN cum_rev <= {ABC_B} * all_rev THEN 'B'
                   ELSE 'C' END AS abc,
-             CASE WHEN sqrt((ssq / n_months - mean_q * mean_q)
+             CASE WHEN sqrt(greatest(ssq / n_months - mean_q * mean_q, 0)
                             * n_months / (n_months - 1)) / mean_q <= {XYZ_X} THEN 'X'
-                  WHEN sqrt((ssq / n_months - mean_q * mean_q)
+                  WHEN sqrt(greatest(ssq / n_months - mean_q * mean_q, 0)
                             * n_months / (n_months - 1)) / mean_q <= {XYZ_Y} THEN 'Y'
                   ELSE 'Z' END AS xyz,
              total_rev
@@ -3996,9 +4013,15 @@ def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_rev").over(word).cast("double").alias("cum_rev"),
         F.sum("total_rev").over(wall).cast("double").alias("all_rev"),
     )
+    # greatest(..., 0): quantized ssq minus unquantized mean^2 can go
+    # slightly negative for constant-demand parts -> NaN (see
+    # part_price_dispersion; ADVICE r6). Clamp on both sides.
     cv = (
         F.sqrt(
-            (F.col("ssq") / F.col("n_months") - F.col("mean_q") * F.col("mean_q"))
+            F.greatest(
+                F.col("ssq") / F.col("n_months") - F.col("mean_q") * F.col("mean_q"),
+                F.lit(0.0),
+            )
             * F.col("n_months")
             / (F.col("n_months") - 1)
         )
@@ -4246,11 +4269,16 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.functions.ordstats import bucketed_global_rank
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # No localCheckpoint: the parquet source is deterministic, so
+    # bucketed_global_rank's two passes re-scan it exactly. Eagerly
+    # materializing a fact-table-sized 3-column projection to executor
+    # storage undercuts the no-materialization story at 100 TB
+    # (ADVICE r6); a re-scan is a cheap columnar read.
     lines = li.select(
         F.col("l_extendedprice").alias("v"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
-    ).localCheckpoint(eager=True)
+    )
     tot = lines.agg(F.sum("wt").cast("decimal(38,2)").alias("t"))
     ranked = bucketed_global_rank(
         lines, "v", ["tb"], "rk", cumsum_of="wt", cumsum_name="cum"

@@ -49,7 +49,7 @@ sys.path.insert(0, {root!r})
 t0 = time.perf_counter()
 from http_datafusion_spark.plans.registry import all_queries
 from http_datafusion_spark.session import get_spark
-spark = get_spark("svc-probe", cpus=32)
+spark = get_spark("svc-probe")
 t1 = time.perf_counter()
 all_queries()[{name!r}].spark(spark, {sf!r}).write.format("noop").mode("overwrite").save()
 t2 = time.perf_counter()
@@ -93,12 +93,19 @@ def main() -> None:
     concurrent_total = time.perf_counter() - t0
 
     # Per-process cost (CLI-per-query anti-pattern), a few samples.
+    # The probe inherits SPARK_GRAFT_CPUS via get_spark()'s default, so
+    # CLI-vs-service runs the same parallelism as the warm session above.
     proc = {}
     for n in PROC_SAMPLES:
         out = subprocess.run(
             [sys.executable, "-c", _PROC_SNIPPET.format(root=root, name=n, sf=sf_dir)],
             capture_output=True, text=True, timeout=600,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"per-process probe {n!r} failed (rc={out.returncode}): "
+                f"{out.stderr.strip()[-2000:]}"
+            )
         line = out.stdout.strip().splitlines()[-1]
         proc[n] = json.loads(line)
 
