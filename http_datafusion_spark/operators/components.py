@@ -586,6 +586,16 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- triangle counting
 
 TRI_MIN_COMMON = 3  # co-supply edge: suppliers sharing >= T customers
+# Per-customer supplier fan-out cap: a hub customer of degree d would
+# otherwise generate d^2 wedge pairs inside ONE task (quadratic skew a
+# single mega-customer dominates at 100x scale). Each customer keeps its
+# TRI_DEGREE_CAP highest-degree suppliers (global degree DESC, suppkey
+# tiebreak — deterministic), bounding per-customer pair fan-out at
+# CAP^2 = 1024 rows. DOCUMENTED UNDERCOUNT: edges supported only by
+# truncated low-degree co-occurrences are lost; the cap keeps the
+# strongest co-supply signal. 32 binds at sf0.01+, so the capped
+# semantics (not just the uncapped coincidence) are oracle-verified.
+TRI_DEGREE_CAP = 32
 
 
 @query(
@@ -595,9 +605,17 @@ TRI_MIN_COMMON = 3  # co-supply edge: suppliers sharing >= T customers
       SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS sd FROM e GROUP BY s),
+    ecap AS (
+      SELECT c, s FROM (
+        SELECT e.c, e.s,
+               row_number() OVER (PARTITION BY e.c ORDER BY sdeg.sd DESC, e.s) AS rk
+        FROM e JOIN sdeg ON e.s = sdeg.s
+      ) WHERE rk <= {TRI_DEGREE_CAP}
+    ),
     edges AS (
       SELECT a.s AS u, b.s AS v
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      FROM ecap a JOIN ecap b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_COMMON}
     ),
     tri AS (
@@ -614,10 +632,14 @@ TRI_MIN_COMMON = 3  # co-supply edge: suppliers sharing >= T customers
     FROM tri
     """,
     doc=f"triangle counting on the supplier co-supply graph (edge: >= "
-    f"{TRI_MIN_COMMON} shared customers): the ordered-wedge join — edges kept "
-    "as u < v, wedges (u,v)x(v,w) closed by probing (u,w) — counts each "
-    "triangle exactly once, the standard distributed formulation whose cost "
-    "is sum-of-degree-squared wedges, never nodes^3; triangles-per-edge is "
+    f"{TRI_MIN_COMMON} shared customers, per-customer fan-out capped at the "
+    "top TRI_DEGREE_CAP=32 highest-degree suppliers — bounds the wedge "
+    "generation at CAP^2 per customer so a hub customer cannot dominate one "
+    "task; documented undercount of low-degree co-occurrence edges): the "
+    "ordered-wedge join — edges kept as u < v, wedges (u,v)x(v,w) closed by "
+    "probing (u,w) — counts each triangle exactly once, the standard "
+    "distributed formulation whose cost is sum-of-degree-squared wedges "
+    "(now degree-capped), never nodes^3; triangles-per-edge is "
     "the global clustering signal (cliquey co-supply communities vs a "
     "hub-and-spoke market). Completes the graph family: components "
     "(dedup_clusters), centrality (pagerank), link prediction, now closure "
@@ -627,12 +649,25 @@ TRI_MIN_COMMON = 3  # co-supply edge: suppliers sharing >= T customers
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.plans.tables import load_tables
 
+    from pyspark.sql.window import Window as W
+
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     e = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+    )
+    # degree-cap the wedge generation (see TRI_DEGREE_CAP): per-customer
+    # top-CAP suppliers by global degree, so no single hot customer can
+    # produce a quadratic pair blow-up in one task
+    sdeg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+    wcap = W.partitionBy("c").orderBy(F.desc("sd"), "s")
+    e = (
+        e.join(sdeg, "s")
+        .withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= TRI_DEGREE_CAP)
+        .select("c", "s")
     )
     a, b = e.alias("a"), e.alias("b")
     edges = (
