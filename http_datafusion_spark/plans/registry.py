@@ -47,109 +47,89 @@ REGISTRY: dict[str, QuerySpec] = {}
 # list is composed to cover every SURVEY §2.2-2.8 operator row plus
 # every operator whose implementation changed this round; queries
 # already driver-verified in a previous round and unchanged since sit
-# in the tail (they stay covered by the local sf0.01 parity sweep,
-# tests/test_oracle_parity.py).
-# Round-6 rotation policy (235/235 cumulative driver-green entering
-# the round, so the window carries — per the r5 verdict's task 8):
-#   (a) changed-impl rows: train_split_temporal (zero-join rewrite),
-#       stream_incremental_minhash (audit hook + scratch cleanup),
-#       dedup_incremental_minhash (banded_signature explicit h-columns;
-#       privacy_dp_counts changed DOC only — no code — and yields its
-#       slot), PLUS the four
-#       functions/ordstats scale-hardening rewrites (kmv, rfm, pareto,
-#       equi-depth histogram — two-phase plans, semantics unchanged)
-#       and dedup_minhash_pairs (verify-inline rewrite, listed in (c));
-#   (b) round-6 additions, each registered with its oracle the commit
-#       it landed. The round added 65 operators against 50 slots, so 23
-#       late additions are DEFERRED to the r7 window head (the normal
-#       rotation mechanism; every one is locally oracle-exact at
-#       sf0.001+sf0.01 via tests/test_oracle_parity.py). The exact r7
-#       opening set, verified never-driver-checked against
-#       CORRECTNESS_r01..r05: attribution_models_compare,
-#       attribution_window_sweep, bpe_first_merge, discount_elasticity,
-#       events_dau_wau, events_error_budget_burn, events_path_3gram,
-#       golden_record_merge, graph_link_prediction,
-#       markov_next_event_eval, orders_duplicate_invoice_detect,
-#       orders_littles_law_check, orders_seasonality_decompose,
-#       privacy_ldiversity_audit, release_readiness_report,
-#       revenue_bridge_pvm, sim_centroid_classifier_eval,
-#       sim_ivf_nprobe_sweep, sim_mmr_rerank, supplier_concentration_hhi,
-#       part_price_dispersion, events_concurrency_histogram,
-#       multimodal_wav_decimate_audit, decontaminate_threshold_sweep,
-#       sim_ood_detection, events_transition_coverage, parts_abc_xyz,
-#       text_stopword_induction, customer_order_regularity,
-#       graph_triangle_count, text_heldout_perplexity,
-#       stream_quality_gate, weighted_median_price, events_velocity_flags,
-#       events_arrival_dispersion, dedup_candidate_budget,
-#       events_crosscorrelation,
-#       text_burstiness, text_heaps_law_fit, text_prf_query_expansion;
-#   (c) tail re-checks of the heaviest still-unchanged scale-critical
-#       paths (minhash family, as-of, serving-layout roundtrips,
-#       capstones, headline TPC-H) — squeezed to 10 slots by the large
-#       (a)+(b) load; everything rotated out is covered by the local
-#       271-query parity sweep and cumulative driver history.
+# in the tail (they stay covered by the local sf0.001+sf0.01 parity
+# sweep, tests/test_oracle_parity.py).
+# Round-7 rotation policy (per the r6 verdict's task 3, verbatim):
+#   (a) the FULL 40-name r7 deferral set — every registry entry that
+#       has never had a driver CORRECTNESS row (verified against
+#       CORRECTNESS_r01..r06) opens the window, restoring the
+#       "every operator has hard driver evidence" invariant;
+#   (b) quality_model_score — the one r6 RED row, re-emitted as a
+#       rounded DOUBLE on both sides (operators/text.py) with the
+#       compare-harness Decimal/float coercion hardened so the class
+#       cannot pass locally again;
+#   (c) rows whose round-7 implementation changed: the broadcast-hint
+#       sweep (verdict "What's wrong #2" — text_tfidf_topterm,
+#       text_unigram_logprob, text_bigram_logprob, minhash_containment,
+#       ngram_pmi_bigrams, orders_market_basket, deletion_propagate,
+#       dedup_cross_source_matrix; text_heldout_perplexity and
+#       graph_link_prediction are de-hinted too but already sit in the
+#       deferral set) and orders_price_index (unit prices now DOUBLE
+#       division rounded at 10dp on both engines — ADVICE r6).
+#       part_price_dispersion / parts_abc_xyz (variance clamp),
+#       graph_triangle_count (degree cap), weighted_median_price
+#       (checkpoint drop) also changed and are already in (a).
+#   TPC-H q8/q9/q16/q20 were de-hinted (plan-only, no result change,
+#   local parity re-verified) and keep their multi-round driver-green
+#   history from the tail. Round-7 ADDITIONS are registered with local
+#   oracle evidence and deferred to the r8 window head — the normal
+#   rotation mechanism.
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) changed impls, round 6 ----
-    "train_split_temporal",
-    "dedup_incremental_minhash",
-    # scale-hardening rewrites (functions/ordstats two-phase plans):
-    "kmv_distinct_sketch",
-    "orders_rfm_segmentation",
-    "orders_pareto_analysis",
-    "histogram_equi_depth",
-    # ---- (b) round-6 additions ----
+    # ---- (a) the r7 deferral set: never driver-checked before ----
+    "attribution_models_compare",
+    "attribution_window_sweep",
+    "bpe_first_merge",
+    "discount_elasticity",
+    "events_dau_wau",
+    "events_error_budget_burn",
+    "events_path_3gram",
+    "golden_record_merge",
+    "graph_link_prediction",
+    "markov_next_event_eval",
+    "orders_duplicate_invoice_detect",
+    "orders_littles_law_check",
+    "orders_seasonality_decompose",
+    "privacy_ldiversity_audit",
+    "release_readiness_report",
+    "revenue_bridge_pvm",
+    "sim_centroid_classifier_eval",
+    "sim_ivf_nprobe_sweep",
+    "sim_mmr_rerank",
+    "supplier_concentration_hhi",
+    "part_price_dispersion",
+    "events_concurrency_histogram",
+    "multimodal_wav_decimate_audit",
+    "decontaminate_threshold_sweep",
+    "sim_ood_detection",
+    "events_transition_coverage",
+    "parts_abc_xyz",
+    "text_stopword_induction",
+    "customer_order_regularity",
+    "graph_triangle_count",
+    "text_heldout_perplexity",
+    "stream_quality_gate",
+    "weighted_median_price",
+    "events_velocity_flags",
+    "events_arrival_dispersion",
+    "dedup_candidate_budget",
+    "events_crosscorrelation",
+    "text_burstiness",
+    "text_heaps_law_fit",
+    "text_prf_query_expansion",
+    # ---- (b) the r6 red row, fixed ----
     "quality_model_score",
-    "quality_model_gradient",
-    "text_inverted_index_roundtrip",
-    "incremental_agg_merge",
-    "table_snapshot_diff",
-    "privacy_pseudonymize_release",
-    "stratified_fixed_n_sample",
-    "bootstrap_mean_ci",
-    "graph_pagerank_suppliers",
-    "feature_target_encode",
-    "segment_chisquare",
-    "ts_cusum_changepoints",
-    "events_debounce",
-    "corpus_datacard",
-    "orders_seasonal_backtest",
-    "stream_debounce",
-    "feature_winsorize",
-    "bpe_merge_train",
-    "tokenize_bpe_apply",
-    "mixture_budget_plan",
-    "compaction_bin_plan",
-    "join_size_preflight",
-    "snapshot_versioned_read",
-    "orders_benford_audit",
-    "feature_trailing_90d",
-    "stream_snapshot_append",
-    "asof_join_nearest",
-    "customer_survival_curve",
-    "multimodal_blob_dedup",
-    "geo_grid_join",
-    "stream_temporal_join",
-    "order_fulfillment_latency",
-    "embedding_jl_projection",
-    "multimodal_resize_audit",
-    "events_impact_did",
-    "ts_autocorrelation",
-    "orders_price_index",
-    "fd_discovery_audit",
-    "orders_backlog_timeseries",
-    "events_bot_detection",
-    "vocab_js_divergence",
-    "orders_gini_coefficient",
-    # ---- (c) tail re-checks ----
-    # dedup_minhash_pairs and text_tfidf_topterm are CHANGED impls
-    # (verify-inline / argmax-aggregate rewrites) and must re-verify. The 45 new/changed rows above
-    # consumed the rest of the 50-slot window — every other operator
-    # keeps its cumulative driver-green history plus the local
-    # full-registry parity sweep (tests/test_oracle_parity.py).
-    "dedup_minhash_pairs",
+    # ---- (c) round-7 changed impls ----
     "text_tfidf_topterm",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "minhash_containment",
+    "ngram_pmi_bigrams",
+    "orders_market_basket",
+    "deletion_propagate",
+    "dedup_cross_source_matrix",
+    "orders_price_index",
 )
 
 
