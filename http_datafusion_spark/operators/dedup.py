@@ -1108,3 +1108,118 @@ def dedup_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return functools.reduce(lambda a, b: a.unionByName(b), (plan(nb) for nb in (2, 4)))
+
+
+# --------------------------- semantic-dedup threshold calibration
+
+# Sweep grid for the deploy-threshold calibration. 0.5 is excluded:
+# the synthetic corpus has zero exact pairs above it at sf0.001 and a
+# 0-denominator recall row is noise, not signal.
+CALIB_THRESHOLDS = (0.30, 0.35, 0.40, 0.45)
+CALIB_TRUTH_FLOOR = 0.30  # exact ground truth computed once at the loosest t
+CALIB_DEPLOY_T = 0.4      # the production gate under calibration
+
+
+def _calib_oracle() -> str:
+    from http_datafusion_spark.operators.similarity import CENTROID_VEC_IDS
+
+    ts = ", ".join(f"{t:.2f}" for t in CALIB_THRESHOLDS)
+    return f"""
+    WITH {_EMB_NRM_SQL}, cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id IN {CENTROID_VEC_IDS}
+    ), ranked AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn <= {IVF_DEDUP_PROBES}
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM ranked x JOIN ranked y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    ), pred AS (
+      SELECT cand.vec_a, cand.vec_b
+      FROM cand
+      JOIN e a ON a.vec_id = cand.vec_a
+      JOIN e b ON b.vec_id = cand.vec_b
+      WHERE {_PAIR_DOT_SQL} / (a.nrm * b.nrm) > {CALIB_DEPLOY_T}
+    ), truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_PAIR_DOT_SQL} / (a.nrm * b.nrm), 4) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_PAIR_DOT_SQL} / (a.nrm * b.nrm) > {CALIB_TRUTH_FLOOR}
+    ), marked AS (
+      SELECT t.cosine, CASE WHEN p.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN pred p ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b
+    ), np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+    sweep AS (SELECT CAST(unnest(ARRAY[{ts}]) AS DOUBLE) AS threshold)
+    SELECT round(s.threshold, 2) AS threshold,
+           np.n_pred,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(m.hit) AS BIGINT) AS n_hit,
+           round(sum(m.hit) * 1.0 / np.n_pred, 6) AS pair_precision,
+           round(sum(m.hit) * 1.0 / count(*), 6) AS pair_recall
+    FROM sweep s JOIN marked m ON m.cosine > s.threshold
+    CROSS JOIN np
+    GROUP BY s.threshold, np.n_pred
+    """
+
+
+@query(
+    "dedup_semantic_threshold_calibration",
+    oracle=_calib_oracle(),
+    doc=f"semantic-dedup threshold calibration — the standard artifact before "
+    f"deploying embedding dedup at corpus scale: the deployed candidate-gated "
+    f"pair set (IVF multi-probe + exact verify at t={CALIB_DEPLOY_T}, exactly "
+    "dedup_embedding_cosine's plan) is scored against the EXACT all-pairs "
+    f"cosine ground truth at each sweep threshold {CALIB_THRESHOLDS}: "
+    "pair_precision(t) = |pred AND truth(t)|/|pred| (how much of what we'd "
+    "delete is truly above t), pair_recall(t) = |pred AND truth(t)|/|truth(t)| "
+    "(how much true duplication above t the gated path captures — <1 at the "
+    "deploy t itself measures IVF candidate misses). The truth tier is the "
+    "documented O(N^2) block-matrix verification path run ONCE at the loosest "
+    "threshold; at 100 TB this runs on an eval sample, while the pred side is "
+    "the production sub-quadratic path (north-star dedup / calibration)",
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    pred = (
+        embedding_pairs_ivf(spark, sf_dir, e, threshold=CALIB_DEPLOY_T)
+        .select("vec_a", "vec_b", F.lit(1).alias("hit"))
+    )
+    truth = embedding_pairs_blocked(spark, e, threshold=CALIB_TRUTH_FLOOR)
+    # truth pairs are the near-dup set (sim-bounded, << N^2 rows); pred is
+    # its subset scored by the same exact kernel — the left join below is
+    # pair-keyed and AQE-sized, the 4-row-constant sweep explodes map-side
+    marked = truth.join(pred, ["vec_a", "vec_b"], "left").select(
+        "cosine", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    n_pred = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    swept = marked.select(
+        "cosine",
+        "hit",
+        F.explode(F.array(*[F.lit(float(t)) for t in CALIB_THRESHOLDS])).alias(
+            "threshold"
+        ),
+    ).filter(F.col("cosine") > F.col("threshold"))
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+        .crossJoin(F.broadcast(n_pred))
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            "n_pred",
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_pred"), 6).alias("pair_precision"),
+            F.round(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("pair_recall"),
+        )
+    )

@@ -114,12 +114,18 @@ def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in s
 
 
-def test_deletion_cascade_broadcasts_keys(spark, sf_dir):
-    """Both cascade joins must broadcast the (small) deletion key set —
-    the fact tables never shuffle."""
-    s = plan_of(deletion_propagate(spark, sf_dir))
-    assert "BroadcastHashJoin" in s
-    assert "SortMergeJoin" not in s
+def test_deletion_cascade_keys_hint_free_but_aqe_broadcasts(spark, sf_dir):
+    """Round 7 removed the forced F.broadcast of the deletion key sets
+    (the demo predicate selects ~9% of customers — a linear fraction;
+    del_orders is fact-derived). The contract now: NO baked-in hint in
+    the logical plan, and AQE still broadcast-converts at runtime when
+    the key set is genuinely small (it is at test scale)."""
+    df = deletion_propagate(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast" not in analyzed
+    df.collect()  # materialize so AQE finalizes the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final  # AQE promoted the small side
 
 
 def test_deletion_counts_are_consistent(spark, sf_dir):
@@ -317,3 +323,33 @@ def test_kmv_merge_equals_global_sketch(spark, sf_dir):
     merged = sorted(union_of_sketches)[:KMV_K]
     global_k = sorted({(r["h"], r["shingle"]) for r in rows})[:KMV_K]
     assert merged == global_k
+
+
+def test_semantic_calibration_monotone_and_consistent(spark, sf_dir):
+    """Calibration-curve invariants that hold for ANY corpus: n_true is
+    non-increasing in the threshold; n_hit <= min(n_true, n_pred);
+    recall at the deploy threshold equals the IVF candidate coverage of
+    the exact pair set (both computed from the same exact kernel)."""
+    from http_datafusion_spark.operators.dedup import (
+        CALIB_DEPLOY_T,
+        dedup_semantic_threshold_calibration,
+    )
+
+    rows = sorted(
+        dedup_semantic_threshold_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert rows, "empty calibration sweep"
+    n_pred = rows[0]["n_pred"]
+    prev_true = None
+    for r in rows:
+        assert r["n_hit"] <= min(r["n_true"], n_pred)
+        if prev_true is not None:
+            assert r["n_true"] <= prev_true  # stricter t -> fewer true pairs
+        prev_true = r["n_true"]
+        # precision/recall arithmetic is internally consistent
+        assert abs(r["pair_precision"] - round(r["n_hit"] / n_pred, 6)) < 1e-9
+        assert abs(r["pair_recall"] - round(r["n_hit"] / r["n_true"], 6)) < 1e-9
+    # at the deploy threshold every predicted pair is a true pair
+    at_deploy = [r for r in rows if abs(r["threshold"] - CALIB_DEPLOY_T) < 1e-9]
+    assert at_deploy and at_deploy[0]["n_hit"] == n_pred
