@@ -4,6 +4,13 @@ Runs a QuerySpec's Spark side and DuckDB oracle side on the same
 parquet tables, sorts columns by name and rows by value, and reports
 exact/approx equality. Used by tests and for pre-flight calibration —
 if this passes exactly, the driver's value-hash comparison will too.
+
+Exactness is RENDERING-aware since round 7: the driver hashes
+stringified values, so a Spark Decimal('3.410') vs a DuckDB double
+3.41 is numerically equal but hash-divergent — _values_equal marks any
+such mixed- or mixed-scale pair inexact (the coercion gap that let
+quality_model_score ship driver-red in r6 while 505 local tests were
+green).
 """
 
 from __future__ import annotations

@@ -12,6 +12,12 @@ two (row count + schema + order-insensitive value hash), so:
 - floating aggregates are rounded so partial-aggregation order
   differences between engines can't flip the hash;
 - every LIMIT/top-k query carries a total order (unique tiebreak).
+
+Perf-claim convention (r6 verdict, What's wrong #3): a docstring citing
+"measured X -> Y" MUST either quote driver-bench medians (BENCH_r*.json)
+or name its measurement context (isolated same-session A/B, sf, idle or
+contended box). Isolated runs lack full-suite JVM warmup and have twice
+now disagreed with the driver regime — unlabeled numbers mislead.
 """
 
 from __future__ import annotations
