@@ -672,3 +672,22 @@ def test_no_forced_broadcast_of_fact_derived_relations(spark, sf_dir):
     # exemptions must not outlive the sites they explain
     stale = sorted(set(BROADCAST_GUARD_ALLOWED) - set(flagged))
     assert not stale, f"stale broadcast-guard exemptions (site no longer flagged): {stale}"
+
+
+def test_ordstats_guards_empty_and_out_of_range(spark):
+    """ADVICE r6: exact_rank_values must fail loudly — a clear ValueError
+    — on an empty input (percentile bounds come back NULL) and on ranks
+    beyond the row count (previously a silent dict omission surfacing as
+    an opaque KeyError in feature_winsorize/corpus_datacard)."""
+    import pytest as _pytest
+
+    from http_datafusion_spark.functions.ordstats import exact_rank_values
+
+    df = spark.range(10).selectExpr("cast(id as double) as v", "id as tb")
+    with _pytest.raises(ValueError, match="no non-null rows"):
+        exact_rank_values(df.filter("v < 0"), "v", "tb", [1])
+    with _pytest.raises(ValueError, match="out of range"):
+        exact_rank_values(df, "v", "tb", [11])
+    # in-range still exact: rank k of 0..9 is k-1
+    got = exact_rank_values(df, "v", "tb", [1, 5, 10])
+    assert got == {1: 0.0, 5: 4.0, 10: 9.0}
