@@ -398,6 +398,19 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- link prediction (Jaccard)
 
+# Per-customer supplier fan-out cap, shared by graph_link_prediction and
+# graph_triangle_count: a hub customer of degree d would otherwise
+# generate d^2 wedge pairs inside ONE task (quadratic skew a single
+# mega-customer dominates at 100x scale). Each customer keeps its
+# TRI_DEGREE_CAP highest-degree suppliers (global degree DESC, suppkey
+# tiebreak — deterministic), bounding per-customer pair fan-out at
+# CAP^2 = 1024 rows. DOCUMENTED UNDERCOUNT: edges/common-neighbor counts
+# supported only by truncated low-degree co-occurrences are lost; the
+# cap keeps the strongest co-supply signal. 32 binds at sf0.01+, so the
+# capped semantics (not just the uncapped coincidence) are
+# oracle-verified.
+TRI_DEGREE_CAP = 32
+
 LINKPRED_TOPK = 15
 
 
@@ -409,9 +422,16 @@ LINKPRED_TOPK = 15
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    ecap AS (
+      SELECT c, s FROM (
+        SELECT e.c, e.s,
+               row_number() OVER (PARTITION BY e.c ORDER BY deg.d DESC, e.s) AS rk
+        FROM e JOIN deg ON e.s = deg.s
+      ) WHERE rk <= {TRI_DEGREE_CAP}
+    ),
     common AS (
       SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      FROM ecap a JOIN ecap b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2
     )
     SELECT c.s1, c.s2, c.n_common,
@@ -426,14 +446,20 @@ LINKPRED_TOPK = 15
     "— the classic co-occurrence link predictor (who will share customers "
     "next / who substitutes for whom), and the graph-analytics sibling of the "
     "near-dup Jaccard family. Candidates come from the co-occurrence "
-    "self-join ON the shared customer — only pairs with >= 1 common neighbor "
-    "ever materialize, never suppliers^2; degrees join back "
-    "states-bounded; the hot-customer skew falls out of AQE exactly like hot "
-    "LSH bands (north-star graph analytics; pairs with graph_pagerank)",
+    "self-join ON the shared customer, per-customer fan-out capped at the "
+    "top TRI_DEGREE_CAP=32 highest-degree suppliers (the same bounded-wedge "
+    "treatment as graph_triangle_count — a hub customer can no longer emit "
+    "degree^2 pairs in one task; documented undercount of n_common for "
+    "low-degree co-occurrences, while the Jaccard DENOMINATOR keeps true "
+    "uncapped degrees); only pairs with >= 1 common neighbor ever "
+    "materialize, never suppliers^2 "
+    "(north-star graph analytics; pairs with graph_pagerank)",
     tags=("graph", "join", "agg"),
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.plans.tables import load_tables
+
+    from pyspark.sql.window import Window as W
 
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     e = (
@@ -443,7 +469,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a, b = e.alias("a"), e.alias("b")
+    # degree-cap the wedge generation (see TRI_DEGREE_CAP at the triangle
+    # operator): per-customer top-CAP suppliers by global degree bounds the
+    # per-customer pair fan-out at CAP^2 — the denominator keeps TRUE degrees
+    wcap = W.partitionBy("c").orderBy(F.desc("d"), "s")
+    ecap = (
+        e.join(deg, "s")
+        .withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= TRI_DEGREE_CAP)
+        .select("c", "s")
+    )
+    a, b = ecap.alias("a"), ecap.alias("b")
     common = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
@@ -586,16 +622,6 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- triangle counting
 
 TRI_MIN_COMMON = 3  # co-supply edge: suppliers sharing >= T customers
-# Per-customer supplier fan-out cap: a hub customer of degree d would
-# otherwise generate d^2 wedge pairs inside ONE task (quadratic skew a
-# single mega-customer dominates at 100x scale). Each customer keeps its
-# TRI_DEGREE_CAP highest-degree suppliers (global degree DESC, suppkey
-# tiebreak — deterministic), bounding per-customer pair fan-out at
-# CAP^2 = 1024 rows. DOCUMENTED UNDERCOUNT: edges supported only by
-# truncated low-degree co-occurrences are lost; the cap keeps the
-# strongest co-supply signal. 32 binds at sf0.01+, so the capped
-# semantics (not just the uncapped coincidence) are oracle-verified.
-TRI_DEGREE_CAP = 32
 
 
 @query(
