@@ -798,6 +798,106 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------- MinHash estimator calibration
+
+
+@query(
+    "dedup_minhash_estimator_calibration",
+    oracle=f"""
+    WITH cand AS ({_minhash_pairs_sql()}),
+    w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      FROM w WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT c.est_jaccard,
+             CAST(round(coalesce(s.n_shared, 0) * 1.0
+                        / (za.sz + zb.sz - coalesce(s.n_shared, 0)), 6)
+                  AS DECIMAL(18,6)) AS ej,
+             CAST(round(abs(c.est_jaccard
+                            - round(coalesce(s.n_shared, 0) * 1.0
+                                    / (za.sz + zb.sz - coalesce(s.n_shared, 0)), 6)), 6)
+                  AS DECIMAL(18,6)) AS err
+      FROM cand c
+      LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+    )
+    SELECT est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(ej) AS DOUBLE) / count(*), 6)  AS mean_exact_jaccard,
+           round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mae
+    FROM scored GROUP BY est_jaccard
+    """,
+    doc="MinHash ESTIMATOR-BIAS calibration — the lexical twin of "
+    "dedup_semantic_threshold_calibration: for every LSH candidate pair, the "
+    "k=8 signature-agreement estimate (n_match/k) is compared against the "
+    "EXACT shingle-set Jaccard |A∩B|/|A∪B|, and the (estimate bucket -> "
+    "n_pairs, mean exact Jaccard, mean absolute error) table is the audit "
+    "that justifies the permutation count before corpus-scale dedup ships "
+    "(a large MAE at the deploy cutoff means raise k, not the threshold). "
+    "Exact intersections run ONLY on the sub-quadratic candidate set — "
+    "candidate-then-verify, never all-pairs; per-pair values quantize to "
+    "6dp then sum in exact DECIMAL so bucket means are partial-order "
+    "independent (north-star dedup / calibration)",
+    tags=("dedup", "text"),
+)
+def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import shingled_docs
+
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    sh = shingled_docs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ns = F.coalesce(F.col("n_shared"), F.lit(0))
+    exact = ns * 1.0 / (F.col("sz_a") + F.col("sz_b") - ns)
+    # per-doc sizes and shared counts are corpus-linear: every join below
+    # is hint-free (pre-partitioned on doc keys upstream; AQE decides)
+    scored = (
+        cand.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "est_jaccard",
+            F.round(exact, 6).cast("decimal(18,6)").alias("ej"),
+            F.round(F.abs(F.col("est_jaccard") - F.round(exact, 6)), 6)
+            .cast("decimal(18,6)")
+            .alias("err"),
+        )
+    )
+    return scored.groupBy("est_jaccard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("ej").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_exact_jaccard"
+        ),
+        F.round(F.sum("err").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+    )
+
+
 # --------------------------------------------- Jaccard containment
 
 @query(
