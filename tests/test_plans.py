@@ -691,3 +691,20 @@ def test_ordstats_guards_empty_and_out_of_range(spark):
     # in-range still exact: rank k of 0..9 is k-1
     got = exact_rank_values(df, "v", "tb", [1, 5, 10])
     assert got == {1: 0.0, 5: 4.0, 10: 9.0}
+
+
+def test_calibration_operators_candidate_gated_no_cartesian(spark, sf_dir):
+    """Both r7 calibration artifacts must stay candidate-then-verify:
+    every join equi-keyed (no cartesian/nested-loop fallback), and the
+    threshold sweep an exploded constant array (map-side), never a join
+    against a thresholds relation."""
+    for name in (
+        "dedup_semantic_threshold_calibration",
+        "dedup_minhash_estimator_calibration",
+    ):
+        s = plan_of(QS[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in s, name
+        # allowed nested-loop joins are constant-side broadcasts only:
+        # the 1-row n_pred aggregate and the K-row centroid table of the
+        # IVF candidate path — never a data-x-data product
+        assert s.count("BroadcastNestedLoopJoin") <= 2, name
