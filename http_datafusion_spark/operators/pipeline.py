@@ -1137,8 +1137,10 @@ SEQ_BUCKET_W = 64  # length-bucket width (tokens): bucket cap = ceil(len/W)*W
     tags=("pipeline", "text", "bench"),
 )
 def sequence_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.text import token_count
+
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")).cast("bigint")
+    n_tok = token_count(F.col("text")).cast("bigint")
     cap = (F.ceil(n_tok.cast("double") / SEQ_BUCKET_W) * SEQ_BUCKET_W).cast("bigint")
     base = d.select(n_tok.alias("n_tok"), cap.alias("bucket_cap")).filter(F.col("n_tok") > 0)
     return base.groupBy("bucket_cap").agg(
@@ -1606,7 +1608,7 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    from http_datafusion_spark.operators.text import whitespace_tokens
+    from http_datafusion_spark.operators.text import token_count, whitespace_tokens
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -1615,7 +1617,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_chars",
-        F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
         F.md5(norm).alias("fp"),
     )
     stats = t.agg(
@@ -1696,10 +1698,10 @@ MIX_TOKEN_BUDGET = 20_000  # target training-token budget
 def mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    from http_datafusion_spark.operators.text import whitespace_tokens
+    from http_datafusion_spark.operators.text import token_count, whitespace_tokens
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    n_toks = F.size(whitespace_tokens(F.col("text")))
+    n_toks = token_count(F.col("text"))
     src = d.groupBy("source").agg(
         F.sum(n_toks).cast("bigint").alias("n_tokens"),
         F.round(
@@ -2041,7 +2043,7 @@ REL_MIN_SOURCES = 10
 def release_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
 
-    from http_datafusion_spark.operators.text import whitespace_tokens
+    from http_datafusion_spark.operators.text import token_count, whitespace_tokens
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -2051,7 +2053,7 @@ def release_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_rate, 6).alias("value"),
         (dup_rate <= REL_MAX_DUP_RATE).alias("passed"),
     )
-    ntoks = F.size(whitespace_tokens(F.col("text")))
+    ntoks = token_count(F.col("text"))
     toklen = d.agg(
         F.lit(f"avg_tokens_at_least_{REL_MIN_AVG_TOKENS}").alias("check_name"),
         F.round(F.avg(ntoks), 6).alias("value"),

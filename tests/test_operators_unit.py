@@ -389,3 +389,24 @@ def test_bucketed_global_rank_constant_column(spark, sf_dir):
     ranked = bucketed_global_rank(df, "v", ["k"], "rk").orderBy("rk").collect()
     assert [r.rk for r in ranked] == list(range(1, 101))
     assert [r.k for r in ranked] == list(range(100))  # tiebreak order
+
+
+def test_token_count_equals_materialized_split(spark, sf_dir):
+    """token_count (regexp_count of non-whitespace runs) must equal
+    size(whitespace_tokens(...)) — the materializing formulation it
+    replaced in the count-only call sites — on every document, including
+    whitespace-only and empty edge cases."""
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.operators.text import token_count, whitespace_tokens
+    from http_datafusion_spark.plans.tables import load_tables
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    edge = spark.createDataFrame(
+        [("",), ("   ",), ("one",), (" a  b\tc \n",)], ["text"]
+    )
+    for df in (d.select("text"), edge):
+        bad = df.select(
+            (F.size(whitespace_tokens(F.col("text"))) != token_count(F.col("text"))).alias("x")
+        ).filter("x").count()
+        assert bad == 0
