@@ -79,7 +79,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   local parity re-verified) and keep their multi-round driver-green
 #   history from the tail. Round-7 ADDITIONS are registered with local
 #   oracle evidence and deferred to the r8 window head — the normal
-#   rotation mechanism.
+#   rotation mechanism. The exact r8 opening set (never driver-checked
+#   after this round): dedup_semantic_threshold_calibration,
+#   dedup_minhash_estimator_calibration; plus re-checks for any r7 rows
+#   the driver turns red and the r7 changed-tail (token_count swap:
+#   text_token_stats, doc_span_corruption, quality_adaptive_filter,
+#   corpus_datacard, mixture_budget_plan, release_readiness_report,
+#   sequence_length_buckets — count-equivalence asserted in
+#   tests/test_operators_unit.py, all locally value-exact post-swap).
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
