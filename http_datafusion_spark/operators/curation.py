@@ -4071,8 +4071,9 @@ XYZ_X, XYZ_Y = 0.05, 0.15  # demand-CV class boundaries
     f"cut) crossed with monthly-demand variability (CV <= {XYZ_X} X, <= "
     f"{XYZ_Y} Y, else Z) — the 9-cell grid that decides stocking policy per "
     "part (AX = automate, CZ = make-to-order). Monthly rollups are exact "
-    "decimals; the revenue rank/cumsum is parts-bounded (a dimension here; on "
-    "fact-derived keys use functions/ordstats); CV moments quantize-then-sum "
+    "decimals; the revenue rank/cumsum runs through functions/ordstats' "
+    "distributed two-phase prefix sum (no Exchange SinglePartition even "
+    "though part is merely SF-linear); CV moments quantize-then-sum "
     "(north-star statistics / inventory management)",
     tags=("agg", "window"),
 )
@@ -4102,16 +4103,34 @@ def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_months") >= 6)
     )
-    word = W.orderBy(F.desc("total_rev"), "l_partkey").rowsBetween(W.unboundedPreceding, 0)
-    wall = W.partitionBy()
-    ranked = per_part.select(
+    # Global revenue cumsum WITHOUT an Exchange SinglePartition: the
+    # naive `sum() OVER (ORDER BY total_rev DESC)` serializes every part
+    # through one task — fine for a dim-sized part table, wrong at 100x.
+    # functions/ordstats' two-phase rank (bucket sketch + per-bucket
+    # window + 32-row offset broadcast) computes the identical exact
+    # DECIMAL prefix sums distributed; all_rev is a 1-row broadcast agg.
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    ranked_d = bucketed_global_rank(
+        per_part,
+        "total_rev",
+        ["l_partkey"],
+        "grk",
+        descending=True,
+        cumsum_of="total_rev",
+        cumsum_name="cum_rev_dec",
+    )
+    all_row = per_part.agg(
+        F.sum("total_rev").cast("decimal(38,2)").alias("all_rev_dec")
+    )
+    ranked = ranked_d.crossJoin(F.broadcast(all_row)).select(
         "l_partkey",
         "n_months",
         "total_rev",
         "mean_q",
         "ssq",
-        F.sum("total_rev").over(word).cast("double").alias("cum_rev"),
-        F.sum("total_rev").over(wall).cast("double").alias("all_rev"),
+        F.col("cum_rev_dec").cast("double").alias("cum_rev"),
+        F.col("all_rev_dec").cast("double").alias("all_rev"),
     )
     # greatest(..., 0): quantized ssq minus unquantized mean^2 can go
     # slightly negative for constant-demand parts -> NaN (see
