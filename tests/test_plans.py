@@ -619,6 +619,7 @@ BROADCAST_GUARD_ALLOWED = {
     "dedup_minhash_threshold_sweep": "group by n_match in 0..k (bounded)",
     "supplier_concentration_hhi": "per-p_type totals (p_type is a closed enum)",
     "weighted_median_price": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    "parts_abc_xyz": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
     # function of corpus size — formally doc-derived, hence flagged
