@@ -133,6 +133,13 @@ def bucketed_global_rank(
     (ORDER BY ...)` wherever the input is table-sized."""
     qs = [i / ORD_BUCKETS for i in range(1, ORD_BUCKETS)]
     bounds = df.agg(F.percentile_approx(value, qs, 10_000).alias("b")).collect()[0]["b"]
+    if bounds is None:
+        # percentile_approx of zero rows is NULL — same guard as
+        # exact_rank_values above (ADVICE r7): fail with the cause, not
+        # an opaque TypeError iterating None
+        raise ValueError(
+            f"bucketed_global_rank: input has no non-null rows of {value!r}"
+        )
     v = F.col(value)
     b = F.lit(0)
     for i, cut in enumerate(bounds):

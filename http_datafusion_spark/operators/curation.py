@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted_hash, salted_hash_sql
 from http_datafusion_spark.operators.components import connected_components
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
-from http_datafusion_spark.operators.text import token_count, whitespace_tokens, token_count
+from http_datafusion_spark.operators.text import token_count, whitespace_tokens
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 

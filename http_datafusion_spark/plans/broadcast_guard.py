@@ -53,7 +53,9 @@ def _relation_table(line: str) -> str | None:
             return table
     if "text" in cols and "doc_id" in cols:
         return "documents"
-    if ("vec" in cols or "embedding" in cols) and "doc_id" in cols:
+    # embeddings schema is (vec_id, embedding, label) — no doc_id
+    # (ADVICE r7: requiring doc_id made this branch unreachable)
+    if "vec_id" in cols or "embedding" in cols:
         return "embeddings"
     return None  # dimension or non-fact source
 
@@ -64,9 +66,66 @@ def _marker_pos(line: str) -> int | None:
     return m.start() if m else None
 
 
-_ZERO_KEY_AGG = re.compile(r"\bAggregate \[")
-_GROUPED_AGG = re.compile(r"\bAggregate \[[^\[]*\], \[")
+_AGG_HEAD = re.compile(r"\bAggregate \[")
 _BOUNDED = re.compile(r"\b(GlobalLimit|LocalLimit|Limit)\b|\bRange \(0, \d")
+
+
+def _is_zero_key_aggregate(line: str) -> bool:
+    """True for ``Aggregate [aggExprs]`` (no grouping keys — output is a
+    constant row), False for ``Aggregate [keys], [exprs]``.
+
+    Bracket-balanced: a grouping expression may itself contain ``[``
+    (array element access, e.g. ``Aggregate [arr#1[0]], [...]``), so a
+    naive "no '[' before '], ['" regex misclassifies grouped aggregates
+    as zero-key (ADVICE r7). We scan the first balanced bracket group
+    and check whether a second group follows."""
+    m = _AGG_HEAD.search(line)
+    if not m:
+        return False
+    depth = 1
+    j = m.end()
+    while j < len(line) and depth:
+        if line[j] == "[":
+            depth += 1
+        elif line[j] == "]":
+            depth -= 1
+        j += 1
+    if depth:  # malformed/truncated line: fail safe (treat as grouped)
+        return False
+    return not line[j:].lstrip().startswith(", [")
+
+
+# Unique-key column per fact table: a Filter pinning this key to
+# literals (=, <, <=, IN) caps the subtree's cardinality independent of
+# SF — `vec_id < 32` is 32 rows at any corpus size because the key is
+# unique. lineitem is absent: it has no unique single column.
+_UNIQUE_KEYS: dict[str, str] = {
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "part": "p_partkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _key_literal_filter_bound(line: str, key: str) -> bool:
+    """Filter line pinning the unique key to literal(s). Heuristic:
+    assumes conjunctive predicates (an OR around the key term would not
+    bound; no registry broadcast side uses one)."""
+    if "Filter " not in line:
+        return False
+    # the key may print cast-wrapped: `cast(vec_id#7L as bigint) IN (...)`
+    k = rf"\b{key}#\d+L?(?: as \w+\))?"
+    lit = r"(?:cast\()?-?\d"
+    return bool(
+        re.search(rf"{k} (?:=|<|<=) {lit}", line) or re.search(rf"{k} IN \(", line)
+    )
+
+
+def _is_bound(line: str, key: str | None = None) -> bool:
+    if _BOUNDED.search(line) or _is_zero_key_aggregate(line):
+        return True
+    return key is not None and _key_literal_filter_bound(line, key)
 
 
 @dataclass
@@ -77,7 +136,16 @@ class BroadcastViolation:
 
 def broadcast_hint_violations(df: DataFrame) -> list[BroadcastViolation]:
     """All broadcast-hinted subtrees of df's analyzed plan that scan a
-    fact-scale table with no bounding Aggregate/Limit in the subtree."""
+    fact-scale table with no bounding Aggregate/Limit on the path
+    between the hint and that scan.
+
+    Bounds are attributed PER BRANCH (ADVICE r7): a Limit on one join
+    branch must not exempt a fact scan on a sibling branch. A fact
+    Relation is bounded iff one of its ANCESTOR nodes inside the hint
+    subtree — the chain of preceding lines with strictly decreasing
+    indent — is a Limit / literal Range / zero-key Aggregate; every
+    row of the scan flows through an ancestor, so only an ancestor
+    bound caps what the broadcast materializes."""
     text = df._jdf.queryExecution().analyzed().toString()
     lines = text.splitlines()
     out: list[BroadcastViolation] = []
@@ -85,23 +153,35 @@ def broadcast_hint_violations(df: DataFrame) -> list[BroadcastViolation]:
         if "ResolvedHint (strategy=broadcast" not in line:
             continue
         pos = _marker_pos(line)
-        subtree: list[str] = []
+        subtree: list[tuple[int | None, str]] = []
         for nxt in lines[i + 1 :]:
             npos = _marker_pos(nxt)
             if pos is not None and (npos is None or npos <= pos):
                 break
-            subtree.append(nxt)
-        facts = tuple(
-            sorted({t for ln in subtree if (t := _relation_table(ln)) is not None})
-        )
-        if not facts:
-            continue
-        bounded = any(
-            _BOUNDED.search(ln)
-            or (_ZERO_KEY_AGG.search(ln) and not _GROUPED_AGG.search(ln))
-            for ln in subtree
-        )
-        if not bounded:
-            head = subtree[0].strip() if subtree else ""
-            out.append(BroadcastViolation(fact_tables=facts, subtree_head=head))
+            subtree.append((npos, nxt))
+        unbounded: set[str] = set()
+        for k, (kpos, ln) in enumerate(subtree):
+            table = _relation_table(ln)
+            if table is None:
+                continue
+            # walk the ancestor chain: nearest preceding line with a
+            # strictly smaller indent, repeatedly, up to the hint
+            key = _UNIQUE_KEYS.get(table)
+            bounded = False
+            cur = kpos if kpos is not None else 0
+            for j in range(k - 1, -1, -1):
+                jpos, jline = subtree[j]
+                p = jpos if jpos is not None else -1
+                if p < cur:
+                    if _is_bound(jline, key):
+                        bounded = True
+                        break
+                    cur = p
+            if not bounded:
+                unbounded.add(table)
+        if unbounded:
+            head = subtree[0][1].strip() if subtree else ""
+            out.append(
+                BroadcastViolation(fact_tables=tuple(sorted(unbounded)), subtree_head=head)
+            )
     return out

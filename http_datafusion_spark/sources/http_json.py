@@ -174,6 +174,43 @@ def fetch_rows(
     return rows
 
 
+def _has_typed_scalar(v: Any) -> bool:
+    """True if the value carries at least one concrete scalar anywhere —
+    the only thing schema inference can hang a type on."""
+    if isinstance(v, (bool, int, float, str)):
+        return True
+    if isinstance(v, list):
+        return any(_has_typed_scalar(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_typed_scalar(x) for x in v.values())
+    return False
+
+
+def _normalize_untyped(v: Any) -> Any:
+    """Replace untyped-empty containers (``{}``, ``[]``, and containers
+    holding only None/``{}``/``[]``) with ``null``, recursively.
+
+    Real paginated APIs emit empty-object placeholders; Spark's JSON
+    schema merge can CANCEL a column when one row carries ``{}`` and
+    another a typed scalar at the same key (empty structs are pruned by
+    canonicalization and the conflicting field vanishes — reproduced by
+    tests/test_property.py::test_json_staging_survives_ragged_rows on
+    ``[{'k3': {}}, {'k1': [], 'k3': ''}]``). Null is the type-neutral
+    spelling of "no data here", so the typed rows win the merge and the
+    column survives — the full-scan robustness this module promises over
+    the reference's first-record inference (src/datasources.rs:318-343).
+    """
+    if isinstance(v, dict):
+        if not _has_typed_scalar(v):
+            return None
+        return {k: _normalize_untyped(x) for k, x in v.items()}
+    if isinstance(v, list):
+        if not _has_typed_scalar(v):
+            return None
+        return [_normalize_untyped(x) for x in v]
+    return v
+
+
 def json_rows_to_df(
     spark: SparkSession,
     rows: list[Any],
@@ -183,15 +220,24 @@ def json_rows_to_df(
     """Stage JSON rows as a DataFrame.
 
     ``schema_mode="full"`` (default): Spark infers over all rows —
-    strictly more robust than the reference. ``"first_record"``:
-    infer from row 1 only, dropping later-only fields, mirroring
-    reference src/datasources.rs:195-196 + 318-343.
+    strictly more robust than the reference — with untyped-empty
+    containers normalized to null first (see ``_normalize_untyped``)
+    so a ``{}`` placeholder in one row cannot cancel a typed column
+    from another. ``"first_record"``: infer from row 1 only verbatim,
+    dropping later-only fields, mirroring reference
+    src/datasources.rs:195-196 + 318-343 (no normalization — parity
+    mode reproduces the reference byte-for-byte).
 
     Empty input yields an empty 0-column DataFrame instead of the
     reference's panic (src/datasources.rs:195).
     """
     if not rows:
         return spark.createDataFrame([], schema="struct<>")
+    if schema_mode == "full":
+        rows = [
+            {k: _normalize_untyped(v) for k, v in r.items()} if isinstance(r, dict) else r
+            for r in rows
+        ]
     if num_partitions is None:
         num_partitions = max(1, min(len(rows) // 5000 + 1, spark.sparkContext.defaultParallelism))
     lines = [json.dumps(r, ensure_ascii=False) for r in rows]

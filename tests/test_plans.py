@@ -627,6 +627,18 @@ BROADCAST_GUARD_ALLOWED = {
     "decontaminate_threshold_sweep": "benchmark shingle probe set (pipeline constant)",
     "corpus_filter_pipeline": "benchmark shingle probe set (pipeline constant)",
     "dedup_bloom_prefilter": "bloom probe of benchmark positions (pipeline constant)",
+    # r8: sites newly visible after the embeddings-marker fix (ADVICE r7 —
+    # the old guard never matched embeddings relations). Each verified
+    # bounded by construction; the bound is a group-key cardinality or a
+    # rank filter the plan text can't show.
+    "sim_centroid_classifier_eval": "per-(label, dim) centroids (closed label set x 64 dims)",
+    "sim_ood_detection": "per-(label, dim) centroids (closed label set x 64 dims)",
+    "sim_kmeans_refit": "refit centroids keyed by cluster in K seed ids (K constant)",
+    "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
+    "mix_sources_temperature": "per-source mixture weights (source is a closed enum)",
+    "embedding_centroid_shift": "per-label centroid norms (closed label set)",
+    "embedding_pca_power_iteration": "eigenvector keyed by dim j <= 64 (dimension constant)",
+    "text_prf_query_expansion": "PRF expansion terms: row_number<=K per limit-N feedback docs",
 }
 
 # The eight operators the round-6 verdict called out by file:line — their
@@ -673,6 +685,70 @@ def test_no_forced_broadcast_of_fact_derived_relations(spark, sf_dir):
     # exemptions must not outlive the sites they explain
     stale = sorted(set(BROADCAST_GUARD_ALLOWED) - set(flagged))
     assert not stale, f"stale broadcast-guard exemptions (site no longer flagged): {stale}"
+
+
+def test_broadcast_guard_unit_embeddings_and_branch_attribution(spark, sf_dir):
+    """ADVICE r7 fixes, pinned:
+    (a) a broadcast-hinted embeddings scan is flagged — the schema is
+        (vec_id, embedding, label), no doc_id, so the old marker never
+        matched and embeddings broadcasts were invisible to the guard;
+    (b) bounds attribute per branch — a Limit on one join branch must
+        not exempt a fact scan on the sibling branch;
+    (c) a grouped aggregate whose key contains '[' (array element) is
+        NOT misread as a zero-key bound."""
+    from pyspark.sql import functions as F
+
+    from http_datafusion_spark.plans.broadcast_guard import (
+        _is_zero_key_aggregate,
+        broadcast_hint_violations,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # (a) raw embeddings broadcast → flagged
+    v = broadcast_hint_violations(F.broadcast(emb).join(docs, docs.doc_id == emb.vec_id))
+    assert any("embeddings" in x.fact_tables for x in v)
+
+    # (a') bounded embeddings broadcast → clean
+    v = broadcast_hint_violations(
+        F.broadcast(emb.limit(5)).join(docs, docs.doc_id == F.col("vec_id"))
+    )
+    assert v == []
+
+    # (b) limit on the documents branch must not exempt the embeddings
+    # branch of the same hinted subtree
+    hinted = F.broadcast(docs.limit(5).join(emb, docs.doc_id == emb.vec_id))
+    v = broadcast_hint_violations(hinted.join(docs.alias("d2"), F.col("d2.doc_id") == F.col("vec_id")))
+    assert any(x.fact_tables == ("embeddings",) for x in v), v
+
+    # (c) zero-key detection is bracket-balanced
+    assert _is_zero_key_aggregate("Aggregate [sum(id#0L) AS s#3L]")
+    assert not _is_zero_key_aggregate("Aggregate [s#2], [s#2, sum(id#0L) AS t#8L]")
+    assert not _is_zero_key_aggregate(
+        "Aggregate [arr#1[0]], [arr#1[0] AS arr[0]#18L, sum(id#0L) AS t#13L]"
+    )
+    # grouped-by-array-key relation under a hint is NOT bounded by it
+    grouped = emb.groupBy(F.col("embedding")[0].alias("g")).agg(F.count(F.lit(1)).alias("n"))
+    v = broadcast_hint_violations(F.broadcast(grouped).join(docs, F.col("g") == docs.n_chars))
+    assert any("embeddings" in x.fact_tables for x in v)
+    # ...while a zero-key aggregate IS a bound
+    total = emb.agg(F.count(F.lit(1)).alias("n"))
+    v = broadcast_hint_violations(F.broadcast(total).join(docs, F.col("n") > docs.n_chars))
+    assert v == []
+
+
+def test_bucketed_global_rank_guards_empty_input(spark):
+    """ADVICE r7: bucketed_global_rank must raise a clear ValueError on
+    an empty/all-null input (percentile bounds NULL), same as its
+    sibling exact_rank_values."""
+    import pytest as _pytest
+
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    df = spark.range(10).selectExpr("cast(id as double) as v", "id as tb").filter("v < 0")
+    with _pytest.raises(ValueError, match="no non-null rows"):
+        bucketed_global_rank(df, "v", ["tb"])
 
 
 def test_ordstats_guards_empty_and_out_of_range(spark):

@@ -273,6 +273,37 @@ def test_json_staging_survives_ragged_rows(spark):
     run()
 
 
+def test_json_staging_empty_object_vs_typed_scalar_pinned(spark):
+    # Deterministic pin of the falsifying example Hypothesis found in r7
+    # (VERDICT r7, What's wrong #1): a key carrying an empty object in
+    # one row and a typed scalar in another must survive as a column.
+    # Without staging normalization, Spark's JSON schema merge cancels
+    # k3 entirely and the '' value is silently lost.
+    from http_datafusion_spark.sources.http_json import json_rows_to_df
+
+    rows = [{"k3": {}}, {"k1": [], "k3": ""}]
+    df = json_rows_to_df(spark, rows)
+    assert df.count() == 2
+    assert "k3" in df.columns
+    got = sorted((r["k3"] for r in df.select("k3").collect()), key=lambda v: (v is None, v))
+    assert got == ["", None]
+
+    # nested variant: the conflict one level down must not cancel the
+    # top-level column either
+    rows = [{"k2": {"a": {}, "b": 1}}, {"k2": {"a": "x", "b": 2}}]
+    df = json_rows_to_df(spark, rows)
+    assert "k2" in df.columns
+    assert df.selectExpr("k2.a").count() == 2
+    vals = {r[0] for r in df.selectExpr("k2.a").collect()}
+    assert vals == {None, "x"}
+
+    # empty-list vs scalar conflict
+    rows = [{"k1": []}, {"k1": 7}]
+    df = json_rows_to_df(spark, rows)
+    assert "k1" in df.columns
+    assert {r[0] for r in df.select("k1").collect()} == {None, 7}
+
+
 def test_first_record_mode_drops_late_only_fields(spark):
     # Parity quirk mode: schema comes from row 1 alone (reference
     # src/datasources.rs:318-343). Columns must be exactly row 1's
