@@ -2142,3 +2142,158 @@ def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(hit * 1.0 / F.max("n"), 6).alias("flagged_frac"),
         )
     )
+
+
+# ------------------------------------------- RAG chunk-retrieval eval
+
+RAG_QUERY_DOCS = (7, 101, 229, 331, 487)  # fixed probe queries (pipeline constant)
+RAG_EVAL_KS = (1, 5, 10)
+
+_LWORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "rag_chunk_retrieval_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest({_LWORDS_SQL}) AS word FROM documents)
+    ), q AS (
+      SELECT doc_id AS qid, word FROM toks
+      WHERE doc_id IN {RAG_QUERY_DOCS}
+    ), whole AS (
+      SELECT q.qid, t.doc_id, count(*) AS hits
+      FROM toks t JOIN q ON t.word = q.word
+      WHERE t.doc_id <> q.qid GROUP BY 1, 2
+    ), wr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rk_w
+      FROM whole
+    ), base AS (
+      SELECT doc_id, {_LWORDS_SQL} AS words FROM documents
+      WHERE len({_LWORDS_SQL}) > 0
+    ), starts AS (
+      SELECT doc_id, words, unnest(range(0, len(words), {CHUNK_STRIDE})) AS start
+      FROM base
+    ), ctoks AS (
+      SELECT DISTINCT doc_id, chunk_id, word FROM (
+        SELECT doc_id, CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               unnest(words[start + 1 : start + {CHUNK_WORDS}]) AS word
+        FROM starts)
+    ), ch AS (
+      SELECT q.qid, c.doc_id, c.chunk_id, count(*) AS h
+      FROM ctoks c JOIN q ON c.word = q.word
+      WHERE c.doc_id <> q.qid GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT qid, doc_id, max(h) AS best FROM ch GROUP BY 1, 2
+    ), cr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY best DESC, doc_id) AS rk_c
+      FROM best
+    ), ks AS (SELECT unnest({list(RAG_EVAL_KS)}) AS k),
+    m AS (
+      SELECT w.qid, ks.k, count(*) AS n_common
+      FROM wr w JOIN cr c ON w.qid = c.qid AND w.doc_id = c.doc_id
+      CROSS JOIN ks
+      WHERE w.rk_w <= ks.k AND c.rk_c <= ks.k
+      GROUP BY 1, 2
+    ), qgrid AS (
+      SELECT qid, k FROM (SELECT DISTINCT qid FROM q) CROSS JOIN ks
+    )
+    SELECT CAST(g.k AS BIGINT) AS k,
+           round(avg(CAST(coalesce(m.n_common, 0) AS DOUBLE) / g.k), 6) AS avg_recall,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM qgrid g LEFT JOIN m ON m.qid = g.qid AND m.k = g.k
+    GROUP BY g.k ORDER BY k
+    """,
+    doc=f"RAG chunking eval: recall@k of chunk-granularity retrieval (max-pooled "
+    f"{CHUNK_WORDS}-word/{CHUNK_STRIDE}-stride chunk scores — the standard RAG "
+    f"retrieval shape) against whole-document retrieval as ground truth, for a "
+    f"fixed {len(RAG_QUERY_DOCS)}-doc probe set. Query vocab joins are equi-keyed "
+    f"on word against the literal-pruned probe set (broadcast-bounded); candidate "
+    f"ranking is per-query keyed windows — no all-pairs, no global sort. At 100 TB "
+    f"the only fact-scale shuffles are the two (query, doc)-keyed hit aggregations "
+    f"(north-star pipeline / RAG retrieval calibration)",
+    tags=("pipeline", "text", "similarity"),
+)
+def rag_chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    lwords = whitespace_tokens(F.lower(F.col("text")))
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(lwords)).alias("word")
+    )
+    q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
+        F.col("doc_id").alias("qid"), "word"
+    )
+    whole = (
+        toks.join(F.broadcast(q), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wr = whole.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("rk_w"),
+    )
+    base = d.select("doc_id", lwords.alias("words")).filter(F.size("words") > 0)
+    starts = base.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("words") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "start"),
+    )
+    ctoks = starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.explode(
+            F.array_distinct(F.slice("words", F.col("start") + 1, CHUNK_WORDS))
+        ).alias("word"),
+    )
+    best = (
+        ctoks.join(F.broadcast(q), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .groupBy("qid", "doc_id")
+        .agg(F.max("h").alias("best"))
+    )
+    cr = best.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("best"), F.asc("doc_id")))
+        .alias("rk_c"),
+    )
+    ks = spark.createDataFrame([(k,) for k in RAG_EVAL_KS], "k bigint")
+    m = (
+        wr.join(cr, ["qid", "doc_id"])
+        .join(
+            F.broadcast(ks),
+            (F.col("rk_w") <= F.col("k")) & (F.col("rk_c") <= F.col("k")),
+        )
+        .groupBy("qid", "k")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qgrid = q.select("qid").distinct().crossJoin(F.broadcast(ks))
+    return (
+        qgrid.join(m, ["qid", "k"], "left")
+        .select(
+            "k", F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common")
+        )
+        .groupBy("k")
+        .agg(
+            F.round(F.avg(F.col("n_common").cast("double") / F.col("k")), 6).alias(
+                "avg_recall"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        )
+        .orderBy("k")
+    )

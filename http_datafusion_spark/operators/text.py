@@ -2314,3 +2314,85 @@ def text_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(doc_frac, 6).alias("doc_frac"),
         F.round(vmr, 6).alias("vmr"),
     )
+
+
+# ------------------------------------- cross-lingual corpus skew audit
+
+LANG_SKEW_JSD_GATE = 0.02  # nats; flag sources whose language mix diverges
+
+
+@query(
+    "corpus_language_skew_audit",
+    oracle=f"""
+    WITH sl AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY 1, 2
+    ), s AS (SELECT source, sum(n) AS ns FROM sl GROUP BY 1),
+    g AS (SELECT lang, sum(n) AS ng FROM sl GROUP BY 1),
+    tot AS (SELECT sum(n) AS nt FROM sl),
+    grid AS (
+      SELECT s.source, g.lang, coalesce(sl.n, 0) AS n, s.ns, g.ng, tot.nt
+      FROM s CROSS JOIN g CROSS JOIN tot
+      LEFT JOIN sl ON sl.source = s.source AND sl.lang = g.lang
+    ), terms AS (
+      SELECT source, ns,
+             n / ns AS p, ng / nt AS q, (n / ns + ng / nt) / 2 AS m
+      FROM grid
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END), 6)
+             AS js_divergence,
+           round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END), 6)
+             > {LANG_SKEW_JSD_GATE} AS skew_flag
+    FROM terms GROUP BY source, ns ORDER BY source
+    """,
+    doc=f"cross-lingual corpus audit (closes the langid arc): per-source language "
+    f"distribution vs the corpus-wide mix, Jensen-Shannon divergence per source "
+    f"(symmetric, bounded by ln 2), gate at {LANG_SKEW_JSD_GATE} nats. The "
+    f"(source x lang) grid is zero-filled so a language MISSING from a source "
+    f"still contributes its q*ln(2)/2 penalty — absence is the strongest skew "
+    f"signal. Two bounded-key aggregates (source x lang is a closed ~20x5 enum) "
+    f"+ one grid join; everything after the first groupBy is constant-sized, so "
+    f"at 100 TB the cost is one scan + one partial-agg shuffle "
+    f"(north-star pipeline / training-mix curation)",
+    tags=("text", "pipeline", "agg"),
+)
+def corpus_language_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s = sl.groupBy("source").agg(F.sum("n").alias("ns"))
+    g = sl.groupBy("lang").agg(F.sum("n").alias("ng"))
+    tot = sl.agg(F.sum("n").alias("nt"))
+    grid = (
+        s.crossJoin(g)
+        .crossJoin(tot)
+        .join(sl, ["source", "lang"], "left")
+        .select(
+            "source",
+            "ns",
+            (F.coalesce("n", F.lit(0.0)) / F.col("ns")).alias("p"),
+            (F.col("ng") / F.col("nt")).alias("q"),
+            ((F.coalesce("n", F.lit(0.0)) / F.col("ns") + F.col("ng") / F.col("nt")) / 2).alias("m"),
+        )
+    )
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(
+        0.0
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / F.col("m"))).otherwise(0.0)
+    jsd = F.round(F.sum(term), 6)
+    return (
+        grid.groupBy("source", "ns")
+        .agg(
+            jsd.alias("js_divergence"),
+            (jsd > LANG_SKEW_JSD_GATE).alias("skew_flag"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_docs"),
+            "js_divergence",
+            "skew_flag",
+        )
+        .orderBy("source")
+    )
