@@ -692,17 +692,19 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_"),
         F.col("l_linenumber").cast("string"),
     )
-    sampled = (
-        li.filter(md5_int(key) % HIST_SAMPLE_MOD == 0)
-        .select(
-            "l_extendedprice",
-            "l_orderkey",
-            "l_linenumber",
-            # one composite tiebreak so the rank order (price, orderkey,
-            # linenumber) is a single ascending column pair
-            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
-        )
-        .localCheckpoint(eager=True)
+    # No localCheckpoint (VERDICT r7 task 5): the hash-gate sample is
+    # deterministic, so the count pass and bucketed_global_rank's two
+    # passes re-derive the identical row set from the parquet scan —
+    # same rationale as weighted_median_price below. Materializing a
+    # 1/HIST_SAMPLE_MOD slice of the fact table to executor storage is
+    # still SF-linear; re-scans are pushed-down 3-column reads.
+    sampled = li.filter(md5_int(key) % HIST_SAMPLE_MOD == 0).select(
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        # one composite tiebreak so the rank order (price, orderkey,
+        # linenumber) is a single ascending column pair
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
     )
     n = sampled.count()
     ranked = bucketed_global_rank(sampled, "l_extendedprice", ["tb"], "rk")

@@ -738,6 +738,53 @@ def test_broadcast_guard_unit_embeddings_and_branch_attribution(spark, sf_dir):
     assert v == []
 
 
+def test_local_checkpoint_inventory_is_pinned():
+    """Grep-able invariant (VERDICT r7 task 5): every localCheckpoint is
+    a deliberate, documented reuse materialization — no new fact-scale
+    eager materialization can appear without updating this inventory.
+
+    Audit of the pinned sites (what each checkpoints and why it is
+    bounded or a sound trade):
+    - components.py (5): iterative lineage cuts — connected-components
+      star rounds (edges shrink monotonically), minhash-filtered
+      shingles computed once and reused per round, triangle edge set
+      reused by three join branches (post-threshold candidate edges).
+    - curation.py (3): per-customer RFM / revenue aggregates reused by
+      3 bucketed-rank passes + sketches — customer-scale (|customers|
+      << |facts|), recompute-3x vs store-once trade; MEMORY_AND_DISK
+      so it degrades to spill, never OOM.
+    - dedup.py (1): minhash signature table (1 row/doc, 64 ints)
+      reused by probe + budget passes — the signature reuse IS the
+      minhash algorithm's point.
+    - similarity.py (2): TOP_K-row candidate set (bounded by literal
+      k); one mapInPandas scoring pass feeding every sweep width.
+    - text.py (2): BPE vocab seqs — vocabulary-scale (distinct words,
+      sublinear in corpus), re-checkpointed per merge step to keep
+      plan depth flat across BPE_TRAIN_MERGES iterations.
+    - streaming/queries.py (3): per-micro-batch probe results and
+      bounded batch aggregates — batch-scoped, not corpus-scoped.
+    histogram_equi_depth / weighted_median_price deliberately carry NO
+    checkpoint (deterministic hash-gate re-scan; see their comments).
+    """
+    import pathlib
+    import re as _re
+
+    pkg = pathlib.Path(__file__).parent.parent / "http_datafusion_spark"
+    sites: dict[str, int] = {}
+    for f in sorted(pkg.rglob("*.py")):
+        n = len(_re.findall(r"\.localCheckpoint\(eager=True\)", f.read_text()))
+        if n:
+            sites[str(f.relative_to(pkg))] = n
+    assert sites == {
+        "operators/components.py": 5,
+        "operators/curation.py": 3,
+        "operators/dedup.py": 1,
+        "operators/similarity.py": 2,
+        "operators/text.py": 2,
+        "streaming/queries.py": 3,
+    }, f"localCheckpoint inventory drifted — audit the new/removed site: {sites}"
+
+
 def test_bucketed_global_rank_guards_empty_input(spark):
     """ADVICE r7: bucketed_global_rank must raise a clear ValueError on
     an empty/all-null input (percentile bounds NULL), same as its
