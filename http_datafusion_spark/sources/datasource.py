@@ -242,11 +242,11 @@ class HttpJsonReader(DataSourceReader):
             else:
                 rows = [body]
 
-        fields = [f.name for f in self.schema.fields]
+        convs = _row_converters(self.schema)
         for r in rows:
             if not isinstance(r, dict):
                 r = {"value": r}
-            yield tuple(_coerce(r.get(name)) for name in fields)
+            yield tuple(conv(r.get(name)) for name, conv in convs)
 
 
 class HttpJsonStreamReader(SimpleDataSourceStreamReader):
@@ -300,12 +300,12 @@ class HttpJsonStreamReader(SimpleDataSourceStreamReader):
         # calls next() on the result AND copy.copy()s it for replay —
         # generators aren't copyable, bare lists aren't iterators, but
         # CPython list iterators are both (picklable via __reduce__).
-        fields = [f.name for f in self.schema.fields]
+        convs = _row_converters(self.schema)
         out = []
         for r in rows:
             if not isinstance(r, dict):
                 r = {"value": r}
-            out.append(tuple(_coerce(r.get(name)) for name in fields))
+            out.append(tuple(conv(r.get(name)) for name, conv in convs))
         return iter(out)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
@@ -336,6 +336,61 @@ def _coerce(v):
     if isinstance(v, list):
         return [_coerce(x) for x in v]
     return v
+
+
+def _int_guard(v):
+    """Integer-typed field: refuse LOSSY float coercion loudly.
+
+    The schema is frozen from the first page (the zero-RPC trade), so a
+    later page can carry ``30.5`` for a column inferred as bigint.
+    Spark's Arrow conversion would silently truncate it to ``30`` —
+    data corruption worse than the reference's error-at-batch-read
+    (src/execution.rs:183-200). Integral floats pass losslessly;
+    fractional ones raise with the fix spelled out."""
+    if isinstance(v, float):
+        if v.is_integer():
+            return int(v)
+        raise HttpError(
+            f"type widening: value {v!r} does not fit the integer type inferred "
+            "from the first page — pass an explicit .schema(...) with a DOUBLE "
+            "column (first-page inference cannot see later pages)"
+        )
+    return v
+
+
+def _coercer_for(dt):
+    """Schema-aware converter for one field type, built once per read.
+
+    Recurses into struct/array types so a nested fractional float in an
+    integer-typed nested field is caught too; all other types take the
+    generic passthrough."""
+    from pyspark.sql.types import ArrayType, ByteType, IntegerType, LongType, ShortType, StructType
+
+    if isinstance(dt, (LongType, IntegerType, ShortType, ByteType)):
+        return _int_guard
+    if isinstance(dt, StructType):
+        subs = {f.name: _coercer_for(f.dataType) for f in dt.fields}
+
+        def conv_struct(v, subs=subs):
+            if not isinstance(v, dict):
+                return v
+            return {k: (subs[k](x) if k in subs else _coerce(x)) for k, x in v.items()}
+
+        return conv_struct
+    if isinstance(dt, ArrayType):
+        elem = _coercer_for(dt.elementType)
+
+        def conv_array(v, elem=elem):
+            if not isinstance(v, list):
+                return v
+            return [elem(x) for x in v]
+
+        return conv_array
+    return _coerce
+
+
+def _row_converters(schema: StructType):
+    return [(f.name, _coercer_for(f.dataType)) for f in schema.fields]
 
 
 def register(spark) -> None:

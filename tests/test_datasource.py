@@ -323,3 +323,84 @@ def test_undeclared_filter_stays_post_scan(spark, filtering_url):
     df = _read(spark, filtering_url, startPage=1, endPage=10, pageSize=10).filter("id >= 95")
     assert df.count() == 6
     assert not any("id" in s.split("&")[0] for s in SEEN_QUERIES if "id__" in s)
+
+
+# -------------------- lossy-coercion guard (first-page schema freeze)
+
+WIDEN_PAGES = {
+    1: [{"wid": 1, "amt": 10, "meta": {"x": 1}}],
+    2: [{"wid": 2, "amt": 30.5, "meta": {"x": 2.75}}, {"wid": 3, "amt": None, "meta": None}],
+    3: [{"wid": 4, "amt": 7.0, "meta": {"x": 3}}],
+}
+
+
+class _WidenHandler(BaseHTTPRequestHandler):
+    def log_message(self, *args):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        q = parse_qs(urlparse(self.path).query)
+        page = int(q.get("page", ["1"])[0])
+        body = json.dumps(WIDEN_PAGES.get(page, [])).encode()
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def widen_url(spark):
+    from http_datafusion_spark.sources.datasource import register
+
+    register(spark)
+    srv = HTTPServer(("127.0.0.1", 0), _WidenHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}/widen"
+    srv.shutdown()
+
+
+def test_lossy_float_in_int_column_fails_loudly(spark, widen_url):
+    # First page freezes amt as bigint; page 2 carries 30.5. Silent
+    # truncation to 30 is data corruption — the read must fail with the
+    # remedy in the message, mirroring (but improving on) the
+    # reference's error-at-batch-read quirk (src/execution.rs:183-200).
+    df = _read(spark, widen_url, startPage=1, endPage=2, pageSize=1)
+    assert "amt:bigint" in df.schema.simpleString()
+    with pytest.raises(Exception, match="type widening"):
+        df.collect()
+
+
+def test_lossy_float_in_nested_int_field_fails_loudly(spark, widen_url):
+    # the same guard one level down: meta.x inferred bigint, page 2
+    # carries 2.75 inside the struct
+    df = (
+        spark.read.format("httpjson")
+        .schema("wid bigint, meta struct<x: bigint>")
+        .option("url", widen_url)
+        .option("startPage", 1)
+        .option("endPage", 2)
+        .option("pageSize", 1)
+        .load()
+    )
+    with pytest.raises(Exception, match="type widening"):
+        df.collect()
+
+
+def test_integral_float_passes_losslessly(spark, widen_url):
+    # 7.0 in a bigint column is lossless — must pass, as 7
+    df = _read(spark, widen_url, startPage=3, endPage=3, pageSize=1)
+    assert [r.amt for r in df.collect()] == [7]
+
+
+def test_explicit_double_schema_is_the_widening_path(spark, widen_url):
+    # the remedy the error message names: declare the column DOUBLE
+    df = (
+        spark.read.format("httpjson")
+        .schema("wid bigint, amt double")
+        .option("url", widen_url)
+        .option("startPage", 1)
+        .option("endPage", 2)
+        .option("pageSize", 1)
+        .load()
+    )
+    got = {r.wid: r.amt for r in df.collect()}
+    assert got == {1: 10.0, 2: 30.5, 3: None}
