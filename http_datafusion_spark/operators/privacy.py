@@ -275,3 +275,127 @@ def privacy_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("at_risk_frac"),
     )
+
+
+# ------------------------------------------------- t-closeness audit
+
+TCLOSE_T = 0.2  # max ordered-EMD between a cell's sensitive distribution
+# and the global one (Li et al. 2007's t parameter)
+
+
+@query(
+    "privacy_tcloseness_audit",
+    oracle=f"""
+    WITH sc AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    ), cellsz AS (
+      SELECT c_nationkey, c_mktsegment, sum(n) AS cell_size
+      FROM sc GROUP BY 1, 2
+    ), gdist AS (
+      SELECT o_orderpriority, sum(n) AS gn FROM sc GROUP BY 1
+    ), tot AS (
+      SELECT sum(gn) AS total, CAST(count(*) AS DOUBLE) AS m FROM gdist
+    ), grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.cell_size,
+             g.o_orderpriority, coalesce(sc.n, 0) AS n, g.gn, t.total, t.m
+      FROM cellsz c CROSS JOIN gdist g CROSS JOIN tot t
+      LEFT JOIN sc ON sc.c_nationkey = c.c_nationkey
+                  AND sc.c_mktsegment = c.c_mktsegment
+                  AND sc.o_orderpriority = g.o_orderpriority
+    ), cum AS (
+      SELECT c_nationkey, c_mktsegment, cell_size, m,
+             sum(n / cell_size) OVER w AS cum_p,
+             sum(gn / total) OVER w AS cum_q
+      FROM grid
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY o_orderpriority
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), percell AS (
+      SELECT c_nationkey, c_mktsegment, cell_size,
+             round(sum(abs(cum_p - cum_q)) / (max(m) - 1), 6) AS emd
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN emd > {TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_cells,
+           CAST(sum(CASE WHEN emd > {TCLOSE_T} THEN cell_size ELSE 0 END) AS BIGINT)
+             AS n_at_risk_rows,
+           round(max(emd), 6) AS max_emd,
+           round(sum(CASE WHEN emd > {TCLOSE_T} THEN cell_size ELSE 0 END)
+                 / sum(cell_size), 6) AS at_risk_frac
+    FROM percell
+    """,
+    doc=f"t-closeness audit (t={TCLOSE_T}) over the (nation, segment) quasi-"
+    "identifier with order priority as the ordinal sensitive attribute — the "
+    "attack l-diversity misses: a cell can hold l distinct values yet still "
+    "leak when its distribution is badly SKEWED vs the population (skewness "
+    "attack). Distance is the ordered-EMD of Li et al. 2007: sum of absolute "
+    "cumulative-distribution gaps over the ordered domain / (m-1). One "
+    "partial-agg shuffle to QI x sensitive cells (25 nations x 5 segments x 5 "
+    "priorities, closed enums); the zero-filled grid, per-cell cumulative "
+    "window and the final fold are all constant-sized. Completes the "
+    "release-gate family (k-anonymity -> l-diversity -> this -> dp_counts) "
+    "(north-star pipeline / privacy)",
+    tags=("pipeline", "agg", "window"),
+)
+def privacy_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment")
+    sc = (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    cellsz = sc.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n").alias("cell_size"))
+    glob = sc.groupBy("o_orderpriority").agg(F.sum("n").alias("gn"))
+    tot = glob.agg(F.sum("gn").alias("total"), F.count(F.lit(1)).cast("double").alias("m"))
+    grid = (
+        cellsz.crossJoin(glob)
+        .crossJoin(tot)
+        .join(sc, ["c_nationkey", "c_mktsegment", "o_orderpriority"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "cell_size",
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0.0)) / F.col("cell_size")).alias("p"),
+            (F.col("gn") / F.col("total")).alias("q"),
+            "m",
+        )
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("o_orderpriority")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cell_size",
+        "m",
+        F.sum("p").over(w).alias("cum_p"),
+        F.sum("q").over(w).alias("cum_q"),
+    )
+    percell = cum.groupBy("c_nationkey", "c_mktsegment", "cell_size").agg(
+        F.round(F.sum(F.abs(F.col("cum_p") - F.col("cum_q"))) / (F.max("m") - 1), 6).alias(
+            "emd"
+        )
+    )
+    bad = F.col("emd") > TCLOSE_T
+    return percell.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_violating_cells"),
+        F.sum(F.when(bad, F.col("cell_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_risk_rows"),
+        F.round(F.max("emd"), 6).alias("max_emd"),
+        F.round(
+            F.sum(F.when(bad, F.col("cell_size")).otherwise(0)) / F.sum("cell_size"), 6
+        ).alias("at_risk_frac"),
+    )

@@ -61,11 +61,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       the r7 registry comment; checking them restores cumulative
 #       "every operator has hard driver evidence" (319/319 after the
 #       2 r8 additions are themselves deferred to r9, see (b));
-#   (b) the 2 round-8 ADDITIONS (rag_chunk_retrieval_eval,
+#   (b) the round-8 ADDITIONS (rag_chunk_retrieval_eval,
 #       corpus_language_skew_audit — VERDICT r7 task 6, both options
-#       built), registered with local sf0.001+sf0.01 oracle evidence
-#       and put straight into this window since they were written
-#       before it opened;
+#       built — plus privacy_tcloseness_audit completing the
+#       k-anonymity -> l-diversity -> t-closeness release-gate arc),
+#       registered with local sf0.001+sf0.01 oracle evidence and put
+#       straight into this window since they were written before it
+#       opened;
 #   (c) the 7 rows whose token_count implementation swapped in r7
 #       (split-array -> regexp_count, commit 6cf19e0) after their last
 #       driver check — count-equivalence asserted in
@@ -91,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- (b) r8 additions ----
     "rag_chunk_retrieval_eval",
     "corpus_language_skew_audit",
+    "privacy_tcloseness_audit",
     # ---- (c) token_count-swapped in r7 ----
     "text_token_stats",
     "doc_span_corruption",
