@@ -1223,3 +1223,102 @@ def dedup_semantic_threshold_calibration(spark: SparkSession, sf_dir: str) -> Da
             F.round(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("pair_recall"),
         )
     )
+
+
+# ----------------------------------------- cluster-agreement eval (ARI)
+
+
+@query(
+    "dedup_cluster_ari",
+    oracle=f"""
+    WITH sig AS ({_minhash_signature_sql()}),
+    pred AS (
+      SELECT doc_id,
+             concat_ws('_', {", ".join(f"h{i}" for i in range(N_MINHASH))}) AS pa
+      FROM sig
+    ), truth AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> ''))), ' ')) AS pb
+      FROM documents
+    ), scoped AS (
+      SELECT p.pa, t.pb FROM pred p JOIN truth t ON p.doc_id = t.doc_id
+    ), cont AS (
+      SELECT pa, pb, CAST(count(*) AS BIGINT) AS n FROM scoped GROUP BY 1, 2
+    ), rows_a AS (
+      SELECT pa, CAST(sum(n) AS BIGINT) AS na FROM cont GROUP BY 1
+    ), rows_b AS (
+      SELECT pb, CAST(sum(n) AS BIGINT) AS nb FROM cont GROUP BY 1
+    ), sums AS (
+      SELECT (SELECT sum(n * (n - 1) // 2) FROM cont) AS sij,
+             (SELECT sum(na * (na - 1) // 2) FROM rows_a) AS sa,
+             (SELECT sum(nb * (nb - 1) // 2) FROM rows_b) AS sb,
+             (SELECT sum(n) FROM cont) AS nd,
+             (SELECT count(*) FROM rows_a) AS ga,
+             (SELECT count(*) FROM rows_b) AS gb
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(ga AS BIGINT) AS n_pred_groups,
+           CAST(gb AS BIGINT) AS n_truth_groups,
+           CAST(sij AS BIGINT) AS pairs_agree,
+           CAST(sa AS BIGINT) AS pairs_pred,
+           CAST(sb AS BIGINT) AS pairs_truth,
+           round((sij - CAST(sa AS DOUBLE) * sb / (nd * (nd - 1) // 2))
+                 / NULLIF((CAST(sa AS DOUBLE) + sb) / 2
+                          - CAST(sa AS DOUBLE) * sb / (nd * (nd - 1) // 2), 0), 6)
+             AS ari
+    FROM sums
+    """,
+    doc=f"dedup-stack self-evaluation: Adjusted Rand Index (Hubert-Arabie) "
+    f"between the {N_MINHASH}-component full-signature-identity partition "
+    "(the coarsest LSH tier — signature collision implies Jaccard ~1) and the "
+    "normalized-exact fingerprint partition as ground truth. Pair counts come "
+    "from the (pred x truth) contingency table — one doc per cell, so the "
+    "table is at most |docs| rows and every sum is an integer until the final "
+    "division; no pair materialization anywhere. Shuffles at 100 TB: the "
+    "signature groupBy, one doc_id-keyed join, the contingency groupBy — all "
+    "equi-keyed and SF-linear (north-star dedup / eval)",
+    tags=("dedup", "agg"),
+)
+def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signature(spark, sf_dir)
+    pred = sig.select(
+        "doc_id",
+        F.concat_ws("_", *[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("pa"),
+    )
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(_words(F.lower(F.trim(F.col("text")))))), " "
+    )
+    truth = d.select("doc_id", F.md5(canon).alias("pb"))
+    cont = (
+        pred.join(truth, "doc_id")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    c2 = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
+    rows_a = cont.groupBy("pa").agg(F.sum("n").cast("bigint").alias("na"))
+    rows_b = cont.groupBy("pb").agg(F.sum("n").cast("bigint").alias("nb"))
+    sums = (
+        cont.agg(
+            F.sum(c2("n")).alias("sij"),
+            F.sum("n").cast("bigint").alias("nd"),
+        )
+        .crossJoin(rows_a.agg(F.sum(c2("na")).alias("sa"), F.count(F.lit(1)).alias("ga")))
+        .crossJoin(rows_b.agg(F.sum(c2("nb")).alias("sb"), F.count(F.lit(1)).alias("gb")))
+    )
+    t_pairs = F.expr("CAST(nd * (nd - 1) DIV 2 AS BIGINT)")
+    exp = F.col("sa").cast("double") * F.col("sb") / t_pairs
+    denom = (F.col("sa").cast("double") + F.col("sb")) / 2 - exp
+    return sums.select(
+        F.col("nd").cast("bigint").alias("n_docs"),
+        F.col("ga").cast("bigint").alias("n_pred_groups"),
+        F.col("gb").cast("bigint").alias("n_truth_groups"),
+        F.col("sij").cast("bigint").alias("pairs_agree"),
+        F.col("sa").cast("bigint").alias("pairs_pred"),
+        F.col("sb").cast("bigint").alias("pairs_truth"),
+        F.round(
+            F.when(denom != 0, (F.col("sij") - exp) / denom).otherwise(F.lit(None)), 6
+        ).alias("ari"),
+    )

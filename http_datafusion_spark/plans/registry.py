@@ -73,11 +73,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       driver check — count-equivalence asserted in
 #       tests/test_operators_unit.py, all locally value-exact, but the
 #       r7 verdict (What's missing #2) requires the driver to confirm;
-#   (d) rotation re-confirmation: ALL 38 remaining rows whose last
-#       driver check was round 1 (computed from CORRECTNESS_r01..r07;
-#       the 39th, text_token_stats, is already in (c)) — the oldest
-#       evidence in the repo, now 7 rounds stale. None changed since,
-#       so these are pure re-confirmations.
+#   (d) rotation re-confirmation: 37 of the 38 remaining rows whose
+#       last driver check was round 1 (computed from
+#       CORRECTNESS_r01..r07; the 39th, text_token_stats, is already
+#       in (c)) — the oldest evidence in the repo, now 7 rounds stale.
+#       None changed since, so these are pure re-confirmations.
+#       ts_gapfill_grid is the one r1 row deferred to the r9 head: the
+#       window cap is 50 and a never-checked r8 addition
+#       (dedup_cluster_ari) outranks an unchanged re-confirmation.
 #   Round-8 code changes elsewhere (ragged-JSON staging normalization,
 #   broadcast-guard hardening, ordstats empty-input guard) touch no
 #   registry query's plan or results: the ingest fix is on the
@@ -94,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "rag_chunk_retrieval_eval",
     "corpus_language_skew_audit",
     "privacy_tcloseness_audit",
+    "dedup_cluster_ari",
     # ---- (c) token_count-swapped in r7 ----
     "text_token_stats",
     "doc_span_corruption",
@@ -140,7 +144,6 @@ PRIORITY: tuple[str, ...] = (
     "text_per_source_profile",
     "text_quality_score",
     "ts_forward_fill",
-    "ts_gapfill_grid",
 )
 
 
