@@ -620,6 +620,8 @@ BROADCAST_GUARD_ALLOWED = {
     "supplier_concentration_hhi": "per-p_type totals (p_type is a closed enum)",
     "weighted_median_price": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     "parts_abc_xyz": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    # visible since r8's localCheckpoint drop exposed the sample lineage
+    "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
     # function of corpus size — formally doc-derived, hence flagged
