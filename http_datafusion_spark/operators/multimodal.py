@@ -620,3 +620,161 @@ def multimodal_wav_decimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         batches,
         schema="doc_id bigint, out_rate bigint, out_samples bigint, sample_checksum bigint",
     )
+
+
+# ------------------------------------- perceptual-hash near-dup (aHash)
+
+PHASH_MAX_HAMMING = 16  # of 64 bits
+PHASH_COPY_MOD = 10  # plant a perturbed copy of every 10th document
+PHASH_COPY_OFFSET = 1_000_000_000
+PHASH_PERT_MOD = 13  # perturb raster bytes at offsets divisible by this
+PHASH_PERT_DELTA = 5
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS src_id, doc_id AS img_id,
+             4 + doc_id % 5 AS w0, 1 + n_chars % 7 AS h0, 0 AS pert
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + {PHASH_COPY_OFFSET},
+             4 + doc_id % 5, 1 + n_chars % 7, 1
+      FROM documents WHERE doc_id % {PHASH_COPY_MOD} = 0
+    ), px AS (
+      SELECT img_id, src_id, pert, p.p AS p,
+             (((p.p // 8) * h0 // 8) * w0 + ((p.p % 8) * w0 // 8)) * 3 AS o
+      FROM img, (SELECT unnest(range(64)) AS p) p
+    ), gray AS (
+      SELECT img_id, p,
+             ( ((src_id * 31 + o * 7) % 256
+                + CASE WHEN pert = 1 AND o % {PHASH_PERT_MOD} = 0
+                       THEN {PHASH_PERT_DELTA} ELSE 0 END) % 256
+             + ((src_id * 31 + (o + 1) * 7) % 256
+                + CASE WHEN pert = 1 AND (o + 1) % {PHASH_PERT_MOD} = 0
+                       THEN {PHASH_PERT_DELTA} ELSE 0 END) % 256
+             + ((src_id * 31 + (o + 2) * 7) % 256
+                + CASE WHEN pert = 1 AND (o + 2) % {PHASH_PERT_MOD} = 0
+                       THEN {PHASH_PERT_DELTA} ELSE 0 END) % 256
+             ) // 3 AS g
+      FROM px
+    ), tot AS (
+      SELECT img_id, sum(g) AS tg FROM gray GROUP BY 1
+    ), bits AS (
+      SELECT g.img_id, g.p, CASE WHEN 64 * g.g > t.tg THEN 1 ELSE 0 END AS b
+      FROM gray g JOIN tot t ON g.img_id = t.img_id
+    ), hashes AS (
+      SELECT img_id,
+             CAST(sum(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS h_hi,
+             CAST(sum(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS h_lo
+      FROM bits GROUP BY 1
+    ), bands AS (
+      SELECT img_id,
+             j.j AS j,
+             CASE WHEN j.j < 4 THEN (h_hi >> (24 - 8 * j.j)) & 255
+                  ELSE (h_lo >> (24 - 8 * (j.j - 4))) & 255 END AS v
+      FROM hashes, (SELECT unnest(range(8)) AS j) j
+    ), cand AS (
+      SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.v = b.v AND a.img_id < b.img_id
+    )
+    SELECT img_a, img_b,
+           CAST(bit_count(xor(ha.h_hi, hb.h_hi))
+              + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN hashes ha ON ha.img_id = img_a
+    JOIN hashes hb ON hb.img_id = img_b
+    WHERE bit_count(xor(ha.h_hi, hb.h_hi)) + bit_count(xor(ha.h_lo, hb.h_lo))
+          <= {PHASH_MAX_HAMMING}
+    ORDER BY img_a, img_b
+    """,
+    doc=f"perceptual-hash image near-dup: every image payload (plus a planted "
+    f"+{PHASH_PERT_DELTA}-perturbed copy of every {PHASH_COPY_MOD}th doc — the "
+    "dedup fixture) runs the REAL codec path executor-side — synth -> "
+    "nearest-neighbor resize_ppm to 8x8 -> decode -> 64-bit average-hash "
+    "(bit p = pixel gray above image mean) — and near-dups are found by "
+    "hamming-LSH: 8 one-byte bands, candidates share an identical band "
+    f"(equi-join, never all-pairs), verified with bit_count(xor) <= "
+    f"{PHASH_MAX_HAMMING}. The oracle predicts every hash bit in closed form "
+    "(raster formula -> resample map -> integer gray -> threshold), so a "
+    "one-bit codec error anywhere flips the value hash. Shuffles at 100 TB: "
+    "hash groupBy + one banded self-join, both equi-keyed "
+    "(north-star multimodal x dedup)",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def ahash(payload: bytes) -> tuple[int, int]:
+        small = resize_ppm(payload, 8, 8)
+        meta = decode_ppm(small)
+        raster = small[len(small) - meta["n_units"]:]
+        grays = [
+            (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+            for p in range(64)
+        ]
+        total = sum(grays)
+        h_hi = h_lo = 0
+        for p, g in enumerate(grays):
+            if 64 * g > total:
+                if p < 32:
+                    h_hi |= 1 << (31 - p)
+                else:
+                    h_lo |= 1 << (63 - p)
+        return h_hi, h_lo
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"img_id": [], "h_hi": [], "h_lo": []}
+            for doc_id, nc in zip(pdf["doc_id"].tolist(), pdf["n_chars"].tolist()):
+                if doc_id % 2 != 0:
+                    continue
+                base = synth_ppm(doc_id, nc)
+                hi, lo = ahash(base)
+                rows["img_id"].append(doc_id)
+                rows["h_hi"].append(hi)
+                rows["h_lo"].append(lo)
+                if doc_id % PHASH_COPY_MOD == 0:
+                    meta = decode_ppm(base)
+                    head = base[: len(base) - meta["n_units"]]
+                    raster = bytearray(base[len(base) - meta["n_units"]:])
+                    for off in range(0, len(raster), PHASH_PERT_MOD):
+                        raster[off] = (raster[off] + PHASH_PERT_DELTA) % 256
+                    hi2, lo2 = ahash(bytes(head) + bytes(raster))
+                    rows["img_id"].append(doc_id + PHASH_COPY_OFFSET)
+                    rows["h_hi"].append(hi2)
+                    rows["h_lo"].append(lo2)
+            yield pd.DataFrame(rows)
+
+    hashes = d.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="img_id bigint, h_hi bigint, h_lo bigint"
+    )
+    band_vals = F.array(
+        *[F.shiftright(F.col("h_hi"), 24 - 8 * j).bitwiseAND(255) for j in range(4)],
+        *[F.shiftright(F.col("h_lo"), 24 - 8 * j).bitwiseAND(255) for j in range(4)],
+    )
+    bands = hashes.select("img_id", F.posexplode(band_vals).alias("j", "v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(F.col("a.img_id").alias("img_a"), F.col("b.img_id").alias("img_b"))
+        .distinct()
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    hamming = F.bit_count(
+        F.col("ha.h_hi").bitwiseXOR(F.col("hb.h_hi"))
+    ) + F.bit_count(F.col("ha.h_lo").bitwiseXOR(F.col("hb.h_lo")))
+    return (
+        cand.join(ha, F.col("img_a") == F.col("ha.img_id"))
+        .join(hb, F.col("img_b") == F.col("hb.img_id"))
+        .select("img_a", "img_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("img_a", "img_b")
+    )

@@ -78,9 +78,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       CORRECTNESS_r01..r07; the 39th, text_token_stats, is already
 #       in (c)) — the oldest evidence in the repo, now 7 rounds stale.
 #       None changed since, so these are pure re-confirmations.
-#       ts_gapfill_grid is the one r1 row deferred to the r9 head: the
-#       window cap is 50 and a never-checked r8 addition
-#       (dedup_cluster_ari) outranks an unchanged re-confirmation.
+#       ts_gapfill_grid and ts_forward_fill are the two r1 rows
+#       deferred to the r9 head: the window cap is 50 and the
+#       never-checked r8 additions (dedup_cluster_ari,
+#       multimodal_phash_near_dup) outrank unchanged re-confirmations.
 #   Round-8 code changes elsewhere (ragged-JSON staging normalization,
 #   broadcast-guard hardening, ordstats empty-input guard) touch no
 #   registry query's plan or results: the ingest fix is on the
@@ -98,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_language_skew_audit",
     "privacy_tcloseness_audit",
     "dedup_cluster_ari",
+    "multimodal_phash_near_dup",
     # ---- (c) token_count-swapped in r7 ----
     "text_token_stats",
     "doc_span_corruption",
@@ -143,7 +145,6 @@ PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "text_per_source_profile",
     "text_quality_score",
-    "ts_forward_fill",
 )
 
 
