@@ -2297,3 +2297,93 @@ def rag_chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------------ curriculum staging
+
+CURRICULUM_STAGES = 4
+
+_CWSPLIT_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@query(
+    "curriculum_stage_plan",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest({_CWSPLIT_SQL}) AS word FROM documents
+    ), counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY word
+    ), n AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+    ), scored AS (
+      SELECT dw.doc_id,
+             CAST(round(-ln(counts.c * 1.0 / n.total), 6) AS DECIMAL(18,6)) AS nll
+      FROM dw JOIN counts USING (word) CROSS JOIN n
+    ), perdoc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+      FROM scored GROUP BY doc_id
+    ), staged AS (
+      SELECT doc_id, n_tokens, avg_nll,
+             ntile({CURRICULUM_STAGES}) OVER (ORDER BY avg_nll, doc_id) AS stage
+      FROM perdoc
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_nll), 4) AS easiest_nll,
+           round(max(avg_nll), 4) AS hardest_nll,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    doc=f"curriculum staging: every document scored by unigram-LM mean NLL "
+    f"(the text_unigram_logprob difficulty proxy — easy/common text scores "
+    f"low), then split into {CURRICULUM_STAGES} equal-size curriculum stages "
+    "in difficulty order with per-stage token budgets. The ntile is computed "
+    "WITHOUT a single-partition window: functions/ordstats' bucketed global "
+    "rank (boundary sketch -> per-bucket offsets -> bucket-local row_number) "
+    "reproduces the window function bit-for-bit, so the stage assignment "
+    "scales to any corpus — the same distributed-rank machinery the "
+    "histogram/ABC operators use, applied to the training-order problem "
+    "(north-star pipeline / curriculum learning)",
+    tags=("pipeline", "text", "window"),
+)
+def curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = counts.agg(F.sum("c").cast("bigint").alias("total"))
+    nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")
+    perdoc = (
+        dw.join(counts, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+    )
+    n_docs = perdoc.count()
+    ranked = bucketed_global_rank(perdoc, "avg_nll", ["doc_id"], "rk")
+    staged = ranked.select(
+        "n_tokens",
+        "avg_nll",
+        ntile_from_rank(F.col("rk"), n_docs, CURRICULUM_STAGES).alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("avg_nll"), 4).alias("easiest_nll"),
+            F.round(F.max("avg_nll"), 4).alias("hardest_nll"),
+            F.sum("n_tokens").cast("bigint").alias("token_budget"),
+        )
+        .orderBy("stage")
+    )
