@@ -622,6 +622,7 @@ BROADCAST_GUARD_ALLOWED = {
     "parts_abc_xyz": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # visible since r8's localCheckpoint drop exposed the sample lineage
     "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    "curriculum_stage_plan": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
     # function of corpus size — formally doc-derived, hence flagged
