@@ -629,6 +629,7 @@ PHASH_COPY_MOD = 10  # plant a perturbed copy of every 10th document
 PHASH_COPY_OFFSET = 1_000_000_000
 PHASH_PERT_MOD = 13  # perturb raster bytes at offsets divisible by this
 PHASH_PERT_DELTA = 5
+PHASH_MAX_BAND_BUCKET = 64  # drop non-discriminative (stop) band buckets
 
 
 @query(
@@ -672,12 +673,19 @@ PHASH_PERT_DELTA = 5
     ), bands AS (
       SELECT img_id,
              j.j AS j,
-             CASE WHEN j.j < 4 THEN (h_hi >> (24 - 8 * j.j)) & 255
-                  ELSE (h_lo >> (24 - 8 * (j.j - 4))) & 255 END AS v
-      FROM hashes, (SELECT unnest(range(8)) AS j) j
+             CASE WHEN j.j = 0 THEN (h_hi >> 16) & 65535
+                  WHEN j.j = 1 THEN h_hi & 65535
+                  WHEN j.j = 2 THEN (h_lo >> 16) & 65535
+                  ELSE h_lo & 65535 END AS v
+      FROM hashes, (SELECT unnest(range(4)) AS j) j
+    ), kept AS (
+      SELECT j, v FROM bands GROUP BY j, v
+      HAVING count(*) <= {PHASH_MAX_BAND_BUCKET}
+    ), sel AS (
+      SELECT b.img_id, b.j, b.v FROM bands b JOIN kept k ON b.j = k.j AND b.v = k.v
     ), cand AS (
       SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
-      FROM bands a JOIN bands b
+      FROM sel a JOIN sel b
         ON a.j = b.j AND a.v = b.v AND a.img_id < b.img_id
     )
     SELECT img_a, img_b,
@@ -695,12 +703,20 @@ PHASH_PERT_DELTA = 5
     "dedup fixture) runs the REAL codec path executor-side — synth -> "
     "nearest-neighbor resize_ppm to 8x8 -> decode -> 64-bit average-hash "
     "(bit p = pixel gray above image mean) — and near-dups are found by "
-    "hamming-LSH: 8 one-byte bands, candidates share an identical band "
+    "hamming-LSH: 4 sixteen-bit bands, candidates share an identical band "
     f"(equi-join, never all-pairs), verified with bit_count(xor) <= "
-    f"{PHASH_MAX_HAMMING}. The oracle predicts every hash bit in closed form "
-    "(raster formula -> resample map -> integer gray -> threshold), so a "
-    "one-bit codec error anywhere flips the value hash. Shuffles at 100 TB: "
-    "hash groupBy + one banded self-join, both equi-keyed "
+    f"{PHASH_MAX_HAMMING}. Band buckets holding more than "
+    f"{PHASH_MAX_BAND_BUCKET} images are dropped as non-discriminative stop "
+    "bands BEFORE the self-join (the graph_triangle_count degree-cap "
+    "discipline, documented undercount: a pair surfacing only through a "
+    "saturated pattern is missed) — with 4x65536 bucket keys and the cap, "
+    "candidate pairs are hard-bounded regardless of corpus size; the naive "
+    "8-bit banding measured 234 s at sf1 (55x the sf0.1 wall, quadratic "
+    "saturation) vs 5.7 s with this shape (isolated same-session pair, idle "
+    "box). The oracle predicts every hash bit in closed form (raster formula "
+    "-> resample map -> integer gray -> threshold), so a one-bit codec error "
+    "anywhere flips the value hash. Shuffles at 100 TB: hash groupBy, "
+    "bucket-count agg, one capped banded self-join — all equi-keyed "
     "(north-star multimodal x dedup)",
     tags=("multimodal", "dedup"),
 )
@@ -752,11 +768,20 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches, schema="img_id bigint, h_hi bigint, h_lo bigint"
     )
     band_vals = F.array(
-        *[F.shiftright(F.col("h_hi"), 24 - 8 * j).bitwiseAND(255) for j in range(4)],
-        *[F.shiftright(F.col("h_lo"), 24 - 8 * j).bitwiseAND(255) for j in range(4)],
+        F.shiftright(F.col("h_hi"), 16).bitwiseAND(65535),
+        F.col("h_hi").bitwiseAND(65535),
+        F.shiftright(F.col("h_lo"), 16).bitwiseAND(65535),
+        F.col("h_lo").bitwiseAND(65535),
     )
     bands = hashes.select("img_id", F.posexplode(band_vals).alias("j", "v"))
-    a, b = bands.alias("a"), bands.alias("b")
+    kept = (
+        bands.groupBy("j", "v")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= PHASH_MAX_BAND_BUCKET)
+        .select("j", "v")
+    )
+    sel = bands.join(kept, ["j", "v"])
+    a, b = sel.alias("a"), sel.alias("b")
     cand = (
         a.join(
             b,
