@@ -2396,3 +2396,113 @@ def corpus_language_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- RAKE keywords
+
+RAKE_TOPK = 15
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t.t.pos AS pos, t.t.word AS word
+      FROM w, unnest(list_transform(range(1, len(words) + 1),
+                     i -> {{'pos': i, 'word': words[i]}})) AS t(t)
+    ), seg0 AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({_STOPS_SQL}) THEN 1 ELSE 0 END AS stop,
+             sum(CASE WHEN word IN ({_STOPS_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM toks
+    ), content AS (
+      SELECT doc_id, seg, pos, word FROM seg0 WHERE stop = 0
+    ), ph AS (
+      SELECT doc_id, seg,
+             array_to_string(list(word ORDER BY pos), ' ') AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM content GROUP BY doc_id, seg
+    ), wstats AS (
+      SELECT c.word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM content c JOIN ph p ON c.doc_id = p.doc_id AND c.seg = p.seg
+      GROUP BY c.word
+    ), phsc AS (
+      SELECT c.doc_id, c.seg, round(sum(ws.deg * 1.0 / ws.freq), 6) AS score
+      FROM content c JOIN wstats ws ON c.word = ws.word
+      GROUP BY c.doc_id, c.seg
+    )
+    SELECT p.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           max(s.score) AS rake_score
+    FROM ph p JOIN phsc s ON p.doc_id = s.doc_id AND p.seg = s.seg
+    GROUP BY p.phrase
+    ORDER BY rake_score DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """,
+    doc=f"RAKE keyword extraction (Rose et al. 2010): documents split into "
+    "candidate phrases at stopword boundaries (the induced function-word "
+    "lexicon), each word scored degree/frequency over phrase co-occurrence, "
+    f"phrase score = sum of member word scores; global top-{RAKE_TOPK} "
+    "phrases with occurrence counts. Phrase segmentation is a per-doc keyed "
+    "cumulative window (stopword count = segment id — no UDF, no driver "
+    "loop); word stats and phrase scores are two word-/segment-keyed "
+    "aggregations; the final top-k fuses to TakeOrderedAndProject. All "
+    "shuffles SF-linear and equi-keyed (north-star text analysis)",
+    tags=("text", "window"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(whitespace_tokens(F.lower(F.col("text")))).alias("pos", "word"),
+    )
+    stop = F.col("word").isin(*_EN_STOPWORDS).cast("int")
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    seg0 = toks.select(
+        "doc_id", "pos", "word", stop.alias("stop"), F.sum(stop).over(win).alias("seg")
+    )
+    content = seg0.filter(F.col("stop") == 0).select("doc_id", "seg", "pos", "word")
+    ph = content.groupBy("doc_id", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    wstats = (
+        content.join(ph.select("doc_id", "seg", "plen"), ["doc_id", "seg"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    phsc = (
+        content.join(wstats, "word")
+        .groupBy("doc_id", "seg")
+        .agg(F.round(F.sum(F.col("deg") * 1.0 / F.col("freq")), 6).alias("score"))
+    )
+    return (
+        ph.join(phsc, ["doc_id", "seg"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score").alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOPK)
+    )
