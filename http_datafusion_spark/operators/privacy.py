@@ -355,9 +355,13 @@ def privacy_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cellsz = sc.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n").alias("cell_size"))
     glob = sc.groupBy("o_orderpriority").agg(F.sum("n").alias("gn"))
     tot = glob.agg(F.sum("gn").alias("total"), F.count(F.lit(1)).cast("double").alias("m"))
+    # glob (5 closed-enum priorities) and tot (1 row) are structurally
+    # bounded: broadcast them explicitly so the zero-fill grid is a
+    # BroadcastNestedLoopJoin, never a shuffled CartesianProduct (the
+    # static planner over-estimates orders-derived aggregate sizes)
     grid = (
-        cellsz.crossJoin(glob)
-        .crossJoin(tot)
+        cellsz.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
         .join(sc, ["c_nationkey", "c_mktsegment", "o_orderpriority"], "left")
         .select(
             "c_nationkey",

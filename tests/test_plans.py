@@ -623,6 +623,7 @@ BROADCAST_GUARD_ALLOWED = {
     # visible since r8's localCheckpoint drop exposed the sample lineage
     "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     "curriculum_stage_plan": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    "privacy_tcloseness_audit": "per-o_orderpriority totals for the zero-fill grid (closed 5-value enum)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
     # function of corpus size — formally doc-derived, hence flagged
@@ -739,6 +740,39 @@ def test_broadcast_guard_unit_embeddings_and_branch_attribution(spark, sf_dir):
     total = emb.agg(F.count(F.lit(1)).alias("n"))
     v = broadcast_hint_violations(F.broadcast(total).join(docs, F.col("n") > docs.n_chars))
     assert v == []
+
+
+def test_r8_operators_plan_invariants(spark, sf_dir):
+    """Scale-shape pins for the round-8 additions: no cartesian
+    products, no data-sized single-partition exchanges beyond the
+    documented constant-sized ones, and the phash near-dup keeps its
+    stop-band cap (the fix for the sf1 quadratic — an aggregate-filter
+    on band buckets must sit between banding and the self-join)."""
+    new_ops = (
+        "rag_chunk_retrieval_eval",
+        "corpus_language_skew_audit",
+        "privacy_tcloseness_audit",
+        "dedup_cluster_ari",
+        "multimodal_phash_near_dup",
+        "curriculum_stage_plan",
+        "text_rake_keywords",
+    )
+    for name in new_ops:
+        p = plan_of(QS[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        # BNLJ only for constant-side broadcasts (k-values relation,
+        # 1-row totals); never more than the audited count
+        assert p.count("BroadcastNestedLoopJoin") <= 2, name
+
+    # the phash cap: a HAVING-style filter on the band-bucket count
+    # must survive between banding and the candidate self-join
+    p = plan_of(QS["multimodal_phash_near_dup"].spark(spark, sf_dir))
+    import re as _re
+
+    assert _re.search(r"Filter .*bn#\d+L? <= 64", p), (
+        "stop-band cap disappeared from the phash plan — the sf1 "
+        "quadratic (BASELINE.md r8 spot-check) comes back without it"
+    )
 
 
 def test_local_checkpoint_inventory_is_pinned():
