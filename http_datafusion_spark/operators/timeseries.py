@@ -1510,3 +1510,58 @@ def events_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p").cast("double") / F.max("d"), 6).alias("ccf"),
         )
     )
+
+
+# --------------------------------------------- Theil-Sen robust trend
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT (b.rev - a.rev) / (b.midx - a.midx) AS s
+      FROM monthly a JOIN monthly b ON a.midx < b.midx
+    ), ts AS (
+      SELECT round(median(s), 6) AS slope,
+             (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+             (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_months
+      FROM slopes
+    )
+    SELECT ts.n_months, ts.n_pairs, ts.slope,
+           round(median(m.rev - ts.slope * m.midx), 6) AS intercept
+    FROM monthly m CROSS JOIN ts
+    GROUP BY ts.n_months, ts.n_pairs, ts.slope
+    """,
+    doc="Theil-Sen robust trend of monthly revenue: slope = median of all "
+    "pairwise month-to-month slopes (breakdown point ~29% — one crazy month "
+    "cannot move it, unlike least squares), intercept = median residual at "
+    "the fitted slope. The pairwise self-join runs on the MONTHS-bounded "
+    "rollup (calendar-bounded: ~n_months^2/2 pairs regardless of corpus "
+    "size), never on fact rows; the fact table contributes one partial-agg "
+    "shuffle. Medians interpolate identically in both engines on the exact "
+    "2dp-rounded inputs (north-star time-series / robust statistics)",
+    tags=("events", "agg"),
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("midx")
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("rev"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(b, F.col("a.midx") < F.col("b.midx")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.midx") - F.col("a.midx"))).alias("s")
+    )
+    ts = slopes.agg(
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).crossJoin(F.broadcast(monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))))
+    resid = monthly.crossJoin(F.broadcast(ts)).select(
+        "n_months", "n_pairs", "slope", (F.col("rev") - F.col("slope") * F.col("midx")).alias("r")
+    )
+    return resid.groupBy("n_months", "n_pairs", "slope").agg(
+        F.round(F.expr("percentile(r, 0.5)"), 6).alias("intercept")
+    )

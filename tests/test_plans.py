@@ -756,13 +756,14 @@ def test_r8_operators_plan_invariants(spark, sf_dir):
         "multimodal_phash_near_dup",
         "curriculum_stage_plan",
         "text_rake_keywords",
+        "orders_theil_sen_trend",
     )
     for name in new_ops:
         p = plan_of(QS[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
-        # BNLJ only for constant-side broadcasts (k-values relation,
-        # 1-row totals); never more than the audited count
-        assert p.count("BroadcastNestedLoopJoin") <= 2, name
+        # BNLJ only for constant-side broadcasts (k-values relations,
+        # 1-row totals, months-bounded slope pairs); audited counts
+        assert p.count("BroadcastNestedLoopJoin") <= 3, name
 
     # the phash cap: a HAVING-style filter on the band-bucket count
     # must survive between banding and the candidate self-join
