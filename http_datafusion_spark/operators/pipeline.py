@@ -2387,3 +2387,129 @@ def curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ------------------------------------------- zone-map skipping audit
+
+# Zone = contiguous o_orderkey range (models a parquet row-group /
+# data file laid down in insertion-key order). A zone is prunable for
+# `o_orderdate < cutoff` iff its min date already >= cutoff — exactly
+# the min/max zone-map (row-group statistics) test every columnar
+# scanner runs before reading a page.
+ZONEMAP_ZONE_KEYS = 8192
+ZONEMAP_CUTOFFS = ("1993-01-01", "1995-01-01", "1997-01-01")
+
+
+def _zonemap_oracle() -> str:
+    m_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '{c}') AS BIGINT) AS m{i}"
+        for i, c in enumerate(ZONEMAP_CUTOFFS)
+    )
+    t_cols = ", ".join(
+        f"sum(m{i}) AS match{i}, "
+        f"CAST(count(*) FILTER (WHERE mn >= TIMESTAMP '{c}') AS BIGINT) AS prun{i}, "
+        f"sum(CASE WHEN mn >= TIMESTAMP '{c}' THEN 0 ELSE n END) AS scan{i}"
+        for i, c in enumerate(ZONEMAP_CUTOFFS)
+    )
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS cutoff, n_zones, prun{i} AS n_prunable,
+               round(prun{i} * 1.0 / n_zones, 6) AS frac_prunable,
+               CAST(match{i} AS BIGINT) AS n_match,
+               round(match{i} * 1.0 / n_rows, 6) AS selectivity,
+               round(scan{i} * 1.0 / n_rows, 6) AS scan_frac,
+               round(CAST(floor((n_rows - match{i}) * 1.0
+                     / ceil(n_rows * 1.0 / n_zones)) AS BIGINT) * 1.0
+                     / n_zones, 6) AS ideal_frac_prunable
+        FROM tot
+        """
+        for i, c in enumerate(ZONEMAP_CUTOFFS)
+    )
+    return f"""
+    WITH z AS (
+      SELECT CAST(floor(o_orderkey * 1.0 / {ZONEMAP_ZONE_KEYS}) AS BIGINT) AS zone,
+             min(o_orderdate) AS mn,
+             CAST(count(*) AS BIGINT) AS n,
+             {m_cols}
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_zones,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             {t_cols}
+      FROM z
+    )
+    SELECT * FROM ({branches}) ORDER BY cutoff
+    """
+
+
+@query(
+    "table_zonemap_audit",
+    oracle=_zonemap_oracle(),
+    doc=f"zone-map (row-group min/max) skipping audit: orders is zoned into "
+    f"contiguous {ZONEMAP_ZONE_KEYS}-key ranges — the parquet row-group model — "
+    "and for each date cutoff the audit reports how many zones a "
+    "`o_orderdate < cutoff` scan could prune today (min-stat test), the true "
+    "selectivity, the scan fraction after skipping, and the prunable fraction a "
+    "date-sorted rewrite would achieve (the Z-order/sort advisory gap). One "
+    "groupBy-zone scan computes every per-zone stat; all downstream arithmetic "
+    "runs on the |keys|/8k zone table and a 1-row total. At 100 TB this is the "
+    "layout-maintenance signal that decides whether to re-cluster a table — "
+    "data skipping is the single biggest scan lever at that scale "
+    "(north-star pipeline / lake maintenance)",
+    tags=("pipeline", "agg"),
+)
+def table_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    cuts = [F.lit(c).cast("timestamp") for c in ZONEMAP_CUTOFFS]
+    zone_aggs = [
+        F.min("o_orderdate").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    ] + [
+        F.sum(F.when(F.col("o_orderdate") < cc, 1).otherwise(0)).alias(f"m{i}")
+        for i, cc in enumerate(cuts)
+    ]
+    z = o.groupBy(
+        F.floor(F.col("o_orderkey") * 1.0 / ZONEMAP_ZONE_KEYS).alias("zone")
+    ).agg(*zone_aggs)
+    tot_aggs = [
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum("n").alias("n_rows"),
+    ]
+    for i, cc in enumerate(cuts):
+        tot_aggs += [
+            F.sum(f"m{i}").alias(f"match{i}"),
+            F.sum(F.when(F.col("mn") >= cc, 1).otherwise(0)).alias(f"prun{i}"),
+            F.sum(F.when(F.col("mn") >= cc, F.lit(0)).otherwise(F.col("n"))).alias(
+                f"scan{i}"
+            ),
+        ]
+    tot = z.agg(*tot_aggs)
+    zone_target = F.ceil(F.col("n_rows") * 1.0 / F.col("n_zones"))
+    per_cut = [
+        tot.select(
+            F.lit(c).alias("cutoff"),
+            F.col("n_zones").cast("bigint").alias("n_zones"),
+            F.col(f"prun{i}").cast("bigint").alias("n_prunable"),
+            F.round(F.col(f"prun{i}") * 1.0 / F.col("n_zones"), 6).alias(
+                "frac_prunable"
+            ),
+            F.col(f"match{i}").cast("bigint").alias("n_match"),
+            F.round(F.col(f"match{i}") * 1.0 / F.col("n_rows"), 6).alias(
+                "selectivity"
+            ),
+            F.round(F.col(f"scan{i}") * 1.0 / F.col("n_rows"), 6).alias("scan_frac"),
+            F.round(
+                F.floor(
+                    (F.col("n_rows") - F.col(f"match{i}")) * 1.0 / zone_target
+                ).cast("bigint")
+                * 1.0
+                / F.col("n_zones"),
+                6,
+            ).alias("ideal_frac_prunable"),
+        )
+        for i, c in enumerate(ZONEMAP_CUTOFFS)
+    ]
+    out = per_cut[0]
+    for df in per_cut[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("cutoff")

@@ -1374,3 +1374,124 @@ def sim_ood_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("min_d2"), "vec_id")
         .limit(OOD_TOPK)
     )
+
+
+# ------------------------------------------ Matryoshka truncation eval
+
+# Truncation prefixes evaluated against the full 64-dim ranking.
+# Matryoshka-style representation truncation (Kusupati et al. 2022,
+# public) is the standard memory/latency lever of an embedding
+# service: store 64 dims, serve the first d. This audit measures what
+# that costs in retrieval quality BEFORE the service flips the knob.
+MATRYOSHKA_DIMS = (8, 16, 32)
+MATRYOSHKA_FULL_DIM = 64
+MATRYOSHKA_QUERY_IDS = (0, 101, 202, 303, 404)  # fixed probe set (pipeline constant)
+MATRYOSHKA_K = 10
+
+_PREFIX_DOT_SQL = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_PREFIX_NORM_SQL = (
+    "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN {MATRYOSHKA_QUERY_IDS}
+    ), dims AS (
+      SELECT unnest({list(MATRYOSHKA_DIMS) + [MATRYOSHKA_FULL_DIM]}) AS dim
+    ), sc AS (
+      SELECT q.qid, e.vec_id, dims.dim,
+             {_PREFIX_DOT_SQL.format(d='dims.dim', a='e.embedding', b='q.qv')}
+             / ({_PREFIX_NORM_SQL.format(d='dims.dim', a='e.embedding')}
+                * {_PREFIX_NORM_SQL.format(d='dims.dim', a='q.qv')}) AS cos
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid CROSS JOIN dims
+    ), rk AS (
+      SELECT qid, vec_id, dim,
+             row_number() OVER (PARTITION BY qid, dim ORDER BY cos DESC, vec_id) AS rk
+      FROM sc
+    ), truth AS (
+      SELECT qid, vec_id FROM rk
+      WHERE dim = {MATRYOSHKA_FULL_DIM} AND rk <= {MATRYOSHKA_K}
+    ), approx AS (
+      SELECT qid, vec_id, dim FROM rk
+      WHERE dim <> {MATRYOSHKA_FULL_DIM} AND rk <= {MATRYOSHKA_K}
+    ), h AS (
+      SELECT a.dim, count(*) AS n FROM approx a
+      JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+      GROUP BY a.dim
+    )
+    SELECT CAST(d.dim AS BIGINT) AS dim,
+           CAST({MATRYOSHKA_K} AS BIGINT) AS k,
+           round(coalesce(h.n, 0) * 1.0
+                 / ({MATRYOSHKA_K} * {len(MATRYOSHKA_QUERY_IDS)}), 6) AS avg_recall,
+           CAST({len(MATRYOSHKA_QUERY_IDS)} AS BIGINT) AS n_queries
+    FROM (SELECT unnest({list(MATRYOSHKA_DIMS)}) AS dim) d
+    LEFT JOIN h ON h.dim = d.dim
+    ORDER BY dim
+    """,
+    doc=f"Matryoshka truncation audit: recall@{MATRYOSHKA_K} of prefix-dim cosine "
+    f"retrieval (dims {MATRYOSHKA_DIMS}) against the full {MATRYOSHKA_FULL_DIM}-dim "
+    f"ranking, averaged over a fixed {len(MATRYOSHKA_QUERY_IDS)}-query probe set. "
+    "The dims grid and probe vectors are broadcast constants; scoring is one "
+    "linear scan with a bounded x(queries x dims) fan-out; per-(query,dim) "
+    "ranking is a keyed window (top-k per group), never a global sort. At "
+    "100 TB this runs as the eval-sample calibration before a service truncates "
+    "its stored vectors — the production serving path stays IVF "
+    "(north-star similarity / embedding ops)",
+    tags=("similarity",),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb.alias("emb"))
+    q = base.filter(F.col("vec_id").isin(*MATRYOSHKA_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in (*MATRYOSHKA_DIMS, MATRYOSHKA_FULL_DIM)], "dim int"
+    )
+    a_p = F.slice(F.col("emb"), F.lit(1), F.col("dim"))
+    b_p = F.slice(F.col("qv"), F.lit(1), F.col("dim"))
+    cos = _dot(a_p, b_p) / (_norm(a_p) * _norm(b_p))
+    sc = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(dims))
+        .select("qid", "vec_id", "dim", cos.alias("cos"))
+    )
+    rk = sc.select(
+        "qid",
+        "vec_id",
+        "dim",
+        F.row_number()
+        .over(W.partitionBy("qid", "dim").orderBy(F.desc("cos"), F.asc("vec_id")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= MATRYOSHKA_K)
+    truth = rk.filter(F.col("dim") == MATRYOSHKA_FULL_DIM).select("qid", "vec_id")
+    approx = rk.filter(F.col("dim") != MATRYOSHKA_FULL_DIM).select(
+        "qid", "vec_id", "dim"
+    )
+    h = approx.join(truth, ["qid", "vec_id"]).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dgrid = spark.createDataFrame([(d,) for d in MATRYOSHKA_DIMS], "dim int")
+    denom = MATRYOSHKA_K * len(MATRYOSHKA_QUERY_IDS)
+    return (
+        dgrid.join(h, "dim", "left")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.lit(MATRYOSHKA_K).cast("bigint").alias("k"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / denom, 6).alias("avg_recall"),
+            F.lit(len(MATRYOSHKA_QUERY_IDS)).cast("bigint").alias("n_queries"),
+        )
+        .orderBy("dim")
+    )

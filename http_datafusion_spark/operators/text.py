@@ -2506,3 +2506,127 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(RAKE_TOPK)
     )
+
+
+# ------------------------------------------- tokenizer fertility audit
+
+@query(
+    "tokenizer_fertility_audit",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS BIGINT)  AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) * 1.0 / greatest(sum(n_words), 1), 6) AS fertility,
+           round(sum(n_chars) * 1.0 / greatest(sum(n_tokens), 1), 6) AS chars_per_token,
+           round(avg(n_tokens * 1.0), 4) AS avg_doc_tokens
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="tokenizer fertility audit: per-language tokens-per-word (fertility) "
+    "and chars-per-token under the word-piece pre-tokenizer — THE metric a "
+    "multilingual tokenizer review reads (high fertility = the vocabulary "
+    "taxes that language; public convention from the SentencePiece/BPE "
+    "literature). One scan, two codegen'd regex counts per row, one "
+    "lang-keyed agg (|langs|-bounded output); partial aggregation makes the "
+    "shuffle carry only per-lang partials at 100 TB "
+    "(north-star text / tokenizer ops)",
+    tags=("text", "agg"),
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_words"),
+        bpe_ish_token_estimate(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") * 1.0 / F.greatest(F.sum("n_words"), F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") * 1.0 / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+            ).alias("chars_per_token"),
+            F.round(F.avg(F.col("n_tokens") * 1.0), 4).alias("avg_doc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------- code-document detect
+
+# Symbol classes that dominate source code but are rare in prose.
+# Public heuristic family (C4 / Gopher / RefinedWeb-style rule
+# filters): symbol density + digit density, thresholded.
+CODE_SYM_RE = r"[\[\]{}();=<>#|&]"
+CODE_SYM_THRESHOLD = 0.01  # >=1% code symbols flags a doc as code-like
+
+
+@query(
+    "text_code_detect",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{CODE_SYM_RE}')) AS BIGINT) AS n_sym,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+             CAST(greatest(length(text), 1) AS BIGINT) AS n_chars
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             round(n_sym * 1.0 / n_chars, 6) AS sym_ratio,
+             round(n_digit * 1.0 / n_chars, 6) AS digit_ratio
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE sym_ratio >= {CODE_SYM_THRESHOLD}) AS BIGINT) AS n_code_like,
+           round(count(*) FILTER (WHERE sym_ratio >= {CODE_SYM_THRESHOLD}) * 1.0
+                 / count(*), 6) AS code_frac,
+           round(avg(sym_ratio), 6) AS avg_sym_ratio,
+           round(avg(digit_ratio), 6) AS avg_digit_ratio
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="code-vs-prose detection: per-doc code-symbol density (braces, "
+    "brackets, operators — the C4/Gopher/RefinedWeb rule-filter family) "
+    "thresholded at "
+    f"{CODE_SYM_THRESHOLD}, rolled up per source — the signal a pretraining "
+    "mixture uses to route documents to a code pipeline or strip "
+    "markup-heavy scrapes. Two codegen'd regex counts per row, one "
+    "source-keyed agg; partial aggregation keeps the 100 TB shuffle at "
+    "per-source partials (north-star text / curation)",
+    tags=("text", "agg"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    scored = d.select(
+        "source",
+        F.round(F.regexp_count(F.col("text"), F.lit(CODE_SYM_RE)) * 1.0 / n_chars, 6).alias(
+            "sym_ratio"
+        ),
+        F.round(F.regexp_count(F.col("text"), F.lit("[0-9]")) * 1.0 / n_chars, 6).alias(
+            "digit_ratio"
+        ),
+    )
+    is_code = (F.col("sym_ratio") >= CODE_SYM_THRESHOLD).cast("long")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(is_code).cast("bigint").alias("n_code_like"),
+            F.round(F.sum(is_code) * 1.0 / F.count(F.lit(1)), 6).alias("code_frac"),
+            F.round(F.avg("sym_ratio"), 6).alias("avg_sym_ratio"),
+            F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+        )
+        .orderBy("source")
+    )

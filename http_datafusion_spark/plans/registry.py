@@ -82,6 +82,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       deferred to the r9 head: the window cap is 50 and the
 #       never-checked r8 additions (dedup_cluster_ari,
 #       multimodal_phash_near_dup) outrank unchanged re-confirmations.
+#   R9 HEAD (named now, per rotation discipline): the late-r8
+#   additions written AFTER this window opened — sim_matryoshka_recall,
+#   table_zonemap_audit, tokenizer_fertility_audit, text_code_detect
+#   (all with local sf0.001+sf0.01 oracle evidence) — then
+#   ts_gapfill_grid and ts_forward_fill (the two deferred r1
+#   re-confirmations).
 #   Round-8 code changes elsewhere (ragged-JSON staging normalization,
 #   broadcast-guard hardening, ordstats empty-input guard) touch no
 #   registry query's plan or results: the ingest fix is on the

@@ -870,3 +870,33 @@ def test_calibration_operators_candidate_gated_no_cartesian(spark, sf_dir):
         # the 1-row n_pred aggregate and the K-row centroid table of the
         # IVF candidate path — never a data-x-data product
         assert s.count("BroadcastNestedLoopJoin") <= 2, name
+
+
+def test_r8_late_operators_plan_invariants(spark, sf_dir):
+    """Scale-shape pins for the late-round-8 additions (the named r9
+    window head): no cartesian products; the only nested-loop joins are
+    constant-side broadcasts (dims grids, 1-row totals); the two
+    corpus-scan audits keep their aggregation keyed (no data-sized
+    single-partition exchange)."""
+    for name in (
+        "sim_matryoshka_recall",
+        "table_zonemap_audit",
+        "tokenizer_fertility_audit",
+        "text_code_detect",
+    ):
+        p = plan_of(QS[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        # matryoshka: probe-vector + dims-grid broadcasts; zonemap:
+        # per-cutoff selects off the 1-row total
+        assert p.count("BroadcastNestedLoopJoin") <= 4, name
+
+    # the corpus-linear scans must aggregate by key, not collapse to a
+    # single partition before reducing (map-side partials carry it)
+    for name in ("tokenizer_fertility_audit", "text_code_detect"):
+        p = plan_of(QS[name].spark(spark, sf_dir))
+        assert "HashAggregate" in p, name
+
+    # matryoshka ranking must stay a keyed window — a global sort of
+    # the scored candidates would be the 100x scale bug
+    p = plan_of(QS["sim_matryoshka_recall"].spark(spark, sf_dir))
+    assert "partial_row_number" in p or "RunningWindowFunction" in p or "Window" in p
