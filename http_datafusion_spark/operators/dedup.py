@@ -1322,3 +1322,110 @@ def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(denom != 0, (F.col("sij") - exp) / denom).otherwise(F.lit(None)), 6
         ).alias("ari"),
     )
+
+
+# -------------------------------------------- LSH band-plan tuning
+
+# Candidate (bands, rows) splits of the k=8 signature. For each, the
+# S-curve P(candidate | s) = 1 - (1 - s^r)^b (Broder/LSH theory,
+# public) is evaluated against the OBSERVED estimated-Jaccard
+# histogram of the current candidate pairs — the data-driven audit
+# that picks a banding before re-running corpus dedup under it.
+BAND_TUNING_GRID = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _pow_tree_sql(expr: str, n: int) -> str:
+    """Binary-power multiplication tree as a SQL string — the SAME
+    expression tree the Spark side builds, so both engines run the
+    identical sequence of exactly-rounded IEEE multiplies (no pow(),
+    whose libm rounding may differ across engines)."""
+    if n == 1:
+        return expr
+    h = _pow_tree_sql(expr, n // 2)
+    return f"({h} * {h})"
+
+
+def _pow_tree_col(col: Column, n: int) -> Column:
+    if n == 1:
+        return col
+    h = _pow_tree_col(col, n // 2)
+    return h * h
+
+
+def _band_tuning_oracle() -> str:
+    import math
+
+    branches = []
+    for b, r in BAND_TUNING_GRID:
+        s_half = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+        sr = _pow_tree_sql("s", r)
+        qb = _pow_tree_sql(f"(1.0 - {sr})", b)
+        p = f"(1.0 - {qb})"
+        branches.append(f"""
+        SELECT CAST({b} AS BIGINT) AS n_bands, CAST({r} AS BIGINT) AS rows_per_band,
+               {s_half!r} AS s_half,
+               CAST(sum(n) AS BIGINT) AS n_pairs,
+               round(CAST(sum(CAST(round(n * {p}, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / sum(n), 6) AS exp_recall,
+               round(CAST(sum(CAST(round(n * (1.0 - {p}), 6) AS DECIMAL(18,6)))
+                     AS DOUBLE), 4) AS exp_missed_pairs
+        FROM hist
+        """)
+    assert math.isfinite(s_half)
+    return f"""
+    WITH cand AS ({_minhash_pairs_sql()}),
+    hist AS (
+      SELECT est_jaccard AS s, CAST(count(*) AS BIGINT) AS n
+      FROM cand GROUP BY 1
+    )
+    SELECT * FROM ({" UNION ALL ".join(branches)}) ORDER BY n_bands
+    """
+
+
+@query(
+    "dedup_minhash_band_tuning",
+    oracle=_band_tuning_oracle(),
+    doc="LSH band-plan tuning: for each (bands, rows) split of the k=8 "
+    "signature, the Broder S-curve P(candidate|s) = 1-(1-s^r)^b is "
+    "integrated against the observed estimated-Jaccard histogram of the "
+    "current candidate pairs, emitting expected recall, expected missed "
+    "pairs, and the 50%-catch similarity threshold per plan — the audit a "
+    "dedup deployment reads before re-banding (more bands = more recall = "
+    "more candidate volume). The histogram is |distinct est| rows (<= k/2+1 "
+    "buckets, est is n_match/8), the grid is 4 constant rows; every "
+    "S-curve power is a binary multiplication tree (identical IEEE "
+    "rounding on both engines — no libm pow). All post-candidate work is "
+    "on bounded relations; the candidate generation itself is the audited "
+    "sub-quadratic LSH path (north-star dedup / calibration)",
+    tags=("dedup", "text"),
+)
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .groupBy(F.col("est_jaccard").alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_plan = []
+    for b, r in BAND_TUNING_GRID:
+        s_half = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+        sr = _pow_tree_col(F.col("s"), r)
+        qb = _pow_tree_col(F.lit(1.0) - sr, b)
+        p = F.lit(1.0) - qb
+        caught = F.round(F.col("n") * p, 6).cast("decimal(18,6)")
+        missed = F.round(F.col("n") * (F.lit(1.0) - p), 6).cast("decimal(18,6)")
+        per_plan.append(
+            hist.agg(
+                F.lit(b).cast("bigint").alias("n_bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(s_half).alias("s_half"),
+                F.sum("n").cast("bigint").alias("n_pairs"),
+                F.round(F.sum(caught).cast("double") / F.sum("n"), 6).alias(
+                    "exp_recall"
+                ),
+                F.round(F.sum(missed).cast("double"), 4).alias("exp_missed_pairs"),
+            )
+        )
+    out = per_plan[0]
+    for df in per_plan[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("n_bands")

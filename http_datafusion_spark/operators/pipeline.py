@@ -2513,3 +2513,189 @@ def table_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_cut[1:]:
         out = out.unionAll(df)
     return out.orderBy("cutoff")
+
+
+# ------------------------------------------ RRF hybrid-retrieval eval
+
+# Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009,
+# public): score = sum over signals of 1/(RRF_K + rank).
+RRF_K = 60
+RRF_EVAL_KS = (5, 10)
+
+_RRF_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "rag_rrf_fusion_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest({_LWORDS_SQL}) AS word FROM documents)
+    ), q AS (
+      SELECT doc_id AS qid, word FROM toks
+      WHERE doc_id IN {RAG_QUERY_DOCS}
+    ), lex AS (
+      SELECT q.qid, t.doc_id, count(*) AS hits
+      FROM toks t JOIN q ON t.word = q.word
+      WHERE t.doc_id <> q.qid GROUP BY 1, 2
+    ), lr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rl
+      FROM lex
+    ), e AS (
+      SELECT vec_id, embedding,
+             sqrt({_RRF_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), qe AS (
+      SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e
+      WHERE vec_id IN {RAG_QUERY_DOCS}
+    ), sem AS (
+      SELECT qe.qid, e.vec_id AS doc_id,
+             {_RRF_DOT_SQL.format(a='e.embedding', b='qe.qv')} / (e.nrm * qe.qn) AS cos
+      FROM e JOIN qe ON e.vec_id <> qe.qid
+    ), sr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rs
+      FROM sem
+    ), fused AS (
+      SELECT coalesce(l.qid, s.qid) AS qid,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0 / ({RRF_K} + l.rl), 0.0)
+             + coalesce(1.0 / ({RRF_K} + s.rs), 0.0) AS score
+      FROM lr l FULL JOIN sr s ON s.qid = l.qid AND s.doc_id = l.doc_id
+    ), fr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rf
+      FROM fused
+    ), ks AS (SELECT unnest({list(RRF_EVAL_KS)}) AS k),
+    hf AS (
+      SELECT ks.k, count(*) AS n
+      FROM fr f JOIN sr s ON s.qid = f.qid AND s.doc_id = f.doc_id
+      CROSS JOIN ks WHERE f.rf <= ks.k AND s.rs <= ks.k GROUP BY 1
+    ), hl AS (
+      SELECT ks.k, count(*) AS n
+      FROM lr l JOIN sr s ON s.qid = l.qid AND s.doc_id = l.doc_id
+      CROSS JOIN ks WHERE l.rl <= ks.k AND s.rs <= ks.k GROUP BY 1
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           round(coalesce(hf.n, 0) * 1.0
+                 / (ks.k * {len(RAG_QUERY_DOCS)}), 6) AS fused_recall_vs_sem,
+           round(coalesce(hl.n, 0) * 1.0
+                 / (ks.k * {len(RAG_QUERY_DOCS)}), 6) AS lex_recall_vs_sem,
+           CAST({len(RAG_QUERY_DOCS)} AS BIGINT) AS n_queries
+    FROM ks LEFT JOIN hf ON hf.k = ks.k LEFT JOIN hl ON hl.k = ks.k
+    ORDER BY k
+    """,
+    doc=f"hybrid-retrieval fusion eval: lexical (token-overlap) and semantic "
+    f"(cosine over the aligned embeddings) rankings for the fixed "
+    f"{len(RAG_QUERY_DOCS)}-query probe set are fused by reciprocal-rank "
+    f"fusion (1/({RRF_K}+rank), Cormack et al. 2009) and recall@k of the "
+    "fused list vs the semantic ranking is compared against lexical-only — "
+    "the standard hybrid-search A/B a RAG stack runs before enabling "
+    "fusion. Probe sets broadcast; both signals are per-query keyed "
+    "windows over linear scans (lexical candidates are hit-bounded, "
+    "semantic fan-out is |queries| x corpus); the fusion itself is a "
+    "(qid, doc)-keyed outer join of two rank columns — RRF scores are "
+    "rank-derived rationals, identical IEEE arithmetic on both engines "
+    "(north-star pipeline / RAG retrieval)",
+    tags=("pipeline", "similarity", "text"),
+)
+def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.similarity import _dot, _norm
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    d, e = t["documents"], t["embeddings"]
+    lwords = whitespace_tokens(F.lower(F.col("text")))
+    toks = d.select("doc_id", F.explode(F.array_distinct(lwords)).alias("word"))
+    q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
+        F.col("doc_id").alias("qid"), "word"
+    )
+    lex = (
+        toks.join(F.broadcast(q), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    lr = lex.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("rl"),
+    )
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
+    qe = base.filter(F.col("vec_id").isin(*RAG_QUERY_DOCS)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sem = (
+        base.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    sr = sem.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
+        .alias("rs"),
+    )
+    fused = (
+        lr.join(sr, ["qid", "doc_id"], "full")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rs")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    fr = fused.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rf"),
+    )
+    ks = spark.createDataFrame([(k,) for k in RRF_EVAL_KS], "k int")
+    hf = (
+        fr.join(sr, ["qid", "doc_id"])
+        .join(F.broadcast(ks), (F.col("rf") <= F.col("k")) & (F.col("rs") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    hl = (
+        lr.join(sr, ["qid", "doc_id"])
+        .join(F.broadcast(ks), (F.col("rl") <= F.col("k")) & (F.col("rs") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    denom = F.col("k") * len(RAG_QUERY_DOCS)
+    return (
+        ks.join(hf, "k", "left")
+        .join(hl, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.round(F.coalesce(F.col("nf"), F.lit(0)) * 1.0 / denom, 6).alias(
+                "fused_recall_vs_sem"
+            ),
+            F.round(F.coalesce(F.col("nl"), F.lit(0)) * 1.0 / denom, 6).alias(
+                "lex_recall_vs_sem"
+            ),
+            F.lit(len(RAG_QUERY_DOCS)).cast("bigint").alias("n_queries"),
+        )
+        .orderBy("k")
+    )

@@ -883,12 +883,16 @@ def test_r8_late_operators_plan_invariants(spark, sf_dir):
         "table_zonemap_audit",
         "tokenizer_fertility_audit",
         "text_code_detect",
+        "dedup_minhash_band_tuning",
+        "rag_rrf_fusion_eval",
     ):
         p = plan_of(QS[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
         # matryoshka: probe-vector + dims-grid broadcasts; zonemap:
-        # per-cutoff selects off the 1-row total
-        assert p.count("BroadcastNestedLoopJoin") <= 4, name
+        # per-cutoff selects off the 1-row total; rrf: the 5-row probe
+        # fan-out plus two range-condition joins against the 2-row ks
+        # grid — every nested-loop side is a constant-sized relation
+        assert p.count("BroadcastNestedLoopJoin") <= 5, name
 
     # the corpus-linear scans must aggregate by key, not collapse to a
     # single partition before reducing (map-side partials carry it)
