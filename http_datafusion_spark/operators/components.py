@@ -726,3 +726,116 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("triangles_per_edge"),
         )
     )
+
+
+# ------------------------------------------------ k-core decomposition
+
+# Fixed-round k-core peel on the minhash NEAR-DUP graph (nodes = docs,
+# edges = LSH candidate pairs with signature agreement >= 1/2): each
+# round removes every doc whose degree in the CURRENT graph is < 
+# KCORE_K, then drops the incident edges. Surviving nodes after the
+# rounds are the DENSE duplication communities (template/boilerplate
+# families), separated from incidental one-off pair matches — the
+# graph-side refinement of dedup_clusters. KCORE_ROUNDS is a fixed
+# constant (bounded iteration, the BPE-merge discipline) so the op is
+# deterministic and SQL-mirrorable; a full decomposition at scale
+# loops the same round body to the digest fixpoint (_digest above).
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    from http_datafusion_spark.operators.dedup import _minhash_pairs_sql
+
+    rounds_cte, rows = [], []
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds_cte.append(f"""
+    d{i} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p}
+      ) GROUP BY node
+    ),
+    w{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg < {KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{p} e
+      LEFT JOIN w{i} wu ON e.u = wu.node
+      LEFT JOIN w{i} wv ON e.v = wv.node
+      WHERE wu.node IS NULL AND wv.node IS NULL
+    )""")
+        rows.append(f"""
+    SELECT CAST({i} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM w{i}) AS n_removed,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+              SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}))
+             AS nodes_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS edges_after
+    """)
+    return (
+        f"WITH e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM ({_minhash_pairs_sql()})),"
+        + ",".join(rounds_cte)
+        + " SELECT * FROM (" + " UNION ALL ".join(rows) + ") ORDER BY round"
+    )
+
+
+@query(
+    "graph_kcore_rounds",
+    oracle=_kcore_oracle(),
+    doc=f"k-core peel (k={KCORE_K}, {KCORE_ROUNDS} fixed rounds) on the "
+    "minhash near-dup graph (nodes = docs, edges = verified LSH candidate "
+    "pairs): each round drops every node with current degree < k plus its "
+    "incident edges, reporting removals and surviving nodes/edges per "
+    "round — peeling isolates the DENSE duplication communities "
+    "(template/boilerplate families) from incidental pair matches, the "
+    "graph-side refinement of dedup_clusters (k-core: Seidman 1983, "
+    "public). Each round is one degree aggregation + two anti joins, all "
+    "key-partitioned; the edge set shrinks monotonically (lineage-cut per "
+    "round); the full decomposition at scale runs this round body to the "
+    "O(1)-driver digest fixpoint rather than a fixed count. Fixed rounds "
+    "keep the operator deterministic and oracle-mirrorable "
+    "(north-star graph analytics / dedup)",
+    tags=("graph", "dedup", "join", "agg"),
+)
+def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
+
+    edges = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        # iterative lineage cut (same pattern as connected components):
+        # without it every round re-derives the LSH candidate join and
+        # the per-round stats re-derive every earlier round.
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+        )
+        weak = deg.filter(F.col("dg") < KCORE_K).select("node")
+        edges = (
+            edges.join(weak, edges["u"] == weak["node"], "left_anti")
+            .join(weak, edges["v"] == weak["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        nodes_after = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .agg(F.countDistinct("node").cast("bigint").alias("nodes_after"))
+        )
+        row = (
+            weak.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+            .crossJoin(nodes_after)
+            .crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("edges_after")))
+            .select(
+                F.lit(i).cast("bigint").alias("round"),
+                "n_removed",
+                "nodes_after",
+                "edges_after",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

@@ -1565,3 +1565,226 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resid.groupBy("n_months", "n_pairs", "slope").agg(
         F.round(F.expr("percentile(r, 0.5)"), 6).alias("intercept")
     )
+
+
+# --------------------------------------- two-sample KS distribution test
+
+# Binned two-sample Kolmogorov-Smirnov: D = max over bins of
+# |ECDF_a - ECDF_b| computed on a 256-bin equi-width grid over the
+# combined range. Binning makes the statistic a LOWER BOUND on the
+# exact sup-norm D (documented approximation — the exact statistic
+# needs per-distinct-value cumulative ranks, a data-sized global
+# order), and bounds every post-scan relation at 256 rows, which is
+# what makes the op safe at any corpus size.
+KS_BINS = 256
+KS_GROUP_A = "purchase"
+KS_GROUP_B = "click"
+KS_CRIT_COEF = 1.358  # c(alpha) at alpha = 0.05 (classic KS table, public)
+
+
+@query(
+    "events_ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS ga
+      FROM events WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+    ), rng AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM s
+    ), binned AS (
+      SELECT CASE WHEN rng.mx = rng.mn THEN 0
+                  ELSE least(CAST(floor((s.value - rng.mn) * {KS_BINS}.0
+                                        / (rng.mx - rng.mn)) AS BIGINT),
+                             {KS_BINS - 1}) END AS bin,
+             CAST(sum(CASE WHEN ga = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN ga = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s, rng GROUP BY 1
+    ), cum AS (
+      SELECT bin,
+             sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cca,
+             sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ccb
+      FROM binned
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM binned
+    ), diffs AS (
+      SELECT bin, abs(cca * 1.0 / tot.na - ccb * 1.0 / tot.nb) AS d
+      FROM cum, tot
+    ), best AS (
+      SELECT bin AS ks_bin, d FROM diffs ORDER BY d DESC, bin LIMIT 1
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           round(best.d, 6) AS ks_stat,
+           CAST(best.ks_bin AS BIGINT) AS ks_bin,
+           round({KS_CRIT_COEF} * sqrt((tot.na + tot.nb) * 1.0 / (tot.na * tot.nb)), 6)
+             AS crit_05,
+           CAST(CASE WHEN best.d > {KS_CRIT_COEF}
+                          * sqrt((tot.na + tot.nb) * 1.0 / (tot.na * tot.nb))
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM best, tot
+    """,
+    doc=f"two-sample Kolmogorov-Smirnov test ({KS_GROUP_A!r} vs {KS_GROUP_B!r} "
+    f"value distributions): binned ECDFs on a {KS_BINS}-bin equi-width grid, "
+    "D = max |F_a - F_b| with the alpha=0.05 critical value and reject flag — "
+    "the distribution-drift test that catches shape changes mean-based A/B "
+    "(events_ab_lift) misses. Binning makes D a documented lower bound on the "
+    "exact sup-norm and bounds every post-scan relation at 256 rows: one "
+    "conditional-agg scan, a 256-row cumulative window (constant-sized "
+    "single partition — the documented-bounded shape), 1-row totals "
+    "(SURVEY §2.4 extension / statistics)",
+    tags=("events", "agg", "timeseries"),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    s = e.filter(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)).select(
+        "value", (F.col("event_type") == KS_GROUP_A).cast("int").alias("ga")
+    )
+    rng = s.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = (
+        s.crossJoin(F.broadcast(rng))
+        .select(
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        * float(KS_BINS)
+                        / (F.col("mx") - F.col("mn"))
+                    ).cast("bigint"),
+                    F.lit(KS_BINS - 1),
+                )
+            )
+            .alias("bin"),
+            "ga",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("ga")).cast("bigint").alias("ca"),
+            F.sum(F.lit(1) - F.col("ga")).cast("bigint").alias("cb"),
+        )
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    tot = binned.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.abs(F.col("cca") * 1.0 / F.col("na") - F.col("ccb") * 1.0 / F.col("nb")).alias(
+            "d"
+        ),
+    )
+    best = diffs.orderBy(F.desc("d"), F.asc("bin")).limit(1).select(
+        F.col("bin").alias("ks_bin"), "d"
+    )
+    crit = F.lit(KS_CRIT_COEF) * F.sqrt(
+        (F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("d", 6).alias("ks_stat"),
+        F.col("ks_bin").cast("bigint").alias("ks_bin"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("d") > crit).cast("bigint").alias("reject_05"),
+    )
+
+
+# ------------------------------------- Mann-Whitney U rank-sum test
+
+# Location-shift twin of events_ks_two_sample: same two samples, but
+# the test statistic is the tie-corrected rank-sum U with a normal
+# approximation z (standard Mann-Whitney-Wilcoxon, public). The
+# tie-averaged rank sum is computed EXACTLY: everything stays integer
+# (2*R1 instead of R1) until the final z division, and the global
+# cumulative count over the distinct-value table runs through the
+# bucketed two-phase prefix sum — no data-sized single-partition sort.
+MW_GROUP_A = "purchase"
+MW_GROUP_B = "click"
+
+
+@query(
+    "events_mannwhitney_u",
+    oracle=f"""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = '{MW_GROUP_A}' THEN 1 ELSE 0 END AS ga
+      FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+    ), cnt AS (
+      SELECT value,
+             CAST(sum(ga) AS BIGINT) AS c1,
+             CAST(sum(1 - ga) AS BIGINT) AS c2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY value
+    ), cum AS (
+      SELECT c1, c2, c,
+             sum(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS gcum
+      FROM cnt
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * gcum - c + 1)) AS BIGINT) AS r2x,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+      FROM cum
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           round((2 * n1 * n2 + n1 * (n1 + 1) - r2x) / 2.0, 1) AS u_stat,
+           round((2 * n1 * n2 + n1 * (n1 + 1) - r2x - n1 * n2)
+                 / (2.0 * sqrt(n1 * n2 * 1.0 * (n1 + n2 + 1) / 12.0
+                               - n1 * n2 * 1.0 * tsum
+                                 / (12.0 * (n1 + n2) * (n1 + n2 - 1)))), 4) AS z_score,
+           CAST(CASE WHEN abs((2 * n1 * n2 + n1 * (n1 + 1) - r2x - n1 * n2)
+                 / (2.0 * sqrt(n1 * n2 * 1.0 * (n1 + n2 + 1) / 12.0
+                               - n1 * n2 * 1.0 * tsum
+                                 / (12.0 * (n1 + n2) * (n1 + n2 - 1))))) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM agg
+    """,
+    doc=f"Mann-Whitney U rank-sum test ({MW_GROUP_A!r} vs {MW_GROUP_B!r}): "
+    "tie-corrected U with normal-approximation z and alpha=0.05 reject flag — "
+    "the robust location test next to the mean-based events_ab_lift and the "
+    "shape-based events_ks_two_sample. Rank sums stay exact integers (2R1 "
+    "form) over the distinct-value count table; the global cumulative count "
+    "runs through the bucketed two-phase prefix sum (functions/ordstats), so "
+    "no data-sized relation ever crosses an Exchange SinglePartition "
+    "(SURVEY §2.4 extension / statistics)",
+    tags=("events", "agg", "timeseries"),
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.ordstats import bucketed_global_rank
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    s = e.filter(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)).select(
+        "value", (F.col("event_type") == MW_GROUP_A).cast("int").alias("ga")
+    )
+    cnt = s.groupBy("value").agg(
+        F.sum("ga").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("ga")).cast("bigint").alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    cum = bucketed_global_rank(
+        cnt, "value", [], rank_name="grk", cumsum_of="c", cumsum_name="gcum"
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("gcum") - F.col("c") + 1))
+        .cast("bigint")
+        .alias("r2x"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tsum"),
+    )
+    n1, n2, r2x, tsum = F.col("n1"), F.col("n2"), F.col("r2x"), F.col("tsum")
+    u2 = 2 * n1 * n2 + n1 * (n1 + 1) - r2x
+    sigma2 = (n1 * n2 * 1.0 * (n1 + n2 + 1) / 12.0) - (
+        n1 * n2 * 1.0 * tsum / (12.0 * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (u2 - n1 * n2) / (2.0 * F.sqrt(sigma2))
+    return agg.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.round(u2 / 2.0, 1).alias("u_stat"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).cast("bigint").alias("reject_05"),
+    )

@@ -623,6 +623,7 @@ BROADCAST_GUARD_ALLOWED = {
     # visible since r8's localCheckpoint drop exposed the sample lineage
     "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     "curriculum_stage_plan": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    "events_mannwhitney_u": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     "privacy_tcloseness_audit": "per-o_orderpriority totals for the zero-fill grid (closed 5-value enum)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
@@ -783,10 +784,13 @@ def test_local_checkpoint_inventory_is_pinned():
 
     Audit of the pinned sites (what each checkpoints and why it is
     bounded or a sound trade):
-    - components.py (5): iterative lineage cuts — connected-components
+    - components.py (7): iterative lineage cuts — connected-components
       star rounds (edges shrink monotonically), minhash-filtered
       shingles computed once and reused per round, triangle edge set
-      reused by three join branches (post-threshold candidate edges).
+      reused by three join branches (post-threshold candidate edges),
+      k-core base edge set + per-round peeled edges (degree-capped and
+      monotonically shrinking; without the cut each round re-derives
+      every earlier round — exponential recompute).
     - curation.py (3): per-customer RFM / revenue aggregates reused by
       3 bucketed-rank passes + sketches — customer-scale (|customers|
       << |facts|), recompute-3x vs store-once trade; MEMORY_AND_DISK
@@ -814,7 +818,7 @@ def test_local_checkpoint_inventory_is_pinned():
         if n:
             sites[str(f.relative_to(pkg))] = n
     assert sites == {
-        "operators/components.py": 5,
+        "operators/components.py": 7,
         "operators/curation.py": 3,
         "operators/dedup.py": 1,
         "operators/similarity.py": 2,
@@ -885,14 +889,19 @@ def test_r8_late_operators_plan_invariants(spark, sf_dir):
         "text_code_detect",
         "dedup_minhash_band_tuning",
         "rag_rrf_fusion_eval",
+        "events_ks_two_sample",
+        "events_mannwhitney_u",
+        "graph_kcore_rounds",
     ):
         p = plan_of(QS[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
         # matryoshka: probe-vector + dims-grid broadcasts; zonemap:
         # per-cutoff selects off the 1-row total; rrf: the 5-row probe
         # fan-out plus two range-condition joins against the 2-row ks
-        # grid — every nested-loop side is a constant-sized relation
-        assert p.count("BroadcastNestedLoopJoin") <= 5, name
+        # grid; kcore: two 1-row stat aggregates per peel round —
+        # every nested-loop side is a constant-sized relation
+        cap = 6 if name == "graph_kcore_rounds" else 5
+        assert p.count("BroadcastNestedLoopJoin") <= cap, name
 
     # the corpus-linear scans must aggregate by key, not collapse to a
     # single partition before reducing (map-side partials carry it)
