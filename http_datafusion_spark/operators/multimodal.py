@@ -803,3 +803,127 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .orderBy("img_a", "img_b")
     )
+
+
+# --------------------------------- voice-activity detection segments
+
+# Energy-threshold VAD (the classic frame-energy gate, public): samples
+# are framed, a frame is "active" when its mean |amplitude| clears the
+# threshold, and consecutive active frames merge into segments
+# (gaps-and-islands). The codec decode runs executor-side in the Arrow
+# pass; the segmentation itself is RELATIONAL (per-doc keyed window),
+# so the analytics layer scales independently of the Python decode.
+VAD_FRAME = 8  # samples per frame
+VAD_THRESHOLD = 1024  # mean-|s| activity gate (samples are in [-2048, 2047])
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle=f"""
+    WITH aud AS (
+      SELECT doc_id, 16 + n_chars % 50 AS n_samples
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    samp AS (
+      SELECT doc_id,
+             i.i AS i,
+             abs(((doc_id * 131 + i.i * 17) % 4096) - 2048) AS a
+      FROM aud, (SELECT unnest(range(0, 66)) AS i) i
+      WHERE i.i < n_samples
+    ),
+    fr AS (
+      SELECT doc_id, CAST(floor(i / {VAD_FRAME}) AS BIGINT) AS f,
+             CAST(sum(a) AS BIGINT) AS sa,
+             CAST(count(*) AS BIGINT) AS fl
+      FROM samp GROUP BY 1, 2
+    ),
+    af AS (SELECT doc_id, f FROM fr WHERE sa >= {VAD_THRESHOLD} * fl),
+    isl AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+      FROM af
+    ),
+    seg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2),
+    segagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(len) AS BIGINT) AS longest_segment
+      FROM seg GROUP BY 1
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN sa >= {VAD_THRESHOLD} * fl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active
+      FROM fr GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_frames, t.n_active,
+           coalesce(s.n_segments, 0) AS n_segments,
+           coalesce(s.longest_segment, 0) AS longest_segment
+    FROM tot t LEFT JOIN segagg s ON s.doc_id = t.doc_id
+    """,
+    doc=f"voice-activity detection over the audio payloads: every WAV is "
+    "decoded with the real RIFF/PCM codec executor-side, framed "
+    f"({VAD_FRAME} samples), gated on mean |amplitude| >= {VAD_THRESHOLD}, "
+    "and consecutive active frames merge into segments via relational "
+    "gaps-and-islands (per-doc keyed window) — the speech-segmentation "
+    "pre-step of every audio training pipeline (energy VAD, public "
+    "classic; a production gate swaps in a model score, same plumbing). "
+    "Frame stats are integers end to end (sum|s| >= T*len, no float "
+    "energies), so the closed-form generator proves the decode + framing "
+    "byte-exactly. Payloads never leave executors; one Arrow pass emits "
+    "frames, Catalyst does the rest (north-star multimodal / audio "
+    "segmentation tier)",
+    tags=("multimodal", "window"),
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "f": [], "sa": [], "fl": []}
+            for doc_id, nc in zip(pdf["doc_id"].tolist(), pdf["n_chars"].tolist()):
+                if doc_id % 2 != 1:
+                    continue
+                meta = decode_wav(synth_wav(doc_id, nc))
+                src = synth_wav(doc_id, nc)
+                data = src[len(src) - meta["n_units"] * 2:]
+                samples = struct.unpack(f"<{meta['n_units']}h", data)
+                for f in range((len(samples) + VAD_FRAME - 1) // VAD_FRAME):
+                    fr = samples[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                    rows["doc_id"].append(doc_id)
+                    rows["f"].append(f)
+                    rows["sa"].append(int(sum(abs(s) for s in fr)))
+                    rows["fl"].append(len(fr))
+            yield pd.DataFrame(rows)
+
+    fr = d.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="doc_id bigint, f bigint, sa bigint, fl bigint"
+    )
+    active = F.col("sa") >= VAD_THRESHOLD * F.col("fl")
+    af = fr.filter(active).select("doc_id", "f")
+    isl = af.select(
+        "doc_id",
+        "f",
+        (F.col("f") - F.row_number().over(W.partitionBy("doc_id").orderBy("f"))).alias(
+            "g"
+        ),
+    )
+    seg = isl.groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    segagg = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("len").cast("bigint").alias("longest_segment"),
+    )
+    tot = fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(active.cast("long")).cast("bigint").alias("n_active"),
+    )
+    return tot.join(segagg, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_active",
+        F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce(F.col("longest_segment"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_segment"),
+    )

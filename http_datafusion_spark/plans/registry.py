@@ -86,7 +86,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   additions written AFTER this window opened — sim_matryoshka_recall,
 #   table_zonemap_audit, tokenizer_fertility_audit, text_code_detect,
 #   dedup_minhash_band_tuning, rag_rrf_fusion_eval,
-#   events_ks_two_sample, events_mannwhitney_u, graph_kcore_rounds
+#   events_ks_two_sample, events_mannwhitney_u, graph_kcore_rounds,
+#   multimodal_vad_segments
 #   (all with local sf0.001+sf0.01 oracle evidence) — then
 #   ts_gapfill_grid and ts_forward_fill (the two deferred r1
 #   re-confirmations).

@@ -892,6 +892,7 @@ def test_r8_late_operators_plan_invariants(spark, sf_dir):
         "events_ks_two_sample",
         "events_mannwhitney_u",
         "graph_kcore_rounds",
+        "multimodal_vad_segments",
     ):
         p = plan_of(QS[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
