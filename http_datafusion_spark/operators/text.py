@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.hashing import md5_int_sql
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -2627,6 +2628,110 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(is_code) * 1.0 / F.count(F.lit(1)), 6).alias("code_frac"),
             F.round(F.avg("sym_ratio"), 6).alias("avg_sym_ratio"),
             F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------- hashing-trick featurization
+
+# Feature hashing (Weinberger et al. 2009, public): token -> index
+# h(w) mod D with a signed correction bit, collisions merge additively.
+# The ONLY featurizer that needs no vocabulary pass — the property that
+# makes it the default for streaming / 100 TB text featurization. The
+# audit reports the price: per-source collision mass and sign-cancel
+# effects on the nonzero count.
+FEATHASH_DIM = 1024  # power of two: index = low 10 bits, sign = bit 10
+
+
+@query(
+    "feature_hashing_vectorizer",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT source, doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2, 3
+    ), hashed AS (
+      SELECT source, doc_id,
+             {md5_int_sql('word')} % {FEATHASH_DIM} AS idx,
+             CASE WHEN (({md5_int_sql('word')} >> 10) & 1) = 0 THEN 1 ELSE -1 END * tf
+               AS val
+      FROM tf
+    ), feat AS (
+      SELECT source, doc_id, idx,
+             CAST(sum(val) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_merged
+      FROM hashed GROUP BY 1, 2, 3
+    ), perdoc AS (
+      SELECT source, doc_id,
+             CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+             CAST(count(*) AS BIGINT) AS n_idx,
+             CAST(sum(n_merged) AS BIGINT) AS n_words,
+             CAST(sum(idx * v) AS BIGINT) AS chk
+      FROM feat GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nnz * 1.0), 4) AS avg_nnz,
+           round(1.0 - sum(n_idx) * 1.0 / sum(n_words), 6) AS collision_frac,
+           CAST(sum(chk) AS BIGINT) AS feat_checksum
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    doc=f"hashing-trick featurizer audit (Weinberger et al. 2009): tokens hash "
+    f"to {FEATHASH_DIM} signed buckets (low 10 md5 bits = index, bit 10 = "
+    "sign), collisions merge additively, and the per-source report gives "
+    "docs, mean nonzeros, collision mass (1 - distinct-index/distinct-word), "
+    "and an exact signed index-weighted checksum — the vocabulary-free "
+    "featurization that makes 100 TB text vectorization a pure map-side "
+    "pass (no vocab broadcast, no OOV), with its collision price measured. "
+    "All integers end to end; md5 is JVM-codegen'd, aggregation keys are "
+    "(source, doc, idx) — partial-agg friendly (north-star text / "
+    "featurization)",
+    tags=("text", "agg", "pipeline"),
+)
+def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    tf = toks.groupBy("source", "doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    h = md5_int(F.col("word"))
+    sign = F.when((F.shiftright(h, 10) % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    hashed = tf.select(
+        "source",
+        "doc_id",
+        (h % FEATHASH_DIM).alias("idx"),
+        (sign * F.col("tf")).alias("val"),
+    )
+    feat = hashed.groupBy("source", "doc_id", "idx").agg(
+        F.sum("val").cast("bigint").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+    )
+    perdoc = feat.groupBy("source", "doc_id").agg(
+        F.sum((F.col("v") != 0).cast("long")).cast("bigint").alias("nnz"),
+        F.count(F.lit(1)).cast("bigint").alias("n_idx"),
+        F.sum("n_merged").cast("bigint").alias("n_words"),
+        F.sum(F.col("idx") * F.col("v")).cast("bigint").alias("chk"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("nnz") * 1.0), 4).alias("avg_nnz"),
+            F.round(
+                F.lit(1.0) - F.sum("n_idx") * 1.0 / F.sum("n_words"), 6
+            ).alias("collision_frac"),
+            F.sum("chk").cast("bigint").alias("feat_checksum"),
         )
         .orderBy("source")
     )

@@ -87,7 +87,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   table_zonemap_audit, tokenizer_fertility_audit, text_code_detect,
 #   dedup_minhash_band_tuning, rag_rrf_fusion_eval,
 #   events_ks_two_sample, events_mannwhitney_u, graph_kcore_rounds,
-#   multimodal_vad_segments
+#   multimodal_vad_segments, feature_hashing_vectorizer
 #   (all with local sf0.001+sf0.01 oracle evidence) — then
 #   ts_gapfill_grid and ts_forward_fill (the two deferred r1
 #   re-confirmations).

@@ -893,6 +893,7 @@ def test_r8_late_operators_plan_invariants(spark, sf_dir):
         "events_mannwhitney_u",
         "graph_kcore_rounds",
         "multimodal_vad_segments",
+        "feature_hashing_vectorizer",
     ):
         p = plan_of(QS[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in p, name
