@@ -2735,3 +2735,62 @@ def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- unseen-vocabulary estimation
+
+@query(
+    "vocab_chao1_unseen",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ), f AS (
+      SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS v_observed,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_singletons,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2_doubletons,
+           round(count(*)
+                 + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                   * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                   / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4) AS chao1_richness,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6) AS gt_unseen_mass
+    FROM f
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="unseen-vocabulary estimation per source: Chao1 bias-corrected species "
+    "richness V + f1(f1-1)/(2(f2+1)) (Chao 1984) from singleton/doubleton type "
+    "counts, plus the Good-Turing unseen-probability mass f1/N (Good 1953) — "
+    "the 'how much vocabulary does this source still hide' gauge a corpus "
+    "budget plan reads next to heaps_law_fit. Two partial-agg shuffles "
+    "((source,word) then source); output is |sources| rows — scan-shaped at "
+    "100 TB (north-star text analysis)",
+    tags=("text", "pipeline"),
+)
+def vocab_chao1_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    f = (
+        d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum((F.col("c") == 1).cast("long"))
+    f2 = F.sum((F.col("c") == 2).cast("long"))
+    v = F.count(F.lit(1))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            v.cast("bigint").alias("v_observed"),
+            f1.cast("bigint").alias("f1_singletons"),
+            f2.cast("bigint").alias("f2_doubletons"),
+            F.round(v + f1 * 1.0 * (f1 - 1) / (2.0 * (f2 + 1)), 4).alias("chao1_richness"),
+            F.round(f1 * 1.0 / F.sum("c"), 6).alias("gt_unseen_mass"),
+        )
+        .orderBy("source")
+    )
