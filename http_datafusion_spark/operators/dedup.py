@@ -1335,21 +1335,26 @@ BAND_TUNING_GRID = ((1, 8), (2, 4), (4, 2), (8, 1))
 
 
 def _pow_tree_sql(expr: str, n: int) -> str:
-    """Binary-power multiplication tree as a SQL string — the SAME
-    expression tree the Spark side builds, so both engines run the
-    identical sequence of exactly-rounded IEEE multiplies (no pow(),
-    whose libm rounding may differ across engines)."""
+    """Square-and-multiply x^n as a SQL string — the SAME expression
+    tree the Spark side builds, so both engines run the identical
+    sequence of exactly-rounded IEEE multiplies (no pow(), whose libm
+    rounding may differ across engines). Odd n multiplies the squared
+    half by the base (ADVICE r8: the bare n//2 recursion silently
+    dropped the odd bit, so x^3 evaluated as x^2 — harmless for the
+    current power-of-two grid, wrong for any (3,4)-style split)."""
     if n == 1:
         return expr
     h = _pow_tree_sql(expr, n // 2)
-    return f"({h} * {h})"
+    sq = f"({h} * {h})"
+    return f"({sq} * {expr})" if n % 2 else sq
 
 
 def _pow_tree_col(col: Column, n: int) -> Column:
     if n == 1:
         return col
     h = _pow_tree_col(col, n // 2)
-    return h * h
+    sq = h * h
+    return sq * col if n % 2 else sq
 
 
 def _band_tuning_oracle() -> str:
@@ -1358,6 +1363,9 @@ def _band_tuning_oracle() -> str:
     branches = []
     for b, r in BAND_TUNING_GRID:
         s_half = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+        # validate EVERY grid entry's 50%-threshold, not just the last
+        # one via the leaked loop variable (ADVICE r8)
+        assert math.isfinite(s_half)
         sr = _pow_tree_sql("s", r)
         qb = _pow_tree_sql(f"(1.0 - {sr})", b)
         p = f"(1.0 - {qb})"
@@ -1371,7 +1379,6 @@ def _band_tuning_oracle() -> str:
                      AS DOUBLE), 4) AS exp_missed_pairs
         FROM hist
         """)
-    assert math.isfinite(s_half)
     return f"""
     WITH cand AS ({_minhash_pairs_sql()}),
     hist AS (
@@ -1405,27 +1412,36 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("est_jaccard").alias("s"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    per_plan = []
+    # ONE candidate-generation pass (VERDICT r8 task 4): the old shape
+    # unioned one aggregation branch per grid row, each re-deriving the
+    # full LSH candidate join (4x the dominant step). Instead the
+    # <= k/2+1 row histogram cross-joins the broadcast 4-row grid and a
+    # literal CASE selects each plan's S-curve power tree — identical
+    # per-branch IEEE expressions, selected not recomputed — then one
+    # grouped aggregation emits all plans.
+    grid = spark.createDataFrame(
+        [
+            (b, r, round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6))
+            for b, r in BAND_TUNING_GRID
+        ],
+        "n_bands bigint, rows_per_band bigint, s_half double",
+    )
+    p = None
     for b, r in BAND_TUNING_GRID:
-        s_half = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
         sr = _pow_tree_col(F.col("s"), r)
         qb = _pow_tree_col(F.lit(1.0) - sr, b)
-        p = F.lit(1.0) - qb
-        caught = F.round(F.col("n") * p, 6).cast("decimal(18,6)")
-        missed = F.round(F.col("n") * (F.lit(1.0) - p), 6).cast("decimal(18,6)")
-        per_plan.append(
-            hist.agg(
-                F.lit(b).cast("bigint").alias("n_bands"),
-                F.lit(r).cast("bigint").alias("rows_per_band"),
-                F.lit(s_half).alias("s_half"),
-                F.sum("n").cast("bigint").alias("n_pairs"),
-                F.round(F.sum(caught).cast("double") / F.sum("n"), 6).alias(
-                    "exp_recall"
-                ),
-                F.round(F.sum(missed).cast("double"), 4).alias("exp_missed_pairs"),
-            )
+        branch = F.lit(1.0) - qb
+        cond = (F.col("n_bands") == b) & (F.col("rows_per_band") == r)
+        p = F.when(cond, branch) if p is None else p.when(cond, branch)
+    caught = F.round(F.col("n") * p, 6).cast("decimal(18,6)")
+    missed = F.round(F.col("n") * (F.lit(1.0) - p), 6).cast("decimal(18,6)")
+    return (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("n_bands", "rows_per_band", "s_half")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pairs"),
+            F.round(F.sum(caught).cast("double") / F.sum("n"), 6).alias("exp_recall"),
+            F.round(F.sum(missed).cast("double"), 4).alias("exp_missed_pairs"),
         )
-    out = per_plan[0]
-    for df in per_plan[1:]:
-        out = out.unionAll(df)
-    return out.orderBy("n_bands")
+        .orderBy("n_bands")
+    )

@@ -2211,7 +2211,9 @@ _LWORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x
     f"retrieval shape) against whole-document retrieval as ground truth, for a "
     f"fixed {len(RAG_QUERY_DOCS)}-doc probe set. Query vocab joins are equi-keyed "
     f"on word against the literal-pruned probe set (broadcast-bounded); candidate "
-    f"ranking is per-query keyed windows — no all-pairs, no global sort. At 100 TB "
+    f"ranking is per-query keyed windows with a LITERAL rk <= {max(RAG_EVAL_KS)} "
+    f"bound so InferWindowGroupLimit prunes map-side (each map task forwards at "
+    f"most K rows per query — the keyed sort never sees the corpus). At 100 TB "
     f"the only fact-scale shuffles are the two (query, doc)-keyed hit aggregations "
     f"(north-star pipeline / RAG retrieval calibration)",
     tags=("pipeline", "text", "similarity"),
@@ -2235,13 +2237,22 @@ def rag_chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    # Literal rank bound directly on the window output (VERDICT r8
+    # task 1): the ks-grid join below already implies rk <= max(ks),
+    # but expressed as a join condition Spark cannot see the bound —
+    # the reducers for the |probes| partition keys would each sort a
+    # corpus-sized candidate list. A LITERAL filter lets
+    # InferWindowGroupLimit insert Partial+Final WindowGroupLimit, so
+    # every map task forwards at most max(RAG_EVAL_KS) rows per qid
+    # and the keyed sort handles #map_partitions x K rows, not the
+    # corpus. Results are identical by construction.
     wr = whole.select(
         "qid",
         "doc_id",
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
         .alias("rk_w"),
-    )
+    ).filter(F.col("rk_w") <= max(RAG_EVAL_KS))
     base = d.select("doc_id", lwords.alias("words")).filter(F.size("words") > 0)
     starts = base.select(
         "doc_id",
@@ -2271,7 +2282,7 @@ def rag_chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("best"), F.asc("doc_id")))
         .alias("rk_c"),
-    )
+    ).filter(F.col("rk_c") <= max(RAG_EVAL_KS))  # same literal bound as rk_w
     ks = spark.createDataFrame([(k,) for k in RAG_EVAL_KS], "k bigint")
     m = (
         wr.join(cr, ["qid", "doc_id"])
@@ -2370,6 +2381,16 @@ def curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_nll"),
         )
     )
+    # Materialize the per-doc aggregate ONCE (VERDICT r8 task 6): the
+    # count below plus bucketed_global_rank's boundary-sketch and rank
+    # passes would otherwise each re-derive the whole token-explode +
+    # vocab-join + NLL aggregation (the BASELINE "two corpus token
+    # passes" was partly this). Unlike histogram_equi_depth — whose
+    # input re-derivation is a pushed-down 3-column parquet scan, so
+    # checkpointing was dropped — this lineage is the expensive part,
+    # and the checkpointed relation is doc-level (3 columns), the same
+    # trade graph_kcore_rounds makes for its candidate edges.
+    perdoc = perdoc.localCheckpoint(eager=True)
     n_docs = perdoc.count()
     ranked = bucketed_global_rank(perdoc, "avg_nll", ["doc_id"], "rk")
     staged = ranked.select(
@@ -2521,6 +2542,14 @@ def table_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public): score = sum over signals of 1/(RRF_K + rank).
 RRF_K = 60
 RRF_EVAL_KS = (5, 10)
+# Per-signal rank-list truncation depth (the rank_window_size of
+# production hybrid-search RRF): only the top-RRF_DEPTH docs of each
+# signal contribute to fusion; anything deeper contributes 0. This is
+# BOTH the standard semantics and the scale fix (VERDICT r8 task 1) —
+# the literal bound lets InferWindowGroupLimit prune each signal's
+# keyed ranking map-side instead of funneling the corpus through
+# |probes| reducers. Must be >= max(RRF_EVAL_KS).
+RRF_DEPTH = 50
 
 _RRF_DOT_SQL = (
     "list_sum(list_transform(range(1, len({a}) + 1), "
@@ -2542,9 +2571,10 @@ _RRF_DOT_SQL = (
       FROM toks t JOIN q ON t.word = q.word
       WHERE t.doc_id <> q.qid GROUP BY 1, 2
     ), lr AS (
-      SELECT qid, doc_id,
-             row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rl
-      FROM lex
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rl
+        FROM lex) WHERE rl <= {RRF_DEPTH}
     ), e AS (
       SELECT vec_id, embedding,
              sqrt({_RRF_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
@@ -2557,9 +2587,10 @@ _RRF_DOT_SQL = (
              {_RRF_DOT_SQL.format(a='e.embedding', b='qe.qv')} / (e.nrm * qe.qn) AS cos
       FROM e JOIN qe ON e.vec_id <> qe.qid
     ), sr AS (
-      SELECT qid, doc_id,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rs
-      FROM sem
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rs
+        FROM sem) WHERE rs <= {RRF_DEPTH}
     ), fused AS (
       SELECT coalesce(l.qid, s.qid) AS qid,
              coalesce(l.doc_id, s.doc_id) AS doc_id,
@@ -2567,9 +2598,10 @@ _RRF_DOT_SQL = (
              + coalesce(1.0 / ({RRF_K} + s.rs), 0.0) AS score
       FROM lr l FULL JOIN sr s ON s.qid = l.qid AND s.doc_id = l.doc_id
     ), fr AS (
-      SELECT qid, doc_id,
-             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rf
-      FROM fused
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rf
+        FROM fused) WHERE rf <= {max(RRF_EVAL_KS)}
     ), ks AS (SELECT unnest({list(RRF_EVAL_KS)}) AS k),
     hf AS (
       SELECT ks.k, count(*) AS n
@@ -2595,11 +2627,14 @@ _RRF_DOT_SQL = (
     f"fusion (1/({RRF_K}+rank), Cormack et al. 2009) and recall@k of the "
     "fused list vs the semantic ranking is compared against lexical-only — "
     "the standard hybrid-search A/B a RAG stack runs before enabling "
-    "fusion. Probe sets broadcast; both signals are per-query keyed "
-    "windows over linear scans (lexical candidates are hit-bounded, "
-    "semantic fan-out is |queries| x corpus); the fusion itself is a "
-    "(qid, doc)-keyed outer join of two rank columns — RRF scores are "
-    "rank-derived rationals, identical IEEE arithmetic on both engines "
+    f"fusion. Rank lists are truncated at a LITERAL depth {RRF_DEPTH} "
+    "(the rank_window_size of production hybrid search — docs deeper "
+    "than the window contribute 0 to fusion), so InferWindowGroupLimit "
+    "prunes each signal's keyed ranking map-side: every map task "
+    f"forwards at most {RRF_DEPTH} rows per query and the fusion join "
+    "runs on |queries| x depth rows, never the corpus. Probe sets "
+    "broadcast; scoring is linear scans; RRF scores are rank-derived "
+    "rationals, identical IEEE arithmetic on both engines "
     "(north-star pipeline / RAG retrieval)",
     tags=("pipeline", "similarity", "text"),
 )
@@ -2628,7 +2663,7 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
         .alias("rl"),
-    )
+    ).filter(F.col("rl") <= RRF_DEPTH)
     emb = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
     qe = base.filter(F.col("vec_id").isin(*RAG_QUERY_DOCS)).select(
@@ -2651,7 +2686,7 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
         .alias("rs"),
-    )
+    ).filter(F.col("rs") <= RRF_DEPTH)
     fused = (
         lr.join(sr, ["qid", "doc_id"], "full")
         .select(
@@ -2669,7 +2704,7 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
         .alias("rf"),
-    )
+    ).filter(F.col("rf") <= max(RRF_EVAL_KS))
     ks = spark.createDataFrame([(k,) for k in RRF_EVAL_KS], "k int")
     hf = (
         fr.join(sr, ["qid", "doc_id"])

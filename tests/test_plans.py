@@ -912,6 +912,40 @@ def test_r8_late_operators_plan_invariants(spark, sf_dir):
         assert "HashAggregate" in p, name
 
     # matryoshka ranking must stay a keyed window — a global sort of
-    # the scored candidates would be the 100x scale bug
+    # the scored candidates would be the 100x scale bug (assertions
+    # strengthened per ADVICE r8: the old `or "Window" in p` tail
+    # matched ANY window, including a global one)
     p = plan_of(QS["sim_matryoshka_recall"].spark(spark, sf_dir))
-    assert "partial_row_number" in p or "RunningWindowFunction" in p or "Window" in p
+    assert "Exchange SinglePartition" not in p, "matryoshka window went global"
+    for w in (ln for ln in p.splitlines() if "Window [" in ln):
+        assert "windowspecdefinition(qid" in w, f"unkeyed window: {w.strip()[:120]}"
+
+
+def test_retrieval_eval_windows_prune_map_side(spark, sf_dir):
+    """VERDICT r8 task 1, pinned: the three retrieval-eval operators'
+    probe-keyed rankings carry a LITERAL rank bound, so Spark inserts
+    Partial+Final WindowGroupLimit — each map task forwards at most K
+    rows per probe key and the keyed sort handles #map_partitions x K
+    rows, never a corpus-sized partition. Without the Partial stage the
+    3-20 probe reducers would each sort ~corpus/|probes| rows (the one
+    scale-killer class the r8 verdict found)."""
+    for name, n_windows in (
+        ("sim_matryoshka_recall", 2),
+        ("rag_chunk_retrieval_eval", 2),
+        ("rag_rrf_fusion_eval", 6),
+    ):
+        p = plan_of(QS[name].spark(spark, sf_dir))
+        n_rank_windows = sum(
+            1 for ln in p.splitlines() if "Window [" in ln and "row_number()" in ln
+        )
+        n_partial = sum(
+            1
+            for ln in p.splitlines()
+            if "WindowGroupLimit" in ln and ln.rstrip().endswith("Partial")
+        )
+        assert n_rank_windows == n_windows, (name, n_rank_windows)
+        assert n_partial >= n_windows, (
+            f"{name}: {n_partial} Partial WindowGroupLimits for "
+            f"{n_rank_windows} ranking windows — a literal rank bound is "
+            "missing and the keyed sort will see the corpus"
+        )
