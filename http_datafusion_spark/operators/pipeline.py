@@ -1051,6 +1051,14 @@ def embedding_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shard sorts only its own hash range.
 N_SHARDS = 16
 SHUFFLE_EPOCH_SEED = "ep1"
+# Sub-buckets per shard for the two-phase within-shard rank (window
+# guard r9): md5_int is <= 60 bits, so hb = h >> 54 yields 64 buckets
+# that are ORDER-ALIGNED with h (hb monotone in h; equal h -> equal
+# hb), letting the within-shard position telescope from per-(shard,hb)
+# counts + a bucket-local row_number. Sort parallelism becomes
+# N_SHARDS x N_SHARD_SUBBUCKETS instead of N_SHARDS.
+N_SHARD_SUBBUCKETS = 64
+_SUBBUCKET_SHIFT = 54
 
 
 @query(
@@ -1075,11 +1083,14 @@ SHUFFLE_EPOCH_SEED = "ep1"
     """,
     doc=f"deterministic global shuffle for training epochs: md5('{SHUFFLE_EPOCH_SEED}|'||doc_id) "
     f"orders the corpus, docs land in {N_SHARDS} hash shards, and within-shard position is a "
-    f"window rank on the hash — rerunnable (no rand()), parallelism-independent, and the "
-    f"permutation is PROVEN to the oracle via sum(pos*doc_id) per shard (an order-sensitive "
-    f"checksum), not just counts. One shuffle on shard; each shard sorts only its own docs, "
-    f"so shard count is the external-sort parallelism knob at 100 TB — never a global "
-    f"single-partition order (north-star pipeline)",
+    f"TWO-PHASE rank (window guard r9): per-(shard, h>>{_SUBBUCKET_SHIFT}) counts telescope "
+    f"into exclusive offsets over the {N_SHARDS}x{N_SHARD_SUBBUCKETS}-row count table, and "
+    f"pos = offset + bucket-local row_number — bit-identical to the single per-shard window "
+    f"the oracle runs, but the sort parallelism is {N_SHARDS}x{N_SHARD_SUBBUCKETS} keys "
+    f"instead of {N_SHARDS} constant reducers each sorting corpus/{N_SHARDS}. Rerunnable "
+    f"(no rand()), parallelism-independent, and the permutation is PROVEN to the oracle via "
+    f"sum(pos*doc_id) per shard (an order-sensitive checksum), not just counts "
+    f"(north-star pipeline)",
     tags=("pipeline", "sampling"),
 )
 def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,12 +1098,26 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     h = md5_int(F.concat(F.lit(f"{SHUFFLE_EPOCH_SEED}|"), F.col("doc_id").cast("string")))
-    base = d.select("doc_id", "n_chars", h.alias("h")).withColumn(
-        "shard", (F.col("h") % N_SHARDS).cast("bigint")
+    base = (
+        d.select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
+        .withColumn("hb", F.shiftright(F.col("h"), _SUBBUCKET_SHIFT))
     )
-    pos = F.row_number().over(W.partitionBy("shard").orderBy("h", "doc_id"))
+    counts = base.groupBy("shard", "hb").agg(F.count(F.lit(1)).alias("cnt"))
+    off = F.coalesce(
+        F.sum("cnt").over(
+            W.partitionBy("shard").orderBy("hb").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = counts.select("shard", "hb", off.alias("off"))
+    local = F.row_number().over(W.partitionBy("shard", "hb").orderBy("h", "doc_id"))
     return (
-        base.withColumn("pos", pos)
+        # hint-free: the offsets side is <= N_SHARDS x N_SHARD_SUBBUCKETS
+        # rows by key-domain construction, but it is fact-DERIVED, so per
+        # repo convention AQE decides the broadcast at runtime
+        base.join(offsets, ["shard", "hb"])
+        .withColumn("pos", F.col("off") + local)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

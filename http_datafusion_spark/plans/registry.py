@@ -55,107 +55,112 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-8 rotation policy (per the r7 verdict's task 2, verbatim):
-#   (a) the 2 entries that have never had a driver CORRECTNESS row —
-#       the r7 calibration additions, named as the r8 window head by
-#       the r7 registry comment; checking them restores cumulative
-#       "every operator has hard driver evidence" (319/319 after the
-#       2 r8 additions are themselves deferred to r9, see (b));
-#   (b) the round-8 ADDITIONS (rag_chunk_retrieval_eval,
-#       corpus_language_skew_audit — VERDICT r7 task 6, both options
-#       built — plus privacy_tcloseness_audit completing the
-#       k-anonymity -> l-diversity -> t-closeness release-gate arc),
-#       registered with local sf0.001+sf0.01 oracle evidence and put
-#       straight into this window since they were written before it
-#       opened;
-#   (c) the 7 rows whose token_count implementation swapped in r7
-#       (split-array -> regexp_count, commit 6cf19e0) after their last
-#       driver check — count-equivalence asserted in
-#       tests/test_operators_unit.py, all locally value-exact, but the
-#       r7 verdict (What's missing #2) requires the driver to confirm;
-#   (d) rotation re-confirmation: 37 of the 38 remaining rows whose
-#       last driver check was round 1 (computed from
-#       CORRECTNESS_r01..r07; the 39th, text_token_stats, is already
-#       in (c)) — the oldest evidence in the repo, now 7 rounds stale.
-#       None changed since, so these are pure re-confirmations.
-#       ts_gapfill_grid and ts_forward_fill are the two r1 rows
-#       deferred to the r9 head: the window cap is 50 and the
-#       never-checked r8 additions (dedup_cluster_ari,
-#       multimodal_phash_near_dup) outrank unchanged re-confirmations.
-#   R9 HEAD (named now, per rotation discipline): the late-r8
-#   additions written AFTER this window opened — sim_matryoshka_recall,
-#   table_zonemap_audit, tokenizer_fertility_audit, text_code_detect,
-#   dedup_minhash_band_tuning, rag_rrf_fusion_eval,
-#   events_ks_two_sample, events_mannwhitney_u, graph_kcore_rounds,
-#   multimodal_vad_segments, feature_hashing_vectorizer
-#   (all with local sf0.001+sf0.01 oracle evidence) — then
-#   ts_gapfill_grid and ts_forward_fill (the two deferred r1
-#   re-confirmations).
-#   Round-8 code changes elsewhere (ragged-JSON staging normalization,
-#   broadcast-guard hardening, ordstats empty-input guard) touch no
-#   registry query's plan or results: the ingest fix is on the
-#   http_json staging path (the one registry ingest query,
-#   http_ingest_nation, uses the schema-pinned streaming datasource),
-#   and the guard/ordstats changes are test-layer / error-path only.
+# Round-9 rotation policy (per the r8 verdict's task 2, verbatim):
+#   (a) ALL 15 registry entries that have never had a driver
+#       CORRECTNESS row — the late-r8 additions, including the 4 the
+#       old R9-head comment failed to name (curriculum_stage_plan,
+#       orders_theil_sen_trend, text_rake_keywords, vocab_chao1_unseen;
+#       VERDICT r8 "What's missing" #1). Checking them restores
+#       cumulative "every operator has hard driver evidence"
+#       (339/339 minus whatever r9 itself adds late).
+#       Five of these also CHANGED in r9 (rag_rrf_fusion_eval's
+#       literal-depth rank truncation + oracle, sim_matryoshka_recall
+#       unchanged-but-repinned, dedup_minhash_band_tuning's one-pass
+#       grid, curriculum_stage_plan's checkpoint,
+#       events_mannwhitney_u doc-only), so the slots double as
+#       change-verification.
+#   (b) rag_chunk_retrieval_eval — driver-green r8, but its plan
+#       changed in r9 (literal rank bounds -> WindowGroupLimit), so it
+#       re-enters the window per the "every operator whose
+#       implementation changed this round" rule.
+#   (c) ts_gapfill_grid and ts_forward_fill — the two r1 rows deferred
+#       from the r8 window, now 8 rounds stale; unchanged since, pure
+#       re-confirmations.
+#   (d) the r9 ADDITIONS (appended to this head as they land, with
+#       local sf0.001+sf0.01 oracle evidence).
+#   (e) rotation re-confirmation: 30 of the 49 rows whose last driver
+#       check was round 2 — the oldest evidence after (c) — taken in
+#       lexicographic order so the pick is deterministic. None changed
+#       since r2.
+#   R10 HEAD (named now, per rotation discipline): the 19 remaining
+#   r2-stale rows deferred by the window cap —
+#   q_recursive_cte
+#   q_regex_funcs
+#   q_scalar_subquery
+#   q_scalar_tail
+#   q_semi_join
+#   q_set_ops
+#   q_sort_paging
+#   q_string_funcs
+#   q_topk_per_group
+#   q_unpivot
+#   q_window_range_frame
+#   q_window_ranking
+#   q_window_running
+#   sim_bruteforce_topk
+#   sim_ivf_topk
+#   sim_kmeans_refit
+#   sim_pq_adc_topk
+#   stream_rate_limited
+#   ts_rollup_cascade
+#   — plus any r9 addition that misses this window.
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) never driver-checked (r7 additions) ----
-    "dedup_minhash_estimator_calibration",
-    "dedup_semantic_threshold_calibration",
-    # ---- (b) r8 additions ----
+    # ---- (a) never driver-checked (late-r8 additions; 5 changed in r9) ----
+    "sim_matryoshka_recall",
+    "table_zonemap_audit",
+    "tokenizer_fertility_audit",
+    "text_code_detect",
+    "dedup_minhash_band_tuning",
+    "rag_rrf_fusion_eval",
+    "events_ks_two_sample",
+    "events_mannwhitney_u",
+    "graph_kcore_rounds",
+    "multimodal_vad_segments",
+    "feature_hashing_vectorizer",
+    "curriculum_stage_plan",
+    "orders_theil_sen_trend",
+    "text_rake_keywords",
+    "vocab_chao1_unseen",
+    # ---- (b) plan changed in r9 ----
     "rag_chunk_retrieval_eval",
-    "corpus_language_skew_audit",
-    "privacy_tcloseness_audit",
-    "dedup_cluster_ari",
-    "multimodal_phash_near_dup",
-    # ---- (c) token_count-swapped in r7 ----
-    "text_token_stats",
-    "doc_span_corruption",
-    "quality_adaptive_filter",
-    "corpus_datacard",
-    "mixture_budget_plan",
-    "release_readiness_report",
-    "sequence_length_buckets",
-    # ---- (d) oldest evidence: last driver-checked round 1 ----
-    "dedup_near_apply",
-    "dedup_simhash_pairs",
-    "events_lag_lead",
-    "events_rate_profile",
-    "events_sessionize",
-    "events_sliding_agg",
-    "events_tumbling_agg",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "q7_nation_volume",
-    "q_agg_arg_extrema",
-    "q_agg_basic",
-    "q_agg_bool_bit",
-    "q_agg_having",
-    "q_agg_percentiles",
-    "q_agg_stats",
-    "q_agg_string_collect",
-    "q_cube",
-    "q_grouping_sets",
-    "q_join_using",
-    "q_like_in_predicates",
-    "q_map_funcs",
-    "q_natural_join",
-    "q_pivot_conditional",
-    "q_registered_udf",
-    "q_rollup",
-    "q_struct_funcs",
-    "q_sum_distinct",
-    "q_union_distinct",
-    "range_join_attribution",
-    "sim_ivf_buckets",
-    "sim_label_centroids",
-    "text_fingerprint",
-    "text_language_id",
-    "text_per_source_profile",
-    "text_quality_score",
+    # ---- (c) oldest evidence: last driver-checked round 1 ----
+    "ts_gapfill_grid",
+    "ts_forward_fill",
+    # ---- (d) r9 additions ----
+    # ---- (e) r2-stale re-confirmations (first 30, lexicographic) ----
+    "corpus_filter_pipeline",
+    "dedup_clusters",
+    "dedup_segments",
+    "doc_packing",
+    "embedding_pq_train",
+    "embedding_quantize_pq",
+    "events_funnel",
+    "http_ingest_nation",
+    "pii_redact",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_agg_approx",
+    "q_anti_join",
+    "q_array_funcs",
+    "q_cast_types",
+    "q_conditional_funcs",
+    "q_correlated_scalar_subquery",
+    "q_date_funcs",
+    "q_full_outer_join",
+    "q_lateral_join",
+    "q_left_join_agg",
+    "q_math_funcs",
+    "q_nonequi_join",
+    "q_pivot_api",
 )
-
 
 def query(
     name: str,
