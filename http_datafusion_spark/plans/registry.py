@@ -129,6 +129,8 @@ PRIORITY: tuple[str, ...] = (
     "ts_gapfill_grid",
     "ts_forward_fill",
     # ---- (d) r9 additions ----
+    "sequence_packing_audit",
+    "sim_ivf_incremental_upsert",
     # ---- (e) r2-stale re-confirmations (first 30, lexicographic) ----
     "corpus_filter_pipeline",
     "dedup_clusters",

@@ -265,9 +265,14 @@ def test_bm25_single_pass_topk_fused(spark, sf_dir):
 
 def test_shuffle_shards_single_exchange(spark, sf_dir):
     s = plan_of(QS["train_shuffle_shards"].spark(spark, sf_dir))
-    # exactly one data exchange: the hash-shard partitioning that both
-    # the window rank and the final per-shard aggregate reuse
-    assert s.count("Exchange hashpartitioning") == 1
+    # two-phase rank (r9): ONE corpus-scale exchange — the (shard, hb)
+    # hashpartitioning feeding the bucket-local window, whose output the
+    # final per-shard aggregate consumes via map-side partials. The
+    # remaining exchanges carry key-domain-bounded relations only
+    # (per-(shard,hb) count partials, the 16x64 offsets, the 16-row
+    # final agg), and the offsets join must never shuffle the corpus.
+    assert s.count("Exchange hashpartitioning") <= 4
+    assert "windowspecdefinition(shard" in s and "hb#" in s
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
 
 
@@ -622,7 +627,9 @@ BROADCAST_GUARD_ALLOWED = {
     "parts_abc_xyz": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # visible since r8's localCheckpoint drop exposed the sample lineage
     "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
-    "curriculum_stage_plan": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    # curriculum_stage_plan dropped r9: its localCheckpoint (one token
+    # pass, VERDICT r8 task 6) cuts the lineage the guard used to see,
+    # so the ordstats broadcast there now reads an ExistingRDD
     "events_mannwhitney_u": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     "privacy_tcloseness_audit": "per-o_orderpriority totals for the zero-fill grid (closed 5-value enum)",
     # benchmark probe sets: the bench suite is a constant of the pipeline
@@ -805,6 +812,11 @@ def test_local_checkpoint_inventory_is_pinned():
       plan depth flat across BPE_TRAIN_MERGES iterations.
     - streaming/queries.py (3): per-micro-batch probe results and
       bounded batch aggregates — batch-scoped, not corpus-scoped.
+    - pipeline.py (2, r9): curriculum_stage_plan's per-doc NLL table
+      (doc-level, 3 columns; the count + ordstats passes would each
+      re-derive the token-explode + vocab-join aggregation) and
+      sequence_packing_audit's |sources|-row strategy partial (three
+      zero-key branches read it).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments).
     """
@@ -821,6 +833,7 @@ def test_local_checkpoint_inventory_is_pinned():
         "operators/components.py": 7,
         "operators/curation.py": 3,
         "operators/dedup.py": 1,
+        "operators/pipeline.py": 2,
         "operators/similarity.py": 2,
         "operators/text.py": 2,
         "streaming/queries.py": 3,
@@ -1062,3 +1075,27 @@ def test_window_guard_unit(spark, sf_dir):
         "AS rk#5], [qid#1L, dim#2], [cos#3 DESC NULLS LAST]"
     )
     assert _partition_keys(line) == ["qid", "dim"]
+
+
+def test_r9_additions_plan_invariants(spark, sf_dir):
+    """Scale-shape pins for the round-9 additions:
+    - sequence_packing_audit: no cartesian products; the stream prefix
+      sum must be keyed (source, hb), never a single-partition window;
+      exactly one corpus token scan feeds the per-source partial (the
+      three strategy branches read the checkpointed partial).
+    - sim_ivf_incremental_upsert: both searches fuse to
+      TakeOrderedAndProject (never a global sort materialization) and
+      no cartesian product anywhere."""
+    p = plan_of(QS["sequence_packing_audit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "windowspecdefinition(source" in ln, ln.strip()[:120]
+    n_scans = sum(
+        1 for ln in p.splitlines() if "FileScan" in ln and "documents.parquet" in ln
+    )
+    assert n_scans <= 2, f"token scan re-derived: {n_scans} documents scans"
+
+    p = plan_of(QS["sim_ivf_incremental_upsert"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("TakeOrderedAndProject") >= 4  # 2 exact + 2 store searches
