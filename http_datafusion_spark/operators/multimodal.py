@@ -927,3 +927,144 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_segment"),
     )
+
+
+# ------------------------------------------------- video scene cuts
+
+VID_FRAME_W = 4
+VID_FRAME_H = 2
+VID_CUT_THRESHOLD = 64  # mean-luminance jump that counts as a hard cut
+
+
+def synth_vid(doc_id: int, n_chars: int) -> bytes:
+    """A minimal but genuine video container: b'VID1' magic + u16 frame
+    count + per frame a u32-length-prefixed FULL binary-PPM (P6) blob.
+    Every frame is a solid color c_f = (doc_id*31 + f*97) % 256, so an
+    SQL oracle can predict each frame's luminance sum without a codec
+    while the decoder still parses real headers and rasters."""
+    nf = 4 + n_chars % 12
+    out = [b"VID1", struct.pack("<H", nf)]
+    for f in range(nf):
+        c = (doc_id * 31 + f * 97) % 256
+        header = f"P6\n{VID_FRAME_W} {VID_FRAME_H}\n255\n".encode("ascii")
+        raster = bytes([c]) * (VID_FRAME_W * VID_FRAME_H * 3)
+        blob = header + raster
+        out.append(struct.pack("<I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def decode_vid(payload: bytes) -> list[tuple[int, int, int]]:
+    """Parse the VID1 container: returns (frame_idx, luminance_sum,
+    n_raster_bytes) per frame, decoding each embedded PPM for real
+    (header parse + raster byte sum — no closed-form shortcuts)."""
+    if payload[:4] != b"VID1":
+        raise ValueError("not a VID1 container")
+    nf = struct.unpack("<H", payload[4:6])[0]
+    pos = 6
+    frames = []
+    for f in range(nf):
+        (blen,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        blob = payload[pos : pos + blen]
+        pos += blen
+        meta = decode_ppm(blob)
+        frames.append((f, int(meta["unit_sum"]), int(meta["n_units"])))
+    return frames
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH vid AS (
+      SELECT doc_id, 4 + n_chars % 12 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT doc_id, i.i AS f,
+             ((doc_id * 31 + i.i * 97) % 256)
+               * {VID_FRAME_W * VID_FRAME_H * 3} AS ls
+      FROM vid, (SELECT unnest(range(0, 16)) AS i) i
+      WHERE i.i < nf
+    ), cut AS (
+      SELECT doc_id, f, ls,
+             CASE WHEN f = 0 THEN 0
+                  WHEN abs(ls - lag(ls) OVER (PARTITION BY doc_id ORDER BY f))
+                       >= {VID_CUT_THRESHOLD} * {VID_FRAME_W * VID_FRAME_H * 3}
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM fr
+    ), scn AS (
+      SELECT doc_id, f, is_cut,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                               ROWS UNBOUNDED PRECEDING) AS scene
+      FROM cut
+    ), seg AS (
+      SELECT doc_id, scene, CAST(count(*) AS BIGINT) AS len
+      FROM scn GROUP BY 1, 2
+    )
+    SELECT s.doc_id,
+           CAST(sum(s.len) AS BIGINT) AS n_frames,
+           CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+           CAST(count(*) AS BIGINT) AS n_scenes,
+           CAST(max(s.len) AS BIGINT) AS longest_scene
+    FROM seg s
+    GROUP BY s.doc_id
+    """,
+    doc=f"video scene-cut detection: every video payload (a real VID1 "
+    f"container of length-prefixed P6 frames) is decoded executor-side "
+    f"into per-frame luminance sums; a hard cut fires when the "
+    f"frame-to-frame jump is >= {VID_CUT_THRESHOLD} mean-luminance units "
+    f"(integer compare: |ls_f - ls_f-1| >= T * raster_bytes, no float "
+    f"means), and cut flags prefix-sum into scene ids relationally — the "
+    f"shot-segmentation pre-step of every video training pipeline (a "
+    f"production gate swaps in a histogram/SSIM score, same plumbing; "
+    f"mirrors multimodal_vad_segments' energy gate). Frame stats are "
+    f"integers end to end, so the closed-form solid-color generator "
+    f"proves the container + PPM decode byte-exactly. Payloads never "
+    f"leave executors; per-doc keyed lag/cumsum windows, contents bounded "
+    f"by one clip (north-star multimodal / video tier)",
+    tags=("multimodal", "window"),
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "f": [], "ls": [], "npx": []}
+            for doc_id, nc in zip(pdf["doc_id"].tolist(), pdf["n_chars"].tolist()):
+                if doc_id % 3 != 2:
+                    continue
+                for f, ls, npx in decode_vid(synth_vid(doc_id, nc)):
+                    rows["doc_id"].append(doc_id)
+                    rows["f"].append(f)
+                    rows["ls"].append(ls)
+                    rows["npx"].append(npx)
+            yield pd.DataFrame(rows)
+
+    fr = d.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="doc_id bigint, f bigint, ls bigint, npx bigint"
+    )
+    w = W.partitionBy("doc_id").orderBy("f")
+    prev = F.lag("ls").over(w)
+    is_cut = (
+        F.when(F.col("f") == 0, F.lit(0))
+        .when(
+            F.abs(F.col("ls") - prev) >= VID_CUT_THRESHOLD * F.col("npx"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    scn = fr.select("doc_id", "f", is_cut.alias("is_cut")).select(
+        "doc_id",
+        "f",
+        F.sum("is_cut").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("scene"),
+    )
+    seg = scn.groupBy("doc_id", "scene").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return seg.groupBy("doc_id").agg(
+        F.sum("len").cast("bigint").alias("n_frames"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cuts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+        F.max("len").cast("bigint").alias("longest_scene"),
+    )

@@ -2939,3 +2939,157 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------- DSIR importance-resampling audit
+
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# fit hashed-bigram multinomials over a TARGET domain and the RAW
+# corpus; per-doc importance log w = sum_f c_f (ln p_target[f] -
+# ln p_raw[f]); resample by weight. The constants are pipeline
+# literals: a 256-bucket hashed feature space (smoothing density) and
+# src0 as the target domain.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 256
+
+_DSIR_WORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '')"
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_DSIR_WORDS_SQL} AS words FROM documents
+    ), bg AS (
+      SELECT doc_id, source,
+             {md5_int_sql("words[i] || '_' || words[i + 1]")} % {DSIR_BUCKETS} AS f
+      FROM w, unnest(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    ), dfeat AS (
+      SELECT doc_id, source, f, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT unnest(range(0, {DSIR_BUCKETS})) AS f
+    ), tcnt AS (
+      SELECT f, CAST(sum(c) AS BIGINT) AS t FROM dfeat
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY f
+    ), rcnt AS (
+      SELECT f, CAST(sum(c) AS BIGINT) AS r FROM dfeat GROUP BY f
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END)
+                  AS BIGINT) AS tt,
+             CAST(sum(c) AS BIGINT) AS rt
+      FROM dfeat
+    ), lam AS (
+      SELECT grid.f,
+             CAST(round(ln((coalesce(tcnt.t, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+                        - ln((coalesce(rcnt.r, 0) + 1.0) / (tot.rt + {DSIR_BUCKETS})),
+                        6) AS DECIMAL(18,6)) AS lam
+      FROM grid LEFT JOIN tcnt USING (f) LEFT JOIN rcnt USING (f) CROSS JOIN tot
+    ), perdoc AS (
+      SELECT d.doc_id, d.source, sum(d.c * lam.lam) AS logw
+      FROM dfeat d JOIN lam ON lam.f = d.f
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(logw) AS DOUBLE) / count(*), 4) AS avg_logw,
+           round(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS frac_selected
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc=f"DSIR importance-resampling audit (Xie et al. 2023, public): "
+    f"hashed-bigram ({DSIR_BUCKETS} buckets, Laplace-smoothed) multinomials "
+    f"for the target domain ({DSIR_TARGET_SOURCE!r}) and the raw corpus; "
+    f"per-doc importance log w = sum_f c_f (ln p_target - ln p_raw), "
+    f"reported per source as mean log-weight and the fraction that would be "
+    f"selected at the logw > 0 gate — the domain-targeted data-selection "
+    f"readout next to mixture_budget_plan. Per-feature log-ratios rounded "
+    f"6dp then DECIMAL-summed (order-independent, engine-exact). Scale "
+    f"shape: TWO corpus bigram passes (doc-feature counts; the "
+    f"feature-grid counts checkpointed at <= {DSIR_BUCKETS} rows so "
+    f"totals + lambda derive for free); the {DSIR_BUCKETS}-row lambda "
+    f"grid joins back hint-free (key-domain bounded, AQE decides); "
+    f"everything after per-doc is a |sources|-row aggregate "
+    f"(north-star pipeline / data selection)",
+    tags=("pipeline", "text"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = whitespace_tokens(F.lower(F.col("text")))
+    n = F.size("words")
+    bg = (
+        d.select("doc_id", "source", words.alias("words"))
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice("words", 1, n - 1),
+                    F.slice("words", 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit("_"), b),
+                )
+            ).alias("bigram"),
+        )
+        .select("doc_id", "source", (md5_int(F.col("bigram")) % DSIR_BUCKETS).alias("f"))
+    )
+    dfeat = bg.groupBy("doc_id", "source", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # ONE (f)-keyed aggregation straight off the bigram stream carries
+    # BOTH multinomials (target count as a conditional sum) — 256 keys,
+    # so the shuffle is all map-side partials — checkpointed at
+    # <= DSIR_BUCKETS rows so the totals + lambda grid derive without
+    # re-running the explode. Net: 2 corpus explodes (this + dfeat) and
+    # ONE doc-level shuffle, where the naive four-consumer shape ran 4
+    # explodes (column pruning defeats ReuseExchange — the per-consumer
+    # subtrees are not identical)
+    grid = spark.range(DSIR_BUCKETS).select(F.col("id").alias("f"))
+    rf = (
+        bg.groupBy("f")
+        .agg(
+            F.sum((F.col("source") == DSIR_TARGET_SOURCE).cast("long"))
+            .cast("bigint")
+            .alias("t"),
+            F.count(F.lit(1)).cast("bigint").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = rf.agg(
+        F.sum("t").cast("bigint").alias("tt"), F.sum("r").cast("bigint").alias("rt")
+    )
+    lam_expr = F.round(
+        F.log((F.coalesce(F.col("t"), F.lit(0)) + 1.0) / (F.col("tt") + DSIR_BUCKETS))
+        - F.log((F.coalesce(F.col("r"), F.lit(0)) + 1.0) / (F.col("rt") + DSIR_BUCKETS)),
+        6,
+    ).cast("decimal(18,6)")
+    lam = (
+        grid.join(rf, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("f", lam_expr.alias("lam"))
+    )
+    # hint-free lambda join: the grid side is DSIR_BUCKETS rows by
+    # literal modulus but fact-derived, so AQE decides the broadcast
+    perdoc = (
+        dfeat.join(lam, "f")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("lam")).alias("logw"))
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("logw").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_logw"
+            ),
+            F.round(
+                F.sum((F.col("logw") > 0).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("frac_selected"),
+        )
+        .orderBy("source")
+    )

@@ -1656,3 +1656,104 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("ha") - F.col("hb")) * 1.0 / TOP_K, 6).alias("recall_drift"),
         )
     )
+
+
+# -------------------------------------- contrastive pair mining audit
+
+
+def _contrastive_oracle() -> str:
+    from http_datafusion_spark.operators.dedup import _minhash_pairs_sql
+
+    return f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    {_IVF_ASSIGN_SQL},
+    sym AS (
+      SELECT doc_a AS anchor, doc_b AS partner FROM pairs
+      UNION ALL
+      SELECT doc_b AS anchor, doc_a AS partner FROM pairs
+    ), j AS (
+      SELECT s.anchor, aa.bucket AS abkt, s.partner, ap.bucket AS pbkt
+      FROM sym s
+      JOIN assigned aa ON aa.vec_id = s.anchor
+      JOIN assigned ap ON ap.vec_id = s.partner
+    ), per_anchor AS (
+      SELECT anchor, abkt,
+             CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN abkt = pbkt THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_same
+      FROM j GROUP BY 1, 2
+    ), bsize AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS sz FROM assigned GROUP BY bucket
+    )
+    SELECT abkt AS bucket,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(n_pos) AS BIGINT) AS n_pos_pairs,
+           CAST(sum(sz - 1 - n_pos_same) AS BIGINT) AS n_hard_negatives,
+           round(sum(sz - 1 - n_pos_same) * 1.0 / count(*), 4) AS avg_hard_neg
+    FROM per_anchor JOIN bsize ON bsize.bucket = per_anchor.abkt
+    GROUP BY abkt
+    ORDER BY bucket
+    """
+
+
+@query(
+    "sim_contrastive_pair_mining",
+    oracle=_contrastive_oracle(),
+    doc=f"contrastive-pair mining audit — the embedding-training data prep "
+    f"that joins the repo's two candidate machines: POSITIVES are the LSH "
+    f"near-dup pairs (dedup_minhash_pairs, both directions), HARD NEGATIVES "
+    f"are same-IVF-bucket co-members that are NOT positives (semantically "
+    f"close by the index, not near-duplicates) — per bucket: anchors, "
+    f"positive pairs, hard-negative budget and its per-anchor average, the "
+    f"yield readout before exporting triplets. Scale shape: the symmetric "
+    f"pair list is LSH-candidate-bounded; bucket assignment joins are "
+    f"vec_id-keyed; the {N_CENTROIDS}-row bucket-size table joins hint-free "
+    f"— never an all-pairs product (north-star similarity / training data)",
+    tags=("similarity", "dedup", "pipeline"),
+)
+def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize with ONE explode instead of a 2-branch union, so the
+    # LSH candidate lineage runs once (no reliance on exchange reuse)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("anchor"), F.col("doc_a").alias("partner")
+                ),
+            )
+        ).alias("s")
+    ).select("s.anchor", "s.partner")
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
+    j = (
+        sym.join(asg.select(F.col("vec_id").alias("anchor"), F.col("bucket").alias("abkt")), "anchor")
+        .join(asg.select(F.col("vec_id").alias("partner"), F.col("bucket").alias("pbkt")), "partner")
+    )
+    per_anchor = j.groupBy("anchor", "abkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum((F.col("abkt") == F.col("pbkt")).cast("long")).cast("bigint").alias("n_pos_same"),
+    )
+    bsize = asg.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    hard = F.col("sz") - 1 - F.col("n_pos_same")
+    return (
+        per_anchor.join(bsize, per_anchor["abkt"] == bsize["bucket"])
+        .groupBy("abkt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum("n_pos").cast("bigint").alias("n_pos_pairs"),
+            F.sum(hard).cast("bigint").alias("n_hard_negatives"),
+            F.round(F.sum(hard) * 1.0 / F.count(F.lit(1)), 4).alias("avg_hard_neg"),
+        )
+        .select(
+            F.col("abkt").alias("bucket"),
+            "n_anchors",
+            "n_pos_pairs",
+            "n_hard_negatives",
+            "avg_hard_neg",
+        )
+        .orderBy("bucket")
+    )

@@ -78,12 +78,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       re-confirmations.
 #   (d) the r9 ADDITIONS (appended to this head as they land, with
 #       local sf0.001+sf0.01 oracle evidence).
-#   (e) rotation re-confirmation: 30 of the 49 rows whose last driver
+#   (e) rotation re-confirmation: 27 of the 49 rows whose last driver
 #       check was round 2 — the oldest evidence after (c) — taken in
-#       lexicographic order so the pick is deterministic. None changed
+#       lexicographic order so the pick is deterministic (originally 30;
+#       q_math_funcs / q_nonequi_join / q_pivot_api were deferred when
+#       the five r9 additions claimed their window slots). None changed
 #       since r2.
-#   R10 HEAD (named now, per rotation discipline): the 19 remaining
+#   R10 HEAD (named now, per rotation discipline): the 22 remaining
 #   r2-stale rows deferred by the window cap —
+#   q_math_funcs
+#   q_nonequi_join
+#   q_pivot_api
 #   q_recursive_cte
 #   q_regex_funcs
 #   q_scalar_subquery
@@ -131,6 +136,9 @@ PRIORITY: tuple[str, ...] = (
     # ---- (d) r9 additions ----
     "sequence_packing_audit",
     "sim_ivf_incremental_upsert",
+    "corpus_dsir_importance",
+    "sim_contrastive_pair_mining",
+    "multimodal_scene_cuts",
     # ---- (e) r2-stale re-confirmations (first 30, lexicographic) ----
     "corpus_filter_pipeline",
     "dedup_clusters",
@@ -159,9 +167,6 @@ PRIORITY: tuple[str, ...] = (
     "q_full_outer_join",
     "q_lateral_join",
     "q_left_join_agg",
-    "q_math_funcs",
-    "q_nonequi_join",
-    "q_pivot_api",
 )
 
 def query(

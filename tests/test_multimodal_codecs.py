@@ -125,3 +125,41 @@ def test_data_quality_audit_range_count_survives_pk_violation(spark, tmp_path):
     assert rows["lineitem_orders_fk"].violations == 1
     # The duplicate PK must NOT double-count the out-of-range row.
     assert rows["lineitem_qty_in_range"].violations == 1
+
+
+def test_vid_container_round_trip_and_closed_form():
+    """synth_vid -> decode_vid: frame count, per-frame luminance sums
+    and raster sizes all match the closed-form generator; the decoder
+    walks real length prefixes and parses each embedded PPM."""
+    from http_datafusion_spark.operators.multimodal import (
+        VID_FRAME_H,
+        VID_FRAME_W,
+        decode_vid,
+        synth_vid,
+    )
+
+    for doc_id, n_chars in ((2, 7), (5, 0), (98, 123)):
+        frames = decode_vid(synth_vid(doc_id, n_chars))
+        assert len(frames) == 4 + n_chars % 12
+        npx = VID_FRAME_W * VID_FRAME_H * 3
+        for f, ls, n in frames:
+            assert n == npx
+            assert ls == ((doc_id * 31 + f * 97) % 256) * npx
+
+
+def test_vid_decoder_is_a_real_parser():
+    import struct
+
+    import pytest
+
+    from http_datafusion_spark.operators.multimodal import decode_vid, synth_vid
+
+    with pytest.raises(ValueError):
+        decode_vid(b"NOPE" + b"\x00" * 16)
+    # corrupt an embedded frame's PPM magic -> the PPM parser objects
+    good = bytearray(synth_vid(3, 9))
+    pos = 6 + 4  # magic + count + first length prefix
+    assert good[pos : pos + 2] == b"P6"
+    good[pos] = ord("X")
+    with pytest.raises(ValueError):
+        decode_vid(bytes(good))

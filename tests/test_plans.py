@@ -812,11 +812,13 @@ def test_local_checkpoint_inventory_is_pinned():
       plan depth flat across BPE_TRAIN_MERGES iterations.
     - streaming/queries.py (3): per-micro-batch probe results and
       bounded batch aggregates — batch-scoped, not corpus-scoped.
-    - pipeline.py (2, r9): curriculum_stage_plan's per-doc NLL table
+    - pipeline.py (3, r9): curriculum_stage_plan's per-doc NLL table
       (doc-level, 3 columns; the count + ordstats passes would each
-      re-derive the token-explode + vocab-join aggregation) and
+      re-derive the token-explode + vocab-join aggregation),
       sequence_packing_audit's |sources|-row strategy partial (three
-      zero-key branches read it).
+      zero-key branches read it), and corpus_dsir_importance's
+      <=DSIR_BUCKETS-row feature-count grid (totals + lambda derive
+      from it instead of re-running the bigram explode).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments).
     """
@@ -833,7 +835,7 @@ def test_local_checkpoint_inventory_is_pinned():
         "operators/components.py": 7,
         "operators/curation.py": 3,
         "operators/dedup.py": 1,
-        "operators/pipeline.py": 2,
+        "operators/pipeline.py": 3,
         "operators/similarity.py": 2,
         "operators/text.py": 2,
         "streaming/queries.py": 3,
@@ -1099,3 +1101,27 @@ def test_r9_additions_plan_invariants(spark, sf_dir):
     p = plan_of(QS["sim_ivf_incremental_upsert"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert p.count("TakeOrderedAndProject") >= 4  # 2 exact + 2 store searches
+
+
+def test_r9_late_additions_plan_invariants(spark, sf_dir):
+    """Scale-shape pins for the later r9 additions:
+    - corpus_dsir_importance: no cartesian; the lambda join is equi-keyed
+      on the hashed feature (never a nested loop over doc-features).
+    - sim_contrastive_pair_mining: candidate-bounded equi-joins only.
+    - multimodal_scene_cuts: per-doc keyed lag/cumsum windows, no
+      single-partition exchange, no joins at all."""
+    p = plan_of(QS["corpus_dsir_importance"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # only the 1-row totals cross join may be a nested loop; the lambda
+    # join onto doc-features must stay an equi hash join
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    p = plan_of(QS["sim_contrastive_pair_mining"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan_of(QS["multimodal_scene_cuts"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "windowspecdefinition(doc_id" in ln, ln.strip()[:120]
