@@ -3093,3 +3093,288 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------- Z-order clustering audit
+
+# The re-cluster advisory COMPARING layouts, extending
+# table_zonemap_audit (which audits the natural layout only): the same
+# orders rows are laid out three ways — natural (insertion key),
+# date-sorted, and Z-ORDER (Morton-interleaved date x custkey bits,
+# the Delta/Iceberg OPTIMIZE ZORDER layout, public) — and zone-map
+# prunability is measured per layout for a date predicate, a custkey
+# band, and their conjunction. Z-order's point: both dims prune.
+ZORDER_BITS = 8  # per-dim resolution (256 ranks)
+ZORDER_ZONE_SHIFT = 10  # 16-bit z-value >> 10 -> 64 zones
+ZORDER_DATE_LO = "1995-01-01"
+ZORDER_DATE_SPAN_DAYS = 2404  # [1995-01-01, 2001-08-01], the generated order range
+ZORDER_DATE_CUTOFF = "1998-01-01"
+
+
+def _zorder_interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    nb = 1 << ZORDER_BITS
+    zv = _zorder_interleave_sql("dx", "cy")
+    return f"""
+    WITH mx AS (
+      SELECT CAST(max(o_orderkey) AS BIGINT) AS mok,
+             CAST(max(o_custkey) AS BIGINT) AS mck
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(datediff('day', TIMESTAMP '{ZORDER_DATE_LO}', o_orderdate)
+                  * {nb}.0 / {ZORDER_DATE_SPAN_DAYS + 1}) AS BIGINT) AS dx,
+             CAST(floor(o_custkey * {nb}.0 / (mck + 1)) AS BIGINT) AS cy,
+             mck
+      FROM orders CROSS JOIN mx
+    ), lz AS (
+      SELECT o_orderdate, o_custkey, mck, l.layout,
+             CASE l.layout
+               WHEN 'natural' THEN CAST(floor(o_orderkey * 64.0 / (SELECT mok + 1 FROM mx)) AS BIGINT)
+               WHEN 'date_sorted' THEN dx >> 2
+               ELSE ({zv}) >> {ZORDER_ZONE_SHIFT}
+             END AS zone
+      FROM b, (SELECT unnest(['natural', 'date_sorted', 'zorder']) AS layout) l
+    ), z AS (
+      SELECT layout, zone,
+             min(o_orderdate) AS mnd, max(o_orderdate) AS mxd,
+             min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+             max(mck) AS mck
+      FROM lz GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           round(count(*) FILTER (WHERE mnd >= TIMESTAMP '{ZORDER_DATE_CUTOFF}')
+                 * 1.0 / count(*), 6) AS frac_prune_date,
+           round(count(*) FILTER (WHERE mxc < (mck + 1) // 4
+                                     OR mnc >= (mck + 1) // 2)
+                 * 1.0 / count(*), 6) AS frac_prune_cust,
+           round(count(*) FILTER (WHERE mnd >= TIMESTAMP '{ZORDER_DATE_CUTOFF}'
+                                     OR mxc < (mck + 1) // 4
+                                     OR mnc >= (mck + 1) // 2)
+                 * 1.0 / count(*), 6) AS frac_prune_conj
+    FROM z
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@query(
+    "table_zorder_clustering_audit",
+    oracle=_zorder_oracle(),
+    doc=f"Z-order clustering audit: orders laid out three ways — natural "
+    f"insertion order, date-sorted, and Morton-interleaved date x custkey "
+    f"({ZORDER_BITS} bits/dim, zones = z >> {ZORDER_ZONE_SHIFT}; the "
+    f"Delta/Iceberg OPTIMIZE ZORDER layout, public) — with zone-map "
+    f"prunability per layout for a date predicate "
+    f"(< {ZORDER_DATE_CUTOFF}), a custkey quartile band, and their "
+    f"conjunction. The single-dim sort prunes one predicate and nothing "
+    f"else; Z-order prunes BOTH — the measurement behind a re-cluster "
+    f"decision, extending table_zonemap_audit. ONE corpus pass: the "
+    f"3-layout fan-out is an in-row explode, zones come from bit math "
+    f"(no sort, no window), then a (layout, zone)-keyed partial agg; the "
+    f"max-key scalars broadcast (north-star pipeline / lake maintenance)",
+    tags=("pipeline", "agg"),
+)
+def table_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    nb = 1 << ZORDER_BITS
+    mx = o.agg(
+        F.max("o_orderkey").cast("bigint").alias("mok"),
+        F.max("o_custkey").cast("bigint").alias("mck"),
+    )
+    dx = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit(ZORDER_DATE_LO).cast("date"))
+        * float(nb)
+        / (ZORDER_DATE_SPAN_DAYS + 1)
+    ).cast("bigint")
+    cy = F.floor(F.col("o_custkey") * float(nb) / (F.col("mck") + 1)).cast("bigint")
+    zval = None
+    for i in range(ZORDER_BITS):
+        xb = F.shiftleft(F.shiftright(F.col("dx"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(F.col("cy"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zval = xb.bitwiseOR(yb) if zval is None else zval.bitwiseOR(xb).bitwiseOR(yb)
+    b = (
+        o.select("o_orderkey", "o_custkey", "o_orderdate")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("dx", dx)
+        .withColumn("cy", cy)
+    )
+    zone_nat = F.floor(F.col("o_orderkey") * 64.0 / (F.col("mok") + 1)).cast("bigint")
+    zone_date = F.shiftright(F.col("dx"), 2)
+    zone_z = F.shiftright(zval, ZORDER_ZONE_SHIFT)
+    lz = b.select(
+        "o_orderdate",
+        "o_custkey",
+        "mck",
+        F.explode(
+            F.array(
+                F.struct(F.lit("natural").alias("layout"), zone_nat.alias("zone")),
+                F.struct(F.lit("date_sorted").alias("layout"), zone_date.alias("zone")),
+                F.struct(F.lit("zorder").alias("layout"), zone_z.alias("zone")),
+            )
+        ).alias("s"),
+    ).select("o_orderdate", "o_custkey", "mck", "s.layout", "s.zone")
+    z = lz.groupBy("layout", "zone").agg(
+        F.min("o_orderdate").alias("mnd"),
+        F.max("o_orderdate").alias("mxd"),
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.max("mck").alias("mck"),
+    )
+    cutoff = F.lit(ZORDER_DATE_CUTOFF).cast("date")
+    lo = F.floor((F.col("mck") + 1) / 4)
+    hi = F.floor((F.col("mck") + 1) / 2)
+    p_date = (F.col("mnd") >= cutoff).cast("long")
+    p_cust = ((F.col("mxc") < lo) | (F.col("mnc") >= hi)).cast("long")
+    p_conj = (
+        (F.col("mnd") >= cutoff) | (F.col("mxc") < lo) | (F.col("mnc") >= hi)
+    ).cast("long")
+    return (
+        z.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.round(F.sum(p_date) * 1.0 / F.count(F.lit(1)), 6).alias("frac_prune_date"),
+            F.round(F.sum(p_cust) * 1.0 / F.count(F.lit(1)), 6).alias("frac_prune_cust"),
+            F.round(F.sum(p_conj) * 1.0 / F.count(F.lit(1)), 6).alias("frac_prune_conj"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------- Bloom join-prefilter audit
+
+# Semi-join pruning via a broadcast Bloom filter (the runtime-filter /
+# sideways-information-passing pattern every warehouse engine ships):
+# the selective build side's keys hash into an m-bit filter, the probe
+# side keeps only rows whose k positions are all set, and the exact
+# join runs on the survivors. This audit MEASURES the m/k sizing: it
+# builds the filter relationally (bit positions as a <= m-row table),
+# probes, and reports observed vs theoretical false-positive rate —
+# the number that decides whether m is worth the broadcast bytes.
+BLOOM_M = 16384
+BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    pos_rows = " UNION ALL ".join(
+        "SELECT {h} % {m} AS pos, k FROM bk".format(
+            h=md5_int_sql(f"concat('bf{i}|', CAST(k AS VARCHAR))"), m=BLOOM_M
+        )
+        for i in range(BLOOM_K)
+    )
+    fp1 = f"(1.0 - exp(-{BLOOM_K}.0 * nb / {BLOOM_M}))"
+    return f"""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), poss AS ({pos_rows}),
+    bits AS (SELECT DISTINCT pos FROM poss),
+    pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ph AS ({pos_rows.replace('FROM bk', 'FROM pk')}),
+    cand AS (
+      SELECT ph.k FROM ph JOIN bits USING (pos)
+      GROUP BY ph.k HAVING count(*) = {BLOOM_K}
+    ), truth AS (
+      SELECT pk.k FROM pk JOIN bk USING (k)
+    ), c AS (
+      SELECT CAST((SELECT count(*) FROM bk) AS BIGINT) AS nb,
+             CAST((SELECT count(*) FROM bits) AS BIGINT) AS nbits,
+             CAST((SELECT count(*) FROM pk) AS BIGINT) AS np,
+             CAST((SELECT count(*) FROM cand) AS BIGINT) AS nc,
+             CAST((SELECT count(*) FROM truth) AS BIGINT) AS nt
+    )
+    SELECT nb AS n_build_keys, nbits AS n_bits_set, np AS n_probe_keys,
+           nc AS n_candidates, nt AS n_true_matches,
+           nc - nt AS n_false_positives,
+           round((nc - nt) * 1.0 / (np - nt), 6) AS fp_rate,
+           round({fp1} * {fp1} * {fp1}, 6) AS fp_theory
+    FROM c
+    """
+
+
+@query(
+    "join_bloom_prefilter_audit",
+    oracle=_bloom_oracle(),
+    doc=f"Bloom join-prefilter sizing audit: the selective build side "
+    f"(urgent orders' keys) hashes k={BLOOM_K} positions into an "
+    f"m={BLOOM_M}-bit filter held as a <= m-row bit-position table; the "
+    f"probe side (distinct lineitem keys) keeps keys whose {BLOOM_K} "
+    f"positions are all set; observed false-positive rate is compared "
+    f"with the (1 - e^(-kn/m))^k theory — the runtime-filter / SIP "
+    f"pattern (public in every warehouse engine), with the measurement "
+    f"that decides whether m is worth the broadcast bytes. Zero false "
+    f"negatives by construction (the HAVING count(*) = k test is exact). "
+    f"Scale shape: the bit table is literal-modulus-bounded and joins "
+    f"hint-free; probe fan-out is k rows/key into an equi-join + keyed "
+    f"HAVING — at 100 TB this is exactly the shuffle the filter SAVES on "
+    f"the real join, measured before deploying it "
+    f"(north-star pipeline / join optimization)",
+    tags=("pipeline", "join"),
+)
+def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    bk = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    pk = li.select(F.col("l_orderkey").alias("k")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        md5_int(F.concat(F.lit(f"bf{i}|"), F.col("k").cast("string")))
+                        % BLOOM_M
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(bk).select("pos").distinct()
+    # hint-free bits join: <= BLOOM_M rows by literal modulus but
+    # fact-derived, so AQE decides the broadcast
+    cand = (
+        positions(pk)
+        .join(bits, "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_K)
+        .select("k")
+    )
+    truth = pk.join(bk, "k")
+    nb = bk.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("nbits"))
+    np_ = pk.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    fp1 = F.lit(1.0) - F.exp(F.lit(-float(BLOOM_K)) * F.col("nb") / BLOOM_M)
+    return (
+        nb.crossJoin(nbits)
+        .crossJoin(np_)
+        .crossJoin(nc)
+        .crossJoin(nt)
+        .select(
+            F.col("nb").alias("n_build_keys"),
+            F.col("nbits").alias("n_bits_set"),
+            F.col("np").alias("n_probe_keys"),
+            F.col("nc").alias("n_candidates"),
+            F.col("nt").alias("n_true_matches"),
+            (F.col("nc") - F.col("nt")).alias("n_false_positives"),
+            F.round(
+                (F.col("nc") - F.col("nt")) * 1.0 / (F.col("np") - F.col("nt")), 6
+            ).alias("fp_rate"),
+            F.round(fp1 * fp1 * fp1, 6).alias("fp_theory"),
+        )
+    )

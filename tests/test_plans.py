@@ -1125,3 +1125,23 @@ def test_r9_late_additions_plan_invariants(spark, sf_dir):
     for ln in p.splitlines():
         if "Window [" in ln:
             assert "windowspecdefinition(doc_id" in ln, ln.strip()[:120]
+
+
+def test_r9_lake_ops_plan_invariants(spark, sf_dir):
+    """Z-order audit: zones from bit math — no sort, no window, no
+    cartesian; one orders scan feeds the layout explode (plus the 1-row
+    max-key broadcast). Bloom audit: equi-joins only; the bit-position
+    join must never be a nested loop."""
+    p = plan_of(QS["table_zorder_clustering_audit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Window [" not in p  # zones come from bit math, not ranking
+    # the only Sort allowed is the 3-row output ordering by layout
+    sorts = [ln for ln in p.splitlines() if "+- Sort [" in ln]
+    assert all("layout" in ln for ln in sorts), sorts
+    n_scans = sum(
+        1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln
+    )
+    assert n_scans <= 2, n_scans  # data pass + 1-row max-key aggregate
+
+    p = plan_of(QS["join_bloom_prefilter_audit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p
