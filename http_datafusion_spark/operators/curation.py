@@ -4412,3 +4412,124 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.when(cum_d * 2 >= t_d, F.col("v"))), 2).alias("weighted_median"),
         F.round(F.min(F.when(cum_d * 10 >= t_d * 9, F.col("v"))), 2).alias("weighted_p90"),
     )
+
+
+# ------------------------------------------ quality-filter ablation
+
+# The four cheap C4/Gopher-family gates, ablated jointly: every doc
+# gets a 4-bit pass mask and the matrix reports survival per mask —
+# the readout that tells a curation team WHICH rule does the cutting
+# and how the rules overlap, before any of them ships.
+ABLATION_MIN_WORDS = 5
+ABLATION_WORDLEN_LO = 2.0
+ABLATION_WORDLEN_HI = 12.0
+ABLATION_STOP_MIN = 0.02
+ABLATION_PUNCT_MAX = 0.10
+
+
+@query(
+    "quality_ablation_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> list_contains({{stops}}, lower(w)))) AS DOUBLE) AS n_stop
+      FROM documents
+    ), f AS (
+      SELECT doc_id, n_words,
+             CAST(n_words >= {ABLATION_MIN_WORDS} AS INT) AS r_len,
+             CAST(n_chars / greatest(CAST(n_words AS DOUBLE), 1)
+                  BETWEEN {ABLATION_WORDLEN_LO} AND {ABLATION_WORDLEN_HI} AS INT) AS r_shape,
+             CAST(n_stop / greatest(CAST(n_words AS DOUBLE), 1)
+                  >= {ABLATION_STOP_MIN} AS INT) AS r_stop,
+             CAST(n_punct / greatest(n_chars, 1) <= {ABLATION_PUNCT_MAX} AS INT) AS r_punct
+      FROM t
+    ), m AS (
+      SELECT r_len * 8 + r_shape * 4 + r_stop * 2 + r_punct AS mask,
+             r_len, r_shape, r_stop, r_punct, n_words
+      FROM f
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT CAST(mask AS INT) AS mask,
+           CAST(r_len AS BOOLEAN) AS pass_len,
+           CAST(r_shape AS BOOLEAN) AS pass_shape,
+           CAST(r_stop AS BOOLEAN) AS pass_stop,
+           CAST(r_punct AS BOOLEAN) AS pass_punct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac_docs
+    FROM m GROUP BY 1, 2, 3, 4, 5
+    ORDER BY mask
+    """.replace("{stops}", repr(list(_EN_STOPWORDS))),
+    doc=f"quality-filter ablation matrix: the four cheap rule-filter gates "
+    f"(>= {ABLATION_MIN_WORDS} words; avg word length in "
+    f"[{ABLATION_WORDLEN_LO}, {ABLATION_WORDLEN_HI}]; stopword ratio >= "
+    f"{ABLATION_STOP_MIN}; punctuation ratio <= {ABLATION_PUNCT_MAX} — the "
+    f"C4/Gopher rule family) evaluated JOINTLY: every doc gets a 4-bit "
+    f"pass mask, the matrix reports docs/words/corpus-fraction per mask — "
+    f"which rule cuts, and how the rules overlap, measured before any "
+    f"ships (mask 15 = survives all four). ONE map-side pass: flags are "
+    f"projections, the aggregate keys on a 16-value mask "
+    f"(north-star pipeline / curation)",
+    tags=("pipeline", "text", "agg"),
+)
+def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.text import _EN_STOPWORDS as STOPS
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    stop_arr = F.array(*[F.lit(w) for w in STOPS])
+    d = d.select("doc_id", "text", whitespace_tokens(F.col("text")).alias("toks"))
+    n_chars = F.length("text").cast("double")
+    n_words = F.size("toks").cast("bigint")
+    n_words_d = n_words.cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), F.lit(0))
+    ).cast("double")
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda w: F.array_contains(stop_arr, F.lower(w)))
+    ).cast("double")
+    r_len = (n_words >= ABLATION_MIN_WORDS).cast("int")
+    r_shape = (
+        (n_chars / F.greatest(n_words_d, F.lit(1.0))).between(
+            ABLATION_WORDLEN_LO, ABLATION_WORDLEN_HI
+        )
+    ).cast("int")
+    r_stop = (
+        n_stop / F.greatest(n_words_d, F.lit(1.0)) >= ABLATION_STOP_MIN
+    ).cast("int")
+    r_punct = (n_punct / F.greatest(n_chars, F.lit(1.0)) <= ABLATION_PUNCT_MAX).cast(
+        "int"
+    )
+    m = d.select(
+        (r_len * 8 + r_shape * 4 + r_stop * 2 + r_punct).alias("mask"),
+        r_len.alias("r_len"),
+        r_shape.alias("r_shape"),
+        r_stop.alias("r_stop"),
+        r_punct.alias("r_punct"),
+        n_words.alias("n_words"),
+    )
+    # corpus total reconstructed from the 16-row grouped relation via an
+    # unpartitioned window — 16 rows through one task, not a second
+    # corpus text scan (the flags projection is the expensive part here)
+    return (
+        m.groupBy("mask", "r_len", "r_shape", "r_stop", "r_punct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+        )
+        .withColumn("n", F.sum("n_docs").over(Window.partitionBy()))
+        .select(
+            F.col("mask").cast("int").alias("mask"),
+            F.col("r_len").cast("boolean").alias("pass_len"),
+            F.col("r_shape").cast("boolean").alias("pass_shape"),
+            F.col("r_stop").cast("boolean").alias("pass_stop"),
+            F.col("r_punct").cast("boolean").alias("pass_punct"),
+            "n_docs",
+            "sum_words",
+            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias("frac_docs"),
+        )
+        .orderBy("mask")
+    )

@@ -1792,3 +1792,80 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).cast("bigint").alias("reject_05"),
     )
+
+
+# --------------------------------------- watermark lateness audit
+
+# Allowed-lateness sizing for the streaming tier: per user stream
+# (arrival order = event_id), an event is DROPPED under watermark
+# slack W iff its event time sits more than W behind the stream's
+# running max at arrival. The audit sweeps a literal W grid and
+# reports the drop fraction per W — the number that sizes
+# withWatermark() before a streaming job ships (same decision the 16
+# streaming queries' watermarks encode, measured from the batch data).
+WATERMARK_SLACKS_SEC = (0, 60, 300, 3600)
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ), r AS (
+      SELECT user_id, event_id, tus,
+             max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS runmax_prev
+      FROM e
+    ), w AS (SELECT CAST(unnest({list(WATERMARK_SLACKS_SEC)}) AS BIGINT) AS slack_sec)
+    SELECT CAST(w.slack_sec AS BIGINT) AS slack_sec,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN r.runmax_prev IS NOT NULL
+                          AND r.tus < r.runmax_prev - w.slack_sec * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(sum(CASE WHEN r.runmax_prev IS NOT NULL
+                          AND r.tus < r.runmax_prev - w.slack_sec * 1000000
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS frac_dropped
+    FROM r CROSS JOIN w
+    GROUP BY w.slack_sec
+    ORDER BY slack_sec
+    """,
+    doc=f"watermark allowed-lateness audit: per user stream (arrival order "
+    f"= event_id) the running event-time max is compared with each "
+    f"arriving event; for every slack W in {WATERMARK_SLACKS_SEC} seconds "
+    f"the audit counts events a withWatermark(W) stream would DROP — the "
+    f"out-of-orderness profile that sizes the streaming tier's watermark "
+    f"from batch history. One per-user keyed window (microsecond-integer "
+    f"running max, contents = one user's stream) + a broadcast "
+    f"{len(WATERMARK_SLACKS_SEC)}-row slack grid + a partial agg "
+    f"(SURVEY §2.9 support / streaming ops)",
+    tags=("events", "timeseries", "window"),
+)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    r = e.select("user_id", "event_id", tus.alias("tus")).withColumn(
+        "runmax_prev",
+        F.max("tus").over(
+            W.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    w = spark.createDataFrame(
+        [(s,) for s in WATERMARK_SLACKS_SEC], "slack_sec bigint"
+    )
+    dropped = (
+        F.col("runmax_prev").isNotNull()
+        & (F.col("tus") < F.col("runmax_prev") - F.col("slack_sec") * 1_000_000)
+    ).cast("long")
+    return (
+        r.crossJoin(F.broadcast(w))
+        .groupBy("slack_sec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.round(F.sum(dropped) * 1.0 / F.count(F.lit(1)), 6).alias("frac_dropped"),
+        )
+        .orderBy("slack_sec")
+    )

@@ -78,14 +78,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       re-confirmations.
 #   (d) the r9 ADDITIONS (appended to this head as they land, with
 #       local sf0.001+sf0.01 oracle evidence).
-#   (e) rotation re-confirmation: 25 of the 49 rows whose last driver
+#   (e) rotation re-confirmation: 23 of the 49 rows whose last driver
 #       check was round 2 — the oldest evidence after (c) — taken in
 #       lexicographic order so the pick is deterministic (originally 30;
-#       q_lateral_join / q_left_join_agg / q_math_funcs / q_nonequi_join
-#       / q_pivot_api were deferred as the seven r9 additions claimed
-#       window slots). None changed since r2.
-#   R10 HEAD (named now, per rotation discipline): the 24 remaining
+#       q_date_funcs / q_full_outer_join / q_lateral_join /
+#       q_left_join_agg / q_math_funcs / q_nonequi_join / q_pivot_api
+#       were deferred, newest-alphabet last, as the nine r9 additions
+#       claimed window slots). None changed since r2.
+#   R10 HEAD (named now, per rotation discipline): the 26 remaining
 #   r2-stale rows deferred by the window cap —
+#   q_date_funcs
+#   q_full_outer_join
 #   q_lateral_join
 #   q_left_join_agg
 #   q_math_funcs
@@ -143,6 +146,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cuts",
     "table_zorder_clustering_audit",
     "join_bloom_prefilter_audit",
+    "quality_ablation_matrix",
+    "events_watermark_lateness_audit",
     # ---- (e) r2-stale re-confirmations (first 30, lexicographic) ----
     "corpus_filter_pipeline",
     "dedup_clusters",
@@ -167,8 +172,6 @@ PRIORITY: tuple[str, ...] = (
     "q_cast_types",
     "q_conditional_funcs",
     "q_correlated_scalar_subquery",
-    "q_date_funcs",
-    "q_full_outer_join",
 )
 
 def query(
