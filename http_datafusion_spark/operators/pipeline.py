@@ -3259,18 +3259,18 @@ def table_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 # builds the filter relationally (bit positions as a <= m-row table),
 # probes, and reports observed vs theoretical false-positive rate —
 # the number that decides whether m is worth the broadcast bytes.
-BLOOM_M = 16384
-BLOOM_K = 3
+JOINBLOOM_M = 16384
+JOINBLOOM_K = 3
 
 
-def _bloom_oracle() -> str:
+def _join_bloom_oracle() -> str:
     pos_rows = " UNION ALL ".join(
         "SELECT {h} % {m} AS pos, k FROM bk".format(
-            h=md5_int_sql(f"concat('bf{i}|', CAST(k AS VARCHAR))"), m=BLOOM_M
+            h=md5_int_sql(f"concat('bf{i}|', CAST(k AS VARCHAR))"), m=JOINBLOOM_M
         )
-        for i in range(BLOOM_K)
+        for i in range(JOINBLOOM_K)
     )
-    fp1 = f"(1.0 - exp(-{BLOOM_K}.0 * nb / {BLOOM_M}))"
+    fp1 = f"(1.0 - exp(-{JOINBLOOM_K}.0 * nb / {JOINBLOOM_M}))"
     return f"""
     WITH bk AS (
       SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -3280,7 +3280,7 @@ def _bloom_oracle() -> str:
     ph AS ({pos_rows.replace('FROM bk', 'FROM pk')}),
     cand AS (
       SELECT ph.k FROM ph JOIN bits USING (pos)
-      GROUP BY ph.k HAVING count(*) = {BLOOM_K}
+      GROUP BY ph.k HAVING count(*) = {JOINBLOOM_K}
     ), truth AS (
       SELECT pk.k FROM pk JOIN bk USING (k)
     ), c AS (
@@ -3301,11 +3301,11 @@ def _bloom_oracle() -> str:
 
 @query(
     "join_bloom_prefilter_audit",
-    oracle=_bloom_oracle(),
+    oracle=_join_bloom_oracle(),
     doc=f"Bloom join-prefilter sizing audit: the selective build side "
-    f"(urgent orders' keys) hashes k={BLOOM_K} positions into an "
-    f"m={BLOOM_M}-bit filter held as a <= m-row bit-position table; the "
-    f"probe side (distinct lineitem keys) keeps keys whose {BLOOM_K} "
+    f"(urgent orders' keys) hashes k={JOINBLOOM_K} positions into an "
+    f"m={JOINBLOOM_M}-bit filter held as a <= m-row bit-position table; the "
+    f"probe side (distinct lineitem keys) keeps keys whose {JOINBLOOM_K} "
     f"positions are all set; observed false-positive rate is compared "
     f"with the (1 - e^(-kn/m))^k theory — the runtime-filter / SIP "
     f"pattern (public in every warehouse engine), with the measurement "
@@ -3335,22 +3335,22 @@ def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         md5_int(F.concat(F.lit(f"bf{i}|"), F.col("k").cast("string")))
-                        % BLOOM_M
-                        for i in range(BLOOM_K)
+                        % JOINBLOOM_M
+                        for i in range(JOINBLOOM_K)
                     ]
                 )
             ).alias("pos"),
         )
 
     bits = positions(bk).select("pos").distinct()
-    # hint-free bits join: <= BLOOM_M rows by literal modulus but
+    # hint-free bits join: <= JOINBLOOM_M rows by literal modulus but
     # fact-derived, so AQE decides the broadcast
     cand = (
         positions(pk)
         .join(bits, "pos")
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("nhit"))
-        .filter(F.col("nhit") == BLOOM_K)
+        .filter(F.col("nhit") == JOINBLOOM_K)
         .select("k")
     )
     truth = pk.join(bk, "k")
@@ -3359,7 +3359,7 @@ def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = pk.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
     nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    fp1 = F.lit(1.0) - F.exp(F.lit(-float(BLOOM_K)) * F.col("nb") / BLOOM_M)
+    fp1 = F.lit(1.0) - F.exp(F.lit(-float(JOINBLOOM_K)) * F.col("nb") / JOINBLOOM_M)
     return (
         nb.crossJoin(nbits)
         .crossJoin(np_)

@@ -429,3 +429,61 @@ def test_two_level_agg_exact_at_overflow_scale(spark):
         df, ["k"], partial={"s": F.sum("v")}, final={"total": dsum("s")}
     ).first()
     assert int(out.total) == per_row * n_part * n_rows  # 1.28e19, exact
+
+
+def test_two_phase_rank_equals_single_window(spark):
+    """The r9 two-phase within-shard rank (per-(shard, hb) counts ->
+    exclusive offsets -> bucket-local row_number) must be bit-identical
+    to the single per-shard window it replaced, for ANY hash values —
+    including collisions and empty sub-buckets. Property-checked on
+    synthetic (h, doc_id) sets driven through both formulations."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**60 - 1),  # h
+                st.integers(min_value=0, max_value=99),  # doc_id
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[1],
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "h bigint, doc_id bigint").withColumn(
+            "shard", (F.col("h") % 16).cast("bigint")
+        )
+        single = df.withColumn(
+            "pos", F.row_number().over(W.partitionBy("shard").orderBy("h", "doc_id"))
+        )
+        hb = df.withColumn("hb", F.shiftright(F.col("h"), 54))
+        counts = hb.groupBy("shard", "hb").agg(F.count(F.lit(1)).alias("cnt"))
+        off = F.coalesce(
+            F.sum("cnt").over(
+                W.partitionBy("shard").orderBy("hb").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        offsets = counts.select("shard", "hb", off.alias("off"))
+        local = F.row_number().over(
+            W.partitionBy("shard", "hb").orderBy("h", "doc_id")
+        )
+        two = hb.join(offsets, ["shard", "hb"]).withColumn(
+            "pos", F.col("off") + local
+        )
+        a = {(r.shard, r.doc_id, r.pos) for r in single.collect()}
+        b = {(r.shard, r.doc_id, r.pos) for r in two.collect()}
+        assert a == b
+
+    check()
