@@ -1083,3 +1083,147 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ------------------------------------------ watermark late-drop twin
+
+# Deterministic out-of-order replay: arrival = event time + a
+# +-1h md5 jitter, bucketed into WM_ARRIVAL_FILES fixed ranges — so a
+# maxFilesPerTrigger=1 replay has SQL-expressible batch membership AND
+# genuine cross-batch event-time disorder (unlike the ts-range staging,
+# which replays in perfect order and can never drop anything).
+WM_ARRIVAL_FILES = 6
+WM_SLACK_SEC = 1799  # odd on purpose: never ties an hour-aligned window end
+WM_WINDOW_SEC = 3600
+WM_JITTER_SEC = 21600  # +-6h arrival jitter: real cross-batch disorder
+
+
+def _arrival_us(ts_us, jitter_sec):  # noqa: ANN001 - Column math helper
+    return ts_us + jitter_sec * 1_000_000
+
+
+def staged_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as WM_ARRIVAL_FILES single-file parquets bucketed by
+    the deterministic jittered arrival key, mtimes increasing — batch k
+    is a closed-form function of (event_id, ts), so the watermark
+    machinery's per-batch drops are oracle-computable."""
+    import shutil
+
+    from http_datafusion_spark.functions.hashing import md5_int
+    from http_datafusion_spark.plans.tables import fingerprint_tables, load_tables
+
+    _ensure_session_confs(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    fp = fingerprint_tables(sf_dir, "events")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_wm_{name}_{fp}_j{WM_JITTER_SEC}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        j = md5_int(F.concat(F.lit("wmj|"), F.col("event_id").cast("string"))) % (2 * WM_JITTER_SEC) - WM_JITTER_SEC
+        a = F.unix_micros(F.col("ts")) + j.cast("bigint") * 1_000_000
+        ev = ev.withColumn("__a", a)
+        ext = ev.agg(F.min("__a").alias("amin"), F.max("__a").alias("amax")).collect()[0]
+        span = ext["amax"] - ext["amin"] + 1
+        bcol = F.least(
+            F.lit(WM_ARRIVAL_FILES - 1),
+            F.floor((F.col("__a") - ext["amin"]) * WM_ARRIVAL_FILES / span),
+        ).cast("bigint")
+        ev = ev.withColumn("__b", bcol)
+        base = None
+        for i in range(WM_ARRIVAL_FILES):
+            tmp = os.path.join(d, f"_tmp_{i}")
+            ev.filter(F.col("__b") == i).drop("__a", "__b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"arrival-{i}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if base is None:
+                base = int(os.path.getmtime(dst))
+            os.utime(dst, (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _wm_late_drop_oracle() -> str:
+    from http_datafusion_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql("concat('wmj|', CAST(event_id AS VARCHAR))")
+    jit = f"({h} % {2 * WM_JITTER_SEC} - {WM_JITTER_SEC})"
+    n = WM_ARRIVAL_FILES
+    wus = WM_WINDOW_SEC * 1_000_000
+    return f"""
+    WITH j AS (
+      SELECT event_id, epoch_us(ts) AS tus,
+             epoch_us(ts) + CAST({jit} AS BIGINT) * 1000000 AS a
+      FROM events
+    ), ext AS (
+      SELECT min(a) AS amin, max(a) AS amax FROM j
+    ), b AS (
+      SELECT event_id, tus,
+             least({n - 1}, CAST(floor((a - amin) * {n}.0 / (amax - amin + 1)) AS BIGINT)) AS b
+      FROM j, ext
+    ), bm AS (
+      SELECT b, max(tus) AS bmax FROM b GROUP BY b
+    ), wm AS (
+      SELECT b,
+             (max(bmax // 1000) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+              - {WM_SLACK_SEC} * 1000) * 1000 AS wm_prev
+      FROM bm
+    ), kept AS (
+      SELECT x.event_id, x.tus, (x.tus // {wus}) * {wus} AS wstart
+      FROM b x JOIN wm ON wm.b = x.b
+      WHERE wm.wm_prev IS NULL OR (x.tus // {wus}) * {wus} + {wus} > wm.wm_prev
+    ), fin AS (
+      SELECT (max(bmax // 1000) - {WM_SLACK_SEC} * 1000) * 1000 AS final_wm FROM bm
+    )
+    SELECT CAST(wstart AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM kept, fin
+    WHERE wstart + {wus} <= fin.final_wm
+    GROUP BY wstart
+    ORDER BY window_start_us
+    """
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle=_wm_late_drop_oracle(),
+    doc=f"STREAMING watermark drop semantics, twinned exactly: events replay "
+    f"in {WM_ARRIVAL_FILES} deterministic jittered-arrival batches (real "
+    f"cross-batch event-time disorder), a withWatermark({WM_SLACK_SEC}s) "
+    f"tumbling {WM_WINDOW_SEC}s count runs in append mode, and the oracle "
+    f"recomputes Spark's exact per-batch state machine from the raw table: "
+    f"wm_b = max event time of batches < b minus the slack; a batch-b row is "
+    f"DROPPED iff its event time < wm_b; a window emits iff its end <= the "
+    f"final watermark. The batch-side sizing audit "
+    f"(events_watermark_lateness_audit) picks the slack; this proves the "
+    f"engine's actual drop/emit behavior matches the model it was sized "
+    f"with. State = open windows only (streaming extension; SURVEY §2.9)",
+    tags=("streaming", "events", "window"),
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = staged_arrival_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{WM_SLACK_SEC} seconds")
+        .groupBy(F.window("ts", f"{WM_WINDOW_SEC} seconds"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "id_checksum",
+    ).orderBy("window_start_us")
