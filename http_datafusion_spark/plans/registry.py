@@ -55,123 +55,92 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-9 rotation policy (per the r8 verdict's task 2, verbatim):
-#   (a) ALL 15 registry entries that have never had a driver
-#       CORRECTNESS row — the late-r8 additions, including the 4 the
-#       old R9-head comment failed to name (curriculum_stage_plan,
-#       orders_theil_sen_trend, text_rake_keywords, vocab_chao1_unseen;
-#       VERDICT r8 "What's missing" #1). Checking them restores
-#       cumulative "every operator has hard driver evidence"
-#       (339/339 minus whatever r9 itself adds late).
-#       Five of these also CHANGED in r9 (rag_rrf_fusion_eval's
-#       literal-depth rank truncation + oracle, sim_matryoshka_recall
-#       unchanged-but-repinned, dedup_minhash_band_tuning's one-pass
-#       grid, curriculum_stage_plan's checkpoint,
-#       events_mannwhitney_u doc-only), so the slots double as
-#       change-verification.
-#   (b) rag_chunk_retrieval_eval — driver-green r8, but its plan
-#       changed in r9 (literal rank bounds -> WindowGroupLimit), so it
-#       re-enters the window per the "every operator whose
-#       implementation changed this round" rule.
-#   (c) ts_gapfill_grid and ts_forward_fill — the two r1 rows deferred
-#       from the r8 window, now 8 rounds stale; unchanged since, pure
+# Round-10 rotation policy (per the r9 verdict's tasks 2/4/5):
+#   (a) stream_watermark_late_drop — the ONE registry entry with no
+#       driver evidence: it landed in the r9 snapshot commit with a
+#       RED oracle (eager-drop model vs Spark's lagged
+#       watermarkForLateEvents; r9 VERDICT "What's wrong" #1). Fixed
+#       in r10: the oracle now models the two-watermark semantics
+#       (late filter = eviction watermark of the previous batch, i.e.
+#       max event time over batches <= b-2 minus slack) and the ±5d
+#       jitter makes drops genuinely fire
+#       (tests/test_streaming.py::test_late_drop_twin_actually_drops_rows
+#       pins numRowsDroppedByWatermark > 0). First in the window.
+#   (b) the 26 r2-stale rows the old R10-head comment named verbatim —
+#       7-round-old driver evidence on unchanged code; pure
 #       re-confirmations.
-#   (d) the r9 ADDITIONS (appended to this head as they land, with
-#       local sf0.001+sf0.01 oracle evidence).
-#   (e) rotation re-confirmation: 23 of the 49 rows whose last driver
-#       check was round 2 — the oldest evidence after (c) — taken in
-#       lexicographic order so the pick is deterministic (originally 30;
-#       q_date_funcs / q_full_outer_join / q_lateral_join /
-#       q_left_join_agg / q_math_funcs / q_nonequi_join / q_pivot_api
-#       were deferred, newest-alphabet last, as the nine r9 additions
-#       claimed window slots). None changed since r2.
-#   R10 HEAD (named now, per rotation discipline): the 26 remaining
-#   r2-stale rows deferred by the window cap —
-#   q_date_funcs
-#   q_full_outer_join
-#   q_lateral_join
-#   q_left_join_agg
-#   q_math_funcs
-#   q_nonequi_join
-#   q_pivot_api
-#   q_recursive_cte
-#   q_regex_funcs
-#   q_scalar_subquery
-#   q_scalar_tail
-#   q_semi_join
-#   q_set_ops
-#   q_sort_paging
-#   q_string_funcs
-#   q_topk_per_group
-#   q_unpivot
-#   q_window_range_frame
-#   q_window_ranking
-#   q_window_running
-#   sim_bruteforce_topk
-#   sim_ivf_topk
-#   sim_kmeans_refit
-#   sim_pq_adc_topk
-#   stream_rate_limited
-#   ts_rollup_cascade
-#   — plus any r9 addition that misses this window.
+#   (c) the r10 ADDITIONS (appended to this head as they land, with
+#       local sf0.001+sf0.01 oracle evidence). FREEZE RULE (r9 VERDICT
+#       task 3): no registry append after the round's last full-suite
+#       run — enforced by tests/test_docs.py's registry==COVERAGE.md
+#       assertion, which fails the suite if an operator lacks its
+#       COVERAGE row.
+#   (d) rotation re-confirmation: the 13 lexicographically-first of
+#       the 47 rows whose last driver check was round 3 — the oldest
+#       evidence after (b). If r10 additions overflow the 50-slot cap,
+#       these defer newest-alphabet-last (documented here when it
+#       happens).
+#   R11 HEAD (named now, per rotation discipline): the 34 remaining
+#   r3-stale rows —
+#   q2_min_cost_supplier, q4_priority_exists, q6_revenue_delta,
+#   q_cogrouped_pandas, q_cross_join, q_cte, q_distinct, q_except,
+#   q_except_all, q_explode_unnest, q_in_subquery, q_intersect,
+#   q_intersect_all, q_json_funcs, q_limit_offset, q_not_in_subquery,
+#   q_null_safe_join, q_python_udtf, q_right_join, q_salted_skew_join,
+#   q_sort_nulls, q_subquery_in_from, q_udaf_grouped, q_union_all,
+#   q_variant_json, q_window_clause, q_window_ignore_nulls,
+#   q_window_offsets, stream_cdc_upsert, stream_dedup,
+#   stream_session_window, stream_static_enrich, stream_stream_join,
+#   stream_tumbling_agg
+#   — plus any (d) row deferred from this window and any r10 addition
+#   that misses it.
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) never driver-checked (late-r8 additions; 5 changed in r9) ----
-    "sim_matryoshka_recall",
-    "table_zonemap_audit",
-    "tokenizer_fertility_audit",
-    "text_code_detect",
-    "dedup_minhash_band_tuning",
-    "rag_rrf_fusion_eval",
-    "events_ks_two_sample",
-    "events_mannwhitney_u",
-    "graph_kcore_rounds",
-    "multimodal_vad_segments",
-    "feature_hashing_vectorizer",
-    "curriculum_stage_plan",
-    "orders_theil_sen_trend",
-    "text_rake_keywords",
-    "vocab_chao1_unseen",
-    # ---- (b) plan changed in r9 ----
-    "rag_chunk_retrieval_eval",
-    # ---- (c) oldest evidence: last driver-checked round 1 ----
-    "ts_gapfill_grid",
-    "ts_forward_fill",
-    # ---- (d) r9 additions ----
-    "sequence_packing_audit",
-    "sim_ivf_incremental_upsert",
-    "corpus_dsir_importance",
-    "sim_contrastive_pair_mining",
-    "multimodal_scene_cuts",
-    "table_zorder_clustering_audit",
-    "join_bloom_prefilter_audit",
-    "quality_ablation_matrix",
-    "events_watermark_lateness_audit",
-    # ---- (e) r2-stale re-confirmations (first 30, lexicographic) ----
-    "corpus_filter_pipeline",
-    "dedup_clusters",
-    "dedup_segments",
-    "doc_packing",
-    "embedding_pq_train",
-    "embedding_quantize_pq",
-    "events_funnel",
-    "http_ingest_nation",
-    "pii_redact",
-    "q10_returned_revenue",
-    "q11_important_stock",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_agg_approx",
-    "q_anti_join",
-    "q_array_funcs",
-    "q_cast_types",
-    "q_conditional_funcs",
-    "q_correlated_scalar_subquery",
+    # ---- (a) repaired r9 straggler: only never-driver-checked entry ----
+    "stream_watermark_late_drop",
+    # ---- (b) r2-stale re-confirmations (the 26 deferred from r9) ----
+    "q_date_funcs",
+    "q_full_outer_join",
+    "q_lateral_join",
+    "q_left_join_agg",
+    "q_math_funcs",
+    "q_nonequi_join",
+    "q_pivot_api",
+    "q_recursive_cte",
+    "q_regex_funcs",
+    "q_scalar_subquery",
+    "q_scalar_tail",
+    "q_semi_join",
+    "q_set_ops",
+    "q_sort_paging",
+    "q_string_funcs",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_window_range_frame",
+    "q_window_ranking",
+    "q_window_running",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_refit",
+    "sim_pq_adc_topk",
+    "stream_rate_limited",
+    "ts_rollup_cascade",
+    # ---- (c) r10 additions land here as they are committed ----
+    # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
+    "dedup_bloom_prefilter",
+    "embedding_index_roundtrip",
+    "embedding_moment_audit",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_relationships",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 )
 
 def query(

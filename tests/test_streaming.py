@@ -245,3 +245,25 @@ def test_watermark_drops_late_rows_and_accounts_them(spark, sf_dir):
         if p.get("stateOperators")
     )
     assert dropped > 0  # late rows were dropped AND accounted for
+
+
+def test_late_drop_twin_actually_drops_rows(spark, sf_dir):
+    """The oracle-checked stream_watermark_late_drop models Spark 4.1's
+    two-watermark drop semantics (late filter = watermarkForLateEvents,
+    one batch behind eviction; SPARK-40925). That model is vacuous if
+    the staged replay never produces a drop — the r9 geometry (±6h
+    jitter vs ~5-day arrival buckets) dropped NOTHING in any batch, so
+    the oracle could not distinguish eager from lagged semantics (r9
+    VERDICT "What's wrong" #1). Pin that with the ±5d jitter at least
+    one micro-batch reports numRowsDroppedByWatermark > 0, so the
+    operator demonstrably exercises the drop path it claims to model."""
+    import http_datafusion_spark.streaming.queries as sq
+
+    sq.stream_watermark_late_drop(spark, sf_dir).collect()
+    assert sq.WM_LAST_PROGRESS, "progress capture wired through run_to_memory"
+    per_batch = [
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) or 0)
+        for p in sq.WM_LAST_PROGRESS
+        if p.get("stateOperators")
+    ]
+    assert sum(per_batch) > 0, f"no batch dropped rows: {per_batch}"
