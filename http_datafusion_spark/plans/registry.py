@@ -127,6 +127,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_rate_limited",
     "ts_rollup_cascade",
     # ---- (c) r10 additions land here as they are committed ----
+    "stream_wm_conformance_matrix",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",

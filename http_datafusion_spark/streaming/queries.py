@@ -1124,11 +1124,16 @@ def _arrival_us(ts_us, jitter_sec):  # noqa: ANN001 - Column math helper
     return ts_us + jitter_sec * 1_000_000
 
 
-def staged_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
+def staged_arrival_dir(
+    spark: SparkSession, sf_dir: str, jitter_sec: int = WM_JITTER_SEC
+) -> str:
     """Stage events as WM_ARRIVAL_FILES single-file parquets bucketed by
     the deterministic jittered arrival key, mtimes increasing — batch k
     is a closed-form function of (event_id, ts), so the watermark
-    machinery's per-batch drops are oracle-computable."""
+    machinery's per-batch drops are oracle-computable. ``jitter_sec``
+    parameterizes the disorder magnitude (the conformance matrix replays
+    the same table under several geometries; dirs are cached per
+    (sf_dir, fingerprint, jitter))."""
     import shutil
 
     from http_datafusion_spark.functions.hashing import md5_int
@@ -1137,12 +1142,12 @@ def staged_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     _ensure_session_confs(spark)
     name = sf_dir.strip("/").replace("/", "_")
     fp = fingerprint_tables(sf_dir, "events")
-    d = os.path.join(tempfile.gettempdir(), f"hds_stream_wm_{name}_{fp}_j{WM_JITTER_SEC}")
+    d = os.path.join(tempfile.gettempdir(), f"hds_stream_wm_{name}_{fp}_j{jitter_sec}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         ev = load_tables(spark, sf_dir, "events")["events"]
-        j = md5_int(F.concat(F.lit("wmj|"), F.col("event_id").cast("string"))) % (2 * WM_JITTER_SEC) - WM_JITTER_SEC
+        j = md5_int(F.concat(F.lit("wmj|"), F.col("event_id").cast("string"))) % (2 * jitter_sec) - jitter_sec
         a = F.unix_micros(F.col("ts")) + j.cast("bigint") * 1_000_000
         ev = ev.withColumn("__a", a)
         ext = ev.agg(F.min("__a").alias("amin"), F.max("__a").alias("amax")).collect()[0]
@@ -1170,11 +1175,14 @@ def staged_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def _wm_late_drop_oracle() -> str:
+def _wm_model_sql(jitter_sec: int, slack_sec: int) -> str:
+    """The two-watermark emit/drop model as one parameterized SELECT —
+    shared by the single late-drop twin and the conformance matrix, so
+    a semantics correction lands in every config at once."""
     from http_datafusion_spark.functions.hashing import md5_int_sql
 
     h = md5_int_sql("concat('wmj|', CAST(event_id AS VARCHAR))")
-    jit = f"({h} % {2 * WM_JITTER_SEC} - {WM_JITTER_SEC})"
+    jit = f"({h} % {2 * jitter_sec} - {jitter_sec})"
     n = WM_ARRIVAL_FILES
     wus = WM_WINDOW_SEC * 1_000_000
     return f"""
@@ -1197,14 +1205,14 @@ def _wm_late_drop_oracle() -> str:
       SELECT b,
              (max(bmax // 1000) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 2 PRECEDING)
-              - {WM_SLACK_SEC} * 1000) * 1000 AS wm_prev
+              - {slack_sec} * 1000) * 1000 AS wm_prev
       FROM bm
     ), kept AS (
       SELECT x.event_id, x.tus, (x.tus // {wus}) * {wus} AS wstart
       FROM b x JOIN wm ON wm.b = x.b
       WHERE wm.wm_prev IS NULL OR (x.tus // {wus}) * {wus} + {wus} > wm.wm_prev
     ), fin AS (
-      SELECT (max(bmax // 1000) - {WM_SLACK_SEC} * 1000) * 1000 AS final_wm FROM bm
+      SELECT (max(bmax // 1000) - {slack_sec} * 1000) * 1000 AS final_wm FROM bm
     )
     SELECT CAST(wstart AS BIGINT) AS window_start_us,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -1212,13 +1220,12 @@ def _wm_late_drop_oracle() -> str:
     FROM kept, fin
     WHERE wstart + {wus} <= fin.final_wm
     GROUP BY wstart
-    ORDER BY window_start_us
     """
 
 
 @query(
     "stream_watermark_late_drop",
-    oracle=_wm_late_drop_oracle(),
+    oracle=_wm_model_sql(WM_JITTER_SEC, WM_SLACK_SEC) + " ORDER BY window_start_us",
     doc=f"STREAMING watermark drop semantics, twinned exactly: events replay "
     f"in {WM_ARRIVAL_FILES} deterministic jittered-arrival batches "
     f"(+-{WM_JITTER_SEC}s jitter: rows land >=2 batches out of order, so "
@@ -1257,3 +1264,89 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "id_checksum",
     ).orderBy("window_start_us")
+
+
+# ------------------------------------- watermark conformance matrix
+
+# (label, slack_sec, jitter_sec). Three geometries spanning the
+# behavior space the r9 bug lived in:
+#   - drop_j5d_s30m: the repaired late-drop geometry — rows land >=2
+#     batches out of event-time order, drops fire in every replay.
+#   - nodrop_j6h_s30m: the EXACT r9 geometry (±6h jitter vs ~5-day
+#     arrival buckets). Under the wrong eager-drop model this config
+#     "drops" rows; under Spark's real two-watermark semantics nothing
+#     can ever be late enough — the model must predict ZERO drops and
+#     every closed window intact. Keeping it in the matrix pins the
+#     distinction that made r9's oracle red.
+#   - drop_j5d_s4h: same disorder, 4h slack — slack widening must
+#     monotonically reduce drops (checked in tests/test_streaming.py).
+WM_CONFORMANCE_CONFIGS: tuple[tuple[str, int, int], ...] = (
+    ("drop_j5d_s30m", WM_SLACK_SEC, WM_JITTER_SEC),
+    ("nodrop_j6h_s30m", WM_SLACK_SEC, 21_600),
+    ("drop_j5d_s4h", 14_399, WM_JITTER_SEC),
+)
+
+# label -> list of per-microbatch progress dicts from the last run;
+# tests pin numRowsDroppedByWatermark per config (positive / zero /
+# between) — the conformance evidence the oracle itself cannot see.
+WM_MATRIX_PROGRESS: dict[str, list] = {}
+
+
+def _wm_matrix_oracle() -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"SELECT '{label}' AS config, * FROM ({_wm_model_sql(jit, slack)})"
+        for label, slack, jit in WM_CONFORMANCE_CONFIGS
+    )
+    return branches + "\n    ORDER BY config, window_start_us"
+
+
+@query(
+    "stream_wm_conformance_matrix",
+    oracle=_wm_matrix_oracle(),
+    doc="STREAMING two-watermark conformance suite (r9 VERDICT task 6a): "
+    "the SAME events table replays under three (slack, jitter) geometries "
+    "— drops-fire, the exact r9 zero-drop geometry, and wide-slack — each "
+    "as a real append-mode watermark windowed count, all checked against "
+    "one parameterized SQL model of Spark 4.1's two-watermark state "
+    "machine (late filter = watermarkForLateEvents = previous batch's "
+    "eviction watermark, SPARK-40925; emit iff window end <= final "
+    "eviction watermark). The zero-drop config is the geometry that made "
+    "the r9 oracle red under the naive eager-drop model, kept as a "
+    "regression pin; per-config numRowsDroppedByWatermark accounting "
+    "(positive / zero / monotone in slack) is asserted in "
+    "tests/test_streaming.py. State = open windows only per config "
+    "(streaming extension; SURVEY §2.9)",
+    tags=("streaming", "events", "window"),
+)
+def stream_wm_conformance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    WM_MATRIX_PROGRESS.clear()
+    for label, slack, jit in WM_CONFORMANCE_CONFIGS:
+        d = staged_arrival_dir(spark, sf_dir, jitter_sec=jit)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{slack} seconds")
+            .groupBy(F.window("ts", f"{WM_WINDOW_SEC} seconds"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+        )
+        progress: list = []
+        out = run_to_memory(agg, "append", progress_out=progress)
+        WM_MATRIX_PROGRESS[label] = progress
+        outs.append(
+            out.select(
+                F.lit(label).alias("config"),
+                F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                "n_events",
+                "id_checksum",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("config", "window_start_us")

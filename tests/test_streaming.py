@@ -267,3 +267,26 @@ def test_late_drop_twin_actually_drops_rows(spark, sf_dir):
         if p.get("stateOperators")
     ]
     assert sum(per_batch) > 0, f"no batch dropped rows: {per_batch}"
+
+
+def test_wm_conformance_matrix_drop_accounting(spark, sf_dir):
+    """Per-config drop accounting for the conformance matrix — the
+    evidence the SQL oracle cannot see: the drops-fire geometry drops
+    rows in at least one batch, the exact r9 zero-drop geometry drops
+    NOTHING (under the eager-drop misreading it would — this pin is the
+    r9-bug regression), and widening the slack cannot increase drops."""
+    import http_datafusion_spark.streaming.queries as sq
+
+    sq.stream_wm_conformance_matrix(spark, sf_dir).collect()
+    drops = {
+        label: sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) or 0)
+            for p in prog
+            if p.get("stateOperators")
+        )
+        for label, prog in sq.WM_MATRIX_PROGRESS.items()
+    }
+    assert set(drops) == {c[0] for c in sq.WM_CONFORMANCE_CONFIGS}
+    assert drops["drop_j5d_s30m"] > 0, drops
+    assert drops["nodrop_j6h_s30m"] == 0, drops  # the r9 geometry never drops
+    assert 0 < drops["drop_j5d_s4h"] <= drops["drop_j5d_s30m"], drops
