@@ -3378,3 +3378,253 @@ def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fp1 * fp1 * fp1, 6).alias("fp_theory"),
         )
     )
+
+
+# --------------------------------- cross-encoder-style rerank eval
+
+# Completes the retrieval arc (lexical -> semantic -> RRF fusion ->
+# RERANK; r9 VERDICT task 6b): the fused top-RERANK_DEPTH candidates
+# per probe query are re-scored by a PAIRWISE interaction model and
+# recall@k of the reranked list is A/B'd against the fused baseline.
+# The stand-in for the cross-encoder is a deterministic late-
+# interaction score: sum over shared (query, doc) tokens of an
+# integer IDF weight, wt(t) = 10^12 div df(t) — pairwise (a function
+# of the token INTERSECTION, not factorizable into separate query/doc
+# scores), and exactly reproducible cross-engine because the weights
+# and their sums are integers (no float-summation-order hazard). A
+# real cross-encoder swaps _interaction_score for a Pandas-UDF model
+# call over the SAME depth-bounded candidate frame.
+RERANK_DEPTH = 20  # candidates per query handed to the reranker
+RERANK_EVAL_KS = (5, 10)
+RERANK_IDF_SCALE = 10**12
+
+
+@query(
+    "rag_rerank_cross_encoder",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest({_LWORDS_SQL}) AS word FROM documents)
+    ), q AS (
+      SELECT doc_id AS qid, word FROM toks
+      WHERE doc_id IN {RAG_QUERY_DOCS}
+    ), lex AS (
+      SELECT q.qid, t.doc_id, count(*) AS hits
+      FROM toks t JOIN q ON t.word = q.word
+      WHERE t.doc_id <> q.qid GROUP BY 1, 2
+    ), lr AS (
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rl
+        FROM lex) WHERE rl <= {RRF_DEPTH}
+    ), e AS (
+      SELECT vec_id, embedding,
+             sqrt({_RRF_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), qe AS (
+      SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e
+      WHERE vec_id IN {RAG_QUERY_DOCS}
+    ), sem AS (
+      SELECT qe.qid, e.vec_id AS doc_id,
+             {_RRF_DOT_SQL.format(a='e.embedding', b='qe.qv')} / (e.nrm * qe.qn) AS cos
+      FROM e JOIN qe ON e.vec_id <> qe.qid
+    ), sr AS (
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rs
+        FROM sem) WHERE rs <= {RRF_DEPTH}
+    ), fused AS (
+      SELECT coalesce(l.qid, s.qid) AS qid,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0 / ({RRF_K} + l.rl), 0.0)
+             + coalesce(1.0 / ({RRF_K} + s.rs), 0.0) AS score
+      FROM lr l FULL JOIN sr s ON s.qid = l.qid AND s.doc_id = l.doc_id
+    ), fr AS (
+      SELECT * FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rf
+        FROM fused) WHERE rf <= {RERANK_DEPTH}
+    ), df AS (
+      SELECT word, CAST({RERANK_IDF_SCALE} // count(*) AS BIGINT) AS wt
+      FROM toks GROUP BY word
+    ), inter AS (
+      SELECT fr.qid, fr.doc_id, sum(df.wt) AS s
+      FROM fr
+      JOIN toks dt ON dt.doc_id = fr.doc_id
+      JOIN q ON q.qid = fr.qid AND q.word = dt.word
+      JOIN df ON df.word = dt.word
+      GROUP BY 1, 2
+    ), rr AS (
+      SELECT * FROM (
+        SELECT fr.qid, fr.doc_id,
+               row_number() OVER (
+                 PARTITION BY fr.qid
+                 ORDER BY coalesce(i.s, 0) DESC, fr.doc_id) AS rr
+        FROM fr LEFT JOIN inter i
+          ON i.qid = fr.qid AND i.doc_id = fr.doc_id
+      ) WHERE rr <= {max(RERANK_EVAL_KS)}
+    ), ks AS (SELECT unnest({list(RERANK_EVAL_KS)}) AS k),
+    hr AS (
+      SELECT ks.k, count(*) AS n
+      FROM rr JOIN sr s ON s.qid = rr.qid AND s.doc_id = rr.doc_id
+      CROSS JOIN ks WHERE rr.rr <= ks.k AND s.rs <= ks.k GROUP BY 1
+    ), hf AS (
+      SELECT ks.k, count(*) AS n
+      FROM fr f JOIN sr s ON s.qid = f.qid AND s.doc_id = f.doc_id
+      CROSS JOIN ks WHERE f.rf <= ks.k AND s.rs <= ks.k GROUP BY 1
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           round(coalesce(hr.n, 0) * 1.0
+                 / (ks.k * {len(RAG_QUERY_DOCS)}), 6) AS rerank_recall_vs_sem,
+           round(coalesce(hf.n, 0) * 1.0
+                 / (ks.k * {len(RAG_QUERY_DOCS)}), 6) AS fused_recall_vs_sem,
+           CAST({len(RAG_QUERY_DOCS)} AS BIGINT) AS n_queries
+    FROM ks LEFT JOIN hr ON hr.k = ks.k LEFT JOIN hf ON hf.k = ks.k
+    ORDER BY k
+    """,
+    doc=f"cross-encoder-style rerank eval completing the retrieval arc "
+    f"(lexical -> semantic -> RRF fusion -> rerank): the fused top-"
+    f"{RERANK_DEPTH} candidates per probe query are re-scored by a "
+    f"pairwise late-interaction model — sum over shared query/doc tokens "
+    f"of an integer IDF weight ({RERANK_IDF_SCALE} div df) — and "
+    f"recall@k vs the semantic ranking is A/B'd against the fused "
+    f"baseline, the standard rerank-stage ablation. The interaction "
+    f"score is integer arithmetic end-to-end (exact cross-engine; no "
+    f"float-sum order hazard) and genuinely pairwise (a token-"
+    f"INTERSECTION statistic, not factorizable per side). Scale shape: "
+    f"every ranking window carries a LITERAL depth bound "
+    f"(WindowGroupLimit prunes map-side); the reranker touches only "
+    f"|queries| x {RERANK_DEPTH} candidate docs — their token lists are "
+    f"fetched by a broadcast semi-join, never a corpus shuffle — so a "
+    f"real cross-encoder model UDF would see the same bounded frame "
+    f"(north-star pipeline / RAG retrieval)",
+    tags=("pipeline", "similarity", "text"),
+)
+def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.similarity import _dot, _norm
+    from http_datafusion_spark.operators.text import whitespace_tokens
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    d, e = t["documents"], t["embeddings"]
+    lwords = whitespace_tokens(F.lower(F.col("text")))
+    toks = d.select("doc_id", F.explode(F.array_distinct(lwords)).alias("word"))
+    q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
+        F.col("doc_id").alias("qid"), "word"
+    )
+    lex = (
+        toks.join(F.broadcast(q), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    lr = lex.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("rl"),
+    ).filter(F.col("rl") <= RRF_DEPTH)
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
+    qe = base.filter(F.col("vec_id").isin(*RAG_QUERY_DOCS)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sem = (
+        base.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    sr = sem.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
+        .alias("rs"),
+    ).filter(F.col("rs") <= RRF_DEPTH)
+    fused = lr.join(sr, ["qid", "doc_id"], "full").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rs")), F.lit(0.0))
+        ).alias("score"),
+    )
+    fr = fused.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rf"),
+    ).filter(F.col("rf") <= RERANK_DEPTH)
+    # Corpus-wide integer IDF weights; the reranker only ever reads the
+    # weights of tokens appearing in candidate docs, but df must be
+    # computed over the FULL corpus (that is what IDF means).
+    dfreq = toks.groupBy("word").agg(
+        F.expr(f"{RERANK_IDF_SCALE} div count(1)").cast("bigint").alias("wt")
+    )
+    # Candidate docs' tokens via broadcast semi-shape join: |Q| x depth
+    # pairs is a constant of the pipeline, so fr broadcasts and the
+    # corpus token scan prunes to candidate docs map-side.
+    cand_toks = toks.join(
+        F.broadcast(fr.select("qid", "doc_id")), "doc_id"
+    ).withColumnRenamed("word", "dword")
+    inter = (
+        cand_toks.join(
+            F.broadcast(q.withColumnRenamed("word", "dword")), ["qid", "dword"]
+        )
+        .join(dfreq.withColumnRenamed("word", "dword"), "dword")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("wt").alias("s"))
+    )
+    rr = (
+        fr.join(inter, ["qid", "doc_id"], "left")
+        .select(
+            "qid",
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(F.coalesce(F.col("s"), F.lit(0))), F.asc("doc_id")
+                )
+            )
+            .alias("rr"),
+        )
+        .filter(F.col("rr") <= max(RERANK_EVAL_KS))
+    )
+    ks = spark.createDataFrame([(k,) for k in RERANK_EVAL_KS], "k int")
+    hr = (
+        rr.join(sr, ["qid", "doc_id"])
+        .join(F.broadcast(ks), (F.col("rr") <= F.col("k")) & (F.col("rs") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    hf = (
+        fr.join(sr, ["qid", "doc_id"])
+        .join(F.broadcast(ks), (F.col("rf") <= F.col("k")) & (F.col("rs") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    denom = F.col("k") * len(RAG_QUERY_DOCS)
+    return (
+        ks.join(hr, "k", "left")
+        .join(hf, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.round(F.coalesce(F.col("nr"), F.lit(0)) * 1.0 / denom, 6).alias(
+                "rerank_recall_vs_sem"
+            ),
+            F.round(F.coalesce(F.col("nf"), F.lit(0)) * 1.0 / denom, 6).alias(
+                "fused_recall_vs_sem"
+            ),
+            F.lit(len(RAG_QUERY_DOCS)).cast("bigint").alias("n_queries"),
+        )
+        .orderBy("k")
+    )

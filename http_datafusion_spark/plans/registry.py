@@ -128,6 +128,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_rollup_cascade",
     # ---- (c) r10 additions land here as they are committed ----
     "stream_wm_conformance_matrix",
+    "rag_rerank_cross_encoder",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
