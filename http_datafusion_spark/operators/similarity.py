@@ -1757,3 +1757,133 @@ def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------- kNN hubness audit
+
+# Hubness (Radovanovic et al. 2010, public): in high-dimensional
+# spaces the k-occurrence distribution N_k(x) — how many other
+# vectors' kNN lists contain x — grows right-skewed: a few "hub"
+# vectors appear in a large fraction of neighbor lists while many
+# "antihubs" appear in none. Retrieval quality degrades with hubness
+# (hubs crowd out true neighbors), so an ANN corpus audit reports the
+# skewness of N_k before an index ships. Computed bucket-locally over
+# the IVF assignment — the same locality an IVF index serves with, so
+# the audit measures the hubness queries will actually see AND stays
+# sum-of-bucket-squares instead of corpus-squared at 100 TB.
+HUB_K = 10
+
+
+@query(
+    "sim_knn_hubness_audit",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , pairs AS (
+      SELECT q.vec_id AS qid, x.vec_id AS nid,
+             {_DOT_SQL.format(a='x.embedding', b='q.embedding')}
+               / (x.nrm * q.nrm) AS cos
+      FROM assigned q JOIN assigned x
+        ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
+    ), knn AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM pairs) WHERE rn <= {HUB_K}
+    ), occ AS (
+      SELECT a.vec_id, CAST(coalesce(k.n, 0) AS BIGINT) AS nk
+      FROM assigned a LEFT JOIN (
+        SELECT nid, count(*) AS n FROM knn GROUP BY nid) k
+        ON k.nid = a.vec_id
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nk) AS BIGINT) AS s1,
+             CAST(sum(nk * nk) AS BIGINT) AS s2,
+             CAST(sum(nk * nk * nk) AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs,
+             CAST(max(nk) AS BIGINT) AS max_occurrence
+      FROM occ
+    )
+    SELECT n AS n_vectors,
+           round(s1 * 1.0 / n, 6) AS mean_k_occurrence,
+           round(
+             (s3 * 1.0 / n - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+              + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+             / pow(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1.5), 6
+           ) AS k_occurrence_skewness,
+           n_antihubs,
+           max_occurrence
+    FROM m
+    """,
+    doc=f"kNN hubness audit (Radovanovic et al. 2010): k-occurrence "
+    f"N_{HUB_K}(x) — how many other vectors' top-{HUB_K} cosine lists "
+    f"contain x — computed bucket-locally over the IVF assignment, then "
+    f"the distribution's skewness + antihub count + max hub occurrence; "
+    f"right-skew is the standard pre-ship red flag for ANN retrieval "
+    f"quality. Scale shape: pairs are sum-of-bucket-squares (the IVF "
+    f"locality an index serves with), never corpus-squared; the per-"
+    f"query ranking carries a LITERAL top-{HUB_K} bound "
+    f"(WindowGroupLimit prunes map-side); the three distribution "
+    f"moments are INTEGER sums (exact cross-engine, no float-order "
+    f"hazard) with skewness derived from them in scalar arithmetic "
+    f"(north-star similarity / ANN index audit)",
+    tags=("similarity",),
+)
+def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    asg = ivf_assignments(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    base = asg.select(
+        "vec_id", "bucket", emb.alias("emb"), _norm(emb).alias("nrm")
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qbkt"),
+        F.col("emb").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = base.join(
+        q, (F.col("bucket") == F.col("qbkt")) & (F.col("vec_id") != F.col("qid"))
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+    )
+    knn = pairs.select(
+        "qid",
+        "nid",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= HUB_K)
+    occ = (
+        base.select("vec_id")
+        .join(
+            knn.groupBy("nid").agg(F.count(F.lit(1)).alias("n")),
+            base["vec_id"] == F.col("nid"),
+            "left",
+        )
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("nk"))
+    )
+    m = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nk").cast("bigint").alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).cast("bigint").alias("s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk")).cast("bigint").alias("s3"),
+        F.sum(F.when(F.col("nk") == 0, 1).otherwise(0)).cast("bigint").alias("n_antihubs"),
+        F.max("nk").cast("bigint").alias("max_occurrence"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    m2 = F.col("s2") * 1.0 / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") * 1.0 / F.col("n")
+        - F.lit(3.0) * mu * (F.col("s2") * 1.0 / F.col("n"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.round(mu, 6).alias("mean_k_occurrence"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("k_occurrence_skewness"),
+        "n_antihubs",
+        "max_occurrence",
+    )

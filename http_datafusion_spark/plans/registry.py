@@ -129,6 +129,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- (c) r10 additions land here as they are committed ----
     "stream_wm_conformance_matrix",
     "rag_rerank_cross_encoder",
+    "sim_knn_hubness_audit",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
