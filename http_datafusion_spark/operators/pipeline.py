@@ -3628,3 +3628,137 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------- shard mix audit
+
+# A deterministic epoch shuffle is only as good as the per-shard
+# SOURCE mix it produces: if shard 7 over-represents one crawl, the
+# training batches built from it see a skewed distribution (data
+# ordering bias). The audit reports, per train_shuffle_shards shard,
+# the total-variation distance between the shard's source mix and the
+# corpus mix, plus the worst-deviating source. TV is computed from
+# INTEGER cross-products — 0.5 * sum_s |c_{shard,s}*N - n_s*n_shard| /
+# (n_shard*N) — so the statistic is exact cross-engine (one float
+# division at the end). Products fit bigint through ~3e9 docs; a
+# 100 TB corpus audit casts the two factors to decimal(38,0) first.
+
+
+@query(
+    "shard_mix_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {md5_int_sql(f"concat('{SHUFFLE_EPOCH_SEED}|', CAST(doc_id AS VARCHAR))")}
+               % {N_SHARDS} AS shard
+      FROM documents
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM h
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns FROM h GROUP BY source
+    ), sh AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS nsh FROM h GROUP BY shard
+    ), cell AS (
+      SELECT shard, source, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT sh.shard, sh.nsh, src.source, src.ns,
+             CAST(coalesce(cell.c, 0) AS BIGINT) AS c
+      FROM sh CROSS JOIN src
+      LEFT JOIN cell ON cell.shard = sh.shard AND cell.source = src.source
+    ), dev AS (
+      SELECT g.shard, g.nsh, g.source,
+             abs(g.c * tot.n - g.ns * g.nsh) AS num
+      FROM grid g, tot
+    ), worst AS (
+      SELECT shard, source AS worst_source, num AS worst_num FROM (
+        SELECT shard, source, num,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY num DESC, source) AS rn
+        FROM dev) WHERE rn = 1
+    )
+    SELECT CAST(d.shard AS BIGINT) AS shard,
+           d.nsh AS n_docs,
+           round(0.5 * sum(d.num) / (d.nsh * 1.0 * tot.n), 6) AS tv_distance,
+           min(w.worst_source) AS worst_source,
+           round(max(w.worst_num) / (d.nsh * 1.0 * tot.n), 6) AS worst_source_dev
+    FROM dev d, tot
+    JOIN worst w ON w.shard = d.shard
+    GROUP BY d.shard, d.nsh, tot.n
+    ORDER BY shard
+    """,
+    doc=f"training-shuffle mix audit: per train_shuffle_shards shard "
+    f"(md5('{SHUFFLE_EPOCH_SEED}|'||doc_id) % {N_SHARDS}), the total-"
+    f"variation distance between the shard's source mix and the corpus "
+    f"mix, plus the worst-deviating source — the data-ordering-bias "
+    f"check a pipeline runs before handing shards to a trainer. One "
+    f"corpus scan feeding a {N_SHARDS}x|sources| cell-count partial "
+    f"aggregation; all downstream arithmetic runs on the tiny cell "
+    f"grid, and TV is derived from integer cross-products (exact "
+    f"cross-engine, single float division at the end) "
+    f"(north-star pipeline / training prep)",
+    tags=("pipeline", "agg"),
+)
+def shard_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = d.select(
+        "source",
+        (
+            md5_int(F.concat(F.lit(f"{SHUFFLE_EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+            % N_SHARDS
+        ).alias("shard"),
+    )
+    cell = h.groupBy("shard", "source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sh = cell.groupBy("shard").agg(F.sum("c").cast("bigint").alias("nsh"))
+    src = cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    tot = src.agg(F.sum("ns").cast("bigint").alias("n"))
+    grid = (
+        sh.crossJoin(F.broadcast(src))
+        .join(cell, ["shard", "source"], "left")
+        .select(
+            "shard",
+            "nsh",
+            "source",
+            "ns",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    dev = grid.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "nsh",
+        "source",
+        "n",
+        F.abs(F.col("c") * F.col("n") - F.col("ns") * F.col("nsh")).alias("num"),
+    )
+    worst = (
+        dev.select(
+            "shard",
+            "source",
+            "num",
+            F.row_number()
+            .over(W.partitionBy("shard").orderBy(F.desc("num"), F.asc("source")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("shard", F.col("source").alias("worst_source"), F.col("num").alias("worst_num"))
+    )
+    return (
+        dev.groupBy("shard", "nsh", "n")
+        .agg(F.sum("num").alias("sum_num"))
+        .join(F.broadcast(worst), "shard")
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("nsh").alias("n_docs"),
+            F.round(F.lit(0.5) * F.col("sum_num") / (F.col("nsh") * 1.0 * F.col("n")), 6).alias(
+                "tv_distance"
+            ),
+            "worst_source",
+            F.round(F.col("worst_num") / (F.col("nsh") * 1.0 * F.col("n")), 6).alias(
+                "worst_source_dev"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_wm_conformance_matrix",
     "rag_rerank_cross_encoder",
     "sim_knn_hubness_audit",
+    "shard_mix_audit",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
