@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "rag_rerank_cross_encoder",
     "sim_knn_hubness_audit",
     "shard_mix_audit",
+    "stream_dedup_windowed_chain",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",

@@ -1125,7 +1125,7 @@ def _arrival_us(ts_us, jitter_sec):  # noqa: ANN001 - Column math helper
 
 
 def staged_arrival_dir(
-    spark: SparkSession, sf_dir: str, jitter_sec: int = WM_JITTER_SEC
+    spark: SparkSession, sf_dir: str, jitter_sec: int = WM_JITTER_SEC, echo: bool = False
 ) -> str:
     """Stage events as WM_ARRIVAL_FILES single-file parquets bucketed by
     the deterministic jittered arrival key, mtimes increasing — batch k
@@ -1133,7 +1133,18 @@ def staged_arrival_dir(
     machinery's per-batch drops are oracle-computable. ``jitter_sec``
     parameterizes the disorder magnitude (the conformance matrix replays
     the same table under several geometries; dirs are cached per
-    (sf_dir, fingerprint, jitter))."""
+    (sf_dir, fingerprint, jitter[, echo])).
+
+    With ``echo=True``, file k additionally carries a RETRANSMISSION of
+    every bucket-(k-1) row — an exact duplicate (same event_id, same
+    event time) arriving one batch later, the at-least-once-delivery
+    shape a streaming dedup stage exists to absorb. Last-bucket rows
+    get no echo (there is no bucket k+1 to land in). Echoes are
+    watermark-NEUTRAL by construction: batch k's max event time is
+    max(orig_max(k), orig_max(k-1)), and the running max already
+    includes orig_max(k-1) from batch k-1 — so the chained-dedup oracle
+    (stream_dedup_windowed_chain) reuses the plain two-watermark model
+    over originals only."""
     import shutil
 
     from http_datafusion_spark.functions.hashing import md5_int
@@ -1142,7 +1153,10 @@ def staged_arrival_dir(
     _ensure_session_confs(spark)
     name = sf_dir.strip("/").replace("/", "_")
     fp = fingerprint_tables(sf_dir, "events")
-    d = os.path.join(tempfile.gettempdir(), f"hds_stream_wm_{name}_{fp}_j{jitter_sec}")
+    suffix = "_echo" if echo else ""
+    d = os.path.join(
+        tempfile.gettempdir(), f"hds_stream_wm_{name}_{fp}_j{jitter_sec}{suffix}"
+    )
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -1159,10 +1173,11 @@ def staged_arrival_dir(
         ev = ev.withColumn("__b", bcol)
         base = None
         for i in range(WM_ARRIVAL_FILES):
+            batch = ev.filter(F.col("__b") == i)
+            if echo and i > 0:
+                batch = batch.unionAll(ev.filter(F.col("__b") == i - 1))
             tmp = os.path.join(d, f"_tmp_{i}")
-            ev.filter(F.col("__b") == i).drop("__a", "__b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            batch.drop("__a", "__b").coalesce(1).write.mode("overwrite").parquet(tmp)
             src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
             dst = os.path.join(d, f"arrival-{i}.parquet")
             shutil.move(os.path.join(tmp, src), dst)
@@ -1175,16 +1190,31 @@ def staged_arrival_dir(
     return d
 
 
-def _wm_model_sql(jitter_sec: int, slack_sec: int) -> str:
+def _wm_model_sql(jitter_sec: int, slack_sec: int, ts_level: bool = False) -> str:
     """The two-watermark emit/drop model as one parameterized SELECT —
-    shared by the single late-drop twin and the conformance matrix, so
-    a semantics correction lands in every config at once."""
+    shared by the single late-drop twin, the conformance matrix, and
+    the chained-dedup twin, so a semantics correction lands in every
+    config at once.
+
+    ``ts_level=True`` switches the late filter from the window
+    aggregation's granule (drop iff window END <= watermarkForLateEvents
+    — an open window SALVAGES its late rows) to the dedup operator's
+    granule (drop iff the row's own EVENT TIME <= the watermark). In a
+    dedup -> windowed-agg chain the dedup filter runs first and is
+    strictly stricter (ts <= window end always), so the chain drops rows
+    the plain aggregation would have kept — the observable cost of
+    putting a dedup stage in front of a windowed count."""
     from http_datafusion_spark.functions.hashing import md5_int_sql
 
     h = md5_int_sql("concat('wmj|', CAST(event_id AS VARCHAR))")
     jit = f"({h} % {2 * jitter_sec} - {jitter_sec})"
     n = WM_ARRIVAL_FILES
     wus = WM_WINDOW_SEC * 1_000_000
+    keep = (
+        "x.tus > wm.wm_prev"
+        if ts_level
+        else f"(x.tus // {wus}) * {wus} + {wus} > wm.wm_prev"
+    )
     return f"""
     WITH j AS (
       SELECT event_id, epoch_us(ts) AS tus,
@@ -1210,7 +1240,7 @@ def _wm_model_sql(jitter_sec: int, slack_sec: int) -> str:
     ), kept AS (
       SELECT x.event_id, x.tus, (x.tus // {wus}) * {wus} AS wstart
       FROM b x JOIN wm ON wm.b = x.b
-      WHERE wm.wm_prev IS NULL OR (x.tus // {wus}) * {wus} + {wus} > wm.wm_prev
+      WHERE wm.wm_prev IS NULL OR {keep}
     ), fin AS (
       SELECT (max(bmax // 1000) - {slack_sec} * 1000) * 1000 AS final_wm FROM bm
     )
@@ -1350,3 +1380,56 @@ def stream_wm_conformance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("config", "window_start_us")
+
+
+# --------------------------------- chained stateful: dedup -> window agg
+
+# Per-microbatch progress of the last chained run; tests pin that BOTH
+# stateful operators are present and that the dedup stage absorbed the
+# echo retransmissions (state rows > 0, agg input < stream input).
+WM_CHAIN_PROGRESS: list = []
+
+
+@query(
+    "stream_dedup_windowed_chain",
+    oracle=_wm_model_sql(WM_JITTER_SEC, WM_SLACK_SEC, ts_level=True)
+    + " ORDER BY window_start_us",
+    doc=f"STREAMING chained stateful operators — dropDuplicates(event_id, ts) "
+    f"feeding a tumbling {WM_WINDOW_SEC}s count in ONE append-mode query: "
+    f"the pipeline shape SPARK-40925's late-events/eviction watermark split "
+    f"exists to make correct. The staging retransmits every event once, one "
+    f"arrival batch later (at-least-once delivery); the dedup stage must "
+    f"absorb each echo either via state (original still resident) or via "
+    f"the late filter (original evicted implies the echo is below "
+    f"watermarkForLateEvents — provably no third path, see "
+    f"staged_arrival_dir), so echoes NEVER reach the aggregation and are "
+    f"watermark-neutral. The oracle is therefore the same two-watermark "
+    f"model over unique originals, with the late filter at the dedup's "
+    f"granule: a row drops iff its own EVENT TIME <= "
+    f"watermarkForLateEvents(batch) — stricter than the plain window-end "
+    f"filter of stream_watermark_late_drop, so chaining observably costs "
+    f"rows an unchained aggregation keeps. State = one tuple per "
+    f"in-watermark (event_id, ts) + open windows "
+    f"(streaming extension; SURVEY §2.9)",
+    tags=("streaming", "events", "window"),
+)
+def stream_dedup_windowed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = staged_arrival_dir(spark, sf_dir, echo=True)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    deduped = stream.withWatermark("ts", f"{WM_SLACK_SEC} seconds").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    agg = deduped.groupBy(F.window("ts", f"{WM_WINDOW_SEC} seconds")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    WM_CHAIN_PROGRESS.clear()
+    out = run_to_memory(agg, "append", progress_out=WM_CHAIN_PROGRESS)
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "id_checksum",
+    ).orderBy("window_start_us")

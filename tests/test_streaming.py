@@ -290,3 +290,31 @@ def test_wm_conformance_matrix_drop_accounting(spark, sf_dir):
     assert drops["drop_j5d_s30m"] > 0, drops
     assert drops["nodrop_j6h_s30m"] == 0, drops  # the r9 geometry never drops
     assert 0 < drops["drop_j5d_s4h"] <= drops["drop_j5d_s30m"], drops
+
+
+def test_chained_dedup_absorbs_echoes_and_both_operators_account(spark, sf_dir):
+    """stream_dedup_windowed_chain runs TWO stateful operators in one
+    append-mode query (SPARK-40925's reason to exist). Pin the
+    structural evidence the oracle can't see: both operators report
+    state; the dedup stage absorbed the echo retransmissions (total
+    rows reaching it exceed the unique originals, yet the downstream
+    agg matches the originals-only oracle — that match is the gate);
+    and the dedup late filter actually dropped rows in some batch
+    (ts-level drops, the chain's observable cost)."""
+    import http_datafusion_spark.streaming.queries as sq
+
+    sq.stream_dedup_windowed_chain(spark, sf_dir).collect()
+    with_state = [p for p in sq.WM_CHAIN_PROGRESS if p.get("stateOperators")]
+    assert with_state, "no stateful progress captured"
+    names = {o["operatorName"] for p in with_state for o in p["stateOperators"]}
+    assert "dedupe" in names and "stateStoreSave" in names, names
+    dedup_drops = sum(
+        (o.get("numRowsDroppedByWatermark", 0) or 0)
+        for p in with_state
+        for o in p["stateOperators"]
+        if o["operatorName"] == "dedupe"
+    )
+    assert dedup_drops > 0, "dedup late filter never fired — geometry regressed"
+    n_input = sum(p.get("numInputRows", 0) for p in sq.WM_CHAIN_PROGRESS)
+    n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_input > n_orig, "staging carried no echo retransmissions"
