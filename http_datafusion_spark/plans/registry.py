@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_knn_hubness_audit",
     "shard_mix_audit",
     "stream_dedup_windowed_chain",
+    "partition_layout_advisor",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
