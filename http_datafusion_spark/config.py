@@ -47,6 +47,41 @@ class Pagination:
         return cls(**kwargs)
 
 
+@dataclass
+class CursorPagination:
+    """Cursor/token pagination — the dominant real-API shape the
+    reference's page-number model (src/model.rs:20-34) cannot express:
+    each response carries the opaque token for the NEXT page (Stripe's
+    ``starting_after``, Slack's ``next_cursor``, …), so pages cannot be
+    numbered ahead of time and must be walked sequentially.
+
+    ``cursor_param``: query parameter carrying the token on the next
+    request (first request sends none). ``cursor_field``: top-level
+    response field holding the next token (null/absent/"" = done).
+    ``data_field``: top-level response field holding the page's row
+    array (a token-paginated body is necessarily an object, so the
+    rows live under a key). ``max_pages``: hard safety cap — a buggy
+    endpoint that re-serves the same token must not loop a 1000-
+    executor ingest forever.
+    """
+
+    cursor_param: str = "cursor"
+    cursor_field: str = "next_cursor"
+    data_field: str = "data"
+    page_size: int | None = None
+    page_size_param: str = "limit"
+    max_pages: int = 1000
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> CursorPagination:
+        known = {f.name for f in fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"unknown cursor_pagination keys: {sorted(unknown)}")
+        kwargs = {k: v for k, v in raw.items() if v is not None}
+        return cls(**kwargs)
+
+
 def _expand_env(value: str, where: str) -> str:
     """Expand ``${VAR}`` placeholders from the environment — secrets
     (API tokens) belong in the environment, never in config.yaml.
@@ -69,6 +104,7 @@ class Source:
     url: str
     method: str = "GET"
     pagination: Pagination | None = None
+    cursor_pagination: CursorPagination | None = None
     sql: str | None = None
     # Beyond the reference (its request builder sends no headers and no
     # body, src/datasources.rs:212-268): real APIs need auth headers and
@@ -81,6 +117,11 @@ class Source:
             raise ConfigError("source requires a non-empty 'name'")
         if not self.url:
             raise ConfigError(f"source {self.name!r} requires a 'url'")
+        if self.pagination is not None and self.cursor_pagination is not None:
+            raise ConfigError(
+                f"source {self.name!r}: 'pagination' and 'cursor_pagination' "
+                f"are mutually exclusive"
+            )
         self.method = (self.method or "GET").upper()
         # Reference allows only GET/POST (src/datasources.rs:217-223).
         if self.method not in _ALLOWED_METHODS:
@@ -109,11 +150,15 @@ class Source:
         if unknown:
             raise ConfigError(f"source has unknown keys: {sorted(unknown)}")
         pag = raw.get("pagination")
+        cpag = raw.get("cursor_pagination")
         return cls(
             name=raw.get("name", ""),
             url=raw.get("url", ""),
             method=raw.get("method") or "GET",
             pagination=Pagination.from_dict(pag) if pag is not None else None,
+            cursor_pagination=(
+                CursorPagination.from_dict(cpag) if cpag is not None else None
+            ),
             sql=raw.get("sql"),
             headers=raw.get("headers"),
             body=raw.get("body"),

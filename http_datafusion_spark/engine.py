@@ -103,6 +103,7 @@ def run_source(
             max_rows=max_rows,
             headers=source.headers,
             json_body=source.body,
+            cursor_pagination=source.cursor_pagination,
         )
     result: DataFrame | None = None
     if source.sql:

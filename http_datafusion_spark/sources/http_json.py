@@ -39,11 +39,12 @@ from typing import Any
 import requests
 from pyspark.sql import DataFrame, SparkSession
 
-from http_datafusion_spark.config import Pagination
+from http_datafusion_spark.config import CursorPagination, Pagination
 from http_datafusion_spark.errors import HttpError
 
 _ALLOWED_METHODS = {"GET", "POST"}
 _DEFAULT_TIMEOUT = 30.0
+_RETRY_AFTER_CAP = 30.0  # ceiling on honored Retry-After sleeps (seconds)
 
 
 def fetch_json(
@@ -64,7 +65,11 @@ def fetch_json(
     Beyond the reference: transient failures (connection errors, 429,
     5xx) retry with exponential backoff — at cluster scale a thousand
     executors hitting one API WILL see sporadic 503s, and a single
-    failed page must not kill a 10k-page ingest job.
+    failed page must not kill a 10k-page ingest job. A 429/503 carrying
+    a ``Retry-After: <seconds>`` header is honored (capped at
+    ``_RETRY_AFTER_CAP``) in place of that attempt's exponential delay —
+    the server's own pacing beats client-side guessing, and ignoring it
+    is how a polite ingest becomes a ban.
     """
     import time
 
@@ -72,9 +77,11 @@ def fetch_json(
     if method not in _ALLOWED_METHODS:
         raise HttpError(f"No Method Available: {method!r} (allowed: GET, POST)")
     last_err: Exception | None = None
+    retry_after: float | None = None
     for attempt in range(retries + 1):
         if attempt:
-            time.sleep(backoff * (2 ** (attempt - 1)))
+            time.sleep(retry_after if retry_after is not None else backoff * (2 ** (attempt - 1)))
+        retry_after = None
         try:
             resp = requests.request(
                 method, url, timeout=timeout, headers=headers, json=json_body
@@ -83,6 +90,12 @@ def fetch_json(
             last_err = HttpError(f"request execution failed for {url!r}: {e}")
             continue
         if resp.status_code == 429 or 500 <= resp.status_code < 600:
+            ra = resp.headers.get("Retry-After")
+            if ra is not None:
+                try:
+                    retry_after = min(float(ra), _RETRY_AFTER_CAP)
+                except ValueError:
+                    retry_after = None  # HTTP-date form: fall back to backoff
             last_err = HttpError(
                 f"HTTP request failed with status code: {resp.status_code} ({url})"
             )
@@ -171,6 +184,83 @@ def fetch_rows(
         if not isinstance(body, list):
             break  # single-object page: nothing further to paginate
         page += 1
+    return rows
+
+
+def build_cursor_url(url: str, cp: CursorPagination, cursor: str | None) -> str:
+    """Compose the request URL for one cursor-pagination step: the
+    page-size param always, the cursor param only once the server has
+    issued a token (the first request asks for page one by omission)."""
+    from urllib.parse import quote
+
+    parts = []
+    if cp.page_size is not None:
+        parts.append(f"{cp.page_size_param}={cp.page_size}")
+    if cursor is not None:
+        parts.append(f"{cp.cursor_param}={quote(str(cursor), safe='')}")
+    if not parts:
+        return url
+    sep = "&" if "?" in url else "?"
+    return f"{url}{sep}{'&'.join(parts)}"
+
+
+def fetch_rows_cursor(
+    url: str,
+    method: str = "GET",
+    cursor_pagination: CursorPagination | None = None,
+    timeout: float = _DEFAULT_TIMEOUT,
+    max_rows: int | None = None,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
+) -> list[Any]:
+    """Walk a cursor/token-paginated endpoint to exhaustion.
+
+    The shape the reference's page-number model cannot express (its
+    Pagination is page/limit only, src/model.rs:20-34): each response
+    is an object whose ``data_field`` holds the page's rows and whose
+    ``cursor_field`` holds the opaque token for the next request —
+    null / absent / "" meaning done. Also stops on an empty page, at
+    ``max_rows`` staged rows (limit pushdown, same contract as
+    fetch_rows), at ``max_pages`` (safety cap against token loops),
+    and on a token the walk has already seen (a re-served cursor is a
+    server bug that must not burn the cap before stopping).
+    """
+    cp = cursor_pagination or CursorPagination()
+    rows: list[Any] = []
+    cursor: str | None = None
+    seen_cursors: set[str] = set()
+    for _ in range(cp.max_pages):
+        if max_rows is not None and len(rows) >= max_rows:
+            break
+        body = fetch_json(
+            build_cursor_url(url, cp, cursor), method, timeout,
+            headers=headers, json_body=json_body,
+        )
+        if body is None:
+            break
+        if not isinstance(body, dict):
+            raise HttpError(
+                f"cursor pagination expects an object body with "
+                f"{cp.data_field!r}/{cp.cursor_field!r} fields; got "
+                f"{type(body).__name__} from {url!r}"
+            )
+        page_rows = body.get(cp.data_field)
+        if not page_rows:
+            break
+        if not isinstance(page_rows, list):
+            raise HttpError(
+                f"cursor pagination field {cp.data_field!r} must be an array; "
+                f"got {type(page_rows).__name__} from {url!r}"
+            )
+        rows.extend(page_rows)
+        nxt = body.get(cp.cursor_field)
+        if nxt is None or nxt == "":
+            break
+        nxt = str(nxt)
+        if nxt in seen_cursors:
+            break  # server re-served a token — stop, don't loop
+        seen_cursors.add(nxt)
+        cursor = nxt
     return rows
 
 
@@ -263,6 +353,7 @@ def register_http_table(
     max_rows: int | None = None,
     headers: dict[str, str] | None = None,
     json_body: Any | None = None,
+    cursor_pagination: CursorPagination | None = None,
 ) -> DataFrame:
     """Fetch + register a named temp view — the Spark analogue of
     ``dataframe::url`` (reference src/dataframe.rs:7-24).
@@ -271,12 +362,20 @@ def register_http_table(
     query execution (src/execution.rs:173-202); we ``cache()`` the
     ingested DataFrame instead so repeat queries hit the in-memory
     columnar form. ``max_rows`` stops page fetches early (limit
-    pushdown; see fetch_rows).
+    pushdown; see fetch_rows). ``cursor_pagination`` selects the
+    token-walk protocol instead of page numbers (mutually exclusive,
+    enforced by config.Source).
     """
-    rows = fetch_rows(
-        url, method, start_page, pagination,
-        max_rows=max_rows, headers=headers, json_body=json_body,
-    )
+    if cursor_pagination is not None:
+        rows = fetch_rows_cursor(
+            url, method, cursor_pagination,
+            max_rows=max_rows, headers=headers, json_body=json_body,
+        )
+    else:
+        rows = fetch_rows(
+            url, method, start_page, pagination,
+            max_rows=max_rows, headers=headers, json_body=json_body,
+        )
     df = json_rows_to_df(spark, rows, schema_mode=schema_mode)
     if cache and rows:
         df = df.cache()

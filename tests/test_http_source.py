@@ -47,6 +47,31 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send({"ok": True})
             return
+        if u.path == "/retry_after":
+            if _Handler.hit_counts[u.path] <= 2:
+                body = json.dumps({"err": "rate limited"}).encode()
+                self.send_response(429)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "0")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._send({"ok": True})
+            return
+        if u.path == "/cursor":
+            # Token pagination: 10 rows per page, next_cursor = opaque
+            # "tok<offset>"; the final page carries next_cursor null.
+            q2 = parse_qs(u.query)
+            cur = q2.get("cursor", [None])[0]
+            off = int(cur.removeprefix("tok")) if cur else 0
+            chunk = ROWS[off : off + 10]
+            nxt = f"tok{off + 10}" if off + 10 < len(ROWS) else None
+            self._send({"data": chunk, "next_cursor": nxt})
+            return
+        if u.path == "/cursor_loop":
+            # Buggy server: re-serves the SAME token forever.
+            self._send({"data": ROWS[:10], "next_cursor": "tokX"})
+            return
         q = parse_qs(u.query)
         page = int(q.get("page", ["1"])[0])
         size = int(q.get("limit", [q.get("per", ["10"])[0]])[0])
@@ -266,3 +291,103 @@ def test_kafka_source_gated(spark):
         pytest.skip("kafka connector present; gate not exercisable")
     with pytest.raises(EngineError, match="Kafka connector"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+# ------------------------- cursor pagination + Retry-After (r10)
+
+
+def test_cursor_pagination_drains_endpoint(base_url):
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources.http_json import fetch_rows_cursor
+
+    _Handler.hit_counts.pop("/cursor", None)
+    rows = fetch_rows_cursor(f"{base_url}/cursor", cursor_pagination=CursorPagination())
+    assert rows == ROWS
+    assert _Handler.hit_counts["/cursor"] == 4  # 40 rows / 10 per page
+
+
+def test_cursor_pagination_max_rows_stops_fetching(base_url):
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources.http_json import fetch_rows_cursor
+
+    _Handler.hit_counts.pop("/cursor", None)
+    rows = fetch_rows_cursor(
+        f"{base_url}/cursor", cursor_pagination=CursorPagination(), max_rows=15
+    )
+    # Limit pushdown contract (same as fetch_rows): stop FETCHING once
+    # max_rows staged, never trim — the engine applies the exact LIMIT.
+    assert rows == ROWS[:20]
+    assert _Handler.hit_counts["/cursor"] == 2
+
+
+def test_cursor_pagination_stops_on_reserved_token(base_url):
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources.http_json import fetch_rows_cursor
+
+    _Handler.hit_counts.pop("/cursor_loop", None)
+    rows = fetch_rows_cursor(
+        f"{base_url}/cursor_loop", cursor_pagination=CursorPagination()
+    )
+    # The same token twice = server bug; the walk stops after the second
+    # page (first page: no cursor; second: tokX; third would repeat tokX).
+    assert rows == ROWS[:10] + ROWS[:10]
+    assert _Handler.hit_counts["/cursor_loop"] == 2
+
+
+def test_retry_after_header_is_honored(base_url):
+    import time
+
+    from http_datafusion_spark.sources.http_json import fetch_json
+
+    _Handler.hit_counts.pop("/retry_after", None)
+    t0 = time.time()
+    # backoff=5.0 would sleep 5+10 s if the Retry-After: 0 header were
+    # ignored; honoring it makes the two retries immediate.
+    body = fetch_json(f"{base_url}/retry_after", retries=3, backoff=5.0)
+    assert body == {"ok": True}
+    assert _Handler.hit_counts["/retry_after"] == 3
+    assert time.time() - t0 < 4.0
+
+
+def test_cursor_config_roundtrip_and_exclusivity():
+    import pytest as _pytest
+
+    from http_datafusion_spark.config import ConfigError, Source
+
+    s = Source.from_dict(
+        {
+            "name": "s",
+            "url": "http://x/api",
+            "cursor_pagination": {"cursor_field": "next", "page_size": 25},
+        }
+    )
+    assert s.cursor_pagination.cursor_field == "next"
+    assert s.cursor_pagination.page_size == 25
+    assert s.cursor_pagination.max_pages == 1000
+    with _pytest.raises(ConfigError, match="mutually exclusive"):
+        Source.from_dict(
+            {
+                "name": "s",
+                "url": "http://x/api",
+                "pagination": {"page_size": 10},
+                "cursor_pagination": {},
+            }
+        )
+    with _pytest.raises(ConfigError, match="unknown cursor_pagination keys"):
+        Source.from_dict(
+            {"name": "s", "url": "http://x/api", "cursor_pagination": {"nope": 1}}
+        )
+
+
+def test_register_http_table_via_cursor(spark, base_url):
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources.http_json import register_http_table
+
+    register_http_table(
+        spark,
+        f"{base_url}/cursor",
+        table_name="cursor_rows",
+        cursor_pagination=CursorPagination(),
+    )
+    got = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM cursor_rows").collect()[0]
+    assert got.n == len(ROWS) and got.s == sum(r["id"] for r in ROWS)
