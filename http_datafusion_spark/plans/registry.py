@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "shard_mix_audit",
     "stream_dedup_windowed_chain",
     "partition_layout_advisor",
+    "stream_outer_interval_join",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",

@@ -1433,3 +1433,94 @@ def stream_dedup_windowed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "id_checksum",
     ).orderBy("window_start_us")
+
+
+# --------------------------------- left-outer stream-stream join
+
+@query(
+    "stream_outer_interval_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS c_ts, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+    ), fin AS (
+      SELECT (least(
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+              ) // 1000 - 3600 * 1000) * 1000 AS wm
+    ), m AS (
+      SELECT c.user_id, c.c_us, p.value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    ), u AS (
+      SELECT c.user_id
+      FROM c, fin
+      WHERE NOT EXISTS (
+              SELECT 1 FROM m WHERE m.user_id = c.user_id AND m.c_us = c.c_us)
+        AND c.c_us + 1800 * 1000000 < fin.wm
+    )
+    SELECT user_id,
+           CAST(sum(n_matched) AS BIGINT)  AS n_matched,
+           CAST(sum(n_null) AS BIGINT)     AS n_null_emitted,
+           round(sum(v), 4)                AS attributed_value
+    FROM (
+      SELECT user_id, 1 AS n_matched, 0 AS n_null, value AS v FROM m
+      UNION ALL
+      SELECT user_id, 0, 1, 0.0 FROM u
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="stream-stream LEFT OUTER interval join (clicks x purchases, 30-min "
+    "event-time range, 1h watermarks both sides): matched pairs emit as the "
+    "inner join does, but an unmatched click's null-padded row is emitted "
+    "ONLY once the joint watermark (min of the two sides' watermarks) "
+    "passes the click's last matchable instant c_ts + 30min — clicks in "
+    "the final 1h+30min of the stream stay open and emit NOTHING, the "
+    "held-back-outer-rows semantics that distinguishes a streaming outer "
+    "join from its batch twin. The oracle models exactly that: batch "
+    "left-join plus the wm > c_ts+30min null-emission gate with "
+    "wm = min(max click ts, max purchase ts) - 1h (ms-floored). State is "
+    "O(rate x [range + slack]) per side — rows older than watermark+range "
+    "are evicted, which is precisely the eviction that releases the null "
+    "rows (streaming extension; SURVEY §2.9)",
+    tags=("streaming", "join"),
+)
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_value").cast("bigint").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("p_value")).cast("bigint").alias("n_null_emitted"),
+            F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

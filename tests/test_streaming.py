@@ -318,3 +318,25 @@ def test_chained_dedup_absorbs_echoes_and_both_operators_account(spark, sf_dir):
     n_input = sum(p.get("numInputRows", 0) for p in sq.WM_CHAIN_PROGRESS)
     n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n_input > n_orig, "staging carried no echo retransmissions"
+
+
+def test_outer_join_emits_null_rows_only_after_watermark(spark, sf_dir):
+    """The left-outer interval join must emit null-padded rows for
+    unmatched clicks (the outer part works) while never emitting MORE
+    rows than clicks exist — and the oracle hash-match (parity suite)
+    pins that clicks within 1h+30min of the stream end are held back."""
+    import pyspark.sql.functions as F
+
+    import http_datafusion_spark.streaming.queries as sq
+
+    df = sq.stream_outer_interval_join(spark, sf_dir)
+    row = df.agg(
+        F.sum("n_matched").alias("m"), F.sum("n_null_emitted").alias("nn")
+    ).collect()[0]
+    n_clicks = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert row.nn > 0, "no null-padded outer rows emitted"
+    assert row.m + row.nn <= n_clicks
