@@ -651,6 +651,16 @@ BROADCAST_GUARD_ALLOWED = {
     "embedding_centroid_shift": "per-label centroid norms (closed label set)",
     "embedding_pca_power_iteration": "eigenvector keyed by dim j <= 64 (dimension constant)",
     "text_prf_query_expansion": "PRF expansion terms: row_number<=K per limit-N feedback docs",
+    # r10 additions, each bounded by construction:
+    "rag_rerank_cross_encoder": (
+        "fused candidate frame: row_number<=RERANK_DEPTH per probe query "
+        "(|RAG_QUERY_DOCS| x 20 rows, probe set is a pipeline constant)"
+    ),
+    "shard_mix_audit": (
+        "per-source corpus mix (source is a closed enum, the "
+        "mix_sources_temperature precedent) + per-shard worst rows "
+        "(shard = hash % N_SHARDS, 16 rows constant)"
+    ),
 }
 
 # The eight operators the round-6 verdict called out by file:line — their
