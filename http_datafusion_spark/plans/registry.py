@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup_windowed_chain",
     "partition_layout_advisor",
     "stream_outer_interval_join",
+    "events_uplift_cuped",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
