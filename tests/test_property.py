@@ -487,3 +487,90 @@ def test_two_phase_rank_equals_single_window(spark):
         assert a == b
 
     check()
+
+
+# --------------------- cursor pagination (r10) ---------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    cursor=st.one_of(st.none(), st.text(min_size=1, max_size=30)),
+    size=st.one_of(st.none(), st.integers(min_value=1, max_value=10**4)),
+    cursor_param=names,
+    size_param=names,
+    has_query=st.booleans(),
+)
+def test_cursor_url_composition(cursor, size, cursor_param, size_param, has_query):
+    from urllib.parse import parse_qs, urlparse
+
+    from hypothesis import assume
+
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources.http_json import build_cursor_url
+
+    assume(cursor_param != size_param)  # distinct params, as any real API
+    base = "http://api/items" + ("?fixed=1" if has_query else "")
+    cp = CursorPagination(
+        cursor_param=cursor_param, page_size=size, page_size_param=size_param
+    )
+    url = build_cursor_url(base, cp, cursor)
+    assert url.count("?") <= 1  # never doubles the query separator
+    q = parse_qs(urlparse(url).query)
+    if cursor is None:
+        assert cursor_param not in q  # first request sends no token
+    else:
+        assert q[cursor_param] == [cursor]  # round-trips through URL encoding
+    if size is None:
+        assert size_param not in q or size_param == cursor_param
+    elif size_param != cursor_param:
+        assert q[size_param] == [str(size)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=95),
+    page_size=st.integers(min_value=1, max_value=25),
+    reserve_at=st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+)
+def test_cursor_walk_drains_exactly_and_never_loops(n_rows, page_size, reserve_at):
+    """The cursor walk must return every row exactly once in order, issue
+    exactly ceil(n/size) requests — and, when the server re-serves a
+    token at page `reserve_at` (a real API bug), stop instead of
+    looping, having collected each served page once."""
+    from unittest.mock import patch
+
+    from http_datafusion_spark.config import CursorPagination
+    from http_datafusion_spark.sources import http_json as hj
+
+    rows = [{"id": i} for i in range(n_rows)]
+    calls = []
+
+    def fake_fetch(url, method="GET", timeout=None, headers=None, json_body=None):
+        from urllib.parse import parse_qs, urlparse
+
+        calls.append(url)
+        q = parse_qs(urlparse(url).query)
+        cur = q.get("cursor", [None])[0]
+        off = int(cur.removeprefix("tok")) if cur else 0
+        page_no = off // page_size
+        if reserve_at is not None and page_no >= reserve_at:
+            nxt = f"tok{reserve_at * page_size}"  # re-served token
+        elif off + page_size < n_rows:
+            nxt = f"tok{off + page_size}"
+        else:
+            nxt = None
+        return {"data": rows[off : off + page_size], "next_cursor": nxt}
+
+    with patch.object(hj, "fetch_json", side_effect=fake_fetch):
+        got = hj.fetch_rows_cursor(
+            "http://api/items", cursor_pagination=CursorPagination(max_pages=500)
+        )
+    if reserve_at is None:
+        assert got == rows
+        expected_calls = max(1, -(-n_rows // page_size))
+        assert len(calls) == expected_calls
+    else:
+        # stops at the re-served token; every returned row was served
+        # by the walk and the request count is bounded by the bug page.
+        assert len(calls) <= reserve_at + 2
+        assert len(got) <= (reserve_at + 2) * page_size
