@@ -500,3 +500,48 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_row.unionAll(g)
+
+
+@query(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+             AS big_order_revenue,
+           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+             AS avg_open_price,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_whale_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="ANSI FILTER (WHERE ...) aggregate clause (SURVEY §2.4 — DataFusion "
+    "supports it on every aggregate, reference-reachable via `sql:`): "
+    "per-aggregate predicates incl. a filtered COUNT(DISTINCT), run through "
+    "spark.sql so the SQL surface itself is what's exercised; Catalyst "
+    "rewrites each FILTER into a conditional input (map-side partial aggs "
+    "preserved — no extra scan or join per filtered aggregate)",
+    tags=("agg",),
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")["orders"].createOrReplaceTempView(
+        "orders_v_fc"
+    )
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_finished,
+               round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+                 AS big_order_revenue,
+               round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                 AS avg_open_price,
+               CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                    AS BIGINT) AS n_whale_customers
+        FROM orders_v_fc
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "partition_layout_advisor",
     "stream_outer_interval_join",
     "events_uplift_cuped",
+    "q_agg_filter_clause",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",
