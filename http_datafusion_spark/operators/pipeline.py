@@ -3711,7 +3711,16 @@ def shard_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             % N_SHARDS
         ).alias("shard"),
     )
-    cell = h.groupBy("shard", "source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # The cell grid (N_SHARDS x |sources|, ~hundreds of rows) feeds five
+    # downstream consumers; without the checkpoint Catalyst re-derives
+    # it per consumer and the plan scans the CORPUS eight times (caught
+    # by the r10 .explain audit). One token pass, everything after runs
+    # on the checkpointed grid — the curriculum_stage_plan precedent.
+    cell = (
+        h.groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     sh = cell.groupBy("shard").agg(F.sum("c").cast("bigint").alias("nsh"))
     src = cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
     tot = src.agg(F.sum("ns").cast("bigint").alias("n"))
@@ -3835,57 +3844,58 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
     lo = F.lit(LAYOUT_FILTER_LO).cast("timestamp")
     hi = F.lit(LAYOUT_FILTER_HI).cast("timestamp")
-    exprs = {
-        "custkey_bucket64": (F.col("o_custkey") % LAYOUT_CUSTKEY_BUCKETS),
-        "order_month": F.date_trunc("month", F.col("o_orderdate")).cast("date"),
-        "order_priority": F.col("o_orderpriority"),
-    }
-    outs = []
-    for name, pk in exprs.items():
-        parts = o.groupBy(pk.alias("pk")).agg(
+    # ONE fact scan for all three candidates: each row explodes into
+    # (candidate, pk-as-string) pairs and the per-(candidate, pk) stats
+    # aggregate map-side before the only exchange — the r10 .explain
+    # audit caught the per-candidate-loop draft scanning orders 9x.
+    # The stats table (~150 x 3 rows) is localCheckpointed so its four
+    # downstream consumers don't re-derive the scan.
+    names = ["custkey_bucket64", "order_month", "order_priority"]
+    pk_arr = F.array(
+        (F.col("o_custkey") % LAYOUT_CUSTKEY_BUCKETS).cast("string"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    exploded = o.select(
+        F.posexplode(pk_arr).alias("ci", "pk"), F.col("o_orderdate")
+    )
+    parts = (
+        exploded.groupBy("ci", "pk")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("o_orderdate").alias("mn"),
             F.max("o_orderdate").alias("mx"),
         )
-        prunable = F.when((F.col("mx") < lo) | (F.col("mn") >= hi), 1).otherwise(0)
-        scanned = F.when((F.col("mx") < lo) | (F.col("mn") >= hi), F.lit(0)).otherwise(
-            F.col("n")
-        )
-        s = parts.agg(
-            F.count(F.lit(1)).cast("bigint").alias("np"),
-            F.sum("n").alias("total"),
+        .localCheckpoint()
+    )
+    tot = parts.groupBy("ci").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("n").alias("total"),
+    )
+    prun = (F.col("mx") < lo) | (F.col("mn") >= hi)
+    g = (
+        parts.join(F.broadcast(tot), "ci")
+        .groupBy("ci", "np", "total")
+        .agg(
             F.max("n").alias("mx_n"),
-            F.sum(prunable).alias("n_prun"),
-            F.sum(scanned).alias("n_scan"),
-            # small = n*2*np < total, but np/total are outer aggregates:
-            # recompute via a windowless second pass below instead.
+            F.sum(F.when(prun, 1).otherwise(0)).alias("n_prun"),
+            F.sum(F.when(prun, F.lit(0)).otherwise(F.col("n"))).alias("n_scan"),
+            F.sum(
+                F.when(F.col("n") * 2 * F.col("np") < F.col("total"), 1).otherwise(0)
+            ).alias("n_small"),
         )
-        # small-part fraction needs per-partition n against the global
-        # avg — one broadcast of the 1-row stats back onto the
-        # |partitions|-sized table keeps it a single scan of orders.
-        small = (
-            parts.crossJoin(F.broadcast(s.select("np", "total")))
-            .agg(
-                F.sum(
-                    F.when(F.col("n") * 2 * F.col("np") < F.col("total"), 1).otherwise(0)
-                ).alias("n_small")
-            )
+    )
+    cand = F.element_at(F.array(*[F.lit(n) for n in names]), F.col("ci") + 1)
+    return (
+        g.select(
+            cand.alias("candidate"),
+            F.col("np").alias("n_partitions"),
+            F.round(F.col("mx_n") * 1.0 * F.col("np") / F.col("total"), 6).alias(
+                "row_skew"
+            ),
+            F.round(F.col("n_small") * 1.0 / F.col("np"), 6).alias("frac_small_parts"),
+            F.round(F.col("n_prun") * 1.0 / F.col("np"), 6).alias("frac_prunable"),
+            F.round(F.col("n_scan") * 1.0 / F.col("total"), 6).alias("scan_frac"),
         )
-        outs.append(
-            s.crossJoin(F.broadcast(small)).select(
-                F.lit(name).alias("candidate"),
-                F.col("np").alias("n_partitions"),
-                F.round(F.col("mx_n") * 1.0 * F.col("np") / F.col("total"), 6).alias(
-                    "row_skew"
-                ),
-                F.round(F.col("n_small") * 1.0 / F.col("np"), 6).alias(
-                    "frac_small_parts"
-                ),
-                F.round(F.col("n_prun") * 1.0 / F.col("np"), 6).alias("frac_prunable"),
-                F.round(F.col("n_scan") * 1.0 / F.col("total"), 6).alias("scan_frac"),
-            )
-        )
-    res = outs[0]
-    for df in outs[1:]:
-        res = res.unionAll(df)
-    return res.orderBy("candidate")
+        .orderBy("candidate")
+    )

@@ -656,11 +656,11 @@ BROADCAST_GUARD_ALLOWED = {
         "fused candidate frame: row_number<=RERANK_DEPTH per probe query "
         "(|RAG_QUERY_DOCS| x 20 rows, probe set is a pipeline constant)"
     ),
-    "shard_mix_audit": (
-        "per-source corpus mix (source is a closed enum, the "
-        "mix_sources_temperature precedent) + per-shard worst rows "
-        "(shard = hash % N_SHARDS, 16 rows constant)"
-    ),
+    # shard_mix_audit's per-source/per-shard broadcasts were exempted
+    # here briefly in r10; its cell grid is now localCheckpointed (one
+    # corpus scan — the .explain audit fix), which cuts the lineage the
+    # guard walks, so the exemption went stale and was removed (the
+    # curriculum_stage_plan r9 precedent).
 }
 
 # The eight operators the round-6 verdict called out by file:line — their
