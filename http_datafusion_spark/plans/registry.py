@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_outer_interval_join",
     "events_uplift_cuped",
     "q_agg_filter_clause",
+    "q_distinct_on",
     # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
     "dedup_bloom_prefilter",
     "embedding_index_roundtrip",

@@ -688,3 +688,40 @@ def q_sort_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "q_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           CAST(o_custkey AS BIGINT)  AS custkey,
+           CAST(o_orderkey AS BIGINT) AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+           round(o_totalprice, 2)     AS latest_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+    doc="DISTINCT ON (Postgres-style first-row-per-key; DataFusion supports "
+    "it since v33, reference-reachable via `sql:`): newest order per "
+    "customer with a deterministic (o_orderdate DESC, o_orderkey) "
+    "tie-break. Spark has no DISTINCT ON, so the engine spells it as the "
+    "canonical row_number()=1 emulation — a LITERAL rank bound, so "
+    "InferWindowGroupLimit keeps per-partition top-1 heaps map-side and "
+    "only |keys| rows reach the exchange (SURVEY §2.2 DISTINCT family)",
+    tags=("relational",),
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+    )
