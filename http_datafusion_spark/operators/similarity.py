@@ -1887,3 +1887,106 @@ def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_antihubs",
         "max_occurrence",
     )
+
+
+# ------------------------------------------- kNN LOO label eval
+
+@query(
+    "sim_knn_loo_label_eval",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, x.label AS nlabel, x.vec_id AS nid,
+             {_DOT_SQL.format(a='x.embedding', b='q.embedding')}
+               / (x.nrm * q.nrm) AS cos
+      FROM assigned q JOIN assigned x
+        ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
+    ), knn AS (
+      SELECT qid, qlabel, nlabel FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM pairs) WHERE rn <= {HUB_K}
+    ), votes AS (
+      SELECT qid, qlabel, nlabel, count(*) AS c
+      FROM knn GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT qid, qlabel, nlabel AS plabel FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rv
+        FROM votes) WHERE rv = 1
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM pred
+    GROUP BY qlabel
+    ORDER BY label
+    """,
+    doc=f"leave-one-out kNN label evaluation — the standard intrinsic "
+    f"embedding-quality probe (does local cosine neighborhood structure "
+    f"predict the label?): each vector's top-{HUB_K} bucket-local cosine "
+    f"neighbors (self excluded = LOO by construction) vote; majority "
+    f"label (ties to smallest) is compared to the vector's own label, "
+    f"reported per label as n/correct/accuracy. Complements the nearest-"
+    f"centroid eval (sim_centroid_classifier_eval grades the PARAMETRIC "
+    f"decision rule; this grades the raw neighborhood geometry an ANN "
+    f"serving stack actually uses). Same scale shape as the hubness "
+    f"audit: bucket-local pairs, literal top-{HUB_K} WindowGroupLimit, "
+    f"integer votes (exact cross-engine) "
+    f"(north-star similarity / embedding quality)",
+    tags=("similarity",),
+)
+def sim_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    asg = ivf_assignments(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    base = asg.select(
+        "vec_id", "label", "bucket", emb.alias("emb"), _norm(emb).alias("nrm")
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("bucket").alias("qbkt"),
+        F.col("emb").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = base.join(
+        q, (F.col("bucket") == F.col("qbkt")) & (F.col("vec_id") != F.col("qid"))
+    ).select(
+        "qid",
+        "qlabel",
+        F.col("label").alias("nlabel"),
+        F.col("vec_id").alias("nid"),
+        (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+    )
+    knn = pairs.select(
+        "qid",
+        "qlabel",
+        "nlabel",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= HUB_K)
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(F.count(F.lit(1)).alias("c"))
+    pred = votes.select(
+        "qid",
+        "qlabel",
+        F.col("nlabel").alias("plabel"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel")))
+        .alias("rv"),
+    ).filter(F.col("rv") == 1)
+    hit = F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("qlabel").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

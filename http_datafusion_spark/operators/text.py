@@ -2794,3 +2794,132 @@ def vocab_chao1_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- MATTR lexical diversity
+
+# Moving-average type-token ratio (Covington & McFall 2010, public):
+# plain TTR falls with document length, so corpora are compared on the
+# average TTR of all W-token sliding windows instead. The naive
+# formulation materializes every (window, token) pair — a Wx row
+# explode. This implementation uses the closed form instead: a token
+# at position i is DISTINCT within window [s, s+W-1] iff its previous
+# same-word occurrence p < s, so its total contribution over all
+# windows is max(0, min(i, n_starts) - max(1, i-W+1, p+1) + 1) — one
+# lag() per token, zero explode, O(tokens) at any W. Per-source
+# figures are MICRO-averaged (summed integer numerators / summed
+# integer denominators), so the statistic is exact cross-engine with a
+# single float division per row.
+MATTR_W = 25
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, words[i] AS word, CAST(i AS BIGINT) AS pos
+      FROM docs, unnest(range(1, len(words) + 1)) AS t(i)
+    ), n AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+    ), lagged AS (
+      SELECT t.doc_id, t.source, t.pos, n.n,
+             least({MATTR_W}, n.n) AS we,
+             n.n - least({MATTR_W}, n.n) + 1 AS n_starts,
+             coalesce(lag(t.pos) OVER (PARTITION BY t.doc_id, t.word
+                                       ORDER BY t.pos), 0) AS p
+      FROM toks t JOIN n ON n.doc_id = t.doc_id
+    ), per_tok AS (
+      SELECT doc_id, source, n, we, n_starts,
+             greatest(0, least(pos, n_starts)
+                         - greatest(1, pos - we + 1, p + 1) + 1) AS contrib,
+             CASE WHEN p = 0 THEN 1 ELSE 0 END AS is_type
+      FROM lagged
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(sum(contrib) AS BIGINT)   AS dsum,
+             CAST(max(we) * max(n_starts) AS BIGINT) AS slots,
+             CAST(sum(is_type) AS BIGINT)   AS n_types,
+             CAST(max(n) AS BIGINT)         AS n_toks
+      FROM per_tok GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(dsum) * 1.0 / sum(slots), 6)   AS mattr_micro,
+           round(sum(n_types) * 1.0 / sum(n_toks), 6) AS ttr_micro
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc=f"MATTR lexical diversity (Covington & McFall 2010): average "
+    f"type-token ratio over all {MATTR_W}-token sliding windows, per "
+    f"source, micro-averaged alongside plain TTR (which MATTR "
+    f"de-biases for length). Computed by the closed form — a token is "
+    f"distinct in window s iff its previous same-word occurrence "
+    f"precedes s, so its contribution over all windows is one interval "
+    f"length from one lag() — O(tokens) with ZERO window explode "
+    f"(the naive shape is a {MATTR_W}x row blowup). One (doc, word)-"
+    f"keyed window + per-doc integer sums; micro ratios are exact "
+    f"cross-engine (north-star pipeline / text quality)",
+    tags=("text", "agg"),
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    lwords = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    toks = d.select(
+        "doc_id", "source", F.posexplode(lwords).alias("pos0", "word")
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "word")
+    n = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lagged = (
+        toks.join(n, "doc_id")
+        .withColumn("we", F.least(F.lit(MATTR_W), F.col("n")))
+        .withColumn("n_starts", F.col("n") - F.col("we") + 1)
+        .withColumn(
+            "p",
+            F.coalesce(
+                F.lag("pos").over(W.partitionBy("doc_id", "word").orderBy("pos")),
+                F.lit(0),
+            ),
+        )
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.least(F.col("pos"), F.col("n_starts"))
+        - F.greatest(F.lit(1), F.col("pos") - F.col("we") + 1, F.col("p") + 1)
+        + F.lit(1),
+    )
+    per_doc = (
+        lagged.select(
+            "doc_id",
+            "source",
+            "n",
+            "we",
+            "n_starts",
+            contrib.alias("contrib"),
+            F.when(F.col("p") == 0, 1).otherwise(0).alias("is_type"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("dsum"),
+            (F.max("we") * F.max("n_starts")).cast("bigint").alias("slots"),
+            F.sum("is_type").cast("bigint").alias("n_types"),
+            F.max("n").cast("bigint").alias("n_toks"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("dsum") * 1.0 / F.sum("slots"), 6).alias("mattr_micro"),
+            F.round(F.sum("n_types") * 1.0 / F.sum("n_toks"), 6).alias("ttr_micro"),
+        )
+        .orderBy("source")
+    )
