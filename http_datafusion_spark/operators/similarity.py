@@ -1759,6 +1759,95 @@ def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_knn_fn(k: int):
+    """applyInPandas fn for one IVF bucket: every vector's top-k cosine
+    neighbors within the bucket (self excluded), ties broken by
+    ascending neighbor vec_id — exactly row_number() OVER (PARTITION BY
+    qid ORDER BY cos DESC, nid). Cosines come from the fold-exact
+    kernels (functions/veclib.py), so every value matches the SQL
+    oracle's list_sum fold bit-for-bit; the quadratic tile runs in
+    numpy, not per-pair interpreted Catalyst lambdas (the r10 .explain/
+    timing audit measured the JVM higher-order-function fold at ~50x
+    slower on millions of pairs — the same lesson as the dedup block
+    tiles). Query rows stream in chunks so the cos tile is
+    O(chunk x bucket), never O(bucket^2) memory."""
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import (
+        fold_dot,
+        fold_norms,
+        stack_embeddings,
+    )
+
+    CHUNK = 1024
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"qid": [], "qlabel": [], "nid": [], "nlabel": [], "rn": []}
+            ).astype({"qid": "int64", "qlabel": "int64", "nid": "int64",
+                      "nlabel": "int64", "rn": "int64"})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        M = stack_embeddings(pdf["embedding"])
+        nrm = fold_norms(M)
+        kk = min(k, n - 1)
+        chunks = []
+        for lo in range(0, n, CHUNK):
+            hi = min(lo + CHUNK, n)
+            rows = hi - lo
+            neg = -(fold_dot(M[lo:hi], M) / np.outer(nrm[lo:hi], nrm))
+            neg[np.arange(rows), np.arange(lo, hi)] = np.inf  # exclude self
+            # Full-row argsort is the cost center (O(n log n) per row —
+            # the first draft spent 7x the fold's time sorting 12.5k
+            # columns to keep 10). Exact top-k instead: an O(n)
+            # partition finds the k-th value, the tie-inclusive mask
+            # keeps EVERY column matching it, and only that handful is
+            # stable-sorted — columns are vec_id-ascending, so the
+            # stable sort breaks cosine ties toward the smaller nid,
+            # the oracle's (cos DESC, nid ASC) order even when ties
+            # straddle the k-th boundary.
+            kth = np.partition(neg, kk - 1, axis=1)[:, kk - 1]
+            top = np.empty((rows, kk), dtype=np.int64)
+            for r in range(rows):
+                cand = np.flatnonzero(neg[r] <= kth[r])
+                order = np.argsort(neg[r, cand], kind="stable")[:kk]
+                top[r] = cand[order]
+            flat = top.ravel()
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(ids[lo:hi], kk),
+                        "qlabel": np.repeat(labels[lo:hi], kk),
+                        "nid": ids[flat],
+                        "nlabel": labels[flat],
+                        "rn": np.tile(np.arange(1, kk + 1), rows),
+                    }
+                )
+            )
+        return pd.concat(chunks, ignore_index=True)
+
+    return fn
+
+
+def bucket_knn_pairs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(qid, qlabel, nid, nlabel, rn): every vector's top-k bucket-local
+    cosine neighbors — the shared candidate frame of the hubness audit
+    and the LOO label eval. One Arrow pass per bucket group; at 100 TB
+    buckets are further split by an IVF sub-assignment so a group never
+    exceeds executor memory (same discipline as the dedup block tiles)."""
+    asg = ivf_assignments(spark, sf_dir)
+    return asg.select("vec_id", "label", "embedding", "bucket").groupBy(
+        "bucket"
+    ).applyInPandas(
+        _bucket_knn_fn(k),
+        schema="qid bigint, qlabel bigint, nid bigint, nlabel bigint, rn bigint",
+    )
+
+
 # ------------------------------------------- kNN hubness audit
 
 # Hubness (Radovanovic et al. 2010, public): in high-dimensional
@@ -1829,36 +1918,10 @@ HUB_K = 10
     tags=("similarity",),
 )
 def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    asg = ivf_assignments(spark, sf_dir)
-    emb = F.col("embedding").cast("array<double>")
-    base = asg.select(
-        "vec_id", "bucket", emb.alias("emb"), _norm(emb).alias("nrm")
-    )
-    q = base.select(
-        F.col("vec_id").alias("qid"),
-        F.col("bucket").alias("qbkt"),
-        F.col("emb").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    pairs = base.join(
-        q, (F.col("bucket") == F.col("qbkt")) & (F.col("vec_id") != F.col("qid"))
-    ).select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
-    )
-    knn = pairs.select(
-        "qid",
-        "nid",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid")))
-        .alias("rn"),
-    ).filter(F.col("rn") <= HUB_K)
+    knn = bucket_knn_pairs(spark, sf_dir, HUB_K)
+    base = ivf_assignments(spark, sf_dir).select("vec_id")
     occ = (
-        base.select("vec_id")
-        .join(
+        base.join(
             knn.groupBy("nid").agg(F.count(F.lit(1)).alias("n")),
             base["vec_id"] == F.col("nid"),
             "left",
@@ -1942,35 +2005,7 @@ def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    asg = ivf_assignments(spark, sf_dir)
-    emb = F.col("embedding").cast("array<double>")
-    base = asg.select(
-        "vec_id", "label", "bucket", emb.alias("emb"), _norm(emb).alias("nrm")
-    )
-    q = base.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("bucket").alias("qbkt"),
-        F.col("emb").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    pairs = base.join(
-        q, (F.col("bucket") == F.col("qbkt")) & (F.col("vec_id") != F.col("qid"))
-    ).select(
-        "qid",
-        "qlabel",
-        F.col("label").alias("nlabel"),
-        F.col("vec_id").alias("nid"),
-        (_dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
-    )
-    knn = pairs.select(
-        "qid",
-        "qlabel",
-        "nlabel",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid")))
-        .alias("rn"),
-    ).filter(F.col("rn") <= HUB_K)
+    knn = bucket_knn_pairs(spark, sf_dir, HUB_K)
     votes = knn.groupBy("qid", "qlabel", "nlabel").agg(F.count(F.lit(1)).alias("c"))
     pred = votes.select(
         "qid",
