@@ -574,3 +574,31 @@ def test_cursor_walk_drains_exactly_and_never_loops(n_rows, page_size, reserve_a
         # by the walk and the request count is bounded by the bug page.
         assert len(calls) <= reserve_at + 2
         assert len(got) <= (reserve_at + 2) * page_size
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    m=st.integers(min_value=1, max_value=1300),
+    d=st.integers(min_value=1, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fold_dot_tiling_is_bit_identical(n, m, d, seed):
+    """fold_dot was tiled over B-columns in r10 (cache-resident
+    accumulator). Tiling partitions independent OUTPUT elements; each
+    element's dim-by-dim accumulation order must be unchanged, so the
+    result must equal the untiled sequential fold BIT-FOR-BIT — this is
+    the property the SQL-oracle parity of every fold consumer (dedup
+    cosine tiles, PQ, IVF, bucket-kNN) rests on. m ranges across the
+    512-column tile boundary."""
+    import numpy as np
+
+    from http_datafusion_spark.functions.veclib import fold_dot
+
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, d)).astype(np.float32).astype(np.float64)
+    B = rng.standard_normal((m, d)).astype(np.float32).astype(np.float64)
+    ref = np.zeros((n, m))
+    for k in range(d):
+        ref += A[:, k : k + 1] * B[:, k][None, :]
+    assert np.array_equal(fold_dot(A, B), ref)
