@@ -1877,13 +1877,20 @@ def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
     "events_uplift_cuped",
     oracle="""
     WITH span AS (
-      SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi FROM events
+      -- floor() before comparing: Spark's unix_timestamp() truncates to
+      -- whole seconds while DuckDB's epoch() keeps fractional seconds;
+      -- an event in the sub-second window around the midpoint would
+      -- otherwise flip pre/post on one engine only (same hazard
+      -- events_impact_did already guards; r10 ADVICE item 1).
+      SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS lo,
+             CAST(floor(max(epoch(ts))) AS BIGINT) AS hi
+      FROM events
     ), per_user AS (
       SELECT user_id,
-             sum(CASE WHEN epoch(ts) * 2 < span.lo + span.hi
+             sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2 < span.lo + span.hi
                       THEN CAST(round(value, 6) AS DECIMAL(18,6))
                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
-             sum(CASE WHEN epoch(ts) * 2 >= span.lo + span.hi
+             sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2 >= span.lo + span.hi
                       THEN CAST(round(value, 6) AS DECIMAL(18,6))
                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
       FROM events, span

@@ -244,7 +244,16 @@ def fetch_rows_cursor(
                 f"{cp.data_field!r}/{cp.cursor_field!r} fields; got "
                 f"{type(body).__name__} from {url!r}"
             )
-        page_rows = body.get(cp.data_field)
+        if cp.data_field not in body:
+            # A missing data key is a misconfiguration (wrong data_field
+            # or a non-paginated endpoint), not "no more pages" — silently
+            # returning a truncated/empty table would mask it (r10 ADVICE
+            # item 2). Only an explicit empty array means done.
+            raise HttpError(
+                f"cursor pagination field {cp.data_field!r} absent from "
+                f"response body of {url!r} (keys: {sorted(body)})"
+            )
+        page_rows = body[cp.data_field]
         if not page_rows:
             break
         if not isinstance(page_rows, list):

@@ -333,10 +333,25 @@ def test_outer_join_emits_null_rows_only_after_watermark(spark, sf_dir):
     row = df.agg(
         F.sum("n_matched").alias("m"), F.sum("n_null_emitted").alias("nn")
     ).collect()[0]
-    n_clicks = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .filter(F.col("event_type") == "click")
-        .count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    n_clicks = clicks.count()
+    # n_matched counts join PAIRS — a click matching 2+ purchases inside
+    # its 30-min window legitimately yields more pairs than clicks, so
+    # `m + nn <= n_clicks` is NOT an invariant (r10 ADVICE item 3). The
+    # per-click invariant: every click is matched (>=1 pair), null-emitted
+    # (exactly one row), or held back — so distinct MATCHED clicks plus
+    # null-emitted rows never exceed the click count.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
+    n_matched_clicks = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftsemi",
+    ).count()
     assert row.nn > 0, "no null-padded outer rows emitted"
-    assert row.m + row.nn <= n_clicks
+    assert row.m >= n_matched_clicks, (row.m, n_matched_clicks)
+    assert n_matched_clicks + row.nn <= n_clicks, (n_matched_clicks, row.nn, n_clicks)
