@@ -1,0 +1,166 @@
+"""Bucket-kNN salted-split kernel: the group-size bound and the
+order-preserving cross-slice merge (r10 verdict, What's wrong #1).
+
+Three pins:
+- the split path (row_cap forcing S > 1) is bit-identical to the
+  single-group path on real data;
+- the merge preserves (cos DESC, nid ASC) even when exact cosine TIES
+  straddle both the per-slice and the global k-th boundary, verified
+  against an independent numpy brute force on engineered duplicates;
+- one (bucket, gq, gn) group is bounded by ~2*row_cap rows by
+  construction — never by corpus size — and the exploded memberships
+  cover each (query, neighbor-slice) pair exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.operators.similarity import (
+    bucket_knn_pairs,
+    ivf_assignments,
+    salted_bucket_groups,
+)
+
+
+def test_salted_split_is_bit_identical_to_single_group(spark, sf_dir):
+    """cap=16 forces S ~ 4 on sf0.001's ~60-row buckets; the merged
+    result must equal the unsplit (one diagonal group per bucket)
+    plan row-for-row."""
+    big = bucket_knn_pairs(spark, sf_dir, 10, row_cap=10**9)
+    small = bucket_knn_pairs(spark, sf_dir, 10, row_cap=16)
+    b = {tuple(r) for r in big.collect()}
+    s = {tuple(r) for r in small.collect()}
+    assert b == s
+    assert len(b) > 0
+
+
+@pytest.fixture(scope="module")
+def tie_dir(tmp_path_factory):
+    """Synthetic embeddings engineered so exact cosine ties straddle
+    sub-bucket boundaries AND the k-th rank: 8 well-separated one-hot
+    base patterns (vec_ids 1-8 = the IVF centroids), each bucket filled
+    with EXACT duplicates of its pattern plus distinguishable variants."""
+    rng = np.random.default_rng(7)
+    d = 8
+    rows = []
+    vid = 1
+    for p in range(8):
+        base = np.zeros(d, dtype=np.float32)
+        base[p] = 10.0
+        base[(p + 1) % d] = 1.0 + 0.25 * p
+        rows.append((vid, p, base.copy()))  # the centroid itself
+        vid += 1
+    for p in range(8):
+        base = next(e for i, lbl, e in rows[:8] if lbl == p)
+        # 6 exact duplicates of one variant -> pairwise cos exactly equal,
+        # far more ties than k=3 slots
+        dup = base + np.float32(0.5)
+        for _ in range(6):
+            rows.append((vid, p, dup.copy()))
+            vid += 1
+        # 5 distinguishable variants
+        for j in range(5):
+            v = base.copy()
+            v[(p + 2) % d] = np.float32(0.25 * (j + 1))
+            v += rng.normal(0, 0.01, d).astype(np.float32)
+            rows.append((vid, p, v))
+            vid += 1
+    out = tmp_path_factory.mktemp("tiesf")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2].tolist() for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def _brute_force_knn(asg_rows, k):
+    """Independent reference: per bucket, every query's top-k under
+    (cos DESC, nid ASC), cosines via the same fold-exact kernels."""
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms
+
+    by_bucket = {}
+    for r in asg_rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    expected = set()
+    for members in by_bucket.values():
+        members.sort(key=lambda r: r.vec_id)
+        ids = np.array([m.vec_id for m in members])
+        labels = np.array([m.label for m in members])
+        M = np.stack([np.asarray(m.embedding, dtype=np.float64) for m in members])
+        nrm = fold_norms(M)
+        cos = fold_dot(M, M) / np.outer(nrm, nrm)
+        for qi in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != qi),
+                key=lambda j: (-cos[qi, j], ids[j]),
+            )[:k]
+            for rank, j in enumerate(order, 1):
+                expected.add(
+                    (int(ids[qi]), int(labels[qi]), int(ids[j]), int(labels[j]), rank)
+                )
+    return expected
+
+
+@pytest.mark.parametrize("row_cap", [10**9, 5])
+def test_merge_preserves_order_across_tie_straddling_splits(spark, tie_dir, row_cap):
+    """With cap=5 every 12-row bucket splits S=3, scattering the 6
+    exact duplicates (pairwise-equal cosines) across slices; the merged
+    top-3 must still equal the brute-force (cos DESC, nid ASC) ranking
+    bit-for-bit. cap=1e9 pins the degenerate single-group path on the
+    same engineered ties."""
+    asg_rows = ivf_assignments(spark, tie_dir).collect()
+    expected = _brute_force_knn(asg_rows, 3)
+    got = {tuple(r) for r in bucket_knn_pairs(spark, tie_dir, 3, row_cap=row_cap).collect()}
+    assert got == expected
+
+
+def test_group_size_is_bounded_by_cap_not_corpus(spark, sf_dir):
+    """The applyInPandas group key (bucket, gq, gn) must bound group
+    rows by ~2*cap regardless of bucket size — the 100 TB contract."""
+    cap = 16
+    asg = ivf_assignments(spark, sf_dir)
+    bucket_sizes = {
+        r.bucket: r.cnt
+        for r in asg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    max_bucket = max(bucket_sizes.values())
+    assert max_bucket > 2 * cap, "fixture too small to exercise splitting"
+    g = (
+        salted_bucket_groups(spark, sf_dir, row_cap=cap)
+        .groupBy("bucket", "gq", "gn")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    max_group = max(r.n for r in g)
+    # one query slice + one neighbor slice; xxhash64 split gives
+    # slice <= ~cap w.h.p. — allow 1.5x hash-deviation slack, still
+    # a CAP-scaled bound, far under the unsplit bucket size
+    assert max_group <= 3 * cap, (max_group, cap)
+    assert max_group < max_bucket
+
+
+def test_exploded_memberships_cover_each_query_slice_pair_once(spark, sf_dir):
+    """Every (query vec, neighbor-salt) pair must appear in exactly one
+    group — the lossless-coverage contract of the 2S-1 explode."""
+    cap = 16
+    ex = salted_bucket_groups(spark, sf_dir, row_cap=cap)
+    qside = ex.filter(F.col("roles") != 0).groupBy("vec_id", "gn").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    assert qside.filter(F.col("c") != 1).count() == 0
+    # and as a neighbor: exactly once per query-salt
+    nside = ex.filter(F.col("roles") != 1).groupBy("vec_id", "gq").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    assert nside.filter(F.col("c") != 1).count() == 0
