@@ -1155,3 +1155,77 @@ def test_r9_lake_ops_plan_invariants(spark, sf_dir):
 
     p = plan_of(QS["join_bloom_prefilter_audit"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# Grouped-pandas bound guard (r10 verdict task 6): every
+# groupBy(...).applyInPandas / cogrouped-pandas group must be argued
+# bounded — a group materializes as ONE pandas DataFrame on one
+# executor, so an unbounded key is an OOM at scale, not a slow shuffle.
+# Key signatures observed across all registry plans, each with the
+# reason the group is bounded BY CONSTRUCTION:
+PANDAS_GUARD_BOUNDED: dict[tuple[str, ...], str] = {
+    ("bucket", "gq", "gn"): (
+        "salted sub-bucket split (similarity.salted_bucket_groups): a "
+        "group holds one query slice + one neighbor slice, "
+        "<= ~2*BUCKET_KNN_ROW_CAP rows at any corpus size — pinned by "
+        "tests/test_similarity_kernel.py::test_group_size_is_bounded_by_cap_not_corpus"
+    ),
+    ("bi", "bj"): (
+        "dedup block tiles (dedup.embedding_pairs_blocked): two vec_id "
+        "% n_blocks blocks per group, n/n_blocks rows each; n_blocks "
+        "is the scale knob (~sqrt parallelism at 100 TB)"
+    ),
+    ("user_id",): (
+        "cogrouped per-entity key: group size tracks one user's "
+        "activity (bounded per entity), key cardinality — not group "
+        "size — grows with the corpus"
+    ),
+}
+
+
+def test_every_grouped_pandas_key_is_argued_bounded(spark, sf_dir):
+    from http_datafusion_spark.plans.pandas_guard import (
+        grouped_pandas_key_signatures,
+    )
+
+    observed: dict[tuple[str, ...], list[str]] = {}
+    for name, spec in QS.items():
+        for sig in grouped_pandas_key_signatures(spec.spark(spark, sf_dir)):
+            observed.setdefault(sig, []).append(name)
+
+    unexplained = {
+        sig: names
+        for sig, names in observed.items()
+        if sig not in PANDAS_GUARD_BOUNDED
+    }
+    assert not unexplained, (
+        "grouped-pandas node whose key has no documented bound — argue "
+        "it bounded (cap construction / block tiling / per-entity key) "
+        f"in PANDAS_GUARD_BOUNDED or fix the plan: {unexplained}"
+    )
+    stale = sorted(set(PANDAS_GUARD_BOUNDED) - set(observed))
+    assert not stale, (
+        f"stale pandas-guard entries (signature no longer produced): {stale}"
+    )
+
+
+def test_pandas_guard_unit(spark, sf_dir):
+    """Parser pins: grouped and cogrouped nodes are both seen, keys are
+    normalized, and a plan with no grouped-pandas nodes yields []."""
+    from http_datafusion_spark.plans.pandas_guard import (
+        grouped_pandas_key_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert grouped_pandas_key_signatures(docs.limit(3)) == []
+
+    import pandas as pd
+
+    def head1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)[["doc_id", "source"]]
+
+    g = docs.groupBy("source", (F.col("doc_id") % 4).alias("shard")).applyInPandas(
+        head1, schema="doc_id bigint, source string"
+    )
+    assert grouped_pandas_key_signatures(g) == [("source", "shard")]
