@@ -2146,3 +2146,152 @@ def sim_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------- SemDeDup semantic dedup
+
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", public): cluster embeddings (k-means;
+# here the repo's fixed IVF codebook), then within each cluster prune
+# every vector that is cosine-similar above tau to a KEPT-PRIORITY
+# neighbor. The paper keeps, within a duplicate group, the example with
+# the LOWEST cosine to the cluster centroid (prefer the hard/diverse
+# member); the deterministic non-iterative form of that rule — the one
+# a single pass can evaluate and SQL can express — is the order-based
+# greedy: prune q iff SOME x earlier in (centroid-cos ASC, vec_id ASC)
+# order has cos(x, q) >= tau, whether or not x itself was pruned.
+# tau is corpus-relative: the synthetic embeddings are near-isotropic
+# (within-bucket cosine p99 ~ 0.33, max ~ 0.49 at sf0.01), so the
+# paper's 0.9x range would prune nothing; 0.25 sits at ~p95.
+SEMDEDUP_TAU = 0.25
+
+
+def _semdedup_partial_fn(tau: float, cents_by_bucket: dict[int, np.ndarray]):
+    """applyInPandas fn for one (bucket, q-salt, n-salt) group of
+    salted_bucket_groups: for each query, 1 iff some neighbor in THIS
+    slice precedes it in (centroid-cos ASC, vec_id ASC) order and has
+    cos >= tau. Partial flags OR together across a query's groups
+    (max), which is exact because EXISTS distributes over the slice
+    union. Centroid cosines are computed inside the kernel from the
+    closure-captured O(K) codebook — fold-exact, so the order matches
+    the SQL oracle's bit-for-bit and ties break identically."""
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import (
+        fold_dot,
+        fold_norms,
+        stack_embeddings,
+    )
+
+    CHUNK = 1024
+    EMPTY = {"qid": "int64", "hit": "int64"}
+
+    def fn(key, pdf):
+        bucket = int(key[0])
+        cv = cents_by_bucket[bucket]
+        c_nrm = float(fold_norms(cv[None, :])[0])
+        roles = pdf["roles"].to_numpy()
+        q = pdf[roles != 0]
+        nb = pdf[roles != 1]
+        if len(q) == 0 or len(nb) == 0:
+            return pd.DataFrame({c: [] for c in EMPTY}).astype(EMPTY)
+        qids = q["vec_id"].to_numpy()
+        Mq = stack_embeddings(q["embedding"])
+        nrm_q = fold_norms(Mq)
+        ccos_q = fold_dot(Mq, cv[None, :])[:, 0] / (nrm_q * c_nrm)
+        nids = nb["vec_id"].to_numpy()
+        Mn = stack_embeddings(nb["embedding"])
+        nrm_n = fold_norms(Mn)
+        ccos_n = fold_dot(Mn, cv[None, :])[:, 0] / (nrm_n * c_nrm)
+        chunks = []
+        for lo in range(0, len(qids), CHUNK):
+            hi = min(lo + CHUNK, len(qids))
+            cos = fold_dot(Mq[lo:hi], Mn) / np.outer(nrm_q[lo:hi], nrm_n)
+            # x precedes q: (ccos_x, xid) < (ccos_q, qid) lexicographic —
+            # strict, so the self-pair can never fire
+            earlier = (ccos_n[None, :] < ccos_q[lo:hi, None]) | (
+                (ccos_n[None, :] == ccos_q[lo:hi, None])
+                & (nids[None, :] < qids[lo:hi, None])
+            )
+            hit = ((cos >= tau) & earlier).any(axis=1)
+            chunks.append(
+                pd.DataFrame({"qid": qids[lo:hi], "hit": hit.astype(np.int64)})
+            )
+        return pd.concat(chunks, ignore_index=True)
+
+    return fn
+
+
+@query(
+    "sim_semdedup_prune",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , cn AS (
+      SELECT cid, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS c_nrm
+      FROM cents
+    ), scored AS (
+      SELECT a.vec_id, a.embedding, a.nrm, a.bucket,
+             {_DOT_SQL.format(a='a.embedding', b='c.cv')} / (a.nrm * c.c_nrm)
+               AS ccos
+      FROM assigned a JOIN cn c ON c.cid = a.bucket
+    ), hits AS (
+      -- EXISTS spelled as join+max: DuckDB list lambdas cannot capture
+      -- correlated subquery bindings, a join scope can
+      SELECT q.vec_id,
+             max(CASE WHEN {_DOT_SQL.format(a='x.embedding', b='q.embedding')}
+                        / (x.nrm * q.nrm) >= {SEMDEDUP_TAU}
+                 THEN 1 ELSE 0 END) AS pruned
+      FROM scored q JOIN scored x
+        ON x.bucket = q.bucket
+       AND (x.ccos < q.ccos OR (x.ccos = q.ccos AND x.vec_id < q.vec_id))
+      GROUP BY q.vec_id
+    ), flags AS (
+      SELECT s.vec_id, s.bucket, coalesce(h.pruned, 0) AS pruned
+      FROM scored s LEFT JOIN hits h ON h.vec_id = s.vec_id
+    )
+    SELECT CAST(bucket AS BIGINT)        AS bucket,
+           CAST(count(*) AS BIGINT)      AS n_vectors,
+           CAST(sum(pruned) AS BIGINT)   AS n_pruned,
+           CAST(count(*) - sum(pruned) AS BIGINT) AS n_kept,
+           round(1.0 - sum(pruned) * 1.0 / count(*), 6) AS keep_rate
+    FROM flags
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc=f"SemDeDup semantic dedup (Abbas et al. 2023, public): IVF-"
+    f"cluster the corpus, then within each cluster prune every vector "
+    f"with cosine >= {SEMDEDUP_TAU} to a kept-priority neighbor — "
+    f"priority = lowest centroid-cosine first (the paper's keep-the-"
+    f"hard-example rule), ties to smaller vec_id, evaluated as the "
+    f"order-based greedy EXISTS (deterministic, single-pass). Completes "
+    f"the dedup arc's embedding-level stage (exact -> MinHash/LSH -> "
+    f"SimHash -> semantic). Scale shape: rides salted_bucket_groups — "
+    f"the SAME capped (bucket, q-salt, n-salt) groups as the kNN "
+    f"kernel, <= ~2*cap rows per pandas group at any corpus size; "
+    f"per-slice EXISTS flags OR-merge per query (one tiny agg), stats "
+    f"are one {N_CENTROIDS}-row rollup "
+    f"(north-star similarity / training-data curation)",
+    tags=("similarity", "dedup", "pipeline"),
+)
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
+    groups = salted_bucket_groups(spark, sf_dir)
+    partial = groups.groupBy("bucket", "gq", "gn").applyInPandas(
+        _semdedup_partial_fn(SEMDEDUP_TAU, cents),
+        schema="qid bigint, hit bigint",
+    )
+    flags = partial.groupBy("qid").agg(F.max("hit").alias("pruned"))
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
+    return (
+        asg.join(flags, asg["vec_id"] == flags["qid"])
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("pruned").cast("bigint").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.sum("pruned")).cast("bigint").alias("n_kept"),
+            F.round(1.0 - F.sum("pruned") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )
