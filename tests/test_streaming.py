@@ -355,3 +355,134 @@ def test_outer_join_emits_null_rows_only_after_watermark(spark, sf_dir):
     assert row.nn > 0, "no null-padded outer rows emitted"
     assert row.m >= n_matched_clicks, (row.m, n_matched_clicks)
     assert n_matched_clicks + row.nn <= n_clicks, (n_matched_clicks, row.nn, n_clicks)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-stateful API)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self._timers = []
+        self._state = _FakeValueState()
+
+    def getValueState(self, name, schema):
+        return self._state
+
+    def registerTimer(self, ts):
+        self._timers.append(int(ts))
+
+    def deleteTimer(self, ts):
+        self._timers.remove(int(ts))
+
+    def listTimers(self):
+        return list(self._timers)
+
+
+class _FakeExpiredInfo:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _feed(proc, user, ts_us_list):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.Series([t * 1000 for t in ts_us_list], dtype="int64")})
+    return list(proc.handleInputRows((user,), iter([pdf]), None))
+
+
+def test_tws_session_processor_logic():
+    """The TWS processor's full state machine, driven directly: fold
+    across batches, inline close on a within-batch gap, exactly one
+    live timer (re-registered to the new session end), timer close,
+    and the stale-timer guard."""
+    from http_datafusion_spark.streaming.tws import (
+        SESSION_GAP_US,
+        SessionProcessor,
+    )
+
+    proc = SessionProcessor()
+    h = _FakeHandle()
+    proc.init(h)
+
+    t0 = 1_700_000_000 * 1_000_000
+    out = _feed(proc, 7, [t0, t0 + 60_000_000])  # one open session
+    assert out == []
+    assert h._state.get() == (t0, t0 + 60_000_000, 2)
+    assert h._timers == [(t0 + 60_000_000) // 1000 + SESSION_GAP_US // 1000]
+
+    # within-batch gap: closes inline, new session opens, timer moves
+    t1 = t0 + 60_000_000 + SESSION_GAP_US + 1
+    out = _feed(proc, 7, [t1])
+    assert len(out) == 1 and out[0]["n_events"].iloc[0] == 2
+    assert out[0]["start_us"].iloc[0] == t0
+    assert h._timers == [t1 // 1000 + SESSION_GAP_US // 1000]
+
+    # stale timer (predates current end) is ignored, state kept
+    stale = list(
+        proc.handleExpiredTimer((7,), None, _FakeExpiredInfo(t1 // 1000 - 1))
+    )
+    assert stale == [] and h._state.exists()
+
+    # the real close timer fires: emits and clears state
+    fired = list(
+        proc.handleExpiredTimer(
+            (7,), None, _FakeExpiredInfo(t1 // 1000 + SESSION_GAP_US // 1000)
+        )
+    )
+    assert len(fired) == 1 and fired[0]["n_events"].iloc[0] == 1
+    assert not h._state.exists()
+
+
+def test_tws_sessionize_e2e(spark, sf_dir):
+    """End-to-end TWS run vs the batch sessionization twin — auto-skips
+    where the protobuf runtime (TWS state protocol) is absent."""
+    import pyspark.sql.functions as F
+
+    from http_datafusion_spark.streaming.queries import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from http_datafusion_spark.streaming.tws import HAVE_PROTOBUF, tws_sessionize
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("google.protobuf runtime not available (TWS protocol)")
+    out = tws_sessionize(read_events_stream(spark, sf_dir))
+    res = run_to_memory(out, "append")
+    closed = res.count()
+    # batch twin upper bound: total gap-sessions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.window import Window as W
+
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(W.partitionBy("user_id").orderBy(us))
+    n_sessions = (
+        ev.select(
+            F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1)
+            .otherwise(0)
+            .alias("new_s")
+        )
+        .agg(F.sum("new_s"))
+        .collect()[0][0]
+    )
+    assert 0 < closed <= n_sessions
