@@ -1167,6 +1167,17 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "agg"),
 )
 def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = centroid_assignments(spark, sf_dir)
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, true_label, pred_label): every vector's nearest-label-
+    centroid decision over exact 6dp-quantized decimal distances (ties
+    to first label) — the per-vector frame behind the confusion matrix
+    and the inter-annotator kappa."""
     from pyspark.sql.window import Window as W
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -1190,13 +1201,14 @@ def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(diff * diff).alias("d2"))
     )
     rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel"))
-    assigned = (
+    return (
         dists.withColumn("rk", rk)
         .filter(F.col("rk") == 1)
-        .select(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
-    )
-    return assigned.groupBy("true_label", "pred_label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("pred_label"),
+        )
     )
 
 
@@ -2073,6 +2085,25 @@ def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_loo_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qlabel, plabel): each vector's leave-one-out kNN majority
+    label (top-HUB_K bucket-local cosine neighbors vote, ties to the
+    smallest label). Vectors alone in their bucket have no neighbors
+    and therefore no prediction row."""
+    from pyspark.sql.window import Window as W
+
+    knn = bucket_knn_pairs(spark, sf_dir, HUB_K)
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(F.count(F.lit(1)).alias("c"))
+    return votes.select(
+        "qid",
+        "qlabel",
+        F.col("nlabel").alias("plabel"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel")))
+        .alias("rv"),
+    ).filter(F.col("rv") == 1)
+
+
 # ------------------------------------------- kNN LOO label eval
 
 @query(
@@ -2124,18 +2155,7 @@ def sim_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def sim_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    knn = bucket_knn_pairs(spark, sf_dir, HUB_K)
-    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(F.count(F.lit(1)).alias("c"))
-    pred = votes.select(
-        "qid",
-        "qlabel",
-        F.col("nlabel").alias("plabel"),
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel")))
-        .alias("rv"),
-    ).filter(F.col("rv") == 1)
+    pred = knn_loo_predictions(spark, sf_dir)
     hit = F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0)
     return (
         pred.groupBy(F.col("qlabel").cast("bigint").alias("label"))
@@ -2294,4 +2314,107 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bucket")
+    )
+
+
+# ------------------------------------- inter-annotator agreement (kappa)
+
+@query(
+    "sim_classifier_agreement_kappa",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, x.label AS nlabel, x.vec_id AS nid,
+             {_DOT_SQL.format(a='x.embedding', b='q.embedding')}
+               / (x.nrm * q.nrm) AS cos
+      FROM assigned q JOIN assigned x
+        ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
+    ), knn AS (
+      SELECT qid, qlabel, nlabel FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM pairs) WHERE rn <= {HUB_K}
+    ), votes AS (
+      SELECT qid, qlabel, nlabel, count(*) AS c FROM knn GROUP BY 1, 2, 3
+    ), kpred AS (
+      SELECT qid, nlabel AS pk FROM (
+        SELECT qid, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rv
+        FROM votes) WHERE rv = 1
+    ), ccomp AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ), ccent AS (
+      SELECT label AS clabel, i,
+             CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS m
+      FROM ccomp GROUP BY label, i
+    ), cdists AS (
+      SELECT c.vec_id, t.clabel,
+             sum(CAST((c.x - t.m) AS DECIMAL(18,6))
+                 * CAST((c.x - t.m) AS DECIMAL(18,6))) AS d2
+      FROM ccomp c JOIN ccent t ON c.i = t.i
+      GROUP BY c.vec_id, t.clabel
+    ), cpred AS (
+      SELECT vec_id, clabel AS pc FROM (
+        SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+        FROM cdists) WHERE rk = 1
+    ), j AS (
+      SELECT c.pc, k.pk FROM kpred k JOIN cpred c ON c.vec_id = k.qid
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pc = pk THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM j
+    ), marg AS (
+      SELECT CAST(coalesce(sum(rc.n_c * kc.n_k), 0) AS BIGINT) AS s_marg
+      FROM (SELECT pc AS l, count(*) AS n_c FROM j GROUP BY pc) rc
+      JOIN (SELECT pk AS l, count(*) AS n_k FROM j GROUP BY pk) kc USING (l)
+    )
+    SELECT t.n AS n_vectors,
+           t.n_agree,
+           round(t.n_agree * 1.0 / t.n, 6) AS agree_rate,
+           round(m.s_marg * 1.0 / (t.n * t.n), 6) AS chance_rate,
+           round((t.n_agree * 1.0 / t.n - m.s_marg * 1.0 / (t.n * t.n))
+                 / (1.0 - m.s_marg * 1.0 / (t.n * t.n)), 6) AS kappa
+    FROM tot t, marg m
+    """,
+    doc=f"Cohen's kappa between the repo's two embedding classifiers — "
+    f"nearest-centroid (parametric decision rule, exact decimal "
+    f"distances) and leave-one-out top-{HUB_K} kNN vote (neighborhood "
+    f"geometry): chance-corrected inter-annotator agreement "
+    f"(po - pe)/(1 - pe), the standard readout for whether two weak "
+    f"labelers can cross-validate each other before auto-labeling a "
+    f"corpus. po and pe come from INTEGER counts/marginals (exact "
+    f"cross-engine); vectors alone in their IVF bucket have no kNN "
+    f"vote and are excluded by the inner join on both engines. Scale "
+    f"shape: rides the capped salted kNN kernel + the (label x dim)-"
+    f"bounded centroid frame; the join is vec_id-keyed; marginals are "
+    f"a label-cardinality table (north-star similarity / labeling QA)",
+    tags=("similarity", "agg"),
+)
+def sim_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kpred = knn_loo_predictions(spark, sf_dir).select("qid", F.col("plabel").alias("pk"))
+    cpred = centroid_assignments(spark, sf_dir).select("vec_id", F.col("pred_label").alias("pc"))
+    j = kpred.join(cpred, kpred["qid"] == cpred["vec_id"]).select("pc", "pk")
+    tot = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pc") == F.col("pk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    rc = j.groupBy(F.col("pc").alias("l")).agg(F.count(F.lit(1)).alias("n_c"))
+    kc = j.groupBy(F.col("pk").alias("l")).agg(F.count(F.lit(1)).alias("n_k"))
+    marg = (
+        rc.join(kc, "l")
+        .agg(F.coalesce(F.sum(F.col("n_c") * F.col("n_k")), F.lit(0)).cast("bigint").alias("s_marg"))
+    )
+    po = F.col("n_agree") * 1.0 / F.col("n")
+    pe = F.col("s_marg") * 1.0 / (F.col("n") * F.col("n"))
+    return tot.crossJoin(marg).select(
+        F.col("n").alias("n_vectors"),
+        "n_agree",
+        F.round(po, 6).alias("agree_rate"),
+        F.round(pe, 6).alias("chance_rate"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
