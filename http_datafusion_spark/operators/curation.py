@@ -4533,3 +4533,105 @@ def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+# ------------------------------------------- Kneser-Ney bigram LM
+
+KN_DISCOUNT = 0.75  # Chen & Goodman 1998's fixed absolute discount
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT unnest(words) AS word FROM w),
+    uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+    bi AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(words)),
+                    i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+      FROM w WHERE len(words) >= 2
+    ),
+    bc AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+      FROM bi GROUP BY 1, 2
+    ),
+    fw AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+    pc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY w2),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+    scored AS (
+      SELECT bi.doc_id, bi.source,
+             CAST(round(-ln((greatest(bc.c - {KN_DISCOUNT}, 0)
+                             + {KN_DISCOUNT} * fw.n1f * (pc.n1p * 1.0 / t.t))
+                            / uc.c), 6) AS DECIMAL(18,6)) AS nll
+      FROM bi
+      JOIN bc ON bc.w1 = bi.bg.w1 AND bc.w2 = bi.bg.w2
+      JOIN uc ON uc.word = bi.bg.w1
+      JOIN fw ON fw.w1 = bi.bg.w1
+      JOIN pc ON pc.w2 = bi.bg.w2
+      CROSS JOIN t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_kn_nll
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc=f"interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & "
+    f"Goodman 1998, public — the KenLM-family smoothing CCNet-style "
+    f"quality filtering perplexes with): P(w2|w1) = [max(c(w1w2)-D,0) "
+    f"+ D*N1+(w1,.)*Pcont(w2)] / c(w1) with Pcont(w2) = N1+(.,w2)/"
+    f"N1+(.,.) and fixed D={KN_DISCOUNT} — the CONTINUATION counts "
+    f"(how many distinct contexts a word follows/precedes) are what "
+    f"distinguishes KN from the add-k family (text_bigram_logprob): "
+    f"'Francisco' is frequent but nearly always follows 'San', so its "
+    f"continuation probability is tiny. Per-token NLL rounds to 6dp "
+    f"then sums in exact DECIMAL (partial-order independent); reported "
+    f"as per-source mean NLL. All five count tables are corpus-growing "
+    f"-> hint-free joins (AQE broadcasts when runtime-small); the "
+    f"type-count scalar is a 1-row cross join "
+    f"(north-star text analysis / quality filtering)",
+    tags=("text",),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dw = d.select(
+        "doc_id", "source", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", "w1", "w2")
+    )
+    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    fw = bc.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1f"))
+    pcn = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    t = bc.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    D = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("cb") - D, F.lit(0.0))
+        + D * F.col("n1f") * (F.col("n1p") * 1.0 / F.col("t"))
+    ) / F.col("cu")
+    nll = F.round(-F.log(p_kn), 6).cast("decimal(18,6)")
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc.select(F.col("word").alias("w1"), "cu"), "w1")
+        .join(fw, "w1")
+        .join(pcn, "w2")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", "source", nll.alias("nll"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_kn_nll"),
+        )
+        .orderBy("source")
+    )
