@@ -839,3 +839,83 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+# ------------------------------------------- label propagation (LPA)
+
+LPA_ROUNDS = 3  # fixed synchronous rounds — deterministic, SQL-unrollable
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous LPA round as CTEs: neighbor-label vote counts,
+    then argmax per node (ties to the smallest label)."""
+    return f"""
+    v{i} AS (
+      SELECT e.u AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l{i - 1} l ON l.node = e.v
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk
+        FROM v{i}) WHERE rk = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges),
+    {",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))}
+    SELECT CAST(lab AS BIGINT)      AS community_id,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{LPA_ROUNDS}
+    GROUP BY lab
+    ORDER BY community_id
+    """,
+    doc=f"label-propagation communities (Raghavan et al. 2007, public) "
+    f"over the MinHash-LSH candidate graph: {LPA_ROUNDS} SYNCHRONOUS "
+    f"rounds, each node adopting its neighbors' majority label (ties "
+    f"to the smallest label, init = own id) — fully deterministic, so "
+    f"the oracle unrolls the same rounds as SQL CTEs and matches "
+    f"value-exactly (the async/random-order variants of LPA are not "
+    f"reproducible; the sync+min-tie form is the standard determinized "
+    f"one). Finds denser communities than the connected components of "
+    f"dedup_clusters (a chain of weak links is one CC but splits under "
+    f"LPA). Scale shape: per round ONE edges-by-label equi-join + a "
+    f"(node,label) partial agg + a node-keyed top-1 (WindowGroupLimit "
+    f"prunes map-side); {LPA_ROUNDS} rounds statically unrolled — no "
+    f"driver-side iteration or collect (north-star graph / dedup)",
+    tags=("graph", "dedup"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    rk = F.row_number().over(W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab")))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(edges["u"].alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.withColumn("rk", rk).filter(F.col("rk") == 1).select("node", "lab")
+    return (
+        labels.groupBy(F.col("lab").cast("bigint").alias("community_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("community_id")
+    )
