@@ -1068,3 +1068,137 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
         F.max("len").cast("bigint").alias("longest_scene"),
     )
+
+
+# ----------------------------------------------- aspect-ratio bucketing
+
+# SDXL-style aspect buckets (NovelAI aspect-bucketing write-up / SDXL
+# report, public): batch training needs same-shape tensors, so each
+# image snaps to the nearest-aspect bucket of a fixed ladder and is
+# scale-to-fit + padded there. Ladder aspects span 8:1 .. 1:8.
+ASPECT_BUCKETS = (
+    (64, 8), (64, 16), (64, 32), (64, 64), (32, 64), (16, 64), (8, 64),
+)
+
+
+@query(
+    "multimodal_aspect_bucketing",
+    # Closed-form oracle: image docs (doc_id % 2 = 0) decode to
+    # w = 4 + doc_id % 5, h = 1 + n_chars % 7 (synth_ppm). All bucket
+    # math is IEEE-exact on both engines: w/h and bw/bh are single
+    # correctly-rounded divisions, the distance is one subtraction —
+    # no transcendentals (a log-space distance would hit libm
+    # rounding differences between the JVM and DuckDB).
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS DOUBLE)  AS w,
+             CAST(1 + n_chars % 7 AS DOUBLE) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), buckets AS (
+      SELECT unnest(range(0, {len(ASPECT_BUCKETS)})) AS idx,
+             unnest({[float(bw) for bw, _ in ASPECT_BUCKETS]}) AS bw,
+             unnest({[float(bh) for _, bh in ASPECT_BUCKETS]}) AS bh
+    ), snapped AS (
+      SELECT doc_id, idx, bw, bh,
+             least(bw / w, bh / h) AS scale, w, h
+      FROM (
+        SELECT i.doc_id, b.idx, b.bw, b.bh, i.w, i.h,
+               row_number() OVER (
+                 PARTITION BY i.doc_id
+                 ORDER BY abs(i.w / i.h - b.bw / b.bh), b.idx) AS rk
+        FROM imgs i CROSS JOIN buckets b
+      ) WHERE rk = 1
+    )
+    SELECT CAST(idx AS BIGINT)            AS bucket_id,
+           CAST(bw AS BIGINT)             AS bucket_w,
+           CAST(bh AS BIGINT)             AS bucket_h,
+           CAST(count(*) AS BIGINT)       AS n_images,
+           round(CAST(sum(CAST(round(
+             1.0 - (w * scale) * (h * scale) / (bw * bh), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*), 6)    AS avg_pad_frac
+    FROM snapped
+    GROUP BY idx, bw, bh
+    ORDER BY bucket_id
+    """,
+    doc=f"aspect-ratio bucketing audit (SDXL/NovelAI bucketed training, "
+    f"public): every image (REAL PPM decode — header scan, not "
+    f"metadata trust) snaps to the nearest-aspect bucket of a fixed "
+    f"{len(ASPECT_BUCKETS)}-rung ladder (linear aspect distance, ties "
+    f"to the smaller index — deliberately not log-space: transcendental "
+    f"rounding differs between JVM and DuckDB libm, |w/h - bw/bh| is "
+    f"IEEE-exact on both), reporting per-bucket image counts and the "
+    f"mean scale-to-fit padding waste — the batch-shape / wasted-pixels "
+    f"readout an image-training pipeline reads before committing a "
+    f"ladder. Pad fractions 6dp-quantized to decimal before the mean "
+    f"(order-independent). Plan: payload decode in one Arrow pass, "
+    f"{len(ASPECT_BUCKETS)}-row broadcast ladder, per-image argmin as "
+    f"a map-side min(struct) partial agg — no window, no shuffle of "
+    f"payload bytes (north-star multimodal / training data)",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_codec_table(spark, sf_dir)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs = [], [], []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type != "image":
+                    continue
+                m = decode_ppm(bytes(payload))
+                ids.append(doc_id)
+                ws.append(m["width"])
+                hs.append(m["height"])
+            yield pd.DataFrame({"doc_id": ids, "w": ws, "h": hs})
+
+    imgs = media.mapInPandas(
+        decode_batches, schema="doc_id bigint, w bigint, h bigint"
+    ).select("doc_id", F.col("w").cast("double").alias("w"), F.col("h").cast("double").alias("h"))
+    buckets = spark.createDataFrame(
+        [(i, float(bw), float(bh)) for i, (bw, bh) in enumerate(ASPECT_BUCKETS)],
+        "idx int, bw double, bh double",
+    )
+    dist = F.abs(F.col("w") / F.col("h") - F.col("bw") / F.col("bh"))
+    best = (
+        imgs.crossJoin(F.broadcast(buckets))
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    dist.alias("d"),
+                    F.col("idx").alias("idx"),
+                    F.col("bw").alias("bw"),
+                    F.col("bh").alias("bh"),
+                    F.col("w").alias("w"),
+                    F.col("h").alias("h"),
+                )
+            ).alias("s")
+        )
+        .select("s.idx", "s.bw", "s.bh", "s.w", "s.h")
+    )
+    scale = F.least(F.col("bw") / F.col("w"), F.col("bh") / F.col("h"))
+    pad = F.round(
+        1.0 - (F.col("w") * scale) * (F.col("h") * scale) / (F.col("bw") * F.col("bh")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        best.select("idx", "bw", "bh", pad.alias("pad"))
+        .groupBy("idx", "bw", "bh")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.round(F.sum("pad").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_pad_frac"
+            ),
+        )
+        .select(
+            F.col("idx").cast("bigint").alias("bucket_id"),
+            F.col("bw").cast("bigint").alias("bucket_w"),
+            F.col("bh").cast("bigint").alias("bucket_h"),
+            "n_images",
+            "avg_pad_frac",
+        )
+        .orderBy("bucket_id")
+    )
