@@ -55,105 +55,100 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-10 rotation policy (per the r9 verdict's tasks 2/4/5):
-#   (a) stream_watermark_late_drop — the ONE registry entry with no
-#       driver evidence: it landed in the r9 snapshot commit with a
-#       RED oracle (eager-drop model vs Spark's lagged
-#       watermarkForLateEvents; r9 VERDICT "What's wrong" #1). Fixed
-#       in r10: the oracle now models the two-watermark semantics
-#       (late filter = eviction watermark of the previous batch, i.e.
-#       max event time over batches <= b-2 minus slack) and the ±5d
-#       jitter makes drops genuinely fire
-#       (tests/test_streaming.py::test_late_drop_twin_actually_drops_rows
-#       pins numRowsDroppedByWatermark > 0). First in the window.
-#   (b) the 26 r2-stale rows the old R10-head comment named verbatim —
-#       7-round-old driver evidence on unchanged code; pure
+# Round-11 rotation policy (per the r10 verdict's tasks 2/5/8):
+#   (a) the TWO rows with no driver evidence (r10 additions deferred
+#       when the r10 window hit its 50-slot cap; locally oracle-green
+#       since they landed): sim_knn_loo_label_eval,
+#       text_mattr_diversity. Note sim_knn_loo_label_eval's candidate
+#       kernel was REBUILT this round (salted sub-bucket split,
+#       operators/similarity.py::bucket_knn_pairs) — first driver check
+#       lands on the new kernel, which is the right thing to grade.
+#   (b) the 34 r3-stale rows the old R11-head comment named verbatim —
+#       8-round-old driver evidence on unchanged code; pure
 #       re-confirmations.
-#   (c) the r10 ADDITIONS (appended to this head as they land, with
-#       local sf0.001+sf0.01 oracle evidence). FREEZE RULE (r9 VERDICT
-#       task 3): no registry append after the round's last full-suite
-#       run — enforced by tests/test_docs.py's registry==COVERAGE.md
-#       assertion, which fails the suite if an operator lacks its
-#       COVERAGE row.
-#   (d) rotation re-confirmation: the 13 lexicographically-first of
-#       the 47 rows whose last driver check was round 3 — the oldest
-#       evidence after (b). If r10 additions overflow the 50-slot cap,
-#       these defer newest-alphabet-last (documented here when it
-#       happens).
-#   R11 HEAD (named now, per rotation discipline): the 34 remaining
-#   r3-stale rows —
-#   q2_min_cost_supplier, q4_priority_exists, q6_revenue_delta,
-#   q_cogrouped_pandas, q_cross_join, q_cte, q_distinct, q_except,
-#   q_except_all, q_explode_unnest, q_in_subquery, q_intersect,
-#   q_intersect_all, q_json_funcs, q_limit_offset, q_not_in_subquery,
-#   q_null_safe_join, q_python_udtf, q_right_join, q_salted_skew_join,
-#   q_sort_nulls, q_subquery_in_from, q_udaf_grouped, q_union_all,
-#   q_variant_json, q_window_clause, q_window_ignore_nulls,
-#   q_window_offsets, stream_cdc_upsert, stream_dedup,
-#   stream_session_window, stream_static_enrich, stream_stream_join,
-#   stream_tumbling_agg
-#   — plus any (d) row deferred from this window and the r10 additions
-#   that missed the full 50-slot window, named explicitly:
-#   sim_knn_loo_label_eval, text_mattr_diversity (locally green at
-#   sf0.001+sf0.01 before the round's last full-suite run; window was
-#   already at capacity).
+#   (c) rows whose implementation or oracle CHANGED this round:
+#       sim_knn_hubness_audit (rides the rebuilt salted kNN kernel),
+#       events_uplift_cuped (oracle epoch flooring, r10 ADVICE item 1),
+#       sim_centroid_classifier_eval (body refactored through the
+#       factored centroid_assignments helper — plan unchanged, but
+#       changed code re-enters the window on principle).
+#   (d) the r11 ADDITIONS (appended here as they land, each with local
+#       sf0.001+sf0.01 oracle evidence and a COVERAGE row — the
+#       tests/test_docs.py freeze rule enforces the documentation half).
+#   R12 HEAD (named now, per rotation discipline): after this window
+#   closes the oldest driver evidence is the 46-row r4 tail (computed
+#   from CORRECTNESS_r4..r11 latest-green rounds):
+#   balance_sources, cdc_scd2_intervals, cdc_upsert_compaction,
+#   corpus_build_roundtrip, data_quality_audit, decontaminate_corpus,
+#   dedup_embedding_cosine, dedup_embedding_cosine_exact,
+#   dedup_keep_best, dedup_ngram_coverage, dedup_prefix_pairs,
+#   doc_chunking, embedding_index_build, embedding_negative_pairs,
+#   embedding_quantize_int8, events_retention,
+#   events_session_window_native, events_value_histogram,
+#   graph_pagerank, hll_sketch_union, mix_sources_temperature,
+#   multimodal_features, q_bucketed_join, q_date_bin,
+#   q_group_order_all, q_hash_funcs, q_salted_skew_agg, q_topk_orders,
+#   q_values_inline, quality_drift_psi, sample_deterministic,
+#   semantic_search_join, sim_ivf_recall, text_bm25_search,
+#   text_char_entropy, text_rare_words, text_repetition,
+#   text_top_bigrams, tokenize_to_ids, train_shuffle_shards,
+#   train_val_split, ts_ewma, ts_mad_outliers, ts_resample_ohlc,
+#   ts_zscore_outliers, vocab_build.
+#   46 rows exceed one window once r12's changed-code rows and
+#   additions take their slots: fill the window with the
+#   lexicographically-first of these after those, and defer the rest
+#   to the r13 head (named then).
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) repaired r9 straggler: only never-driver-checked entry ----
-    "stream_watermark_late_drop",
-    # ---- (b) r2-stale re-confirmations (the 26 deferred from r9) ----
-    "q_date_funcs",
-    "q_full_outer_join",
-    "q_lateral_join",
-    "q_left_join_agg",
-    "q_math_funcs",
-    "q_nonequi_join",
-    "q_pivot_api",
-    "q_recursive_cte",
-    "q_regex_funcs",
-    "q_scalar_subquery",
-    "q_scalar_tail",
-    "q_semi_join",
-    "q_set_ops",
-    "q_sort_paging",
-    "q_string_funcs",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_window_ranking",
-    "q_window_running",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_kmeans_refit",
-    "sim_pq_adc_topk",
-    "stream_rate_limited",
-    "ts_rollup_cascade",
-    # ---- (c) r10 additions land here as they are committed ----
-    "stream_wm_conformance_matrix",
-    "rag_rerank_cross_encoder",
+    # ---- (a) the two rows without driver evidence ----
+    "sim_knn_loo_label_eval",
+    "text_mattr_diversity",
+    # ---- (b) r3-stale re-confirmations (the 34 named by the r10 head) ----
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_revenue_delta",
+    "q_cogrouped_pandas",
+    "q_cross_join",
+    "q_cte",
+    "q_distinct",
+    "q_except",
+    "q_except_all",
+    "q_explode_unnest",
+    "q_in_subquery",
+    "q_intersect",
+    "q_intersect_all",
+    "q_json_funcs",
+    "q_limit_offset",
+    "q_not_in_subquery",
+    "q_null_safe_join",
+    "q_python_udtf",
+    "q_right_join",
+    "q_salted_skew_join",
+    "q_sort_nulls",
+    "q_subquery_in_from",
+    "q_udaf_grouped",
+    "q_union_all",
+    "q_variant_json",
+    "q_window_clause",
+    "q_window_ignore_nulls",
+    "q_window_offsets",
+    "stream_cdc_upsert",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_tumbling_agg",
+    # ---- (c) changed this round ----
     "sim_knn_hubness_audit",
-    "shard_mix_audit",
-    "stream_dedup_windowed_chain",
-    "partition_layout_advisor",
-    "stream_outer_interval_join",
     "events_uplift_cuped",
-    "q_agg_filter_clause",
-    "q_distinct_on",
-    # ---- (d) r3-stale re-confirmations (first 13, lexicographic) ----
-    "dedup_bloom_prefilter",
-    "embedding_index_roundtrip",
-    "embedding_moment_audit",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_relationships",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
+    "sim_centroid_classifier_eval",
+    # ---- (d) r11 additions land here as they are committed ----
+    "sim_semdedup_prune",
+    "sim_classifier_agreement_kappa",
+    "text_kneser_ney_bigram",
+    "graph_label_propagation",
+    "multimodal_aspect_bucketing",
 )
 
 def query(
