@@ -644,6 +644,7 @@ BROADCAST_GUARD_ALLOWED = {
     # bounded by construction; the bound is a group-key cardinality or a
     # rank filter the plan text can't show.
     "sim_centroid_classifier_eval": "per-(label, dim) centroids (closed label set x 64 dims)",
+    "sim_classifier_agreement_kappa": "same per-(label, dim) centroid broadcast via centroid_assignments (closed label set x 64 dims)",
     "sim_ood_detection": "per-(label, dim) centroids (closed label set x 64 dims)",
     "sim_kmeans_refit": "refit centroids keyed by cluster in K seed ids (K constant)",
     "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
@@ -815,8 +816,11 @@ def test_local_checkpoint_inventory_is_pinned():
     - dedup.py (1): minhash signature table (1 row/doc, 64 ints)
       reused by probe + budget passes — the signature reuse IS the
       minhash algorithm's point.
-    - similarity.py (2): TOP_K-row candidate set (bounded by literal
-      k); one mapInPandas scoring pass feeding every sweep width.
+    - similarity.py (3): TOP_K-row candidate set (bounded by literal
+      k); one mapInPandas scoring pass feeding every sweep width;
+      salted_bucket_groups' N_CENTROIDS-row bucket-size frame (r11 —
+      the broadcast split-factor table, one tiny eager job instead of
+      re-deriving the assignment lineage).
     - text.py (2): BPE vocab seqs — vocabulary-scale (distinct words,
       sublinear in corpus), re-checkpointed per merge step to keep
       plan depth flat across BPE_TRAIN_MERGES iterations.
@@ -846,7 +850,7 @@ def test_local_checkpoint_inventory_is_pinned():
         "operators/curation.py": 3,
         "operators/dedup.py": 1,
         "operators/pipeline.py": 3,
-        "operators/similarity.py": 2,
+        "operators/similarity.py": 3,
         "operators/text.py": 2,
         "streaming/queries.py": 3,
     }, f"localCheckpoint inventory drifted — audit the new/removed site: {sites}"
