@@ -4635,3 +4635,208 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- G^2 keyness (Dunning)
+
+KEYNESS_TOP_K = 5  # keywords reported per source
+KEYNESS_MIN_COUNT = 5  # a word must appear this often in the source
+
+
+@query(
+    "text_keyness_g2",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS word
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS a
+      FROM w GROUP BY source, word
+    ),
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS wtot FROM w GROUP BY word),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS stot FROM w GROUP BY source),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+    cells AS (
+      SELECT sc.source, sc.word,
+             sc.a                                  AS a,
+             wt.wtot - sc.a                        AS b,
+             st.stot - sc.a                        AS c,
+             n.n - wt.wtot - st.stot + sc.a        AS d,
+             st.stot, wt.wtot, n.n
+      FROM sc JOIN wt USING (word) JOIN st USING (source) CROSS JOIN n
+    ),
+    scored AS (
+      SELECT source, word, a,
+             round(2.0 * (
+               CASE WHEN a > 0 THEN a * ln(a * 1.0 * n / (wtot * 1.0 * stot)) ELSE 0.0 END
+             + CASE WHEN b > 0 THEN b * ln(b * 1.0 * n / (wtot * 1.0 * (n - stot))) ELSE 0.0 END
+             + CASE WHEN c > 0 THEN c * ln(c * 1.0 * n / ((n - wtot) * 1.0 * stot)) ELSE 0.0 END
+             + CASE WHEN d > 0 THEN d * ln(d * 1.0 * n / ((n - wtot) * 1.0 * (n - stot))) ELSE 0.0 END
+             ), 4) AS g2
+      FROM cells
+      WHERE a >= {KEYNESS_MIN_COUNT}
+        AND a * 1.0 * (n - stot) > b * 1.0 * stot
+    )
+    SELECT source, word, CAST(a AS BIGINT) AS n_in_source, g2,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT source, word, a, g2,
+             row_number() OVER (PARTITION BY source ORDER BY g2 DESC, word) AS rk
+      FROM scored) WHERE rk <= {KEYNESS_TOP_K}
+    ORDER BY source, rank
+    """,
+    doc=f"keyword extraction by G^2 keyness (Dunning 1993 log-likelihood "
+    f"ratio, public — the corpus-linguistics standard for 'what words "
+    f"characterize source A against the rest'): per (source, word) the "
+    f"2x2 contingency (word-in-source vs rest) scored with the "
+    f"signed-filtered LLR — only over-represented words (a*(N-stot) > "
+    f"b*stot, an INTEGER cross-multiplication, no float boundary) with "
+    f"count >= {KEYNESS_MIN_COUNT} rank, top-{KEYNESS_TOP_K} per "
+    f"source by G^2 rounded to 4dp BEFORE ranking so a <=1-ulp libm "
+    f"ln() divergence between engines cannot flip an order (ties to "
+    f"word ASC). Complements RAKE (within-doc phrases) with corpus-"
+    f"contrastive single-word keyness. Plan: one token explode feeds "
+    f"three count tables (word-, source-, corpus-marginal) joined "
+    f"hint-free; ranking carries a LITERAL top-{KEYNESS_TOP_K} "
+    f"(WindowGroupLimit map-side) (north-star text analysis)",
+    tags=("text",),
+)
+def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    sc = w.groupBy("source", "word").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    wt = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("wtot"))
+    st = w.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("stot"))
+    n = w.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        sc.join(wt, "word")
+        .join(st, "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("b", F.col("wtot") - F.col("a"))
+        .withColumn("c", F.col("stot") - F.col("a"))
+        .withColumn("d", F.col("n") - F.col("wtot") - F.col("stot") + F.col("a"))
+    )
+
+    def term(x, num, den):
+        return F.when(
+            x > 0, x * F.log(x * 1.0 * F.col("n") / (num * 1.0 * den))
+        ).otherwise(0.0)
+
+    rest = F.col("n") - F.col("stot")
+    nonw = F.col("n") - F.col("wtot")
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("a"), F.col("wtot"), F.col("stot"))
+            + term(F.col("b"), F.col("wtot"), rest)
+            + term(F.col("c"), nonw, F.col("stot"))
+            + term(F.col("d"), nonw, rest)
+        ),
+        4,
+    )
+    scored = cells.filter(
+        (F.col("a") >= KEYNESS_MIN_COUNT)
+        & (F.col("a") * 1.0 * rest > F.col("b") * 1.0 * F.col("stot"))
+    ).select("source", "word", "a", g2.alias("g2"))
+    rk = F.row_number().over(W.partitionBy("source").orderBy(F.desc("g2"), F.asc("word")))
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= KEYNESS_TOP_K)
+        .select(
+            "source",
+            "word",
+            F.col("a").alias("n_in_source"),
+            "g2",
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+# ------------------------------------------- Markov entropy rate
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS cur, next_type AS nxt, CAST(count(*) AS BIGINT) AS c
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(DISTINCT cur) AS BIGINT) AS n_states
+            FROM trans),
+    rowsums AS (SELECT cur, CAST(sum(c) AS BIGINT) AS rc FROM trans GROUP BY cur),
+    terms AS (
+      SELECT CAST(round(-(t.c * 1.0 / tot.n) * ln(t.c * 1.0 / r.rc), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM trans t JOIN rowsums r USING (cur) CROSS JOIN tot
+    )
+    SELECT tot.n                                  AS n_transitions,
+           tot.n_states                           AS n_states,
+           round(CAST(sum(term) AS DOUBLE), 4)    AS entropy_rate_nats,
+           round(ln(tot.n_states), 4)             AS max_entropy_nats,
+           round(CAST(sum(term) AS DOUBLE) / ln(tot.n_states), 4) AS efficiency
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n, tot.n_states
+    """,
+    doc="entropy rate of the per-user event-sequence Markov chain "
+    "(Shannon): H = -sum_ij pi_i P_ij ln P_ij with the empirical "
+    "stationary weight pi_i = row mass / total transitions — how "
+    "predictable the next user action is given the current one, in "
+    "nats, beside the ln(K) ceiling and their ratio (the sequence-"
+    "compressibility readout behind journey models; a rate near the "
+    "ceiling means first-order structure carries no signal). Per-term "
+    "contributions round to 6dp DECIMAL before the sum (order-"
+    "independent, and a <=1-ulp libm ln() divergence cannot survive "
+    "the quantization), final stats at 4dp. One user-keyed lead() "
+    "window, then everything is |event types|^2-bounded "
+    "(SURVEY §2.5 extension / north-star events)",
+    tags=("events", "agg"),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = trans.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.countDistinct("cur").cast("bigint").alias("n_states"),
+    )
+    rowsums = trans.groupBy("cur").agg(F.sum("c").cast("bigint").alias("rc"))
+    term = F.round(
+        -(F.col("c") * 1.0 / F.col("n")) * F.log(F.col("c") * 1.0 / F.col("rc")), 6
+    ).cast("decimal(18,6)")
+    terms = (
+        trans.join(rowsums, "cur").crossJoin(F.broadcast(tot)).select(
+            term.alias("term"), "n", "n_states"
+        )
+    )
+    h = F.sum("term").cast("double")
+    return terms.groupBy("n", "n_states").agg(
+        F.round(h, 4).alias("entropy_rate_nats"),
+        F.round(F.log(F.col("n_states").cast("double")), 4).alias("max_entropy_nats"),
+        F.round(h / F.log(F.col("n_states").cast("double")), 4).alias("efficiency"),
+    ).select(
+        F.col("n").alias("n_transitions"),
+        "n_states",
+        "entropy_rate_nats",
+        "max_entropy_nats",
+        "efficiency",
+    )

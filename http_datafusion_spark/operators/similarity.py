@@ -2418,3 +2418,155 @@ def sim_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(pe, 6).alias("chance_rate"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+# --------------------------------------- JL ranking fidelity (Spearman)
+
+FIDELITY_TOP_K = 50  # exact-top-k candidate set the rank comparison runs on
+
+
+@query(
+    "sim_spearman_rank_fidelity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}
+    ), exact AS (
+      SELECT vec_id, rn AS exact_rank FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY {_DOT_SQL.format(a='embedding', b='qv')} / (nrm * qn) DESC,
+                          vec_id) AS rn
+        FROM e, q WHERE vec_id <> {QUERY_VEC_ID}
+      ) WHERE rn <= {FIDELITY_TOP_K}
+    ), cand AS (
+      SELECT vec_id FROM exact UNION ALL SELECT {QUERY_VEC_ID}
+    ), comp AS (
+      SELECT c.vec_id, i.i AS i,
+             CAST(round(CAST(e2.embedding[i.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM cand c JOIN embeddings e2 USING (vec_id),
+           (SELECT unnest(range(1, {JL_IN_DIM} + 1)) AS i) i
+    ), proj AS (
+      SELECT c.vec_id, j.j AS j,
+             CAST(sum(c.x * {_jl_sign_sql("c.i", "j.j")}) AS DECIMAL(28,6)) AS y
+      FROM comp c, (SELECT unnest(range(1, {JL_OUT_DIM} + 1)) AS j) j
+      GROUP BY c.vec_id, j.j
+    ), qproj AS (
+      SELECT j, y AS qy FROM proj WHERE vec_id = {QUERY_VEC_ID}
+    ), jd AS (
+      SELECT p.vec_id,
+             sum(CAST((p.y - qp.qy) AS DECIMAL(18,6))
+                 * CAST((p.y - qp.qy) AS DECIMAL(18,6))) AS d2
+      FROM proj p JOIN qproj qp USING (j)
+      WHERE p.vec_id <> {QUERY_VEC_ID}
+      GROUP BY p.vec_id
+    ), jr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS jl_rank FROM jd
+    ), dd AS (
+      SELECT CAST(e3.exact_rank - j3.jl_rank AS BIGINT) AS d
+      FROM exact e3 JOIN jr j3 USING (vec_id)
+    )
+    SELECT CAST(count(*) AS BIGINT)       AS n_candidates,
+           CAST(sum(d * d) AS BIGINT)     AS sum_d2,
+           round(1.0 - 6.0 * sum(d * d)
+                 / (count(*) * 1.0 * (count(*) * 1.0 * count(*) - 1)), 6)
+             AS spearman_rho
+    FROM dd
+    """,
+    doc=f"ranking fidelity of the JL projection, measured as Spearman's "
+    f"rho: the exact cosine top-{FIDELITY_TOP_K} for the standing query "
+    f"vector is re-ranked by squared distance in the {JL_OUT_DIM}-dim "
+    f"JL space (same md5 +-1 sign matrix as embedding_jl_projection), "
+    f"and rho = 1 - 6*sum(d^2)/(n(n^2-1)) over the INTEGER rank "
+    f"displacements — the rank-ORDER complement of the recall@k and "
+    f"distance-ratio audits (recall says the right set survives "
+    f"compression; rho says the ORDER within it survives). Everything "
+    f"past the exact top-k is bounded by the literal {FIDELITY_TOP_K}: "
+    f"both rankings are windows over a <= {FIDELITY_TOP_K}-row frame "
+    f"behind TakeOrderedAndProject, the JL coordinates are exact "
+    f"decimals, and rho is a closed form of integer sums "
+    f"(north-star similarity / index design)",
+    tags=("similarity",),
+)
+def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", "embedding", emb.alias("emb"), _norm(emb).alias("nrm"))
+    qrow = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    exact = (
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("cos", cos)
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(FIDELITY_TOP_K)
+        .withColumn(
+            "exact_rank",
+            F.row_number().over(W.orderBy(F.col("cos").desc(), F.col("vec_id"))),
+        )
+        .select("vec_id", "embedding", "exact_rank")
+    )
+    cand = exact.select("vec_id", "embedding").unionAll(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("vec_id", "embedding")
+    )
+    comp = cand.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("p", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    dims = spark.range(1, JL_OUT_DIM + 1).select(F.col("id").alias("j"))
+    sign = (
+        md5_int(
+            F.concat(
+                F.lit("jl|"), F.col("i").cast("string"), F.lit("|"), F.col("j").cast("string")
+            )
+        )
+        % 2
+    ) * 2 - 1
+    proj = (
+        comp.crossJoin(F.broadcast(dims))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * sign).cast("decimal(28,6)").alias("y"))
+    )
+    qproj = proj.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "j", F.col("y").alias("qy")
+    )
+    pdiff = (F.col("y") - F.col("qy")).cast("decimal(18,6)")
+    jd = (
+        proj.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qproj), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(pdiff * pdiff).alias("d2"))
+    )
+    jr = jd.withColumn(
+        "jl_rank", F.row_number().over(W.orderBy(F.col("d2"), F.col("vec_id")))
+    ).select("vec_id", "jl_rank")
+    d = (F.col("exact_rank") - F.col("jl_rank")).cast("bigint")
+    nn = F.count(F.lit(1))
+    return (
+        exact.select("vec_id", "exact_rank")
+        .join(jr, "vec_id")
+        .select(d.alias("d"))
+        .agg(
+            nn.cast("bigint").alias("n_candidates"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_d2"),
+            F.round(
+                1.0
+                - 6.0
+                * F.sum(F.col("d") * F.col("d"))
+                / (nn * 1.0 * (nn * 1.0 * nn - 1)),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )

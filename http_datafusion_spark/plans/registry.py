@@ -149,6 +149,9 @@ PRIORITY: tuple[str, ...] = (
     "text_kneser_ney_bigram",
     "graph_label_propagation",
     "multimodal_aspect_bucketing",
+    "text_keyness_g2",
+    "sim_spearman_rank_fidelity",
+    "events_markov_entropy_rate",
 )
 
 def query(
