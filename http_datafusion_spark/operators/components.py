@@ -900,9 +900,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
 
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # One materialization of the LSH candidate edges (LSH-bounded, 2
+    # ints/row): every unrolled round joins against it — without the
+    # cut each of the 3 rounds re-derives the full shingle->minhash->
+    # band lineage (the .explain audit counted 16 document scans).
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )

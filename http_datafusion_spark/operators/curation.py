@@ -4611,6 +4611,11 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    # bc feeds four consumers (fw, pcn, t, the score join) as an
+    # IDENTICAL subtree, which Spark's exchange reuse dedupes at
+    # runtime — an eager localCheckpoint here was tried and MEASURED
+    # SLOWER at sf5 (12.1 -> 18.5 s: it serializes the materialization
+    # and pays the store/read where the reused shuffle was free).
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
     fw = bc.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1f"))
     pcn = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
@@ -4709,10 +4714,14 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     w = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    # (source, word) counts — all three marginals derive from sc by
+    # summation, so the whole contingency hangs off ONE identical
+    # sc subtree that Spark's runtime exchange reuse dedupes (an eager
+    # checkpoint was tried: measured no gain at sf5, dropped)
     sc = w.groupBy("source", "word").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
-    wt = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("wtot"))
-    st = w.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("stot"))
-    n = w.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = sc.groupBy("word").agg(F.sum("a").cast("bigint").alias("wtot"))
+    st = sc.groupBy("source").agg(F.sum("a").cast("bigint").alias("stot"))
+    n = sc.agg(F.sum("a").cast("bigint").alias("n"))
     cells = (
         sc.join(wt, "word")
         .join(st, "source")
@@ -4812,9 +4821,15 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
-    trans = ordered.groupBy(
-        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # |event types|^2-row transition table; three consumers (totals,
+    # row sums, term join) would each re-run the user-keyed window
+    trans = (
+        ordered.groupBy(
+            F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = trans.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.countDistinct("cur").cast("bigint").alias("n_states"),

@@ -802,17 +802,25 @@ def test_local_checkpoint_inventory_is_pinned():
 
     Audit of the pinned sites (what each checkpoints and why it is
     bounded or a sound trade):
-    - components.py (7): iterative lineage cuts — connected-components
+    - components.py (8): iterative lineage cuts — connected-components
       star rounds (edges shrink monotonically), minhash-filtered
       shingles computed once and reused per round, triangle edge set
       reused by three join branches (post-threshold candidate edges),
       k-core base edge set + per-round peeled edges (degree-capped and
       monotonically shrinking; without the cut each round re-derives
-      every earlier round — exponential recompute).
-    - curation.py (3): per-customer RFM / revenue aggregates reused by
+      every earlier round — exponential recompute), LPA's symmetrized
+      LSH candidate edge set (r11 — 3 unrolled vote rounds read it;
+      unshared, each round re-derived the shingle->minhash->band
+      lineage: 16 document scans counted by the .explain audit).
+    - curation.py (4): per-customer RFM / revenue aggregates reused by
       3 bucketed-rank passes + sketches — customer-scale (|customers|
       << |facts|), recompute-3x vs store-once trade; MEMORY_AND_DISK
-      so it degrades to spill, never OOM.
+      so it degrades to spill, never OOM. r11 adds the Markov
+      |types|^2 transition table (three consumers; measured 1.28 ->
+      1.03 s at sf5). KN-bigram and keyness checkpoints were TRIED and
+      REVERTED: their repeated subtrees are identical, so runtime
+      exchange reuse already dedupes them — the eager store measured
+      slower (KN 12.1 -> 18.5 s at sf5) or flat (keyness).
     - dedup.py (1): minhash signature table (1 row/doc, 64 ints)
       reused by probe + budget passes — the signature reuse IS the
       minhash algorithm's point.
@@ -846,8 +854,8 @@ def test_local_checkpoint_inventory_is_pinned():
         if n:
             sites[str(f.relative_to(pkg))] = n
     assert sites == {
-        "operators/components.py": 7,
-        "operators/curation.py": 3,
+        "operators/components.py": 8,
+        "operators/curation.py": 4,
         "operators/dedup.py": 1,
         "operators/pipeline.py": 3,
         "operators/similarity.py": 3,
