@@ -164,3 +164,84 @@ def test_exploded_memberships_cover_each_query_slice_pair_once(spark, sf_dir):
         F.count(F.lit(1)).alias("c")
     )
     assert nside.filter(F.col("c") != 1).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    d=st.integers(min_value=1, max_value=8),
+    k=st.integers(min_value=1, max_value=6),
+    n_sub=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_partial_fn_plus_merge_equals_brute_force(n, d, k, n_sub, seed):
+    """Pure-pandas property: the per-(q-salt, n-salt) partial kernel
+    plus the (cos DESC, nid ASC) merge must equal brute-force top-k for
+    ANY split factor, on vectors drawn from a coarse grid (many exact
+    duplicates -> cosine ties everywhere, including across slices and
+    straddling the k-th rank). No SparkSession — this pins the kernel
+    and merge mathematics the distributed plan is built from."""
+    import numpy as np
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms
+    from http_datafusion_spark.operators.similarity import _bucket_knn_partial_fn
+
+    rng = np.random.default_rng(seed)
+    # coarse integer grid -> frequent exact-duplicate vectors
+    M = rng.integers(-1, 3, size=(n, d)).astype(np.float32)
+    M[:, 0] = np.abs(M[:, 0]) + 1  # nonzero norm
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    labels = ids % 3
+    salts = ids % n_sub
+
+    fn = _bucket_knn_partial_fn(k)
+    parts = []
+    for gq in range(n_sub):
+        for gn in range(n_sub):
+            rows = []
+            for i in range(n):
+                s = salts[i]
+                if gq == gn:
+                    if s == gq:
+                        rows.append((ids[i], labels[i], M[i], 2))
+                else:
+                    if s == gq:
+                        rows.append((ids[i], labels[i], M[i], 1))
+                    elif s == gn:
+                        rows.append((ids[i], labels[i], M[i], 0))
+            if not rows:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "vec_id": [r[0] for r in rows],
+                    "label": [r[1] for r in rows],
+                    "embedding": [r[2] for r in rows],
+                    "roles": [r[3] for r in rows],
+                }
+            )
+            parts.append(fn(pdf))
+    allp = pd.concat(parts, ignore_index=True)
+    # the merge: row_number over (cos DESC, nid ASC) per qid, rn <= k
+    allp = allp.sort_values(["qid", "cos", "nid"], ascending=[True, False, True])
+    allp["rn"] = allp.groupby("qid").cumcount() + 1
+    got = {
+        (int(r.qid), int(r.nid), int(r.rn))
+        for r in allp[allp["rn"] <= k].itertuples()
+    }
+
+    Md = M.astype(np.float64)
+    nrm = fold_norms(Md)
+    cos = fold_dot(Md, Md) / np.outer(nrm, nrm)
+    expected = set()
+    for qi in range(n):
+        order = sorted(
+            (j for j in range(n) if j != qi), key=lambda j: (-cos[qi, j], ids[j])
+        )[:k]
+        for rank, j in enumerate(order, 1):
+            expected.add((int(ids[qi]), int(ids[j]), rank))
+    assert got == expected
