@@ -390,3 +390,53 @@ def register_http_table(
         df = df.cache()
     df.createOrReplaceTempView(table_name)
     return df
+
+
+def fetch_json_conditional(
+    url: str,
+    etag: str | None = None,
+    last_modified: str | None = None,
+    method: str = "GET",
+    timeout: float = _DEFAULT_TIMEOUT,
+    headers: dict[str, str] | None = None,
+) -> tuple[Any, str | None, str | None, bool]:
+    """Conditional fetch (RFC 9110 preconditions) — incremental-refresh
+    support the reference's one-shot model has no notion of: send
+    ``If-None-Match`` (validator of the copy we already staged) and/or
+    ``If-Modified-Since``; a ``304 Not Modified`` means the staged rows
+    are still current, so a periodic re-ingest pays ONE header
+    round-trip instead of re-downloading and re-writing the table.
+
+    Returns ``(body, etag, last_modified, not_modified)``:
+
+    - 304 -> ``(None, <sent etag>, <sent last_modified>, True)`` — the
+      caller keeps its staged data and validators;
+    - 2xx -> ``(parsed_json, <response ETag>, <response Last-Modified>,
+      False)`` — fresh body plus the validators to store for the NEXT
+      refresh (absent headers come back as None, degrading the next
+      call to an unconditional fetch).
+
+    The retry/Retry-After discipline is fetch_json's; this wrapper only
+    adds the precondition headers and the 304 path (requests treats 304
+    as a non-exceptional response with an empty body).
+    """
+    h = dict(headers or {})
+    if etag is not None:
+        h["If-None-Match"] = etag
+    if last_modified is not None:
+        h["If-Modified-Since"] = last_modified
+    method = (method or "GET").upper()
+    if method not in _ALLOWED_METHODS:
+        raise HttpError(f"No Method Available: {method!r} (allowed: GET, POST)")
+    resp = requests.request(method, url, timeout=timeout, headers=h)
+    if resp.status_code == 304:
+        return None, etag, last_modified, True
+    if not (200 <= resp.status_code < 300):
+        raise HttpError(
+            f"HTTP request failed with status code: {resp.status_code} ({url})"
+        )
+    try:
+        body = resp.json()
+    except ValueError as e:
+        raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+    return body, resp.headers.get("ETag"), resp.headers.get("Last-Modified"), False

@@ -68,6 +68,25 @@ class _Handler(BaseHTTPRequestHandler):
             nxt = f"tok{off + 10}" if off + 10 < len(ROWS) else None
             self._send({"data": chunk, "next_cursor": nxt})
             return
+        if u.path == "/etag_resource":
+            # versioned resource with ETag validators: ?v=2 flips the
+            # content (and hence the validator); a matching
+            # If-None-Match gets 304 with no body
+            q2 = parse_qs(u.query)
+            v = int(q2.get("v", ["1"])[0])
+            tag = f'"v{v}"'
+            if self.headers.get("If-None-Match") == tag:
+                self.send_response(304)
+                self.end_headers()
+                return
+            body = json.dumps([{"v": v, "id": i} for i in range(3)]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("ETag", tag)
+            self.send_header("Last-Modified", "Mon, 01 Jan 2024 00:00:00 GMT")
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if u.path == "/cursor_loop":
             # Buggy server: re-serves the SAME token forever.
             self._send({"data": ROWS[:10], "next_cursor": "tokX"})
@@ -391,3 +410,32 @@ def test_register_http_table_via_cursor(spark, base_url):
     )
     got = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM cursor_rows").collect()[0]
     assert got.n == len(ROWS) and got.s == sum(r["id"] for r in ROWS)
+
+
+def test_conditional_fetch_304_reuses_validators(base_url):
+    """RFC 9110 preconditions: first fetch returns the body + ETag; a
+    re-fetch presenting that ETag gets 304 (no body, validators kept);
+    a changed resource returns the new body + new ETag."""
+    from http_datafusion_spark.sources.http_json import fetch_json_conditional
+
+    base = base_url
+    body, etag, lm, nm = fetch_json_conditional(f"{base}/etag_resource")
+    assert not nm and isinstance(body, list) and etag == '"v1"'
+
+    body2, etag2, lm2, nm2 = fetch_json_conditional(f"{base}/etag_resource", etag=etag)
+    assert nm2 and body2 is None and etag2 == '"v1"'
+
+    body3, etag3, _, nm3 = fetch_json_conditional(
+        f"{base}/etag_resource?v=2", etag=etag
+    )
+    assert not nm3 and etag3 == '"v2"' and body3 and body3[0]["v"] == 2
+
+
+def test_conditional_fetch_method_gate_and_errors(base_url):
+    from http_datafusion_spark.errors import HttpError
+    from http_datafusion_spark.sources.http_json import fetch_json_conditional
+
+    with pytest.raises(HttpError, match="No Method Available"):
+        fetch_json_conditional(f"{base_url}/etag_resource", method="DELETE")
+    with pytest.raises(HttpError, match="404"):
+        fetch_json_conditional(f"{base_url}/nope_404")
