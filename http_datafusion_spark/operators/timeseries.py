@@ -1957,3 +1957,106 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+
+# ----------------------------------------------- Hampel filter
+
+HAMPEL_HALF_WINDOW = 5  # rolling window = 5 preceding + self + 5 following
+HAMPEL_K_SCALED = 4.4478  # 3 * 1.4826 (Gaussian MAD consistency), ONE literal
+# so both engines compare against the identical double — a 3.0*1.4826
+# constant-fold could round differently per engine
+
+
+@query(
+    "ts_hampel_filter",
+    oracle=f"""
+    WITH win AS (
+      SELECT event_type, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {HAMPEL_HALF_WINDOW} PRECEDING
+                        AND {HAMPEL_HALF_WINDOW} FOLLOWING)) AS s
+      FROM events
+    ), med AS (
+      SELECT event_type, value, s, len(s) AS n,
+             CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+                  ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2 END AS m
+      FROM win
+    ), dev AS (
+      SELECT event_type, value, m,
+             list_sort(list_transform(s, x -> abs(x - m))) AS ds, n
+      FROM med
+    ), scored AS (
+      SELECT event_type,
+             CASE WHEN abs(value - m) >
+               {HAMPEL_K_SCALED} * (CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                    ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2 END)
+             THEN 1 ELSE 0 END AS flagged
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)      AS n_points,
+           CAST(sum(flagged) AS BIGINT)  AS n_outliers,
+           round(sum(flagged) * 1.0 / count(*), 6) AS frac_outliers
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    doc=f"Hampel filter (rolling robust outlier detection, public): per "
+    f"user stream in (ts, event_id) order, each point is compared to "
+    f"the exact MEDIAN of its +-{HAMPEL_HALF_WINDOW}-row window, "
+    f"flagged when |x - med| > 3 * 1.4826 * rolling MAD — the windowed "
+    f"complement of ts_mad_outliers (a level shift poisons a global "
+    f"MAD; the rolling window adapts). Both rolling medians are EXACT: "
+    f"the window collects into a <= {2 * HAMPEL_HALF_WINDOW + 1}-"
+    f"element array (a LITERAL rows-frame bound, so state is O(window) "
+    f"per task), sorted and indexed identically on both engines; the "
+    f"3*1.4826 threshold ships as one literal so no constant-fold "
+    f"rounding can differ. One user-keyed window shuffle, then a "
+    f"map-side counting agg (north-star timeseries / cleaning)",
+    tags=("timeseries", "window"),
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HAMPEL_HALF_WINDOW, HAMPEL_HALF_WINDOW)
+    )
+    s = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(F.col("s"))
+    med = F.when(
+        n % 2 == 1, F.element_at(F.col("s"), ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(F.col("s"), (n / 2).cast("int"))
+            + F.element_at(F.col("s"), (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    base = e.select("event_type", "value", s.alias("s")).withColumn("m", med)
+    ds = F.sort_array(F.transform(F.col("s"), lambda x: F.abs(x - F.col("m"))))
+    base = base.withColumn("ds", ds)
+    nd = F.size(F.col("ds"))
+    mad = F.when(
+        nd % 2 == 1, F.element_at(F.col("ds"), ((nd + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(F.col("ds"), (nd / 2).cast("int"))
+            + F.element_at(F.col("ds"), (nd / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    flagged = (
+        F.abs(F.col("value") - F.col("m")) > F.lit(HAMPEL_K_SCALED) * mad
+    ).cast("long")
+    return (
+        base.select("event_type", flagged.alias("flagged"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("flagged").cast("bigint").alias("n_outliers"),
+            F.round(F.sum("flagged") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "frac_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "text_keyness_g2",
     "sim_spearman_rank_fidelity",
     "events_markov_entropy_rate",
+    "ts_hampel_filter",
 )
 
 def query(
