@@ -2516,7 +2516,13 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "exact_rank")
     )
     cand = exact.select("vec_id", "embedding").unionAll(
-        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("vec_id", "embedding")
+        # .limit(1): vec_id is unique so this changes nothing, but it
+        # makes the bound STRUCTURAL — without it this branch is the
+        # one unbounded scan-to-window path and the ranking-window
+        # guard (correctly) refuses to trust a mere filter
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("vec_id", "embedding")
+        .limit(1)
     )
     comp = cand.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("p", "xf")
