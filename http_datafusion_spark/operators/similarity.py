@@ -2186,15 +2186,19 @@ def sim_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.25
 
 
-def _semdedup_partial_fn(tau: float, cents_by_bucket: dict[int, np.ndarray]):
+def _semdedup_partial_fn(cents_by_bucket: dict[int, np.ndarray]):
     """applyInPandas fn for one (bucket, q-salt, n-salt) group of
-    salted_bucket_groups: for each query, 1 iff some neighbor in THIS
-    slice precedes it in (centroid-cos ASC, vec_id ASC) order and has
-    cos >= tau. Partial flags OR together across a query's groups
-    (max), which is exact because EXISTS distributes over the slice
-    union. Centroid cosines are computed inside the kernel from the
-    closure-captured O(K) codebook — fold-exact, so the order matches
-    the SQL oracle's bit-for-bit and ties break identically."""
+    salted_bucket_groups: for each query, the MAX cosine to any
+    neighbor in THIS slice that precedes it in (centroid-cos ASC,
+    vec_id ASC) order; queries with no earlier slice-mate emit nothing.
+    Per-slice maxima MAX together across a query's groups, which is
+    exact because max distributes over the slice union — and carrying
+    the maximum instead of a thresholded flag makes EVERY tau's prune
+    decision (best >= tau) derivable from ONE kernel pass, so the
+    threshold sweep costs nothing extra. Centroid cosines are computed
+    inside the kernel from the closure-captured O(K) codebook —
+    fold-exact, so the order matches the SQL oracle's bit-for-bit and
+    ties break identically."""
     import pandas as pd
 
     from http_datafusion_spark.functions.veclib import (
@@ -2204,7 +2208,7 @@ def _semdedup_partial_fn(tau: float, cents_by_bucket: dict[int, np.ndarray]):
     )
 
     CHUNK = 1024
-    EMPTY = {"qid": "int64", "hit": "int64"}
+    EMPTY = {"qid": "int64", "best": "float64"}
 
     def fn(key, pdf):
         bucket = int(key[0])
@@ -2233,13 +2237,27 @@ def _semdedup_partial_fn(tau: float, cents_by_bucket: dict[int, np.ndarray]):
                 (ccos_n[None, :] == ccos_q[lo:hi, None])
                 & (nids[None, :] < qids[lo:hi, None])
             )
-            hit = ((cos >= tau) & earlier).any(axis=1)
+            best = np.where(earlier, cos, -np.inf).max(axis=1)
+            keep = np.isfinite(best)
             chunks.append(
-                pd.DataFrame({"qid": qids[lo:hi], "hit": hit.astype(np.int64)})
+                pd.DataFrame({"qid": qids[lo:hi][keep], "best": best[keep]})
             )
         return pd.concat(chunks, ignore_index=True)
 
     return fn
+
+
+def semdedup_best_earlier_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, best): per vector, the max cosine to any KEPT-PRIORITY
+    (earlier-ordered) cluster-mate — the sufficient statistic for
+    SemDeDup at EVERY threshold. One salted-kernel pass + a qid max."""
+    cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
+    groups = salted_bucket_groups(spark, sf_dir)
+    partial = groups.groupBy("bucket", "gq", "gn").applyInPandas(
+        _semdedup_partial_fn(cents),
+        schema="qid bigint, best double",
+    )
+    return partial.groupBy("qid").agg(F.max("best").alias("best"))
 
 
 @query(
@@ -2294,16 +2312,14 @@ def _semdedup_partial_fn(tau: float, cents_by_bucket: dict[int, np.ndarray]):
     tags=("similarity", "dedup", "pipeline"),
 )
 def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
-    groups = salted_bucket_groups(spark, sf_dir)
-    partial = groups.groupBy("bucket", "gq", "gn").applyInPandas(
-        _semdedup_partial_fn(SEMDEDUP_TAU, cents),
-        schema="qid bigint, hit bigint",
+    best = semdedup_best_earlier_cos(spark, sf_dir)
+    flags = best.select(
+        "qid", (F.col("best") >= SEMDEDUP_TAU).cast("long").alias("pruned")
     )
-    flags = partial.groupBy("qid").agg(F.max("hit").alias("pruned"))
     asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
     return (
-        asg.join(flags, asg["vec_id"] == flags["qid"])
+        asg.join(flags, asg["vec_id"] == flags["qid"], "left")
+        .withColumn("pruned", F.coalesce(F.col("pruned"), F.lit(0)))
         .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
@@ -2575,4 +2591,77 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("spearman_rho"),
         )
+    )
+
+
+SEMDEDUP_TAU_GRID = (0.15, 0.20, 0.25, 0.30, 0.35, 0.40)
+
+
+@query(
+    "sim_semdedup_threshold_sweep",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , cn AS (
+      SELECT cid, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS c_nrm
+      FROM cents
+    ), scored AS (
+      SELECT a.vec_id, a.embedding, a.nrm, a.bucket,
+             {_DOT_SQL.format(a='a.embedding', b='c.cv')} / (a.nrm * c.c_nrm)
+               AS ccos
+      FROM assigned a JOIN cn c ON c.cid = a.bucket
+    ), hits AS (
+      SELECT q.vec_id,
+             max({_DOT_SQL.format(a='x.embedding', b='q.embedding')}
+                 / (x.nrm * q.nrm)) AS best
+      FROM scored q JOIN scored x
+        ON x.bucket = q.bucket
+       AND (x.ccos < q.ccos OR (x.ccos = q.ccos AND x.vec_id < q.vec_id))
+      GROUP BY q.vec_id
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scored)
+    SELECT CAST(t.tau AS DOUBLE) AS tau,
+           n.n_total             AS n_vectors,
+           CAST(coalesce(sum(CASE WHEN h.best >= t.tau THEN 1 ELSE 0 END), 0)
+                AS BIGINT)       AS n_pruned,
+           round(1.0 - coalesce(sum(CASE WHEN h.best >= t.tau THEN 1 ELSE 0 END), 0)
+                 * 1.0 / n.n_total, 6) AS keep_rate
+    FROM (SELECT unnest({list(SEMDEDUP_TAU_GRID)}) AS tau) t
+    CROSS JOIN n LEFT JOIN hits h ON true
+    GROUP BY t.tau, n.n_total
+    ORDER BY tau
+    """,
+    doc=f"SemDeDup threshold sweep over tau in {SEMDEDUP_TAU_GRID}: the "
+    f"keep-rate curve a curation run reads before committing a "
+    f"threshold (Abbas et al. sweep dedup aggressiveness against "
+    f"downstream quality; this is the data half of that trade). The "
+    f"sufficient statistic — each vector's MAX cosine to a kept-"
+    f"priority cluster-mate — comes from ONE salted-kernel pass "
+    f"(semdedup_best_earlier_cos, the same capped groups as "
+    f"sim_semdedup_prune), so the whole {len(SEMDEDUP_TAU_GRID)}-point "
+    f"sweep costs one pass + a {len(SEMDEDUP_TAU_GRID)}-row grid "
+    f"cross join over the per-vector maxima — the threshold-sweep-"
+    f"off-one-pass discipline of dedup_minhash_threshold_sweep "
+    f"(north-star similarity / curation tuning)",
+    tags=("similarity", "dedup", "pipeline"),
+)
+def sim_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = semdedup_best_earlier_cos(spark, sf_dir)
+    n = ivf_assignments(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    grid = spark.createDataFrame([(t,) for t in SEMDEDUP_TAU_GRID], "tau double")
+    pruned = F.when(F.col("best") >= F.col("tau"), 1).otherwise(0)
+    return (
+        grid.crossJoin(best)
+        .groupBy("tau")
+        .agg(F.sum(pruned).cast("bigint").alias("n_pruned"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tau",
+            F.col("n_total").alias("n_vectors"),
+            "n_pruned",
+            F.round(1.0 - F.col("n_pruned") * 1.0 / F.col("n_total"), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("tau")
     )

@@ -153,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_spearman_rank_fidelity",
     "events_markov_entropy_rate",
     "ts_hampel_filter",
+    "sim_semdedup_threshold_sweep",
 )
 
 def query(
