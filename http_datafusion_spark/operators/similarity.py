@@ -1173,31 +1173,16 @@ def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, true_label, pred_label): every vector's nearest-label-
-    centroid decision over exact 6dp-quantized decimal distances (ties
-    to first label) — the per-vector frame behind the confusion matrix
-    and the inter-annotator kappa.
-
-    Exactness/perf split (r11): EVERY rounding happens in Spark —
-    components quantize to 6dp decimal and scale to integer MICRO
-    units engine-side, the per-(label, dim) centroid means stay the
-    same decimal aggregate as before (collected: O(labels x dims)
-    rows, an index-time constant like the IVF codebook) — and the
-    distance/argmin stage is a pure INT64 Arrow kernel: (x - m)^2 sums
-    fit int64 (|x| <= ~2e7 micro, squared 4e14, x 64 dims ~ 2.6e16 <
-    2^63), so there is no float op anywhere past the quantize and
-    nothing to diverge from the SQL oracle. The previous all-Spark
-    shape joined 64M decimal rows per 100k vectors (61 s at sf5,
-    honest sink); the kernel replaces that join+agg with one Arrow
-    pass."""
-    import pandas as pd
-
-    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+def _label_centroids_micro(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(labels asc, (K, d) int64 centroid matrix in MICRO units): the
+    per-(label, dim) 6dp-decimal centroid means — the SAME aggregate
+    expression the all-Spark form used — collected as an O(labels x
+    dims) index-time constant (the codebook-on-the-driver pattern of
+    _fetch_vectors). Every rounding happens in Spark; the micro ints
+    are exact."""
     comp = e.select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("p", "xf")
     ).select(
-        "vec_id",
         "label",
         (F.col("p") + 1).alias("i"),
         F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
@@ -1221,27 +1206,63 @@ def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_pos = {lab: k for k, lab in enumerate(clabels)}
     for r in cent_rows:
         C[lab_pos[int(r.clabel)], int(r.i) - 1] = int(r.m_micro)
-    lab_arr = np.asarray(clabels, dtype=np.int64)
+    return np.asarray(clabels, dtype=np.int64), C
 
-    # micro-unit integer components, quantized by the SAME Spark
-    # expression the centroid aggregate consumed
+
+def _scaled_components(e: DataFrame) -> DataFrame:
+    """(vec_id, label, xi array<long>): components quantized by the
+    SAME Spark expression the centroid aggregate consumes, scaled to
+    exact integer micro units — the zero-float input of the int64
+    distance kernels."""
     xi = F.transform(
         F.col("embedding"),
         lambda v: (F.round(v.cast("double"), 6).cast("decimal(18,6)") * 1_000_000)
         .cast("long"),
     )
-    scaled = e.select("vec_id", "label", xi.alias("xi"))
+    return e.select("vec_id", "label", xi.alias("xi"))
+
+
+def _int64_sqdist(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) x (K, d) int64 micro units -> (n, K) int64 squared
+    distances, dim-by-dim — EXACT: |x| <= ~2e7 micro, diff^2 <= 4e14,
+    x 64 dims ~ 2.6e16 < 2^63."""
+    d2 = np.zeros((X.shape[0], C.shape[0]), dtype=np.int64)
+    for k in range(X.shape[1]):
+        diff = X[:, k : k + 1] - C[:, k][None, :]
+        d2 += diff * diff
+    return d2
+
+
+def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, true_label, pred_label): every vector's nearest-label-
+    centroid decision over exact 6dp-quantized decimal distances (ties
+    to first label) — the per-vector frame behind the confusion matrix
+    and the inter-annotator kappa.
+
+    Exactness/perf split (r11): EVERY rounding happens in Spark —
+    components quantize to 6dp decimal and scale to integer MICRO
+    units engine-side, the per-(label, dim) centroid means stay the
+    same decimal aggregate as before (collected: O(labels x dims)
+    rows, an index-time constant like the IVF codebook) — and the
+    distance/argmin stage is a pure INT64 Arrow kernel: (x - m)^2 sums
+    fit int64 (|x| <= ~2e7 micro, squared 4e14, x 64 dims ~ 2.6e16 <
+    2^63), so there is no float op anywhere past the quantize and
+    nothing to diverge from the SQL oracle. The previous all-Spark
+    shape joined 64M decimal rows per 100k vectors (61 s at sf5,
+    honest sink); the kernel replaces that join+agg with one Arrow
+    pass."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lab_arr, C = _label_centroids_micro(e)
+    scaled = _scaled_components(e)
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["xi"].to_numpy()).astype(np.int64)
-            # (n, K) int64 squared distances, dim-by-dim — exact
-            d2 = np.zeros((len(X), len(lab_arr)), dtype=np.int64)
-            for k in range(X.shape[1]):
-                diff = X[:, k : k + 1] - C[:, k][None, :]
-                d2 += diff * diff
+            d2 = _int64_sqdist(X, C)
             # argmin returns the FIRST min; lab_arr ascends, so ties
             # break to the smallest label — the oracle's (d2, clabel)
             pred = lab_arr[np.argmin(d2, axis=1)]
@@ -1386,11 +1407,11 @@ OOD_TOPK = 20
       GROUP BY c.vec_id, c.label, t.clabel
     ),
     nearest AS (
-      SELECT vec_id, label,
-             min(CAST(d2 AS DOUBLE)) AS min_d2
+      SELECT vec_id, label, min(d2) AS min_d2
       FROM dists GROUP BY vec_id, label
     )
-    SELECT vec_id, label, round(min_d2, 6) AS ood_score
+    SELECT vec_id, label,
+           CAST(round(min_d2, 6) AS DOUBLE) AS ood_score
     FROM nearest
     ORDER BY min_d2 DESC, vec_id LIMIT {OOD_TOPK}
     """,
@@ -1404,33 +1425,45 @@ OOD_TOPK = 20
     tags=("similarity", "agg"),
 )
 def sim_ood_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernelized r11 (same exact-int64 pattern as centroid_assignments,
+    which replaced a 64M-decimal-row join measured 60.4 s at sf5): the
+    kernel emits each vector's min squared distance in micro^2 integer
+    units (exact ordering) plus its 6dp HALF_UP rounding computed in
+    INTEGER arithmetic ((mi + 5e5) // 1e6, mi >= 0 — identical to both
+    engines' decimal round), so the only float op anywhere is the final
+    exactly-once int -> double division both engines share."""
+    import pandas as pd
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    comp = e.select(
-        "vec_id", "label", F.posexplode(F.col("embedding")).alias("p", "xf")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("p") + 1).alias("i"),
-        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
-    )
-    cent = comp.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
-        .cast("decimal(18,6)")
-        .alias("m")
-    )
-    diff = (F.col("x") - F.col("m")).cast("decimal(18,6)")
-    dists = (
-        comp.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(diff * diff).alias("d2"))
-    )
-    nearest = dists.groupBy("vec_id", "label").agg(
-        F.min(F.col("d2").cast("double")).alias("min_d2")
+    lab_arr, C = _label_centroids_micro(e)
+    del lab_arr  # OOD uses the min over ALL centroids; labels not needed
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xi"].to_numpy()).astype(np.int64)
+            mi = _int64_sqdist(X, C).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "mi": mi,
+                    "r6": (mi + 500_000) // 1_000_000,
+                }
+            )
+
+    scored = _scaled_components(e).mapInPandas(
+        score, schema="vec_id bigint, label bigint, mi bigint, r6 bigint"
     )
     return (
-        nearest.select("vec_id", "label", F.round("min_d2", 6).alias("ood_score"))
-        .orderBy(F.desc("min_d2"), "vec_id")
+        scored.orderBy(F.desc("mi"), "vec_id")
         .limit(OOD_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            (F.col("r6").cast("double") / 1_000_000).alias("ood_score"),
+        )
     )
 
 
