@@ -75,9 +75,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   (d) the r11 ADDITIONS (appended here as they land, each with local
 #       sf0.001+sf0.01 oracle evidence and a COVERAGE row — the
 #       tests/test_docs.py freeze rule enforces the documentation half).
-#   R12 HEAD (named now, per rotation discipline): after this window
-#   closes the oldest driver evidence is the 46-row r4 tail (computed
-#   from CORRECTNESS_r4..r11 latest-green rounds):
+#   R12 HEAD (named now, per rotation discipline): FIRST
+#   sim_ood_detection — its distance stage was kernelized to the
+#   exact-int64 pattern late in r11 (60.4 -> 10.4 s at sf5) after this
+#   window hit its 50-slot cap, so it is the one changed-code row
+#   without a post-change driver check (locally oracle-green at
+#   sf0.001+sf0.01; the three sibling consumers of the same kernel ARE
+#   in this window). Then the oldest driver evidence: the 46-row r4
+#   tail (computed from CORRECTNESS_r4..r11 latest-green rounds):
 #   balance_sources, cdc_scd2_intervals, cdc_upsert_compaction,
 #   corpus_build_roundtrip, data_quality_audit, decontaminate_corpus,
 #   dedup_embedding_cosine, dedup_embedding_cosine_exact,
