@@ -163,9 +163,10 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE file: chunk walk (with odd-size pad bytes),
-    ``fmt `` struct, 16-bit PCM sample stats."""
+def wav_pcm_samples(payload: bytes) -> tuple[int, int, tuple]:
+    """RIFF/WAVE chunk walk (odd-size pad bytes honored) -> (sample_rate,
+    channels, 16-bit PCM samples) — the parser shared by the stats
+    decode and the frame-level QC kernel."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -184,6 +185,13 @@ def decode_wav(payload: bytes) -> dict:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"WAV: only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
     samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    return rate, channels, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE file: chunk walk (with odd-size pad bytes),
+    ``fmt `` struct, 16-bit PCM sample stats."""
+    rate, channels, samples = wav_pcm_samples(payload)
     return {
         "sample_rate": rate,
         "channels": channels,
@@ -1201,4 +1209,100 @@ def multimodal_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_pad_frac",
         )
         .orderBy("bucket_id")
+    )
+
+
+# ----------------------------------------------- audio QC (frame peaks)
+
+AUDIO_QC_FRAME = 16  # samples per QC frame
+AUDIO_QC_SILENT_PEAK = 256  # frame peak |s| below this -> silence
+AUDIO_QC_CLIP_PEAK = 2040  # frame peak |s| at/above this -> clipping
+# (synth_wav's PCM spans [-2048, 2047]; thresholds are INTEGER compares)
+
+
+@query(
+    "multimodal_audio_qc",
+    # Closed-form oracle from synth_wav: audio docs (doc_id % 2 = 1)
+    # carry n = 16 + n_chars % 50 samples s_i = ((doc_id*131 + i*17) %
+    # 4096) - 2048; frame peaks, silence and clipping are pure integer
+    # arithmetic on both engines.
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, 16 + n_chars % 50 AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ), fr AS (
+      SELECT doc_id, n,
+             unnest(range(0, (n + {AUDIO_QC_FRAME} - 1) // {AUDIO_QC_FRAME})) AS f
+      FROM a
+    ), pk AS (
+      SELECT doc_id,
+             list_max(list_transform(
+               range(f * {AUDIO_QC_FRAME}, least((f + 1) * {AUDIO_QC_FRAME}, n)),
+               i -> abs((doc_id * 131 + i * 17) % 4096 - 2048))) AS peak
+      FROM fr
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+           CAST(count(*) AS BIGINT)               AS n_frames,
+           CAST(sum(CASE WHEN peak < {AUDIO_QC_SILENT_PEAK} THEN 1 ELSE 0 END)
+                AS BIGINT)                        AS n_silent,
+           CAST(sum(CASE WHEN peak >= {AUDIO_QC_CLIP_PEAK} THEN 1 ELSE 0 END)
+                AS BIGINT)                        AS n_clipped,
+           round(sum(CASE WHEN peak < {AUDIO_QC_SILENT_PEAK} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6)             AS frac_silent,
+           round(sum(CASE WHEN peak >= {AUDIO_QC_CLIP_PEAK} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6)             AS frac_clipped
+    FROM pk
+    """,
+    doc=f"audio QC audit — the silence/clipping gate a speech-data "
+    f"pipeline runs before transcription or training: every WAV is "
+    f"REALLY decoded (RIFF chunk walk + PCM unpack, not metadata "
+    f"trust), split into {AUDIO_QC_FRAME}-sample frames, and each "
+    f"frame's peak |amplitude| classifies it silent "
+    f"(< {AUDIO_QC_SILENT_PEAK}) or clipped (>= {AUDIO_QC_CLIP_PEAK}) "
+    f"— all INTEGER compares, exact cross-engine; the oracle predicts "
+    f"every frame peak from the generator's closed form, so a parser "
+    f"off by one byte breaks the hash. One Arrow decode pass, per-doc "
+    f"integer counts, one zero-key agg; payload bytes never shuffle "
+    f"(north-star multimodal / data quality)",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    media = media_codec_table(spark, sf_dir)
+
+    def qc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nf, ns, nc = [], [], [], []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type != "audio":
+                    continue
+                _rate, _ch, samples = wav_pcm_samples(bytes(payload))
+                a = np.abs(np.asarray(samples, dtype=np.int64))
+                pad = (-len(a)) % AUDIO_QC_FRAME
+                if pad:
+                    # zero-pad the tail frame: |s| >= 0, so a 0 pad can
+                    # never raise a frame's peak
+                    a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+                peaks = a.reshape(-1, AUDIO_QC_FRAME).max(axis=1)
+                ids.append(doc_id)
+                nf.append(len(peaks))
+                ns.append(int((peaks < AUDIO_QC_SILENT_PEAK).sum()))
+                nc.append(int((peaks >= AUDIO_QC_CLIP_PEAK).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": nf, "n_silent": ns, "n_clipped": nc}
+            )
+
+    per_doc = media.mapInPandas(
+        qc, schema="doc_id bigint, n_frames bigint, n_silent bigint, n_clipped bigint"
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("n_silent").cast("bigint").alias("n_silent"),
+        F.sum("n_clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.sum("n_silent") * 1.0 / F.sum("n_frames"), 6).alias("frac_silent"),
+        F.round(F.sum("n_clipped") * 1.0 / F.sum("n_frames"), 6).alias("frac_clipped"),
     )

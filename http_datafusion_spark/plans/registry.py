@@ -75,8 +75,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   (d) the r11 ADDITIONS (appended here as they land, each with local
 #       sf0.001+sf0.01 oracle evidence and a COVERAGE row — the
 #       tests/test_docs.py freeze rule enforces the documentation half).
-#   R12 HEAD (named now, per rotation discipline): FIRST
-#   sim_ood_detection — its distance stage was kernelized to the
+#   R12 HEAD (named now, per rotation discipline): FIRST the two rows
+#   landed after this window hit its 50-slot cap —
+#   multimodal_audio_qc (r11 addition, locally oracle-green at
+#   sf0.001+sf0.01) and sim_ood_detection — the latter's distance
+#   stage was kernelized to the
 #   exact-int64 pattern late in r11 (60.4 -> 10.4 s at sf5) after this
 #   window hit its 50-slot cap, so it is the one changed-code row
 #   without a post-change driver check (locally oracle-green at
