@@ -76,16 +76,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       sf0.001+sf0.01 oracle evidence and a COVERAGE row — the
 #       tests/test_docs.py freeze rule enforces the documentation half).
 #   R12 HEAD (named now, per rotation discipline): FIRST the two rows
-#   landed after this window hit its 50-slot cap —
-#   multimodal_audio_qc (r11 addition, locally oracle-green at
-#   sf0.001+sf0.01) and sim_ood_detection — the latter's distance
-#   stage was kernelized to the
-#   exact-int64 pattern late in r11 (60.4 -> 10.4 s at sf5) after this
-#   window hit its 50-slot cap, so it is the one changed-code row
-#   without a post-change driver check (locally oracle-green at
-#   sf0.001+sf0.01; the three sibling consumers of the same kernel ARE
-#   in this window). Then the oldest driver evidence: the 46-row r4
-#   tail (computed from CORRECTNESS_r4..r11 latest-green rounds):
+#   landed after this window hit its 50-slot cap, both locally
+#   oracle-green at sf0.001+sf0.01 —
+#   multimodal_audio_qc (r11 addition) and sim_ood_detection (its
+#   distance stage was kernelized to the exact-int64 pattern late in
+#   r11, 60.4 -> 10.4 s at sf5, so it is the one changed-code row
+#   without a post-change driver check; the three sibling consumers of
+#   the same kernel ARE in this window). Then the oldest driver
+#   evidence: the 46-row r4 tail (computed from CORRECTNESS_r4..r11
+#   latest-green rounds):
 #   balance_sources, cdc_scd2_intervals, cdc_upsert_compaction,
 #   corpus_build_roundtrip, data_quality_audit, decontaminate_corpus,
 #   dedup_embedding_cosine, dedup_embedding_cosine_exact,
