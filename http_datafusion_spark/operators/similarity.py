@@ -353,37 +353,45 @@ _DIST2_TO_LIST_SQL = (
     tags=("similarity",),
 )
 def sim_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's update as pure DataFrame algebra, no driver-side state:
-    assignment = broadcast codebook cross join + (dist, cid) struct-min;
-    centroid update = index-exploded per-dim DECIMAL means (exact, so
-    order-independent — the trick that makes an *iterative* algorithm
-    oracle-checkable); reassignment reuses the same argmin. At 100 TB
-    each iteration is two scans and two partial-agg shuffles."""
+    """Lloyd's update, kernelized r11: assignment = one Arrow pass per
+    round against the closure-captured codebook (fold_sqdist is the
+    dim-by-dim sequential fold, bit-identical to the SQL oracle's
+    list_sum — and to the interpreted zip_with/aggregate form it
+    replaces, which measured 14.1 s at sf5 on the honest sink);
+    argmin over cid-ascending rows reproduces the struct-min tie rule.
+    Centroid update stays the index-exploded per-dim DECIMAL means
+    (exact, so order-independent — the trick that makes an *iterative*
+    algorithm oracle-checkable); the refit codebook is collected
+    O(K x dims) driver-side (the _fetch_vectors pattern) to feed the
+    second assignment pass. At 100 TB each iteration is two scans and
+    two partial-agg shuffles."""
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import fold_sqdist, stack_embeddings
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     emb = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb.alias("x"))
-    cb0 = base.filter(F.col("vec_id").isin(*CENTROID_VEC_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("x").alias("cv")
-    )
 
-    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("x"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return (
-            points.crossJoin(F.broadcast(cents))
-            .select("vec_id", "x", "cid", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("cid"))).alias("mk"),
-                F.first("x").alias("x"),
-            )
-            .select("vec_id", "x", F.col("mk.cid").alias("cluster"))
+    def assign_kernel(points: DataFrame, cids: np.ndarray, C: np.ndarray) -> DataFrame:
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = stack_embeddings(pdf["x"])
+                cluster = cids[np.argmin(fold_sqdist(X, C), axis=1)]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "x": pdf["x"], "cluster": cluster}
+                )
+
+        return points.mapInPandas(
+            fn, schema="vec_id bigint, x array<double>, cluster bigint"
         )
 
-    assign0 = assign(base, cb0)
+    cents0 = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
+    cids0 = np.asarray(sorted(cents0), dtype=np.int64)
+    C0 = np.stack([cents0[int(c)] for c in cids0])
+    assign0 = assign_kernel(base, cids0, C0)
     dims = F.broadcast(
         e.sparkSession.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     )
@@ -406,7 +414,19 @@ def sim_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cluster").alias("cid"), "cv")
     )
-    assign1 = assign(base, cents1)
+    c1_rows = cents1.collect()  # K rows x 64 doubles — index-time constant
+    cids1 = np.asarray(sorted(int(r.cid) for r in c1_rows), dtype=np.int64)
+    c1_map = {int(r.cid): np.asarray(r.cv, dtype=np.float64) for r in c1_rows}
+    C1 = np.stack([c1_map[int(c)] for c in cids1])
+    assign1 = assign_kernel(base, cids1, C1)
+    # the collected codebook re-enters the plan as a LITERAL 8-row frame
+    # (exact double round-trip), so the decimal update aggregate runs
+    # exactly once (in the collect) instead of again inside the final
+    # join lineage
+    cents1 = spark.createDataFrame(
+        [(int(r.cid), [float(v) for v in r.cv]) for r in c1_rows],
+        "cid bigint, cv array<double>",
+    )
     before = assign0.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_before"))
     after = assign1.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_after"))
     return (

@@ -643,7 +643,6 @@ BROADCAST_GUARD_ALLOWED = {
     # the old guard never matched embeddings relations). Each verified
     # bounded by construction; the bound is a group-key cardinality or a
     # rank filter the plan text can't show.
-    "sim_kmeans_refit": "refit centroids keyed by cluster in K seed ids (K constant)",
     "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
     "mix_sources_temperature": "per-source mixture weights (source is a closed enum)",
     "embedding_centroid_shift": "per-label centroid norms (closed label set)",
