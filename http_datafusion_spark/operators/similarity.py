@@ -2749,18 +2749,28 @@ def sim_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = spark.createDataFrame([(t,) for t in SEMDEDUP_TAU_GRID], "tau double")
     pruned = F.when(F.col("best") >= F.col("tau"), 1).otherwise(0)
-    return (
+    # Left-join the tau grid against the per-tau pruned counts so every
+    # tau row is emitted even when `best` is empty (no vector has an
+    # earlier cluster-mate) — matches the oracle's CROSS JOIN n LEFT
+    # JOIN hits shape, which always yields the full grid with
+    # n_pruned=0 (r11 ADVICE item 1).
+    counts = (
         grid.crossJoin(best)
         .groupBy("tau")
         .agg(F.sum(pruned).cast("bigint").alias("n_pruned"))
+    )
+    return (
+        grid.join(counts, "tau", "left")
         .crossJoin(F.broadcast(n))
         .select(
             "tau",
             F.col("n_total").alias("n_vectors"),
-            "n_pruned",
-            F.round(1.0 - F.col("n_pruned") * 1.0 / F.col("n_total"), 6).alias(
-                "keep_rate"
-            ),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("bigint").alias("n_pruned"),
+            F.round(
+                1.0
+                - F.coalesce(F.col("n_pruned"), F.lit(0)) * 1.0 / F.col("n_total"),
+                6,
+            ).alias("keep_rate"),
         )
         .orderBy("tau")
     )

@@ -71,6 +71,37 @@ def fetch_json(
     the server's own pacing beats client-side guessing, and ignoring it
     is how a polite ingest becomes a ban.
     """
+    resp = _request_with_retries(
+        url,
+        method=method,
+        timeout=timeout,
+        retries=retries,
+        backoff=backoff,
+        headers=headers,
+        json_body=json_body,
+    )
+    try:
+        return resp.json()
+    except ValueError as e:
+        raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+
+
+def _request_with_retries(
+    url: str,
+    method: str = "GET",
+    timeout: float = _DEFAULT_TIMEOUT,
+    retries: int = 3,
+    backoff: float = 0.5,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
+    accept_304: bool = False,
+) -> "requests.Response":
+    """The shared retry/Retry-After loop behind fetch_json and
+    fetch_json_conditional: returns the Response on 2xx (or 304 when
+    ``accept_304``), retries connection errors / 429 / 5xx with
+    exponential backoff (a numeric Retry-After, capped at
+    ``_RETRY_AFTER_CAP``, overrides that attempt's delay), and raises
+    HttpError on other statuses or when retries are exhausted."""
     import time
 
     method = (method or "GET").upper()
@@ -89,6 +120,8 @@ def fetch_json(
         except requests.RequestException as e:
             last_err = HttpError(f"request execution failed for {url!r}: {e}")
             continue
+        if accept_304 and resp.status_code == 304:
+            return resp
         if resp.status_code == 429 or 500 <= resp.status_code < 600:
             ra = resp.headers.get("Retry-After")
             if ra is not None:
@@ -105,10 +138,7 @@ def fetch_json(
             raise HttpError(
                 f"HTTP request failed with status code: {resp.status_code} ({url})"
             )
-        try:
-            return resp.json()
-        except ValueError as e:
-            raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
+        return resp
     raise last_err  # type: ignore[misc]
 
 
@@ -416,27 +446,67 @@ def fetch_json_conditional(
       refresh (absent headers come back as None, degrading the next
       call to an unconditional fetch).
 
-    The retry/Retry-After discipline is fetch_json's; this wrapper only
-    adds the precondition headers and the 304 path (requests treats 304
-    as a non-exceptional response with an empty body).
+    The retry/Retry-After discipline is the SAME loop fetch_json uses
+    (``_request_with_retries``, r11 ADVICE item 2) with a 304
+    short-circuit — a transient 429/503 during a periodic conditional
+    refresh backs off and retries instead of killing the refresh
+    (requests treats 304 as a non-exceptional response with an empty
+    body).
     """
     h = dict(headers or {})
     if etag is not None:
         h["If-None-Match"] = etag
     if last_modified is not None:
         h["If-Modified-Since"] = last_modified
-    method = (method or "GET").upper()
-    if method not in _ALLOWED_METHODS:
-        raise HttpError(f"No Method Available: {method!r} (allowed: GET, POST)")
-    resp = requests.request(method, url, timeout=timeout, headers=h)
+    resp = _request_with_retries(
+        url, method=method, timeout=timeout, headers=h, accept_304=True
+    )
     if resp.status_code == 304:
         return None, etag, last_modified, True
-    if not (200 <= resp.status_code < 300):
-        raise HttpError(
-            f"HTTP request failed with status code: {resp.status_code} ({url})"
-        )
     try:
         body = resp.json()
     except ValueError as e:
         raise HttpError(f"failed to parse JSON from {url!r}: {e}") from e
     return body, resp.headers.get("ETag"), resp.headers.get("Last-Modified"), False
+
+
+def refresh_http_table(
+    spark: SparkSession,
+    url: str,
+    table_name: str,
+    etag: str | None = None,
+    last_modified: str | None = None,
+    method: str = "GET",
+    schema_mode: str = "full",
+    cache: bool = True,
+    headers: dict[str, str] | None = None,
+) -> tuple[str | None, str | None, bool]:
+    """One periodic-refresh cycle for a conditionally-fetched table:
+    re-validate the staged copy with fetch_json_conditional and only
+    re-stage on a real change.
+
+    - **304** -> the registered temp view is left completely untouched
+      (no re-parse, no re-cache, no view churn) and the caller's
+      validators come back unchanged;
+    - **2xx** -> the fresh body replaces the view (same normalization
+      path as register_http_table) and the NEW validators are returned
+      for the next cycle.
+
+    Returns ``(etag, last_modified, refreshed)``. This is the
+    incremental half the reference's one-shot model lacks: a
+    1000-executor cluster re-validating a dimension feed every few
+    minutes pays one header round-trip per cycle, not one full
+    download + rewrite per cycle.
+    """
+    body, new_etag, new_lm, not_modified = fetch_json_conditional(
+        url, etag=etag, last_modified=last_modified, method=method, headers=headers
+    )
+    if not_modified:
+        return new_etag, new_lm, False
+    rows: list[Any] = []
+    _extend_rows(rows, body)
+    df = json_rows_to_df(spark, rows, schema_mode=schema_mode)
+    if cache and rows:
+        df = df.cache()
+    df.createOrReplaceTempView(table_name)
+    return new_etag, new_lm, True

@@ -88,8 +88,14 @@ class SessionProcessor(StatefulProcessor):
             start, end, n = None, None, 0
         out = []
         for pdf in rows:
-            # µs integers: the same precision/ordering as the batch twin
-            for us in sorted(pdf["ts"].astype("int64") // 1_000):
+            # µs integers: the same precision/ordering as the batch twin.
+            # Normalize explicitly through datetime64[ns] — pandas 2.x
+            # Arrow conversion may deliver datetime64[us], and a bare
+            # .astype('int64') on that would be µs already, making the
+            # //1000 below shear the gap math by 1000× (r11 ADVICE
+            # item 3).
+            ns = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+            for us in sorted(ns // 1_000):
                 us = int(us)
                 if start is None:
                     start, end, n = us, us, 1
@@ -98,6 +104,10 @@ class SessionProcessor(StatefulProcessor):
                     start, end, n = us, us, 1
                 else:
                     end, n = us, n + 1
+        if end is None:
+            # Only empty batches were delivered for a fresh key: nothing
+            # to fold, no state to write, no timer to (re)arm.
+            return iter(out)
         self.state.update((start, end, n))
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)

@@ -87,6 +87,25 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if u.path == "/flaky_etag":
+            # 503s on the first two hits, then behaves like
+            # /etag_resource — exercises the shared retry loop under
+            # the conditional-fetch path (r11 ADVICE item 2).
+            if _Handler.hit_counts[u.path] <= 2:
+                self._send({"err": "unavailable"}, code=503)
+                return
+            tag = '"fe1"'
+            if self.headers.get("If-None-Match") == tag:
+                self.send_response(304)
+                self.end_headers()
+                return
+            body = json.dumps([{"id": 1}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("ETag", tag)
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if u.path == "/cursor_loop":
             # Buggy server: re-serves the SAME token forever.
             self._send({"data": ROWS[:10], "next_cursor": "tokX"})
@@ -429,6 +448,55 @@ def test_conditional_fetch_304_reuses_validators(base_url):
         f"{base}/etag_resource?v=2", etag=etag
     )
     assert not nm3 and etag3 == '"v2"' and body3 and body3[0]["v"] == 2
+
+
+def test_conditional_fetch_retries_transient_503(base_url):
+    """A transient 503 during a conditional refresh retries through the
+    shared backoff loop instead of raising (r11 ADVICE item 2), and the
+    304 short-circuit still works once the server recovers."""
+    from http_datafusion_spark.sources.http_json import fetch_json_conditional
+
+    _Handler.hit_counts.pop("/flaky_etag", None)
+    body, etag, _, nm = fetch_json_conditional(f"{base_url}/flaky_etag")
+    assert not nm and body == [{"id": 1}] and etag == '"fe1"'
+    assert _Handler.hit_counts["/flaky_etag"] == 3  # two 503s + one 200
+    _, _, _, nm2 = fetch_json_conditional(f"{base_url}/flaky_etag", etag=etag)
+    assert nm2
+
+
+def test_refresh_http_table_cycle(spark, base_url):
+    """Full re-ingest cycle (r11 verdict task 7): register -> 304
+    refresh leaves the staged table byte-identical (same validators,
+    refreshed=False) -> changed resource (200) replaces the view and
+    rotates the validators."""
+    from http_datafusion_spark.sources.http_json import (
+        refresh_http_table,
+        register_http_table,
+    )
+
+    url = f"{base_url}/etag_resource"
+    register_http_table(spark, url, table_name="cond_tbl")
+    before = spark.table("cond_tbl").orderBy("id").collect()
+    assert [r.v for r in before] == [1, 1, 1]
+
+    # First refresh has no validators yet: unconditional 200, but the
+    # content is identical; we learn the ETag for the next cycle.
+    etag, lm, refreshed = refresh_http_table(spark, url, "cond_tbl")
+    assert refreshed and etag == '"v1"'
+
+    # Second refresh presents the validator: 304, table untouched.
+    etag2, lm2, refreshed2 = refresh_http_table(
+        spark, url, "cond_tbl", etag=etag, last_modified=lm
+    )
+    assert not refreshed2 and etag2 == '"v1"' and lm2 == lm
+    assert spark.table("cond_tbl").orderBy("id").collect() == before
+
+    # Resource changes (?v=2 flips content + validator): 200 replaces.
+    etag3, _, refreshed3 = refresh_http_table(
+        spark, f"{url}?v=2", "cond_tbl", etag=etag
+    )
+    assert refreshed3 and etag3 == '"v2"'
+    assert [r.v for r in spark.table("cond_tbl").orderBy("id").collect()] == [2, 2, 2]
 
 
 def test_conditional_fetch_method_gate_and_errors(base_url):

@@ -245,3 +245,48 @@ def test_partial_fn_plus_merge_equals_brute_force(n, d, k, n_sub, seed):
         for rank, j in enumerate(order, 1):
             expected.add((int(ids[qi]), int(ids[j]), rank))
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def singleton_bucket_dir(tmp_path_factory):
+    """Degenerate SemDeDup input: embeddings = ONLY the 8 centroid
+    vectors, so every IVF bucket holds exactly one vector and no vector
+    has an earlier-ordered cluster-mate (`best` is empty)."""
+    d = 8
+    rows = []
+    for p in range(8):
+        v = np.zeros(d, dtype=np.float32)
+        v[p] = 10.0
+        v[(p + 1) % d] = 1.0 + 0.25 * p
+        rows.append((p + 1, p, v))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[2].tolist() for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    out = tmp_path_factory.mktemp("singleton") / "sf"
+    out.mkdir()
+    pq.write_table(tbl, out / "embeddings.parquet")
+    return str(out)
+
+
+def test_semdedup_sweep_emits_full_grid_on_degenerate_input(spark, singleton_bucket_dir):
+    """r11 ADVICE item 1: when no vector has an earlier cluster-mate
+    the sweep must still emit every tau row with n_pruned=0 /
+    keep_rate=1.0 — and stay oracle-exact on that input."""
+    from http_datafusion_spark.operators.similarity import SEMDEDUP_TAU_GRID
+    from http_datafusion_spark.plans.compare import compare_query, duckdb_connection
+    from http_datafusion_spark.plans.registry import all_queries
+
+    spec = all_queries()["sim_semdedup_threshold_sweep"]
+    rows = spec.spark(spark, singleton_bucket_dir).orderBy("tau").collect()
+    assert [r.tau for r in rows] == [pytest.approx(t) for t in SEMDEDUP_TAU_GRID]
+    assert all(r.n_pruned == 0 and r.keep_rate == 1.0 and r.n_vectors == 8 for r in rows)
+    con = duckdb_connection(singleton_bucket_dir)
+    try:
+        res = compare_query(spark, spec, singleton_bucket_dir, con=con)
+        assert res.ok and res.exact, res.detail
+    finally:
+        con.close()

@@ -454,6 +454,42 @@ def test_tws_session_processor_logic():
     assert not h._state.exists()
 
 
+def test_tws_processor_timestamp_resolutions_and_empty_batch():
+    """r11 ADVICE item 3: the processor must fold identically whether
+    the Arrow path hands it datetime64[ns] or datetime64[us] (pandas
+    2.x preserves resolution), and an all-empty batch iterator for a
+    fresh key must be a clean no-op (no state write, no timer)."""
+    import pandas as pd
+
+    from http_datafusion_spark.streaming.tws import SessionProcessor
+
+    t0 = 1_700_000_000 * 1_000_000  # µs
+
+    def run(dtype):
+        proc = SessionProcessor()
+        h = _FakeHandle()
+        proc.init(h)
+        ts = pd.Series([t0 * 1000, (t0 + 60_000_000) * 1000]).astype(
+            "datetime64[ns]"
+        )
+        pdf = pd.DataFrame({"ts": ts.astype(dtype)})
+        list(proc.handleInputRows((1,), iter([pdf]), None))
+        return h._state.get(), list(h._timers)
+
+    state_ns, timers_ns = run("datetime64[ns]")
+    state_us, timers_us = run("datetime64[us]")
+    assert state_ns == state_us == (t0, t0 + 60_000_000, 2)
+    assert timers_ns == timers_us
+
+    # fresh key, only empty batches: no crash, no state, no timer
+    proc = SessionProcessor()
+    h = _FakeHandle()
+    proc.init(h)
+    empty = pd.DataFrame({"ts": pd.Series([], dtype="datetime64[ns]")})
+    out = list(proc.handleInputRows((2,), iter([empty]), None))
+    assert out == [] and not h._state.exists() and h._timers == []
+
+
 def test_tws_sessionize_e2e(spark, sf_dir):
     """End-to-end TWS run vs the batch sessionization twin — auto-skips
     where the protobuf runtime (TWS state protocol) is absent."""
