@@ -1445,3 +1445,131 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_bands")
     )
+
+
+SUBSTR_RUN_W = 5  # seed unit: shared word-5-gram (same unit as NGRAM_COV_W)
+SUBSTR_RUN_MIN = 20  # report docs whose longest shared run >= this many tokens
+SUBSTR_RUN_DF_CAP = 64  # drop boilerplate grams shared by more docs than this
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]) AS gram
+      FROM w, unnest(range(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= {SUBSTR_RUN_W}
+    ),
+    keyed AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SUBSTR_RUN_DF_CAP}
+    ),
+    gk AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keyed k ON g.gram = k.gram),
+    seeds AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag
+      FROM gk a JOIN gk b ON b.gram = a.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+      FROM seeds
+    ),
+    runs AS (
+      SELECT da, db, max(pa) - min(pa) + {SUBSTR_RUN_W} AS run_len
+      FROM isl GROUP BY da, db, diag, grp
+    ),
+    pair_best AS (SELECT da, db, max(run_len) AS run FROM runs GROUP BY da, db),
+    per_doc AS (
+      SELECT da AS doc_id, db AS partner, run FROM pair_best
+      UNION ALL
+      SELECT db AS doc_id, da AS partner, run FROM pair_best
+    ),
+    best AS (
+      SELECT doc_id, partner, run,
+             row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, partner ASC) AS rn
+      FROM per_doc
+    )
+    SELECT doc_id,
+           partner AS partner_doc,
+           CAST(run AS BIGINT) AS max_run
+    FROM best WHERE rn = 1 AND run >= {SUBSTR_RUN_MIN}
+    ORDER BY doc_id
+    """,
+    doc=f"exact-substring dedup tier (Lee et al. 2022 'Deduplicating Training "
+    f"Data Makes Language Models Better'): per document, the LONGEST token run "
+    f"shared verbatim with any other document, reported when >= {SUBSTR_RUN_MIN} "
+    f"tokens (the paper gates at 50 BPE tokens at production scale). Spark-first "
+    f"suffix-array replacement: seeds are shared word-{SUBSTR_RUN_W}-grams "
+    f"(block keys from the same shingle stream as dedup_ngram_coverage) with a "
+    f"document-frequency guard [2..{SUBSTR_RUN_DF_CAP}] that drops boilerplate "
+    f"grams BEFORE the pair join — the candidate set is bounded by "
+    f"df_cap^2 per gram, never corpus^2; a run of L shared tokens is L-4 "
+    f"consecutive seeds on one (pair, diagonal), so the exact run length is a "
+    f"gaps-and-islands window over (da, db, diag) — partitions bounded by "
+    f"document length, not corpus size. Completes the dedup ladder between "
+    f"dedup_ngram_coverage (how MUCH is copied) and dedup_segments (drop "
+    f"copies): WHERE the longest copy is and who it is shared with",
+    tags=("dedup", "pipeline"),
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        d.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "wd"))
+        .withColumn("w1", F.lead("wd", 1).over(w))
+        .withColumn("w2", F.lead("wd", 2).over(w))
+        .withColumn("w3", F.lead("wd", 3).over(w))
+        .withColumn("w4", F.lead("wd", 4).over(w))
+        .filter(F.col("w4").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "wd", "w1", "w2", "w3", "w4").alias("gram"),
+        )
+    )
+    keyed = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_RUN_DF_CAP))
+        .select("gram")
+    )
+    gk = grams.join(keyed, "gram")
+    a = gk.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("gram")
+    )
+    b = gk.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("gram")
+    )
+    seeds = a.join(b, "gram").filter(F.col("da") < F.col("db")).select(
+        "da", "db", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    wd = W.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        seeds.withColumn("grp", F.col("pa") - F.row_number().over(wd))
+        .groupBy("da", "db", "diag", "grp")
+        .agg((F.max("pa") - F.min("pa") + SUBSTR_RUN_W).alias("run_len"))
+        .groupBy("da", "db")
+        .agg(F.max("run_len").alias("run"))
+    )
+    per_doc = runs.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("partner"), "run"
+    ).unionAll(
+        runs.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("partner"), "run"
+        )
+    )
+    wb = W.partitionBy("doc_id").orderBy(F.col("run").desc(), F.col("partner").asc())
+    return (
+        per_doc.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("run") >= SUBSTR_RUN_MIN))
+        .select(
+            "doc_id",
+            F.col("partner").alias("partner_doc"),
+            F.col("run").cast("bigint").alias("max_run"),
+        )
+        .orderBy("doc_id")
+    )
