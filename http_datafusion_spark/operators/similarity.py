@@ -2774,3 +2774,240 @@ def sim_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+# ------------------------------------------------ isotropy / geometry audits
+
+EMB_DIM = 64  # the embeddings table's fixed dimensionality
+
+_Q6_SQL = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+
+
+@query(
+    "embedding_isotropy_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim),
+    ud AS (
+      SELECT e.vec_id, d.dim,
+             {_Q6_SQL.format(x='CAST(embedding[d.dim] AS DOUBLE) / nrm')} AS uq,
+             {_Q6_SQL.format(x='(CAST(embedding[d.dim] AS DOUBLE) / nrm) * (CAST(embedding[d.dim] AS DOUBLE) / nrm)')} AS usq,
+             {_Q6_SQL.format(x='CAST(embedding[d.dim] AS DOUBLE)')} AS xq,
+             {_Q6_SQL.format(x='CAST(embedding[d.dim] AS DOUBLE) * CAST(embedding[d.dim] AS DOUBLE)')} AS xsq
+      FROM e CROSS JOIN dims d
+    ),
+    per_dim AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(uq) AS s_u, sum(usq) AS t_u, sum(xq) AS s_x, sum(xsq) AS t_x
+      FROM ud GROUP BY dim
+    ),
+    vd AS (
+      SELECT dim, n,
+             {_Q6_SQL.format(x='CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE)')} AS s_u_sq,
+             t_u,
+             round(CAST(t_x AS DOUBLE) / n
+                   - (CAST(s_x AS DOUBLE) / n) * (CAST(s_x AS DOUBLE) / n), 6) AS var_k
+      FROM per_dim
+    ),
+    fin AS (
+      SELECT max(n) AS n,
+             CAST(sum(s_u_sq) AS DOUBLE) AS ssq,
+             CAST(sum(t_u) AS DOUBLE) AS sumsq_u,
+             max(var_k) AS max_var,
+             CAST(sum(CAST(var_k AS DECIMAL(18,6))) AS DOUBLE) AS sum_var,
+             CAST(sum({_Q6_SQL.format(x='var_k * var_k')}) AS DOUBLE) AS sum_var_sq
+      FROM vd
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round((ssq - sumsq_u) / (n * (n - 1.0)), 6) AS mean_pair_cos,
+           round(max_var, 6) AS max_dim_var,
+           round(sum_var / {EMB_DIM}, 6) AS mean_dim_var,
+           round(max_var / (sum_var / {EMB_DIM}), 6) AS var_ratio,
+           round(sum_var * sum_var / sum_var_sq, 6) AS diag_participation_ratio
+    FROM fin
+    """,
+    doc=f"embedding-space isotropy audit (Ethayarajh 2019 anisotropy; Mu & "
+    f"Viswanath 2018 all-but-the-top): EXACT mean pairwise cosine over ALL "
+    f"n(n-1) ordered pairs WITHOUT materializing a single pair, via the "
+    f"sum-vector identity sum_ij<cos> = ||S||^2 - sum_i||u_i||^2 where S is "
+    f"the sum of unit vectors — the anisotropy readout that tells a "
+    f"retrieval pipeline its embedding space has collapsed toward a common "
+    f"direction (high mean cos => cosine scores saturate and kNN loses "
+    f"contrast). Plus per-dimension variance concentration: max/mean "
+    f"variance ratio and the diagonal participation ratio (sum v)^2/sum v^2 "
+    f"— an {EMB_DIM}-dim effective-dimensionality proxy (= {EMB_DIM} when "
+    f"isotropic, ~1 when one dimension dominates). One dim-exploded scan, "
+    f"{EMB_DIM}-key partial agg, 6dp-decimal sums throughout so every "
+    f"moment is order-independent; at 100 TB this is a map-side pass + one "
+    f"{EMB_DIM}-row merge — no shuffle on pairs ever exists",
+    tags=("similarity", "pipeline"),
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    x = F.col("embedding").cast("array<double>")
+    ed = (
+        e.select(
+            "vec_id",
+            x.alias("x"),
+            F.sqrt(
+                F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
+            ).alias("nrm"),
+        )
+        .select("vec_id", "nrm", F.posexplode("x").alias("dim", "v"))
+        .select(
+            "dim",
+            q6(F.col("v") / F.col("nrm")).alias("uq"),
+            q6((F.col("v") / F.col("nrm")) * (F.col("v") / F.col("nrm"))).alias("usq"),
+            q6(F.col("v")).alias("xq"),
+            q6(F.col("v") * F.col("v")).alias("xsq"),
+        )
+    )
+    per_dim = ed.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("uq").alias("s_u"),
+        F.sum("usq").alias("t_u"),
+        F.sum("xq").alias("s_x"),
+        F.sum("xsq").alias("t_x"),
+    )
+    vd = per_dim.select(
+        "n",
+        q6(F.col("s_u").cast("double") * F.col("s_u").cast("double")).alias("s_u_sq"),
+        "t_u",
+        F.round(
+            F.col("t_x").cast("double") / F.col("n")
+            - (F.col("s_x").cast("double") / F.col("n"))
+            * (F.col("s_x").cast("double") / F.col("n")),
+            6,
+        ).alias("var_k"),
+    )
+    fin = vd.agg(
+        F.max("n").alias("n"),
+        F.sum("s_u_sq").cast("double").alias("ssq"),
+        F.sum("t_u").cast("double").alias("sumsq_u"),
+        F.max("var_k").alias("max_var"),
+        F.sum(F.col("var_k").cast("decimal(18,6)")).cast("double").alias("sum_var"),
+        F.sum(q6(F.col("var_k") * F.col("var_k"))).cast("double").alias("sum_var_sq"),
+    )
+    n = F.col("n").cast("double")
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round((F.col("ssq") - F.col("sumsq_u")) / (n * (n - 1.0)), 6).alias(
+            "mean_pair_cos"
+        ),
+        F.round(F.col("max_var"), 6).alias("max_dim_var"),
+        F.round(F.col("sum_var") / EMB_DIM, 6).alias("mean_dim_var"),
+        F.round(F.col("max_var") / (F.col("sum_var") / EMB_DIM), 6).alias("var_ratio"),
+        F.round(
+            F.col("sum_var") * F.col("sum_var") / F.col("sum_var_sq"), 6
+        ).alias("diag_participation_ratio"),
+    )
+
+
+_EUCLID_SQL = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+@query(
+    "sim_silhouette_simplified",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    d AS (
+      SELECT a.vec_id, a.bucket, c.cid,
+             {_EUCLID_SQL.format(a='a.embedding', b='c.cv')} AS dist
+      FROM assigned a CROSS JOIN cents c
+    ),
+    ab AS (
+      SELECT vec_id, bucket,
+             min(CASE WHEN cid = bucket THEN dist END) AS a_dist,
+             min(CASE WHEN cid <> bucket THEN dist END) AS b_dist
+      FROM d GROUP BY vec_id, bucket
+    ),
+    s AS (
+      SELECT bucket, vec_id,
+             CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0.0
+                  ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS sil
+      FROM ab
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum({_Q6_SQL.format(x='sil')}) AS DOUBLE) / count(*), 6)
+             AS mean_silhouette,
+           round(min(sil), 6) AS min_silhouette,
+           round(CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_negative
+    FROM s GROUP BY bucket ORDER BY bucket
+    """,
+    doc="simplified silhouette per IVF bucket (the centroid-based silhouette "
+    "of Hruschka et al. — the standard O(n*K) surrogate for the O(n^2) "
+    "silhouette): per vector a = Euclidean distance to its OWN centroid, "
+    "b = min distance to any OTHER centroid, s = (b-a)/max(a,b); per-bucket "
+    "mean/min/negative-fraction is the clustering-quality readout that "
+    "decides whether the IVF index needs re-clustering (negative s = vector "
+    "closer to a foreign centroid = recall leak for that bucket; pairs with "
+    "sim_ivf_recall which measures the SYMPTOM). Assignment rides the same "
+    "argmin-distance kernel as every IVF operator; distances are an 8-row "
+    "broadcast cross join, so at 100 TB this is one map-side pass + a "
+    "K-key aggregate — the n^2 silhouette is never materialized; "
+    "6dp-decimal mean keeps the sum order-independent",
+    tags=("similarity",),
+)
+def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    asg = ivf_assignments(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x"), "bucket"
+    )
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id").isin(list(CENTROID_VEC_IDS))).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("x"), F.col("cv"), lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    d = asg.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "bucket", "cid", dist.alias("dist")
+    )
+    ab = d.groupBy("vec_id", "bucket").agg(
+        F.min(F.when(F.col("cid") == F.col("bucket"), F.col("dist"))).alias("a_dist"),
+        F.min(F.when(F.col("cid") != F.col("bucket"), F.col("dist"))).alias("b_dist"),
+    )
+    g = F.greatest("a_dist", "b_dist")
+    s = ab.select(
+        "bucket",
+        F.when(g == 0, F.lit(0.0))
+        .otherwise((F.col("b_dist") - F.col("a_dist")) / g)
+        .alias("sil"),
+    )
+    return (
+        s.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.sum(q6(F.col("sil"))).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.min("sil"), 6).alias("min_silhouette"),
+            F.round(
+                F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_negative"),
+        )
+        .orderBy("bucket")
+    )
