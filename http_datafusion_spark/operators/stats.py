@@ -1,0 +1,513 @@
+"""Statistical-inference operators over the relational tables: the
+hypothesis-testing / calibration layer a data pipeline runs BEFORE it
+trusts an experiment readout or a model score.
+
+- ``events_srm_check`` — sample-ratio-mismatch guard (the first thing
+  any A/B platform checks; a biased assignment invalidates every
+  downstream lift number).
+- ``stats_bh_fdr`` — Benjamini-Hochberg FDR control across per-segment
+  tests (25 nations tested at once WILL produce false positives at
+  per-test alpha; BH is the standard correction).
+- ``ml_calibration_bins`` — reliability diagram + per-bin Brier terms
+  for a probabilistic score (a mis-calibrated quality score corrupts
+  threshold-based curation).
+- ``ml_conformal_coverage`` — split-conformal prediction intervals
+  (Vovk; Angelopoulos & Bates 2021 tutorial form): distribution-free
+  coverage check for a point predictor.
+
+Shared numeric discipline: the normal CDF tail is the Abramowitz &
+Stegun 26.2.17 polynomial (Zelen & Severo) written in IDENTICAL Horner
+form on both engines, fed 6dp-quantized z so the only cross-engine
+divergence risk is a last-ULP ``exp`` difference — washed by the 6dp
+output rounding (the events_markov_entropy_rate transcendental
+discipline). All moment sums are 6dp-decimal quantized (order
+independent); no row-at-a-time Python anywhere.
+
+The reference (abduldjafar/http-datafusion) exposes no statistics
+surface at all (src/execution.rs: plain SQL passthrough); this module
+is pipeline extension ground like operators/timeseries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from http_datafusion_spark.plans.registry import query
+from http_datafusion_spark.plans.tables import load_tables
+
+# Abramowitz & Stegun 26.2.17 constants (public domain handbook).
+_AS_P = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+# Horner form of b1*t + b2*t^2 + ... + b5*t^5 — the SAME association
+# order in SQL and in Spark so the doubles match bit-for-bit up to exp.
+_HORNER_SQL = (
+    f"((((({_AS_B[4]}) * {{t}} + ({_AS_B[3]})) * {{t}} + ({_AS_B[2]})) * {{t}} "
+    f"+ ({_AS_B[1]})) * {{t}} + ({_AS_B[0]})) * {{t}}"
+)
+
+
+def _phi_tail_sql(z: str) -> str:
+    """SQL for the upper-tail normal probability 1 - Phi(z), z >= 0."""
+    t = f"(1.0 / (1.0 + {_AS_P} * ({z})))"
+    return (
+        f"({_INV_SQRT_2PI} * exp(-({z}) * ({z}) / 2.0) * "
+        + _HORNER_SQL.format(t=t)
+        + ")"
+    )
+
+
+def _phi_tail(z: Column) -> Column:
+    """Spark twin of :func:`_phi_tail_sql` — identical operation order."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * z)
+    horner = (
+        (
+            (
+                (F.lit(_AS_B[4]) * t + F.lit(_AS_B[3])) * t + F.lit(_AS_B[2])
+            )
+            * t
+            + F.lit(_AS_B[1])
+        )
+        * t
+        + F.lit(_AS_B[0])
+    ) * t
+    return F.lit(_INV_SQRT_2PI) * F.exp(-z * z / F.lit(2.0)) * horner
+
+
+def _q6(c: Column) -> Column:
+    return F.round(c, 6).cast("decimal(18,6)")
+
+
+_Q6 = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+
+SRM_P_FLOOR = 0.001  # industry-standard SRM alert threshold
+
+
+@query(
+    "events_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events
+    ),
+    seg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS arm0_users,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arm1_users
+      FROM u GROUP BY event_type
+    ),
+    stat AS (
+      SELECT event_type, arm0_users, arm1_users,
+             round(CAST((arm0_users - arm1_users) * (arm0_users - arm1_users)
+                        AS DOUBLE) / (arm0_users + arm1_users), 6) AS chi2
+      FROM seg
+    )
+    SELECT event_type, arm0_users, arm1_users, chi2,
+           round(2.0 * {_phi_tail_sql('sqrt(chi2)')}, 6) AS p_value,
+           2.0 * {_phi_tail_sql('sqrt(chi2)')} < {SRM_P_FLOOR} AS srm_flag
+    FROM stat ORDER BY event_type
+    """,
+    doc="sample-ratio-mismatch guard (Fabijan et al. 2019 'Diagnosing "
+    "Sample Ratio Mismatch'): per event_type, distinct users split by the "
+    "deterministic hash arm (user_id % 2) vs the designed 50/50; chi-square "
+    "goodness-of-fit with 1 df, p via 2*(1-Phi(sqrt(chi2))) using the A&S "
+    "26.2.17 tail polynomial in identical Horner form on both engines "
+    "(chi2 is 6dp-rounded BEFORE the transcendental). srm_flag at the "
+    "standard p<0.001 alert bar — a flagged segment means the assignment "
+    "itself is biased and every lift readout on it is invalid. One "
+    "distinct-user aggregate then |event_type|-bounded math; at 100 TB the "
+    "dedup is the only shuffle",
+    tags=("events", "stats"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    u = e.select(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    seg = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm0_users"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm1_users"),
+    )
+    d = F.col("arm0_users") - F.col("arm1_users")
+    stat = seg.select(
+        "event_type",
+        "arm0_users",
+        "arm1_users",
+        F.round(
+            (d * d).cast("double") / (F.col("arm0_users") + F.col("arm1_users")), 6
+        ).alias("chi2"),
+    )
+    p = F.lit(2.0) * _phi_tail(F.sqrt(F.col("chi2")))
+    return stat.select(
+        "event_type",
+        "arm0_users",
+        "arm1_users",
+        "chi2",
+        F.round(p, 6).alias("p_value"),
+        (p < SRM_P_FLOOR).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+BH_Q = 0.10  # FDR level
+
+
+@query(
+    "stats_bh_fdr",
+    oracle=f"""
+    WITH base AS (
+      SELECT n.n_name,
+             c.c_custkey % 2 AS arm,
+             CAST(o.o_totalprice AS DOUBLE) AS x
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    m AS (
+      SELECT n_name,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN {_Q6.format(x='x')} END) AS DOUBLE) AS s0,
+             CAST(sum(CASE WHEN arm = 1 THEN {_Q6.format(x='x')} END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN arm = 0 THEN {_Q6.format(x='x * x')} END) AS DOUBLE) AS t0,
+             CAST(sum(CASE WHEN arm = 1 THEN {_Q6.format(x='x * x')} END) AS DOUBLE) AS t1
+      FROM base GROUP BY n_name
+      HAVING sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) >= 2
+         AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) >= 2
+    ),
+    z AS (
+      SELECT n_name, n0, n1,
+             round(abs((s1 / n1 - s0 / n0)
+                   / sqrt((t0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                        + (t1 / n1 - (s1 / n1) * (s1 / n1)) / n1)), 6) AS z_abs
+      FROM m
+    ),
+    p AS (
+      SELECT n_name, n0, n1, z_abs,
+             round(2.0 * {_phi_tail_sql('z_abs')}, 6) AS p_value
+      FROM z
+    ),
+    ranked AS (
+      SELECT n_name, n0, n1, z_abs, p_value,
+             row_number() OVER (ORDER BY p_value, n_name) AS rk,
+             count(*) OVER () AS m_tests
+      FROM p
+    ),
+    kmax AS (
+      SELECT coalesce(max(CASE WHEN p_value <= rk * {BH_Q} / m_tests
+                                THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT r.n_name, r.n0, r.n1, r.z_abs, r.p_value,
+           CAST(r.rk AS BIGINT) AS p_rank,
+           round(r.rk * {BH_Q} / r.m_tests, 6) AS bh_threshold,
+           r.rk <= k.k AS rejected
+    FROM ranked r CROSS JOIN kmax k
+    ORDER BY r.rk
+    """,
+    doc="Benjamini-Hochberg FDR control across 25 simultaneous per-nation "
+    "two-sample z-tests (arm = c_custkey % 2 on o_totalprice): testing 25 "
+    "segments at per-test alpha=0.05 expects ~1.25 false discoveries — BH "
+    "(1995) caps the EXPECTED false-discovery fraction at q=0.10 by the "
+    "step-up rule p_(k) <= k/m*q. Moments are 6dp-decimal partial sums "
+    "(one orders-scan shuffle on nation after two dimension joins AQE "
+    "broadcasts); z is 6dp-rounded before the shared A&S tail polynomial; "
+    "the step-up scan is a window over m<=25 rows — bounded by the nation "
+    "table, not the fact table. The multiple-testing guard that belongs "
+    "next to events_ab_lift/events_impact_did before anyone ships a "
+    "'significant in nation X' claim",
+    tags=("stats", "relational"),
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "n_name",
+            (F.col("c_custkey") % 2).alias("arm"),
+            F.col("o_totalprice").cast("double").alias("x"),
+        )
+    )
+    a0 = F.col("arm") == 0
+    a1 = F.col("arm") == 1
+    m = (
+        base.groupBy("n_name")
+        .agg(
+            F.sum(F.when(a0, 1).otherwise(0)).cast("bigint").alias("n0"),
+            F.sum(F.when(a1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(a0, _q6(F.col("x")))).cast("double").alias("s0"),
+            F.sum(F.when(a1, _q6(F.col("x")))).cast("double").alias("s1"),
+            F.sum(F.when(a0, _q6(F.col("x") * F.col("x")))).cast("double").alias("t0"),
+            F.sum(F.when(a1, _q6(F.col("x") * F.col("x")))).cast("double").alias("t1"),
+        )
+        .filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    )
+    mean0, mean1 = F.col("s0") / F.col("n0"), F.col("s1") / F.col("n1")
+    var0 = F.col("t0") / F.col("n0") - mean0 * mean0
+    var1 = F.col("t1") / F.col("n1") - mean1 * mean1
+    z = m.select(
+        "n_name",
+        "n0",
+        "n1",
+        F.round(
+            F.abs((mean1 - mean0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1"))),
+            6,
+        ).alias("z_abs"),
+    )
+    p = z.withColumn("p_value", F.round(F.lit(2.0) * _phi_tail(F.col("z_abs")), 6))
+    # m_tests <= 25 (nation-bounded): the unpartitioned window is safe by
+    # construction — the fact scan is aggregated to nation keys above it.
+    ranked = p.withColumn(
+        "rk", F.row_number().over(W.orderBy("p_value", "n_name"))
+    ).withColumn("m_tests", F.count(F.lit(1)).over(W.partitionBy()))
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rk") * BH_Q / F.col("m_tests"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            "n0",
+            "n1",
+            "z_abs",
+            "p_value",
+            F.col("rk").cast("bigint").alias("p_rank"),
+            F.round(F.col("rk") * BH_Q / F.col("m_tests"), 6).alias("bh_threshold"),
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+CAL_BINS = 10
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(sum({_Q6.format(x='CAST(n_chars AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS mu,
+             CAST(sum({_Q6.format(x='CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS m2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-((CAST(d.n_chars AS DOUBLE) - s.mu)
+                   / sqrt(s.m2 - s.mu * s.mu)))), 6) AS p_hat,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d CROSS JOIN stats s
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p_hat * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin,
+             p_hat, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum({_Q6.format(x='p_hat')}) AS DOUBLE) / count(*), 6) AS mean_p,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+           round(CAST(sum({_Q6.format(x='p_hat')}) AS DOUBLE) / count(*)
+                 - CAST(sum(y) AS DOUBLE) / count(*), 6) AS calib_gap,
+           round(CAST(sum({_Q6.format(x='(p_hat - y) * (p_hat - y)')}) AS DOUBLE)
+                 / count(*), 6) AS brier
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc=f"reliability diagram + per-bin Brier score for a probabilistic "
+    f"score (Murphy 1973 decomposition's data half; Guo et al. 2017 ECE "
+    f"bins): the deterministic logistic score p_hat = sigma(z(n_chars)) "
+    f"bucketed into {CAL_BINS} equal-width bins against the binary outcome "
+    f"lang='en'; per bin the mean predicted probability, observed positive "
+    f"rate, calibration gap, and Brier contribution — the reliability "
+    f"readout a curation pipeline checks BEFORE thresholding any model "
+    f"quality score (quality_model_score's missing calibration audit). "
+    f"Corpus moments are one 6dp-decimal pass broadcast back as scalars; "
+    f"binning is map-side; the final aggregate has {CAL_BINS} keys. p_hat "
+    f"is 6dp-rounded at creation so bin edges and all downstream sums are "
+    f"engine-identical (the transcendental exp is washed by the rounding)",
+    tags=("stats", "pipeline"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    x = F.col("n_chars").cast("double")
+    stats = d.agg(
+        (F.sum(_q6(x)).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(_q6(x * x)).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        (x - F.col("mu"))
+                        / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+                    )
+                )
+            ),
+            6,
+        ).alias("p_hat"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p_hat") * CAL_BINS).cast("bigint"), F.lit(CAL_BINS - 1)
+        ).alias("bin"),
+        "p_hat",
+        "y",
+    )
+    n = F.count(F.lit(1))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(F.sum(_q6(F.col("p_hat"))).cast("double") / n, 6).alias("mean_p"),
+            F.round(F.sum("y").cast("double") / n, 6).alias("frac_pos"),
+            F.round(
+                F.sum(_q6(F.col("p_hat"))).cast("double") / n
+                - F.sum("y").cast("double") / n,
+                6,
+            ).alias("calib_gap"),
+            F.round(
+                F.sum(
+                    _q6((F.col("p_hat") - F.col("y")) * (F.col("p_hat") - F.col("y")))
+                ).cast("double")
+                / n,
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+CONFORMAL_ALPHAS = (0.1, 0.2)
+
+
+@query(
+    "ml_conformal_coverage",
+    oracle=f"""
+    WITH pred AS (
+      SELECT l_partkey,
+             CAST(sum({_Q6.format(x='CAST(l_extendedprice AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS yhat
+      FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+      GROUP BY l_partkey
+    ),
+    cal AS (
+      SELECT abs(CAST(l.l_extendedprice AS DOUBLE) - p.yhat) AS r,
+             l.l_orderkey * 10 + l.l_linenumber AS tb
+      FROM lineitem l JOIN pred p ON p.l_partkey = l.l_partkey
+      WHERE l.l_orderkey % 4 = 2
+    ),
+    tst AS (
+      SELECT abs(CAST(l.l_extendedprice AS DOUBLE) - p.yhat) AS r
+      FROM lineitem l JOIN pred p ON p.l_partkey = l.l_partkey
+      WHERE l.l_orderkey % 4 = 3
+    ),
+    ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, tb) AS rk FROM cal
+    ),
+    qs AS (
+      SELECT CAST(a.alpha AS DOUBLE) AS alpha, n.n_cal,
+             (SELECT r FROM ranked
+              WHERE rk = CAST(ceil((n.n_cal + 1) * (1.0 - a.alpha)) AS BIGINT)) AS q_hat
+      FROM (SELECT unnest({list(CONFORMAL_ALPHAS)}) AS alpha) a CROSS JOIN ncal n
+    )
+    SELECT q.alpha,
+           q.n_cal,
+           round(q.q_hat, 6) AS q_hat,
+           round(1.0 - q.alpha, 6) AS target_coverage,
+           round(CAST(sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS test_coverage
+    FROM qs q CROSS JOIN tst t
+    GROUP BY q.alpha, q.n_cal, q.q_hat
+    ORDER BY q.alpha
+    """,
+    doc=f"split-conformal prediction coverage (Vovk et al.; Angelopoulos & "
+    f"Bates 2021 eq. 1): point predictor = per-part train-split mean price "
+    f"(l_orderkey%4 in (0,1)); calibration split (%4=2) yields the "
+    f"conformal quantile q_hat = the ceil((n+1)(1-alpha))-th smallest "
+    f"absolute residual — an EXACT order statistic via the "
+    f"functions/ordstats bucketed two-phase rank search (no "
+    f"single-partition sort; the naive row_number-over-everything plan is "
+    f"exactly what that module exists to forbid); test split (%4=3) "
+    f"measures realized coverage of yhat +/- q_hat for alpha in "
+    f"{CONFORMAL_ALPHAS}. Distribution-free finite-sample guarantee "
+    f"coverage >= 1-alpha — the honest uncertainty audit for any "
+    f"regression-style scorer in the pipeline. Train means are 6dp-decimal "
+    f"sums; residuals are pure double arithmetic so both engines compare "
+    f"identical values against identical q_hat",
+    tags=("stats", "pipeline"),
+)
+def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from http_datafusion_spark.functions.ordstats import exact_rank_values
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_extendedprice").cast("double")
+    pred = (
+        li.filter((F.col("l_orderkey") % 4).isin(0, 1))
+        .groupBy("l_partkey")
+        .agg((F.sum(_q6(x)).cast("double") / F.count(F.lit(1))).alias("yhat"))
+    )
+    resid = li.join(pred, "l_partkey").select(
+        "l_orderkey",
+        F.abs(x - F.col("yhat")).alias("r"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    cal = resid.filter(F.col("l_orderkey") % 4 == 2).select("r", "tb")
+    tst = resid.filter(F.col("l_orderkey") % 4 == 3).select("r")
+    n_cal = cal.count()
+    ranks = {
+        a: int(math.ceil((n_cal + 1) * (1.0 - a))) for a in CONFORMAL_ALPHAS
+    }
+    qhats = exact_rank_values(cal, "r", "tb", sorted(set(ranks.values())))
+    rows = [
+        (float(a), n_cal, qhats[ranks[a]], round(1.0 - a, 6))
+        for a in CONFORMAL_ALPHAS
+    ]
+    grid = spark.createDataFrame(
+        rows, "alpha double, n_cal bigint, q_raw double, target_coverage double"
+    )
+    return (
+        grid.crossJoin(tst)
+        .groupBy("alpha", "n_cal", "q_raw", "target_coverage")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("q_raw"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("test_coverage")
+        )
+        .select(
+            "alpha",
+            "n_cal",
+            F.round(F.col("q_raw"), 6).alias("q_hat"),
+            "target_coverage",
+            "test_coverage",
+        )
+        .orderBy("alpha")
+    )

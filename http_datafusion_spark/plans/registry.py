@@ -194,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import http_datafusion_spark.operators.privacy  # noqa: F401
     import http_datafusion_spark.operators.range_join  # noqa: F401
     import http_datafusion_spark.operators.similarity  # noqa: F401
+    import http_datafusion_spark.operators.stats  # noqa: F401
     import http_datafusion_spark.operators.text  # noqa: F401
     import http_datafusion_spark.operators.timeseries  # noqa: F401
     import http_datafusion_spark.plans.aggregates  # noqa: F401

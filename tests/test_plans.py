@@ -1008,6 +1008,8 @@ WINDOW_GUARD_ALLOWED = {
     "attribution_models_compare": "conv_id keys are corpus-scale conversions; contents = one user journey",
     "cdc_scd2_intervals": "user_id keys are corpus-scale; contents = one user's event stream",
     "q_window_clause": "o_custkey keys are corpus-scale (SQL named-WINDOW parity surface)",
+    "dedup_substring_runs": "(da, db, diag) pair-diagonal keys are corpus-scale; contents = seeds on one diagonal of one doc pair, bounded by document length (and upstream by the gram df-cap)",
+    "stats_bh_fdr": "global step-up window over the per-nation test table — m<=25 rows by the nation-keyed aggregate upstream; BH's sort is over TESTS, never facts",
 }
 
 # The r8 verdict's scale-killer class, repaired in r9 — these must stay
