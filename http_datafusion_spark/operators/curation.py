@@ -4855,3 +4855,128 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_entropy_nats",
         "efficiency",
     )
+
+
+@query(
+    "cms_error_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT cell.d AS d, cell.bucket AS bucket, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest([{", ".join(f"{{'d': {d}, 'bucket': {_cms_bucket_sql(d)}}}" for d in range(CMS_DEPTH))}]) AS cell
+        FROM toks
+      )
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS true_count FROM toks GROUP BY tok
+    ),
+    probes AS (
+      SELECT tok, true_count, cell.d AS d, cell.bucket AS bucket
+      FROM (
+        SELECT tok, true_count,
+               unnest([{", ".join(f"{{'d': {d}, 'bucket': {_cms_bucket_sql(d)}}}" for d in range(CMS_DEPTH))}]) AS cell
+        FROM truth
+      )
+    ),
+    est AS (
+      SELECT p.tok, max(p.true_count) AS true_count, min(c.c) AS est_count
+      FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+      GROUP BY p.tok
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS stream_n FROM toks)
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           max(n.stream_n) AS stream_n,
+           round(CAST(sum(CASE WHEN est_count = true_count THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_exact,
+           round(CAST(sum(est_count - true_count) AS DOUBLE) / count(*), 6)
+             AS mean_overestimate,
+           CAST(max(est_count - true_count) AS BIGINT) AS max_overestimate,
+           round(2.0 * max(n.stream_n) / {CMS_WIDTH}, 6) AS eps_bound,
+           round(CAST(sum(CASE WHEN est_count - true_count
+                               <= 2.0 * n.stream_n / {CMS_WIDTH} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS frac_within_bound
+    FROM est CROSS JOIN n
+    """,
+    doc=f"count-min sketch accuracy audit against EXACT token counts: per-"
+    f"vocab-term overestimate est-true (>=0 by construction, checked), the "
+    f"fraction estimated exactly, and observed error vs the Cormode-"
+    f"Muthukrishnan additive bound eps*N with eps = 2/w = 2/{CMS_WIDTH} "
+    f"(each term within the bound w.p. >= 1 - 2^-{CMS_DEPTH} per the "
+    f"pairwise-independence analysis) — the sketch-sizing measurement that "
+    f"tells a pipeline whether {CMS_DEPTH}x{CMS_WIDTH} suffices for its "
+    f"vocabulary skew BEFORE it trusts cms_heavy_hitters at 100 TB (the "
+    f"exact side is affordable at audit scale; the sketch is what ships). "
+    f"One token-stream scan feeds both the d*w-cell partial agg and the "
+    f"exact vocab counts; the estimate join broadcasts the {CMS_DEPTH}x"
+    f"{CMS_WIDTH}-row sketch; all errors are integers until the final "
+    f"ratios (north-star text analysis / sketch)",
+    tags=("text", "sketch"),
+)
+def cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("d"),
+                        (salted_hash(F.col("tok"), CMS_SALT + dd) % CMS_WIDTH).alias("bucket"),
+                    )
+                    for dd in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("d"),
+                        (salted_hash(F.col("tok"), CMS_SALT + dd) % CMS_WIDTH).alias("bucket"),
+                    )
+                    for dd in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_count", "cell.d", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("true_count").alias("true_count"),
+            F.min("c").alias("est_count"),
+        )
+    )
+    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("stream_n"))
+    err = F.col("est_count") - F.col("true_count")
+    bound = F.lit(2.0) * F.col("stream_n") / CMS_WIDTH
+    return est.crossJoin(F.broadcast(n)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.max("stream_n").alias("stream_n"),
+        F.round(
+            F.sum(F.when(err == 0, 1).otherwise(0)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("frac_exact"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_overestimate"
+        ),
+        F.max(err).cast("bigint").alias("max_overestimate"),
+        F.round(F.lit(2.0) * F.max("stream_n") / CMS_WIDTH, 6).alias("eps_bound"),
+        F.round(
+            F.sum(F.when(err <= bound, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_within_bound"),
+    )

@@ -3899,3 +3899,139 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+@query(
+    "train_shuffle_autocorr",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {md5_int_sql(f"concat('{SHUFFLE_EPOCH_SEED}|', CAST(doc_id AS VARCHAR))")} AS h,
+             {md5_int_sql(f"concat('{SHUFFLE_EPOCH_SEED}|', CAST(doc_id AS VARCHAR))")} % {N_SHARDS} AS shard
+      FROM documents
+    ),
+    seq AS (
+      SELECT shard, source,
+             lag(source) OVER (PARTITION BY shard ORDER BY h, doc_id) AS prev
+      FROM h
+    ),
+    adj AS (
+      SELECT shard,
+             CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+             CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      FROM seq GROUP BY shard
+    ),
+    cs AS (
+      SELECT shard, source, CAST(count(*) AS BIGINT) AS n_s FROM h GROUP BY shard, source
+    ),
+    ex AS (
+      SELECT shard,
+             CAST(sum(n_s) AS BIGINT) AS n_docs,
+             CAST(sum(n_s * (n_s - 1)) AS BIGINT) AS same_perms
+      FROM cs GROUP BY shard
+    )
+    SELECT a.shard AS shard,
+           e.n_docs,
+           a.n_same,
+           a.n_pairs,
+           round(CAST(a.n_same AS DOUBLE) / a.n_pairs, 6) AS obs_rate,
+           round(CAST(e.same_perms AS DOUBLE) / (e.n_docs * (e.n_docs - 1.0)), 6)
+             AS exp_rate,
+           round((CAST(a.n_same AS DOUBLE) / a.n_pairs
+                  - CAST(e.same_perms AS DOUBLE) / (e.n_docs * (e.n_docs - 1.0)))
+                 / (1.0 - CAST(e.same_perms AS DOUBLE) / (e.n_docs * (e.n_docs - 1.0))),
+                 6) AS autocorr_index
+    FROM adj a JOIN ex e ON e.shard = a.shard
+    ORDER BY a.shard
+    """,
+    doc=f"shuffle-quality audit for the deterministic epoch shuffle: per "
+    f"shard, the lag-1 same-source rate of the shuffled stream vs the "
+    f"expected rate under a uniform random permutation "
+    f"(sum n_s(n_s-1)/(n(n-1))), normalized to an autocorrelation index "
+    f"((obs-exp)/(1-exp): 0 = perfectly mixed, 1 = fully clustered) — "
+    f"source-clustered batches are correlated gradients, the failure mode "
+    f"the shuffle exists to prevent, so this is the audit that PROVES the "
+    f"md5 shuffle actually mixes sources. Adjacency is computed in the "
+    f"train_shuffle_shards two-phase shape: lag within each of the "
+    f"{N_SHARDS}x{N_SHARD_SUBBUCKETS} order-aligned (shard, h>>"
+    f"{_SUBBUCKET_SHIFT}) sub-buckets plus a boundary stitch over the "
+    f"{N_SHARDS}x{N_SHARD_SUBBUCKETS}-row first/last frame — bit-identical "
+    f"pair set to the oracle's single per-shard window, at "
+    f"{N_SHARDS}x{N_SHARD_SUBBUCKETS}-way sort parallelism. Counts stay "
+    f"integer until the final division (north-star pipeline)",
+    tags=("pipeline", "sampling"),
+)
+def train_shuffle_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = md5_int(F.concat(F.lit(f"{SHUFFLE_EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+    base = (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
+        .withColumn("hb", F.shiftright(F.col("h"), _SUBBUCKET_SHIFT))
+    )
+    # Phase 1: within-sub-bucket adjacency (1024 bounded sort keys).
+    wl = W.partitionBy("shard", "hb").orderBy("h", "doc_id")
+    inner = (
+        base.withColumn("prev", F.lag("source").over(wl))
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("prev") == F.col("source"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("in_same"),
+            F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("in_pairs"),
+        )
+    )
+    # Phase 2: boundary stitch — first/last source per (shard, hb), then
+    # one window over the <= N_SHARDS*N_SHARD_SUBBUCKETS-row frame (hb is
+    # order-aligned with h, so consecutive non-empty sub-buckets are
+    # exactly the oracle's cross-boundary adjacent pairs).
+    ends = base.groupBy("shard", "hb").agg(
+        F.min_by("source", F.struct("h", "doc_id")).alias("first_source"),
+        F.max_by("source", F.struct("h", "doc_id")).alias("last_source"),
+    )
+    wb = W.partitionBy("shard").orderBy("hb")
+    edge = (
+        ends.withColumn("prev_last", F.lag("last_source").over(wb))
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("prev_last") == F.col("first_source"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ed_same"),
+            F.sum(F.when(F.col("prev_last").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ed_pairs"),
+        )
+    )
+    cs = base.groupBy("shard", "source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    ex = cs.groupBy("shard").agg(
+        F.sum("n_s").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_s") * (F.col("n_s") - 1)).cast("bigint").alias("same_perms"),
+    )
+    j = (
+        inner.join(edge, "shard")
+        .join(ex, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            (F.col("in_same") + F.col("ed_same")).alias("n_same"),
+            (F.col("in_pairs") + F.col("ed_pairs")).alias("n_pairs"),
+            "same_perms",
+        )
+    )
+    obs = F.col("n_same").cast("double") / F.col("n_pairs")
+    exp = F.col("same_perms").cast("double") / (
+        F.col("n_docs") * (F.col("n_docs") - F.lit(1.0))
+    )
+    return j.select(
+        "shard",
+        "n_docs",
+        "n_same",
+        "n_pairs",
+        F.round(obs, 6).alias("obs_rate"),
+        F.round(exp, 6).alias("exp_rate"),
+        F.round((obs - exp) / (F.lit(1.0) - exp), 6).alias("autocorr_index"),
+    ).orderBy("shard")
