@@ -1573,3 +1573,95 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_simhash_recall_audit",
+    oracle=f"""
+    WITH sig AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS chunk
+      FROM sig, unnest(range(0, {N_SIMHASH_BANDS})) AS t(b)
+    ),
+    sh_pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.simhash AS sig_a, y.simhash AS sig_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+      ) WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING_MAX}
+    ),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM w WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jac_pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
+    ),
+    u AS (
+      SELECT coalesce(s.doc_a, j.doc_a) AS doc_a,
+             s.doc_a IS NOT NULL AS in_simhash,
+             j.doc_a IS NOT NULL AS in_truth
+      FROM sh_pairs s
+      FULL OUTER JOIN jac_pairs j ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_simhash THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_pairs,
+           CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_pairs,
+           CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN in_simhash AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN in_truth AND NOT in_simhash THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_simhash THEN 1 ELSE 0 END), 0), 6) AS precision_vs_jaccard,
+           round(CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS recall_vs_jaccard
+    FROM u
+    """,
+    doc=f"SimHash-vs-exact-Jaccard agreement audit: the hamming<="
+    f"{SIMHASH_HAMMING_MAX} banded SimHash pair set scored against the "
+    f"exact shingle-Jaccard>=0.7 truth set (tp/fp/fn, precision, recall) — "
+    f"the measurement that decides whether the cheap {N_SIMHASH_BITS}-bit "
+    f"fingerprint can replace the shingle inverted index for a given "
+    f"corpus (Henzinger 2006 ran exactly this comparison at Google scale). "
+    f"Like cms_error_audit, the exact side is the audit-scale cost you pay "
+    f"once to calibrate the sketch you ship; both pair generators are the "
+    f"already-bounded registry machines (banded-chunk join, shingle "
+    f"inverted index) and the agreement join is pair-keyed — no new "
+    f"quadratic surface (north-star dedup)",
+    tags=("dedup", "sketch"),
+)
+def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    jac_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    u = sh_pairs.withColumn("in_simhash", F.lit(True)).join(
+        jac_pairs.withColumn("in_truth", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    in_s = F.col("in_simhash").isNotNull()
+    in_t = F.col("in_truth").isNotNull()
+    tp = F.sum(F.when(in_s & in_t, 1).otherwise(0))
+    n_s = F.sum(F.when(in_s, 1).otherwise(0))
+    n_t = F.sum(F.when(in_t, 1).otherwise(0))
+    return u.agg(
+        n_s.cast("bigint").alias("n_simhash_pairs"),
+        n_t.cast("bigint").alias("n_truth_pairs"),
+        tp.cast("bigint").alias("tp"),
+        F.sum(F.when(in_s & ~in_t, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(in_t & ~in_s, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.round(tp.cast("double") / F.nullif(n_s, F.lit(0)), 6).alias(
+            "precision_vs_jaccard"
+        ),
+        F.round(tp.cast("double") / F.nullif(n_t, F.lit(0)), 6).alias(
+            "recall_vs_jaccard"
+        ),
+    )
