@@ -55,112 +55,98 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-11 rotation policy (per the r10 verdict's tasks 2/5/8):
-#   (a) the TWO rows with no driver evidence (r10 additions deferred
-#       when the r10 window hit its 50-slot cap; locally oracle-green
-#       since they landed): sim_knn_loo_label_eval,
-#       text_mattr_diversity. Note sim_knn_loo_label_eval's candidate
-#       kernel was REBUILT this round (salted sub-bucket split,
-#       operators/similarity.py::bucket_knn_pairs) — first driver check
-#       lands on the new kernel, which is the right thing to grade.
-#   (b) the 34 r3-stale rows the old R11-head comment named verbatim —
-#       8-round-old driver evidence on unchanged code; pure
-#       re-confirmations.
-#   (c) rows whose implementation or oracle CHANGED this round:
-#       sim_knn_hubness_audit (rides the rebuilt salted kNN kernel),
-#       events_uplift_cuped (oracle epoch flooring, r10 ADVICE item 1),
-#       sim_centroid_classifier_eval (body refactored through the
-#       factored centroid_assignments helper — plan unchanged, but
-#       changed code re-enters the window on principle).
-#   (d) the r11 ADDITIONS (appended here as they land, each with local
-#       sf0.001+sf0.01 oracle evidence and a COVERAGE row — the
-#       tests/test_docs.py freeze rule enforces the documentation half).
-#   R12 HEAD (named now, per rotation discipline): FIRST the two rows
-#   landed after this window hit its 50-slot cap, both locally
-#   oracle-green at sf0.001+sf0.01 —
-#   multimodal_audio_qc (r11 addition) and sim_ood_detection (its
-#   distance stage was kernelized to the exact-int64 pattern late in
-#   r11, 60.4 -> 10.4 s at sf5, so it is the one changed-code row
-#   without a post-change driver check; the three sibling consumers of
-#   the same kernel ARE in this window). Then the oldest driver
-#   evidence: the 46-row r4 tail (computed from CORRECTNESS_r4..r11
-#   latest-green rounds):
-#   balance_sources, cdc_scd2_intervals, cdc_upsert_compaction,
-#   corpus_build_roundtrip, data_quality_audit, decontaminate_corpus,
-#   dedup_embedding_cosine, dedup_embedding_cosine_exact,
-#   dedup_keep_best, dedup_ngram_coverage, dedup_prefix_pairs,
-#   doc_chunking, embedding_index_build, embedding_negative_pairs,
-#   embedding_quantize_int8, events_retention,
-#   events_session_window_native, events_value_histogram,
-#   graph_pagerank, hll_sketch_union, mix_sources_temperature,
-#   multimodal_features, q_bucketed_join, q_date_bin,
-#   q_group_order_all, q_hash_funcs, q_salted_skew_agg, q_topk_orders,
-#   q_values_inline, quality_drift_psi, sample_deterministic,
-#   semantic_search_join, sim_ivf_recall, text_bm25_search,
-#   text_char_entropy, text_rare_words, text_repetition,
+# Round-12 rotation policy (per the r11 verdict's tasks 1/8):
+#   (a) multimodal_audio_qc — the ONLY registry row with zero driver
+#       evidence (r11 addition landed after that window's 50-slot cap;
+#       locally oracle-green at sf0.001+sf0.01 since it landed) — FIRST.
+#   (b) changed-code rows without a post-change driver check:
+#       sim_ood_detection (distance stage kernelized to the exact-int64
+#       pattern late in r11, 60.4 -> 10.4 s at sf5, after the r11
+#       window capped) and sim_semdedup_threshold_sweep (r11 ADVICE
+#       item 1: the tau grid is now left-joined against the per-tau
+#       counts so the degenerate no-earlier-mate input emits the full
+#       grid — plan changed this round, so it re-enters the window).
+#   (c) the 10 r12 ADDITIONS, each locally oracle-exact at
+#       sf0.001+sf0.01 with a COVERAGE row (tests/test_docs.py freeze
+#       rule): dedup_substring_runs, embedding_isotropy_audit,
+#       sim_silhouette_simplified, events_srm_check, stats_bh_fdr,
+#       ml_calibration_bins, ml_conformal_coverage,
+#       train_shuffle_autocorr, cms_error_audit,
+#       dedup_simhash_recall_audit.
+#   (d) 37 slots of r4-stale re-confirmation: the lexicographically-
+#       first 37 of the 46-row r4 tail the r11 head comment named
+#       verbatim (oldest driver evidence in the registry; unchanged
+#       code, pure re-confirmations).
+#   R13 HEAD (named now, per rotation discipline): FIRST the 9 rows of
+#   the r4 tail that overflowed this window —
 #   text_top_bigrams, tokenize_to_ids, train_shuffle_shards,
 #   train_val_split, ts_ewma, ts_mad_outliers, ts_resample_ohlc,
-#   ts_zscore_outliers, vocab_build.
-#   46 rows exceed one window once r12's changed-code rows and
-#   additions take their slots: fill the window with the
-#   lexicographically-first of these after those, and defer the rest
-#   to the r13 head (named then).
+#   ts_zscore_outliers, vocab_build
+#   — then any row whose code or oracle changes during r12 after this
+#   window freezes, then r13 additions, then the lexicographically-
+#   first of the 35-row r5-stale tail (the next-oldest evidence class
+#   per the CORRECTNESS_r4..r11 histogram: 35 x r5 / 45 x r6 / ...);
+#   overflow defers to the r14 head, named then. The expected
+#   re-confirmation period at this registry size is ~8 rounds — see
+#   BASELINE.md "Evidence-age policy" and tools/evidence_age.py (r11
+#   verdict task 3, option b).
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) the two rows without driver evidence ----
-    "sim_knn_loo_label_eval",
-    "text_mattr_diversity",
-    # ---- (b) r3-stale re-confirmations (the 34 named by the r10 head) ----
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_revenue_delta",
-    "q_cogrouped_pandas",
-    "q_cross_join",
-    "q_cte",
-    "q_distinct",
-    "q_except",
-    "q_except_all",
-    "q_explode_unnest",
-    "q_in_subquery",
-    "q_intersect",
-    "q_intersect_all",
-    "q_json_funcs",
-    "q_limit_offset",
-    "q_not_in_subquery",
-    "q_null_safe_join",
-    "q_python_udtf",
-    "q_right_join",
-    "q_salted_skew_join",
-    "q_sort_nulls",
-    "q_subquery_in_from",
-    "q_udaf_grouped",
-    "q_union_all",
-    "q_variant_json",
-    "q_window_clause",
-    "q_window_ignore_nulls",
-    "q_window_offsets",
-    "stream_cdc_upsert",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_tumbling_agg",
-    # ---- (c) changed this round ----
-    "sim_knn_hubness_audit",
-    "events_uplift_cuped",
-    "sim_centroid_classifier_eval",
-    # ---- (d) r11 additions land here as they are committed ----
-    "sim_semdedup_prune",
-    "sim_classifier_agreement_kappa",
-    "text_kneser_ney_bigram",
-    "graph_label_propagation",
-    "multimodal_aspect_bucketing",
-    "text_keyness_g2",
-    "sim_spearman_rank_fidelity",
-    "events_markov_entropy_rate",
-    "ts_hampel_filter",
+    # ---- (a) the one row with zero driver evidence ----
+    "multimodal_audio_qc",
+    # ---- (b) changed-code rows without a post-change check ----
+    "sim_ood_detection",
     "sim_semdedup_threshold_sweep",
+    # ---- (c) r12 additions ----
+    "dedup_substring_runs",
+    "embedding_isotropy_audit",
+    "sim_silhouette_simplified",
+    "events_srm_check",
+    "stats_bh_fdr",
+    "ml_calibration_bins",
+    "ml_conformal_coverage",
+    "train_shuffle_autocorr",
+    "cms_error_audit",
+    "dedup_simhash_recall_audit",
+    # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
+    "balance_sources",
+    "cdc_scd2_intervals",
+    "cdc_upsert_compaction",
+    "corpus_build_roundtrip",
+    "data_quality_audit",
+    "decontaminate_corpus",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "dedup_keep_best",
+    "dedup_ngram_coverage",
+    "dedup_prefix_pairs",
+    "doc_chunking",
+    "embedding_index_build",
+    "embedding_negative_pairs",
+    "embedding_quantize_int8",
+    "events_retention",
+    "events_session_window_native",
+    "events_value_histogram",
+    "graph_pagerank",
+    "hll_sketch_union",
+    "mix_sources_temperature",
+    "multimodal_features",
+    "q_bucketed_join",
+    "q_date_bin",
+    "q_group_order_all",
+    "q_hash_funcs",
+    "q_salted_skew_agg",
+    "q_topk_orders",
+    "q_values_inline",
+    "quality_drift_psi",
+    "sample_deterministic",
+    "semantic_search_join",
+    "sim_ivf_recall",
+    "text_bm25_search",
+    "text_char_entropy",
+    "text_rare_words",
+    "text_repetition",
 )
 
 def query(

@@ -99,3 +99,23 @@ def test_bench_set_is_oracle_checked_and_stable():
     bench = {n for n, s in qs.items() if "bench" in s.tags}
     assert len(bench) == 27, f"bench set changed: {sorted(bench)}"
     assert all(qs[n].oracle for n in bench)
+
+
+def test_no_evidence_rows_are_in_window():
+    """Evidence-age policy (BASELINE.md r12): every registry row with
+    no driver-green CORRECTNESS record yet must sit in the CURRENT
+    priority window — a new operator cannot silently skip the driver
+    gate. (The age-alert half lives in tools/evidence_age.py, kept out
+    of CI so a driver outage can't retroactively fail the suite.)"""
+    from http_datafusion_spark.plans.registry import PRIORITY, all_queries
+    from tools.evidence_age import latest_green_rounds
+
+    latest, _ = latest_green_rounds()
+    names = list(all_queries())
+    never = [n for n in names if n not in latest]
+    window = set(PRIORITY)
+    uncovered = [n for n in never if n not in window]
+    assert not uncovered, (
+        f"registry rows with no driver evidence missing from the "
+        f"priority window: {uncovered}"
+    )

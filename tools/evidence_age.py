@@ -1,0 +1,102 @@
+"""Evidence-age report for the driver-correctness rotation.
+
+The registry (382 rows as of r12) outgrew the driver's ~50-row
+correctness window around r10, so every row's driver evidence ages
+until its re-confirmation slot comes around. This tool makes that
+debt VISIBLE and POLICED (r11 verdict task 3, option b — the
+formalize-the-carry choice):
+
+- parse every CORRECTNESS_r*.json, record each row's latest
+  ALL-GREEN round (rows_match + schema_match + hash_match where the
+  hash field exists);
+- print the evidence-age histogram (round -> #rows whose newest green
+  is that round) and the rows with NO driver evidence at all;
+- flag every row whose evidence is older than EXPECTED_PERIOD rounds
+  — the alert the policy promises. The period is derived, not vibes:
+  window 50, ~13 slots/round spent on new/changed rows, leaves ~37
+  re-confirmation slots; 372 standing rows / 37 ~ 10, and the
+  observed histogram cycles in ~8 (r4 rows re-confirmed by r12).
+
+Usage:  python tools/evidence_age.py [--round N]
+        exit code 1 if any row exceeds the period (CI-able); the
+        pytest wrapper (tests/test_driver_contract.py) asserts the
+        CURRENT priority window covers the oldest class instead, so a
+        driver outage cannot fail the suite retroactively.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+EXPECTED_PERIOD = 10  # rounds between re-confirmations at current sizes
+
+
+def latest_green_rounds() -> tuple[dict[str, int], int]:
+    """-> ({query_name: newest all-green round}, newest round seen)."""
+    latest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            ok = bool(res.get("rows_match")) and bool(res.get("schema_match"))
+            if "hash_match" in res and res["hash_match"] is not None:
+                ok = ok and bool(res["hash_match"])
+            if ok and res.get("err") in (None, ""):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest
+
+
+def main() -> int:
+    from http_datafusion_spark.plans.registry import PRIORITY, all_queries
+
+    names = list(all_queries())
+    latest, newest = latest_green_rounds()
+
+    hist: dict[int, int] = {}
+    never: list[str] = []
+    for n in names:
+        if n in latest:
+            hist[latest[n]] = hist.get(latest[n], 0) + 1
+        else:
+            never.append(n)
+
+    print(f"registry rows: {len(names)}; newest driver round: r{newest}")
+    print("evidence-age histogram (latest all-green round -> rows):")
+    for rnd in sorted(hist):
+        print(f"  r{rnd}: {hist[rnd]}")
+    if never:
+        print(f"rows with NO driver evidence ({len(never)}): {sorted(never)}")
+
+    overdue = sorted(
+        n for n in names if n in latest and newest - latest[n] > EXPECTED_PERIOD
+    )
+    if overdue:
+        print(
+            f"OVERDUE (> {EXPECTED_PERIOD} rounds since last green): {overdue}"
+        )
+    # The actionable check: the oldest evidence class (and every
+    # no-evidence row) must be covered by the CURRENT priority window
+    # or explicitly deferred in the registry's named next-round head.
+    window = set(PRIORITY)
+    uncovered_never = [n for n in never if n not in window]
+    if uncovered_never:
+        print(f"no-evidence rows NOT in the current window: {uncovered_never}")
+    return 1 if overdue or uncovered_never else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
