@@ -290,3 +290,110 @@ def test_semdedup_sweep_emits_full_grid_on_degenerate_input(spark, singleton_buc
         assert res.ok and res.exact, res.detail
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------
+# Late-r11 exact-int64 helper properties (r11 verdict task 5): the
+# helpers shared by centroid_assignments / sim_ood_detection /
+# sim_centroid_classifier_eval / sim_kmeans_refit.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+MICRO_BOUND = 20_000_000  # documented |x| <= ~2e7 micro (20.0 raw)
+DIMS = 64
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-MICRO_BOUND, max_value=MICRO_BOUND),
+            min_size=DIMS,
+            max_size=DIMS,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(
+            st.integers(min_value=-MICRO_BOUND, max_value=MICRO_BOUND),
+            min_size=DIMS,
+            max_size=DIMS,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_int64_sqdist_never_overflows_at_documented_bounds(xs, cs):
+    """_int64_sqdist must equal the arbitrary-precision big-int
+    computation at the EXTREME documented bounds (|x| <= 2e7 micro,
+    64 dims): worst case per cell is 64 * (4e7)^2 ~ 1.02e17 < 2^63.
+    A silent wraparound would corrupt every consumer's ordering."""
+    from http_datafusion_spark.operators.similarity import _int64_sqdist
+
+    X = np.array(xs, dtype=np.int64)
+    C = np.array(cs, dtype=np.int64)
+    got = _int64_sqdist(X, C)
+    for i, xv in enumerate(xs):
+        for j, cv in enumerate(cs):
+            exact = sum((int(a) - int(b)) ** 2 for a, b in zip(xv, cv))
+            assert exact < 2**63
+            assert int(got[i, j]) == exact
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=64 * (2 * MICRO_BOUND) ** 2))
+def test_integer_half_up_matches_decimal_oracle(mi):
+    """(mi + 5e5) // 1e6 (the sim_ood_detection kernel's integer
+    rounding, mi >= 0) must be bit-equal to Decimal ROUND_HALF_UP at
+    6 micro-digits — including EXACT .5 remainders, where HALF_DOWN
+    or banker's rounding would differ."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = (mi + 500_000) // 1_000_000
+    want = int(
+        (Decimal(mi) / Decimal(1_000_000)).quantize(Decimal(1), ROUND_HALF_UP)
+    )
+    assert got == want
+
+
+def test_integer_half_up_exact_boundary_cases():
+    """Pin the adversarial remainders explicitly (Hypothesis finds
+    them probabilistically; these must never regress)."""
+    for q in (0, 1, 7, 10**9):
+        base = q * 1_000_000
+        assert (base + 499_999 + 500_000) // 1_000_000 == q  # just below .5
+        assert (base + 500_000 + 500_000) // 1_000_000 == q + 1  # exactly .5
+        assert (base + 500_001 + 500_000) // 1_000_000 == q + 1  # just above
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-100, max_value=100),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=tuple,
+    ),
+    st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=4, max_size=4
+    ),
+)
+def test_argmin_tiebreak_matches_lexicographic_d2_label(cents, x):
+    """np.argmin's first-min rule over ascending-label centroid rows
+    must equal min by (d2, label) — the oracle's ORDER BY d2, clabel.
+    Small coordinates force frequent exact distance ties."""
+    from http_datafusion_spark.operators.similarity import _int64_sqdist
+
+    labels = np.arange(len(cents), dtype=np.int64)  # ascending by row
+    C = np.array(cents, dtype=np.int64)
+    X = np.array([x], dtype=np.int64)
+    d2 = _int64_sqdist(X, C)[0]
+    got = labels[int(np.argmin(d2))]
+    want = min(zip(d2.tolist(), labels.tolist()))[1]
+    assert got == want
