@@ -1575,6 +1575,9 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHRA_SAMPLE_MOD = 16  # judge 1/16 of the candidate union (fixed hash gate)
+
+
 @query(
     "dedup_simhash_recall_audit",
     oracle=f"""
@@ -1592,76 +1595,178 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
       ) WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING_MAX}
     ),
+    mh AS ({_minhash_pairs_sql()}),
+    u AS (
+      SELECT coalesce(s.doc_a, m.doc_a) AS doc_a,
+             coalesce(s.doc_b, m.doc_b) AS doc_b,
+             s.doc_a IS NOT NULL AS in_sh,
+             m.doc_a IS NOT NULL AS in_mh
+      FROM sh_pairs s
+      FULL OUTER JOIN (SELECT doc_a, doc_b FROM mh) m
+        ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+    ),
+    judged AS (
+      SELECT * FROM u
+      WHERE {md5_int_sql("concat('shra|', CAST(doc_a AS VARCHAR), '|', CAST(doc_b AS VARCHAR))")} % {SHRA_SAMPLE_MOD} = 0
+    ),
     w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
-    sh AS (
-      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    shd AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
       FROM w WHERE len(words) >= 3
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    jac_pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      ) c
-      JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shd GROUP BY doc_id),
+    shared AS (
+      SELECT j.doc_a, j.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM judged j
+      JOIN shd a ON a.doc_id = j.doc_a
+      JOIN shd b ON b.doc_id = j.doc_b AND b.shingle = a.shingle
+      GROUP BY j.doc_a, j.doc_b
     ),
-    u AS (
-      SELECT coalesce(s.doc_a, j.doc_a) AS doc_a,
-             s.doc_a IS NOT NULL AS in_simhash,
-             j.doc_a IS NOT NULL AS in_truth
-      FROM sh_pairs s
-      FULL OUTER JOIN jac_pairs j ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+    scored AS (
+      SELECT j.in_sh, j.in_mh,
+             coalesce(s.n_shared, 0) * 1.0
+               / (za.sz + zb.sz - coalesce(s.n_shared, 0)) >= 0.7 AS is_true
+      FROM judged j
+      LEFT JOIN shared s ON s.doc_a = j.doc_a AND s.doc_b = j.doc_b
+      JOIN sizes za ON za.doc_id = j.doc_a
+      JOIN sizes zb ON zb.doc_id = j.doc_b
+    ),
+    totals AS (
+      SELECT CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_pairs,
+             CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_pairs,
+             CAST(count(*) AS BIGINT) AS n_union_pairs
+      FROM u
     )
-    SELECT CAST(sum(CASE WHEN in_simhash THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_pairs,
-           CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_pairs,
-           CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-           CAST(sum(CASE WHEN in_simhash AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           CAST(sum(CASE WHEN in_truth AND NOT in_simhash THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-           round(CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
-                 / nullif(sum(CASE WHEN in_simhash THEN 1 ELSE 0 END), 0), 6) AS precision_vs_jaccard,
-           round(CAST(sum(CASE WHEN in_simhash AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
-                 / nullif(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS recall_vs_jaccard
-    FROM u
+    SELECT t.n_simhash_pairs, t.n_minhash_pairs, t.n_union_pairs,
+           CAST(count(*) AS BIGINT) AS n_judged_pairs,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+           round(CAST(sum(CASE WHEN in_sh AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_sh THEN 1 ELSE 0 END), 0), 6) AS precision_simhash,
+           round(CAST(sum(CASE WHEN in_mh AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN in_mh THEN 1 ELSE 0 END), 0), 6) AS precision_minhash,
+           round(CAST(sum(CASE WHEN in_sh AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6) AS rel_recall_simhash,
+           round(CAST(sum(CASE WHEN in_mh AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6) AS rel_recall_minhash
+    FROM scored CROSS JOIN totals t
+    GROUP BY t.n_simhash_pairs, t.n_minhash_pairs, t.n_union_pairs
     """,
-    doc=f"SimHash-vs-exact-Jaccard agreement audit: the hamming<="
-    f"{SIMHASH_HAMMING_MAX} banded SimHash pair set scored against the "
-    f"exact shingle-Jaccard>=0.7 truth set (tp/fp/fn, precision, recall) — "
-    f"the measurement that decides whether the cheap {N_SIMHASH_BITS}-bit "
-    f"fingerprint can replace the shingle inverted index for a given "
-    f"corpus (Henzinger 2006 ran exactly this comparison at Google scale). "
-    f"Like cms_error_audit, the exact side is the audit-scale cost you pay "
-    f"once to calibrate the sketch you ship; both pair generators are the "
-    f"already-bounded registry machines (banded-chunk join, shingle "
-    f"inverted index) and the agreement join is pair-keyed — no new "
-    f"quadratic surface (north-star dedup)",
+    doc=f"SimHash-vs-MinHash fingerprint agreement audit, Henzinger 2006 "
+    f"methodology: both sub-quadratic candidate machines (hamming<="
+    f"{SIMHASH_HAMMING_MAX} banded SimHash; the k={N_MINHASH} LSH banded "
+    f"MinHash) are scored against EXACT shingle Jaccard>=0.7 computed ONLY "
+    f"on the candidate-pair UNION — candidate-then-verify, the "
+    f"dedup_minhash_estimator_calibration pattern — and the verify runs on "
+    f"a FIXED 1/{SHRA_SAMPLE_MOD} hash sample of the union (judged pairs), "
+    f"so the expensive step is budget-bounded the way Henzinger's own "
+    f"sampled judgments were. Two earlier drafts are documented failures: "
+    f"the full inverted-index truth join OOMed the sf5 box (quadratic "
+    f"under the 50x-replication bench data), and verifying the UNSAMPLED "
+    f"union still dragged 8.7M simhash candidates through the shingle "
+    f"join at sf1 (96 s). Absolute truth is unknowable at scale, so each "
+    f"method is judged by precision and RELATIVE recall — its share of "
+    f"the true pairs either method surfaced — on the judged sample; full "
+    f"candidate counts stay exact. The decision readout for which "
+    f"fingerprint family ships (north-star dedup)",
     tags=("dedup", "sketch"),
 )
 def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    jac_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    u = sh_pairs.withColumn("in_simhash", F.lit(True)).join(
-        jac_pairs.withColumn("in_truth", F.lit(True)),
-        ["doc_a", "doc_b"],
-        "full_outer",
+    mh_pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    u = (
+        sh_pairs.withColumn("in_sh", F.lit(True))
+        .join(
+            mh_pairs.withColumn("in_mh", F.lit(True)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("in_sh").isNotNull().alias("in_sh"),
+            F.col("in_mh").isNotNull().alias("in_mh"),
+        )
     )
-    in_s = F.col("in_simhash").isNotNull()
-    in_t = F.col("in_truth").isNotNull()
-    tp = F.sum(F.when(in_s & in_t, 1).otherwise(0))
-    n_s = F.sum(F.when(in_s, 1).otherwise(0))
-    n_t = F.sum(F.when(in_t, 1).otherwise(0))
-    return u.agg(
-        n_s.cast("bigint").alias("n_simhash_pairs"),
-        n_t.cast("bigint").alias("n_truth_pairs"),
-        tp.cast("bigint").alias("tp"),
-        F.sum(F.when(in_s & ~in_t, 1).otherwise(0)).cast("bigint").alias("fp"),
-        F.sum(F.when(in_t & ~in_s, 1).otherwise(0)).cast("bigint").alias("fn"),
-        F.round(tp.cast("double") / F.nullif(n_s, F.lit(0)), 6).alias(
-            "precision_vs_jaccard"
-        ),
-        F.round(tp.cast("double") / F.nullif(n_t, F.lit(0)), 6).alias(
-            "recall_vs_jaccard"
-        ),
+    # Full-set counts are cheap (no verify); the verify join runs only
+    # on the fixed 1/SHRA_SAMPLE_MOD hash sample of the union — judged
+    # pairs, Henzinger-style. The union is materialized once and both
+    # branches reuse its Exchange per execution.
+    u = u.repartition("doc_a", "doc_b")
+    totals = u.agg(
+        F.sum(F.when(F.col("in_sh"), 1).otherwise(0)).cast("bigint").alias("n_simhash_pairs"),
+        F.sum(F.when(F.col("in_mh"), 1).otherwise(0)).cast("bigint").alias("n_minhash_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union_pairs"),
+    )
+    gate = (
+        md5_int(
+            F.concat(
+                F.lit("shra|"),
+                F.col("doc_a").cast("string"),
+                F.lit("|"),
+                F.col("doc_b").cast("string"),
+            )
+        )
+        % SHRA_SAMPLE_MOD
+        == 0
+    )
+    judged = u.filter(gate)
+    sh = shingled_docs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        judged.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ns = F.coalesce(F.col("n_shared"), F.lit(0))
+    scored = (
+        judged.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "in_sh",
+            "in_mh",
+            (ns * 1.0 / (F.col("sz_a") + F.col("sz_b") - ns) >= 0.7).alias("is_true"),
+        )
+    )
+    t = F.col("is_true")
+    tp_s = F.sum(F.when(F.col("in_sh") & t, 1).otherwise(0))
+    tp_m = F.sum(F.when(F.col("in_mh") & t, 1).otherwise(0))
+    n_s = F.sum(F.when(F.col("in_sh"), 1).otherwise(0))
+    n_m = F.sum(F.when(F.col("in_mh"), 1).otherwise(0))
+    n_t = F.sum(F.when(t, 1).otherwise(0))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_judged_pairs"),
+            n_t.cast("bigint").alias("n_true_pairs"),
+            F.round(tp_s.cast("double") / F.nullif(n_s, F.lit(0)), 6).alias(
+                "precision_simhash"
+            ),
+            F.round(tp_m.cast("double") / F.nullif(n_m, F.lit(0)), 6).alias(
+                "precision_minhash"
+            ),
+            F.round(tp_s.cast("double") / F.nullif(n_t, F.lit(0)), 6).alias(
+                "rel_recall_simhash"
+            ),
+            F.round(tp_m.cast("double") / F.nullif(n_t, F.lit(0)), 6).alias(
+                "rel_recall_minhash"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_simhash_pairs",
+            "n_minhash_pairs",
+            "n_union_pairs",
+            "n_judged_pairs",
+            "n_true_pairs",
+            "precision_simhash",
+            "precision_minhash",
+            "rel_recall_simhash",
+            "rel_recall_minhash",
+        )
     )
