@@ -621,6 +621,7 @@ BROADCAST_GUARD_ALLOWED = {
     "orders_cohort_matrix": "per-cohort-month sizes (calendar-bounded)",
     # sketch/config-bounded structures
     "cms_heavy_hitters": "d x w CMS cell table (constant by construction)",
+    "cms_error_audit": "d x w CMS cell table (constant by construction — same sketch as cms_heavy_hitters)",
     "dedup_minhash_threshold_sweep": "group by n_match in 0..k (bounded)",
     "supplier_concentration_hhi": "per-p_type totals (p_type is a closed enum)",
     "weighted_median_price": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
