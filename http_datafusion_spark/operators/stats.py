@@ -511,3 +511,107 @@ def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alpha")
     )
+
+
+ATT_ERR_MIN = 14  # treatment: chronic error exposure (>= this many errors)
+ATT_STRATUM_W = 10  # activity stratum width (events per user)
+
+
+@query(
+    "events_att_stratified",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       >= {ATT_ERR_MIN} THEN 1 ELSE 0 END AS treated,
+             CAST(sum(CASE WHEN event_type <> 'error'
+                           THEN {_Q6.format(x='value')} END) AS DOUBLE)
+               / nullif(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END), 0)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(floor(n_events * 1.0 / {ATT_STRATUM_W}) AS BIGINT) AS stratum,
+             treated, y
+      FROM u WHERE y IS NOT NULL
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(treated) AS BIGINT) AS n1,
+             CAST(sum(1 - treated) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN treated = 1 THEN {_Q6.format(x='y')} END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN treated = 0 THEN {_Q6.format(x='y')} END) AS DOUBLE) AS s0
+      FROM s GROUP BY stratum
+      HAVING sum(treated) >= 1 AND sum(1 - treated) >= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+           CAST(sum(n1) AS BIGINT) AS n_treated,
+           CAST(sum(n0) AS BIGINT) AS n_control,
+           round(CAST(sum({_Q6.format(x='(s1 / n1 - s0 / n0) * n1')}) AS DOUBLE)
+                 / sum(n1), 6) AS att
+    FROM cells
+    """,
+    doc=f"stratified-adjustment ATT (Cochran 1968 subclassification; the "
+    f"propensity-stratification estimator of Rosenbaum & Rubin 1984 with an "
+    f"observable stratifier): effect of chronic error exposure (>="
+    f"{ATT_ERR_MIN} error events) on a user's mean non-error event value, "
+    f"adjusted for activity via {ATT_STRATUM_W}-event-wide strata — "
+    f"activity confounds naively (more events => mechanically more errors "
+    f"AND different engagement), so the naive difference is biased; ATT = "
+    f"sum_s w_s (ybar1_s - ybar0_s) with w_s = treated share, over strata "
+    f"holding BOTH arms. The observational-causal complement of "
+    f"events_uplift_cuped (randomized) and events_impact_did (temporal): "
+    f"one user-keyed aggregate, then stratum-bounded math; 6dp-decimal "
+    f"sums keep every mean order-independent",
+    tags=("events", "stats"),
+)
+def events_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    err = F.col("event_type") == "error"
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.when(
+            F.sum(F.when(err, 1).otherwise(0)) >= ATT_ERR_MIN, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        (
+            F.sum(F.when(~err, _q6(F.col("value")))).cast("double")
+            / F.nullif(F.sum(F.when(~err, 1).otherwise(0)), F.lit(0))
+        ).alias("y"),
+    )
+    s = u.filter(F.col("y").isNotNull()).select(
+        F.floor(F.col("n_events") * 1.0 / ATT_STRATUM_W).cast("bigint").alias("stratum"),
+        "treated",
+        "y",
+    )
+    cells = (
+        s.groupBy("stratum")
+        .agg(
+            F.sum("treated").cast("bigint").alias("n1"),
+            F.sum(F.lit(1) - F.col("treated")).cast("bigint").alias("n0"),
+            F.sum(F.when(F.col("treated") == 1, _q6(F.col("y"))))
+            .cast("double")
+            .alias("s1"),
+            F.sum(F.when(F.col("treated") == 0, _q6(F.col("y"))))
+            .cast("double")
+            .alias("s0"),
+        )
+        .filter((F.col("n1") >= 1) & (F.col("n0") >= 1))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+        F.sum("n1").cast("bigint").alias("n_treated"),
+        F.sum("n0").cast("bigint").alias("n_control"),
+        F.round(
+            F.sum(
+                _q6(
+                    (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"))
+                    * F.col("n1")
+                )
+            ).cast("double")
+            / F.sum("n1"),
+            6,
+        ).alias("att"),
+    )

@@ -2060,3 +2060,193 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_HOLDOUT = 3  # backtest horizon (months)
+
+# The Holt update in the algebraically-expanded no-reuse form
+# (b_t = B*(A*(y - l) + (1-A)*b) + (1-B)*b, so l' never appears inside
+# the b expression): identical operation order on both engines gives
+# bit-identical doubles. The DuckDB fold carries state as a 2-element
+# DOUBLE[] — NOT a struct — because DuckDB's list_reduce evaluates
+# struct result fields sequentially against a MUTATED accumulator (the
+# 'b' field sees the already-updated 'l'; verified on a toy series),
+# while the list form evaluates against the old state like Spark's
+# F.aggregate does.
+
+
+@query(
+    "orders_holt_backtest",
+    oracle=f"""
+    WITH g AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS mi,
+             CAST(sum(CAST(round(CAST(o.o_totalprice AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(mi) AS mn, max(mi) AS mx FROM g),
+    grid AS (
+      SELECT n_name, m AS mi
+      FROM (SELECT DISTINCT n_name FROM g)
+      CROSS JOIN (SELECT unnest(generate_series(b.mn, b.mx)) AS m FROM bounds b)
+    ),
+    fil AS (
+      SELECT grid.n_name, grid.mi, coalesce(g.y, CAST(0.0 AS DOUBLE)) AS y
+      FROM grid LEFT JOIN g ON g.n_name = grid.n_name AND g.mi = grid.mi
+    ),
+    ser AS (
+      SELECT n_name,
+             list_transform(list_sort(list({{'m': mi, 'y': y}})), s -> s.y) AS ys
+      FROM fil GROUP BY n_name
+    ),
+    fitted AS (
+      SELECT n_name,
+             CAST(len(ys) AS BIGINT) AS n_months,
+             ys[len(ys) - {HOLT_HOLDOUT} + 1 : len(ys)] AS actual,
+             list_reduce(
+               list_transform(ys[1 : len(ys) - {HOLT_HOLDOUT}],
+                              v -> [v, CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 {HOLT_ALPHA} * x[1] + (1.0 - {HOLT_ALPHA}) * (acc[1] + acc[2]),
+                 {HOLT_BETA} * ({HOLT_ALPHA} * (x[1] - acc[1])
+                                + (1.0 - {HOLT_ALPHA}) * acc[2])
+                   + (1.0 - {HOLT_BETA}) * acc[2]
+               ]
+             ) AS st
+      FROM ser
+    ),
+    scored AS (
+      SELECT n_name, n_months, st[1] AS level_end, st[2] AS trend_end,
+             list_transform(range(1, {HOLT_HOLDOUT} + 1),
+               h -> CASE WHEN actual[h] <> 0.0
+                         THEN CAST(round(abs((st[1] + h * st[2]) - actual[h])
+                                         / abs(actual[h]), 6) AS DECIMAL(18,6))
+                    END) AS apes
+      FROM fitted
+    )
+    SELECT n_name, n_months,
+           round(level_end, 6) AS level_end,
+           round(trend_end, 6) AS trend_end,
+           round(CAST(list_sum(list_filter(apes, a -> a IS NOT NULL)) AS DOUBLE)
+                 / nullif(len(list_filter(apes, a -> a IS NOT NULL)), 0), 6)
+             AS mape_holdout
+    FROM scored ORDER BY n_name
+    """,
+    doc=f"Holt double-exponential-smoothing backtest (Holt 1957/2004; "
+    f"Hyndman & Athanasopoulos FPP §8.2) per nation: monthly revenue "
+    f"zero-filled onto the global month grid, level+trend recursion "
+    f"(alpha={HOLT_ALPHA}, beta={HOLT_BETA}, l0=y1, b0=0) folded over the "
+    f"training prefix, last {HOLT_HOLDOUT} months held out, MAPE of the "
+    f"h-step forecasts l+h*b — the trend-aware forecasting tier between "
+    f"ts_ewma (level only) and orders_seasonal_backtest (seasonal-naive). "
+    f"The recursion is INHERENTLY sequential, so it runs as a bounded "
+    f"in-plan fold: per-nation month arrays are calendar-bounded (~80 "
+    f"elements), built by one grouped collect after the (nation, month) "
+    f"aggregate — the same shape both engines fold left-to-right with an "
+    f"identical expression tree, so doubles match bit-for-bit. At 100 TB "
+    f"the fact scan is the only corpus-sized stage; everything after the "
+    f"(25 x months)-row aggregate is constant-bounded (north-star "
+    f"timeseries)",
+    tags=("timeseries", "relational"),
+)
+def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    g = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mi"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice").cast("double"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    bounds = g.agg(F.min("mi").alias("mn"), F.max("mi").alias("mx"))
+    grid = (
+        g.select("n_name")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("n_name", F.explode(F.sequence("mn", "mx")).alias("mi"))
+    )
+    fil = grid.join(g, ["n_name", "mi"], "left").select(
+        "n_name", "mi", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    ser = fil.groupBy("n_name").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("mi", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    n = F.size("ys")
+    train = F.slice(F.col("ys"), 1, n - HOLT_HOLDOUT)
+    actual = F.slice(F.col("ys"), n - HOLT_HOLDOUT + 1, HOLT_HOLDOUT)
+    A, B = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    st = F.aggregate(
+        F.slice(train, 2, F.size(train) - 1),
+        F.struct(
+            F.element_at(train, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, v: F.struct(
+            (A * v + (F.lit(1.0) - A) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                B * (A * (v - acc["l"]) + (F.lit(1.0) - A) * acc["b"])
+                + (F.lit(1.0) - B) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    fitted = ser.select(
+        "n_name",
+        n.cast("bigint").alias("n_months"),
+        actual.alias("actual"),
+        st.alias("st"),
+    )
+    apes = F.transform(
+        F.sequence(F.lit(1), F.lit(HOLT_HOLDOUT)),
+        lambda h: F.when(
+            F.element_at(F.col("actual"), h.cast("int")) != 0.0,
+            F.round(
+                F.abs(
+                    (F.col("st.l") + h * F.col("st.b"))
+                    - F.element_at(F.col("actual"), h.cast("int"))
+                )
+                / F.abs(F.element_at(F.col("actual"), h.cast("int"))),
+                6,
+            ).cast("decimal(18,6)"),
+        ),
+    )
+    scored = fitted.select(
+        "n_name",
+        "n_months",
+        F.col("st.l").alias("level_end"),
+        F.col("st.b").alias("trend_end"),
+        F.filter(apes, lambda a: a.isNotNull()).alias("apes_ok"),
+    )
+    return scored.select(
+        "n_name",
+        "n_months",
+        F.round("level_end", 6).alias("level_end"),
+        F.round("trend_end", 6).alias("trend_end"),
+        F.round(
+            F.aggregate(
+                "apes_ok",
+                F.lit(0.0).cast("decimal(18,6)"),
+                # re-cast each partial: Spark widens DECIMAL(18,6)+ to
+                # (19,6) which breaks the accumulator type; the values
+                # are sub-1e3 APEs so the narrowing is lossless
+                lambda a, x: (a + x).cast("decimal(18,6)"),
+            ).cast("double")
+            / F.nullif(F.size("apes_ok"), F.lit(0)),
+            6,
+        ).alias("mape_holdout"),
+    ).orderBy("n_name")

@@ -66,22 +66,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       item 1: the tau grid is now left-joined against the per-tau
 #       counts so the degenerate no-earlier-mate input emits the full
 #       grid — plan changed this round, so it re-enters the window).
-#   (c) the 10 r12 ADDITIONS, each locally oracle-exact at
+#   (c) the 12 r12 ADDITIONS, each locally oracle-exact at
 #       sf0.001+sf0.01 with a COVERAGE row (tests/test_docs.py freeze
 #       rule): dedup_substring_runs, embedding_isotropy_audit,
 #       sim_silhouette_simplified, events_srm_check, stats_bh_fdr,
 #       ml_calibration_bins, ml_conformal_coverage,
 #       train_shuffle_autocorr, cms_error_audit,
-#       dedup_simhash_recall_audit.
-#   (d) 37 slots of r4-stale re-confirmation: the lexicographically-
-#       first 37 of the 46-row r4 tail the r11 head comment named
+#       dedup_simhash_recall_audit, events_att_stratified,
+#       orders_holt_backtest.
+#   (d) 35 slots of r4-stale re-confirmation: the lexicographically-
+#       first 35 of the 46-row r4 tail the r11 head comment named
 #       verbatim (oldest driver evidence in the registry; unchanged
 #       code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 9 rows of
+#   R13 HEAD (named now, per rotation discipline): FIRST the 11 rows of
 #   the r4 tail that overflowed this window —
-#   text_top_bigrams, tokenize_to_ids, train_shuffle_shards,
-#   train_val_split, ts_ewma, ts_mad_outliers, ts_resample_ohlc,
-#   ts_zscore_outliers, vocab_build
+#   text_rare_words, text_repetition, text_top_bigrams,
+#   tokenize_to_ids, train_shuffle_shards, train_val_split, ts_ewma,
+#   ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers, vocab_build
 #   — then any row whose code or oracle changes during r12 after this
 #   window freezes, then r13 additions, then the lexicographically-
 #   first of the 35-row r5-stale tail (the next-oldest evidence class
@@ -109,6 +110,8 @@ PRIORITY: tuple[str, ...] = (
     "train_shuffle_autocorr",
     "cms_error_audit",
     "dedup_simhash_recall_audit",
+    "events_att_stratified",
+    "orders_holt_backtest",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
@@ -145,8 +148,6 @@ PRIORITY: tuple[str, ...] = (
     "sim_ivf_recall",
     "text_bm25_search",
     "text_char_entropy",
-    "text_rare_words",
-    "text_repetition",
 )
 
 def query(
