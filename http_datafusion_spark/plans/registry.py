@@ -66,21 +66,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       item 1: the tau grid is now left-joined against the per-tau
 #       counts so the degenerate no-earlier-mate input emits the full
 #       grid — plan changed this round, so it re-enters the window).
-#   (c) the 12 r12 ADDITIONS, each locally oracle-exact at
+#   (c) the 13 r12 ADDITIONS, each locally oracle-exact at
 #       sf0.001+sf0.01 with a COVERAGE row (tests/test_docs.py freeze
 #       rule): dedup_substring_runs, embedding_isotropy_audit,
 #       sim_silhouette_simplified, events_srm_check, stats_bh_fdr,
 #       ml_calibration_bins, ml_conformal_coverage,
 #       train_shuffle_autocorr, cms_error_audit,
 #       dedup_simhash_recall_audit, events_att_stratified,
-#       orders_holt_backtest.
-#   (d) 35 slots of r4-stale re-confirmation: the lexicographically-
-#       first 35 of the 46-row r4 tail the r11 head comment named
+#       orders_holt_backtest, stream_srm_check.
+#   (d) 34 slots of r4-stale re-confirmation: the lexicographically-
+#       first 34 of the 46-row r4 tail the r11 head comment named
 #       verbatim (oldest driver evidence in the registry; unchanged
 #       code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 11 rows of
+#   R13 HEAD (named now, per rotation discipline): FIRST the 12 rows of
 #   the r4 tail that overflowed this window —
-#   text_rare_words, text_repetition, text_top_bigrams,
+#   text_char_entropy, text_rare_words, text_repetition, text_top_bigrams,
 #   tokenize_to_ids, train_shuffle_shards, train_val_split, ts_ewma,
 #   ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers, vocab_build
 #   — then any row whose code or oracle changes during r12 after this
@@ -112,6 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash_recall_audit",
     "events_att_stratified",
     "orders_holt_backtest",
+    "stream_srm_check",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
@@ -147,7 +148,6 @@ PRIORITY: tuple[str, ...] = (
     "semantic_search_join",
     "sim_ivf_recall",
     "text_bm25_search",
-    "text_char_entropy",
 )
 
 def query(

@@ -1524,3 +1524,88 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _srm_tail_sql() -> str:
+    """A&S normal tail for the streaming SRM oracle (deferred import:
+    streaming must not import the stats module at module-load time in
+    workers)."""
+    from http_datafusion_spark.operators.stats import _phi_tail_sql
+
+    return _phi_tail_sql("sqrt(chi2)")
+
+
+@query(
+    "stream_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_h,
+             user_id, user_id % 2 AS arm
+      FROM events
+    ),
+    seg AS (
+      SELECT bucket_h,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS arm0_users,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arm1_users
+      FROM u GROUP BY bucket_h
+    ),
+    stat AS (
+      SELECT bucket_h, arm0_users, arm1_users,
+             round(CAST((arm0_users - arm1_users) * (arm0_users - arm1_users)
+                        AS DOUBLE) / (arm0_users + arm1_users), 6) AS chi2
+      FROM seg
+    )
+    SELECT bucket_h, arm0_users, arm1_users, chi2,
+           round(2.0 * {{tail}}, 6) AS p_value,
+           2.0 * {{tail}} < {{floor_p}} AS srm_flag
+    FROM stat ORDER BY bucket_h
+    """.replace("{tail}", _srm_tail_sql()).replace("{floor_p}", "0.001"),
+    doc="streaming sample-ratio-mismatch guard: the events_srm_check "
+    "assignment-integrity gate run CONTINUOUSLY per event-time hour — "
+    "cross-batch stateful dropDuplicates on (hour, user) (a user's events "
+    "for one hour arrive across many micro-batches; only state dedups "
+    "them), then a complete-mode per-hour arm-count aggregate; chi-square "
+    "and the A&S tail polynomial are computed on the sink output exactly "
+    "as the batch twin does, so the oracle is the batch per-hour SRM "
+    "table. An experiment platform runs precisely this as a live guard — "
+    "a mid-experiment assignment bug flips srm_flag within an hour "
+    "instead of at the readout. Dedup state = one entry per (hour, user); "
+    "at 100 TB a watermark bounds it to open hours (streaming extension)",
+    tags=("streaming", "stats"),
+)
+def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.stats import SRM_P_FLOOR, _phi_tail
+
+    stream = read_events_stream(spark, sf_dir)
+    keyed = stream.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("bucket_h"),
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+    ).dropDuplicates(["bucket_h", "user_id"])
+    seg = keyed.groupBy("bucket_h").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm0_users"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm1_users"),
+    )
+    out = run_to_memory(seg, "complete")
+    d = F.col("arm0_users") - F.col("arm1_users")
+    stat = out.select(
+        "bucket_h",
+        "arm0_users",
+        "arm1_users",
+        F.round(
+            (d * d).cast("double") / (F.col("arm0_users") + F.col("arm1_users")), 6
+        ).alias("chi2"),
+    )
+    p = F.lit(2.0) * _phi_tail(F.sqrt(F.col("chi2")))
+    return stat.select(
+        "bucket_h",
+        "arm0_users",
+        "arm1_users",
+        "chi2",
+        F.round(p, 6).alias("p_value"),
+        (p < SRM_P_FLOOR).alias("srm_flag"),
+    ).orderBy("bucket_h")
