@@ -14,6 +14,17 @@ trusts an experiment readout or a model score.
 - ``ml_conformal_coverage`` — split-conformal prediction intervals
   (Vovk; Angelopoulos & Bates 2021 tutorial form): distribution-free
   coverage check for a point predictor.
+- ``ml_auc_roc`` / ``ml_pr_auc`` — threshold-free ranking-quality
+  audits (ROC-AUC with tie handling; step-interpolated average
+  precision + best-F1 operating point) computed on the distinct-score
+  grain, never per-row ranks.
+- ``feature_mutual_info`` — plug-in mutual information / NMI between
+  categorical feature pairs (the feature-redundancy screen run before
+  target encoding).
+- ``events_msprt_sequential`` — always-valid sequential A/B p-values
+  (mixture SPRT, Johari/Pekelis/Walsh 2017 'Peeking at A/B Tests'):
+  the daily monitoring readout that stays valid under continuous
+  peeking, unlike the fixed-horizon z-test.
 
 Shared numeric discipline: the normal CDF tail is the Abramowitz &
 Stegun 26.2.17 polynomial (Zelen & Severo) written in IDENTICAL Horner
@@ -615,3 +626,437 @@ def events_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("att"),
     )
+
+
+# ------------------------------------------- ROC-AUC on the score grain
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg_prev
+      FROM s
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_scores,
+           round(CAST(sum(pos * (2 * cumneg_prev + neg)) AS DOUBLE)
+                 / (2.0 * sum(pos) * sum(neg)), 6) AS auc,
+           round(CAST(sum(pos * (2 * cumneg_prev + neg)) AS DOUBLE)
+                 / (1.0 * sum(pos) * sum(neg)) - 1.0, 6) AS gini
+    FROM c
+    """,
+    doc="ROC-AUC of the length score n_chars for the binary outcome "
+    "lang='en', with exact tie handling (AUC = P(S_pos > S_neg) + "
+    "0.5 P(S_pos = S_neg), the Mann-Whitney identity — Hanley & McNeil "
+    "1982): the fact table collapses to the DISTINCT-SCORE grain "
+    "(|n_chars domain|, ~313 values here, bounded by max document "
+    "length not corpus size), then one running sum over that grain "
+    "yields the pair count 2*cumneg_prev + neg per score — ALL INTEGER "
+    "until the final division, so both engines are exact by "
+    "construction, no rounding discipline needed. Gini = 2*AUC - 1. "
+    "The per-row global-rank formulation (row_number over every "
+    "document) is exactly what this shape avoids at 100 TB: one "
+    "map-side-combinable groupBy on an integer key, then a "
+    "domain-bounded window. Companion to ml_calibration_bins — "
+    "calibration says the score's VALUES are honest, AUC says its "
+    "ORDERING separates",
+    tags=("stats", "pipeline"),
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(~en, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    # running sum over the distinct-score grain (bounded by the n_chars
+    # value domain, NOT the corpus) — a sum window, not a ranking one
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    c = s.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cumneg_prev"),
+    )
+    num2 = F.sum(F.col("pos") * (2 * F.col("cumneg_prev") + F.col("neg")))
+    return c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.round(
+            num2.cast("double") / (F.lit(2.0) * F.sum("pos") * F.sum("neg")), 6
+        ).alias("auc"),
+        F.round(
+            num2.cast("double") / (F.lit(1.0) * F.sum("pos") * F.sum("neg"))
+            - F.lit(1.0),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------------- PR-AUC + best-F1 threshold
+
+
+@query(
+    "ml_pr_auc",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg FROM s),
+    c AS (
+      SELECT score, pos,
+             sum(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM s
+    ),
+    terms AS (
+      SELECT score, tp, fp,
+             CAST(round(pos * (tp * 1.0 / (tp + fp)), 6) AS DECIMAL(18,6)) AS ap_term,
+             round(2.0 * tp / (2.0 * tp + fp + (t.n_pos - tp)), 6) AS f1
+      FROM c CROSS JOIN tot t
+    ),
+    best AS (
+      SELECT f1 AS max_f1, CAST(score AS BIGINT) AS best_f1_threshold
+      FROM terms ORDER BY f1 DESC, score ASC LIMIT 1
+    )
+    SELECT t.n_pos, t.n_neg,
+           round(CAST(sum(m.ap_term) AS DOUBLE) / t.n_pos, 6) AS pr_auc,
+           b.max_f1, b.best_f1_threshold
+    FROM terms m CROSS JOIN tot t CROSS JOIN best b
+    GROUP BY t.n_pos, t.n_neg, b.max_f1, b.best_f1_threshold
+    """,
+    doc="step-interpolated average precision (the sklearn "
+    "average_precision_score definition: AP = sum_k (R_k - R_(k-1)) "
+    "P_k over descending score thresholds, which collapses to "
+    "sum_v pos_v * precision_v / n_pos on the distinct-score grain) "
+    "plus the best-F1 operating point and its threshold — the "
+    "class-imbalance-honest companion to ml_auc_roc (positives are "
+    "~44% here but rare-event curation filters live at 1%, where "
+    "ROC-AUC flatters). Same scale shape as ml_auc_roc: one integer "
+    "groupBy to the |score domain| grain, two running sums over that "
+    "bounded grain, a 313-row top-1 (TakeOrderedAndProject). AP terms "
+    "are 6dp-decimal quantized before summing (order-independent); "
+    "tp/fp are pure integers so precision inputs are engine-identical",
+    tags=("stats", "pipeline"),
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(~en, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    tot = s.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, 0)
+    c = s.select(
+        "score",
+        "pos",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "n_pos",
+        "n_neg",
+        _q6(F.col("pos") * (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")))).alias(
+            "ap_term"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.col("tp")
+            / (
+                F.lit(2.0) * F.col("tp")
+                + F.col("fp")
+                + (F.col("n_pos") - F.col("tp"))
+            ),
+            6,
+        ).alias("f1"),
+    )
+    best = terms.orderBy(F.col("f1").desc(), F.col("score").asc()).limit(1).select(
+        F.col("f1").alias("max_f1"),
+        F.col("score").cast("bigint").alias("best_f1_threshold"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(best))
+        .groupBy("n_pos", "n_neg", "max_f1", "best_f1_threshold")
+        .agg(
+            F.round(F.sum("ap_term").cast("double") / F.col("n_pos"), 6).alias(
+                "pr_auc"
+            )
+        )
+        .select("n_pos", "n_neg", "pr_auc", "max_f1", "best_f1_threshold")
+    )
+
+
+# ------------------------------------------- categorical mutual information
+
+
+def _entropy_terms_sql(count_expr: str, n_expr: str) -> str:
+    """6dp-decimal entropy term -(c/n) ln(c/n), the markov-entropy
+    transcendental discipline."""
+    p = f"({count_expr} * 1.0 / {n_expr})"
+    return f"CAST(round(-{p} * ln({p}), 6) AS DECIMAL(18,6))"
+
+
+@query(
+    "feature_mutual_info",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT 'documents:lang_x_source' AS feature_pair, lang AS x, source AS y
+      FROM documents
+      UNION ALL
+      SELECT 'orders:status_x_priority', o_orderstatus, o_orderpriority
+      FROM orders
+    ),
+    cells AS (
+      SELECT feature_pair, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY feature_pair, x, y
+    ),
+    tot AS (
+      SELECT feature_pair, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY feature_pair
+    ),
+    hx AS (
+      SELECT m.feature_pair,
+             CAST(sum({_entropy_terms_sql('m.cx', 't.n')}) AS DOUBLE) AS h_x
+      FROM (SELECT feature_pair, x, sum(c) AS cx FROM cells GROUP BY feature_pair, x) m
+      JOIN tot t USING (feature_pair) GROUP BY m.feature_pair
+    ),
+    hy AS (
+      SELECT m.feature_pair,
+             CAST(sum({_entropy_terms_sql('m.cy', 't.n')}) AS DOUBLE) AS h_y
+      FROM (SELECT feature_pair, y, sum(c) AS cy FROM cells GROUP BY feature_pair, y) m
+      JOIN tot t USING (feature_pair) GROUP BY m.feature_pair
+    ),
+    hxy AS (
+      SELECT c.feature_pair,
+             CAST(sum({_entropy_terms_sql('c.c', 't.n')}) AS DOUBLE) AS h_xy
+      FROM cells c JOIN tot t USING (feature_pair) GROUP BY c.feature_pair
+    )
+    SELECT t.feature_pair, t.n AS n_rows,
+           round(hx.h_x, 6) AS h_x, round(hy.h_y, 6) AS h_y,
+           round(hxy.h_xy, 6) AS h_xy,
+           round(hx.h_x + hy.h_y - hxy.h_xy, 6) AS mi_nats,
+           round((hx.h_x + hy.h_y - hxy.h_xy) / sqrt(hx.h_x * hy.h_y), 6) AS nmi
+    FROM tot t JOIN hx USING (feature_pair) JOIN hy USING (feature_pair)
+    JOIN hxy USING (feature_pair)
+    ORDER BY t.feature_pair
+    """,
+    doc="plug-in mutual information I(X;Y) = H(X) + H(Y) - H(X,Y) in "
+    "nats, plus the sqrt-normalized NMI (Strehl & Ghosh 2002), for two "
+    "categorical feature pairs: (lang, source) on documents and "
+    "(o_orderstatus, o_orderpriority) on orders — the feature-"
+    "redundancy screen a pipeline runs before target encoding or "
+    "stratified sampling (NMI near 1 means one feature is the other's "
+    "alias; near 0 means stratifying on both is worthwhile). Each pair "
+    "collapses to its joint-domain cell table (<= |X||Y| rows, 100 and "
+    "15 here — closed categorical enums, invariant at 100 TB) in one "
+    "map-side-combinable aggregate; entropy terms use the markov-"
+    "entropy 6dp-decimal-before-sum ln discipline so both engines sum "
+    "identical quantized terms",
+    tags=("stats", "pipeline"),
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents", "orders")
+    pairs = t["documents"].select(
+        F.lit("documents:lang_x_source").alias("feature_pair"),
+        F.col("lang").alias("x"),
+        F.col("source").alias("y"),
+    ).unionAll(
+        t["orders"].select(
+            F.lit("orders:status_x_priority").alias("feature_pair"),
+            F.col("o_orderstatus").alias("x"),
+            F.col("o_orderpriority").alias("y"),
+        )
+    )
+    cells = pairs.groupBy("feature_pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)  # <=115 rows; 4 downstream consumers
+    tot = cells.groupBy("feature_pair").agg(F.sum("c").cast("bigint").alias("n"))
+
+    def _ent(df: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt) * 1.0 / F.col("n")
+        return (
+            df.join(F.broadcast(tot), "feature_pair")
+            .select("feature_pair", _q6(-p * F.log(p)).alias("term"))
+            .groupBy("feature_pair")
+            .agg(F.sum("term").cast("double").alias(out))
+        )
+
+    hx = _ent(
+        cells.groupBy("feature_pair", "x").agg(F.sum("c").alias("cx")), "cx", "h_x"
+    )
+    hy = _ent(
+        cells.groupBy("feature_pair", "y").agg(F.sum("c").alias("cy")), "cy", "h_y"
+    )
+    hxy = _ent(cells, "c", "h_xy")
+    mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+    return (
+        tot.join(hx, "feature_pair")
+        .join(hy, "feature_pair")
+        .join(hxy, "feature_pair")
+        .select(
+            "feature_pair",
+            F.col("n").alias("n_rows"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round("h_xy", 6).alias("h_xy"),
+            F.round(mi, 6).alias("mi_nats"),
+            F.round(mi / F.sqrt(F.col("h_x") * F.col("h_y")), 6).alias("nmi"),
+        )
+        .orderBy("feature_pair")
+    )
+
+
+# ------------------------------------------- always-valid sequential test
+
+MSPRT_TAU2 = 1.0  # mixture variance of the prior on the effect size
+MSPRT_ALPHA = 0.05
+
+
+@query(
+    "events_msprt_sequential",
+    oracle=f"""
+    WITH g AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN {_Q6.format(x='value')} END) AS DOUBLE) AS s0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN {_Q6.format(x='value')} END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN {_Q6.format(x='value * value')} END) AS DOUBLE) AS t0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN {_Q6.format(x='value * value')} END) AS DOUBLE) AS t1
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+             sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1,
+             sum(t0) OVER w AS ct0, sum(t1) OVER w AS ct1
+      FROM g
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+      SELECT day, CAST(cn0 AS BIGINT) AS n0, CAST(cn1 AS BIGINT) AS n1,
+             round(cs1 / cn1 - cs0 / cn0, 6) AS delta,
+             round((ct0 / cn0 - (cs0 / cn0) * (cs0 / cn0)) / cn0
+                 + (ct1 / cn1 - (cs1 / cn1) * (cs1 / cn1)) / cn1, 6) AS vd
+      FROM c WHERE cn0 >= 2 AND cn1 >= 2
+    ),
+    ll AS (
+      SELECT day, n0, n1, delta,
+             round(0.5 * ln(vd / (vd + {MSPRT_TAU2}))
+                 + delta * delta * {MSPRT_TAU2}
+                   / (2.0 * vd * (vd + {MSPRT_TAU2})), 6) AS log_lambda
+      FROM stat WHERE vd > 0
+    )
+    SELECT day, n0, n1, delta, log_lambda,
+           round(least(1.0, exp(-max(log_lambda) OVER
+             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6)
+             AS p_always_valid,
+           least(1.0, exp(-max(log_lambda) OVER
+             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             < {MSPRT_ALPHA} AS rejected
+    FROM ll ORDER BY day
+    """,
+    doc=f"always-valid sequential A/B test via the mixture SPRT "
+    f"(Johari, Pekelis & Walsh 2017 'Peeking at A/B Tests', eq. 10-11 "
+    f"with a N(0, tau^2={MSPRT_TAU2}) mixing prior): daily cumulative "
+    f"per-arm moments of purchase value (arm = user_id %% 2) yield "
+    f"Lambda_n = sqrt(V_n/(V_n+tau^2)) exp(delta_n^2 tau^2 / (2 V_n "
+    f"(V_n+tau^2))) and the always-valid p-value p_n = min(1, min_k "
+    f"1/Lambda_k) — monitoring this DAILY keeps the type-I guarantee "
+    f"that the fixed-horizon z-test (events_ab_lift) forfeits the "
+    f"moment anyone peeks early. One day-grain aggregate over the fact "
+    f"scan (map-side combinable), then every window runs on the "
+    f"|days|-bounded grain; delta and V are 6dp-rounded BEFORE the "
+    f"ln/exp so the only transcendental divergence is a last-ULP washed "
+    f"by the 6dp output round. The running max of log-Lambda "
+    f"implements min_k 1/Lambda_k in log space (exp(-max) caps "
+    f"overflow-free)",
+    tags=("events", "stats"),
+)
+def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    a0 = F.col("user_id") % 2 == 0
+    a1 = F.col("user_id") % 2 == 1
+    v = F.col("value")
+    g = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(a0, 1).otherwise(0)).cast("bigint").alias("n0"),
+            F.sum(F.when(a1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(a0, _q6(v))).cast("double").alias("s0"),
+            F.sum(F.when(a1, _q6(v))).cast("double").alias("s1"),
+            F.sum(F.when(a0, _q6(v * v))).cast("double").alias("t0"),
+            F.sum(F.when(a1, _q6(v * v))).cast("double").alias("t1"),
+        )
+    )
+    # all windows below run on the |days|-bounded grain (30 here)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "day",
+        *[F.sum(x).over(w).alias("c" + x) for x in ("n0", "n1", "s0", "s1", "t0", "t1")],
+    )
+    m0, m1 = F.col("cs0") / F.col("cn0"), F.col("cs1") / F.col("cn1")
+    stat = c.filter((F.col("cn0") >= 2) & (F.col("cn1") >= 2)).select(
+        "day",
+        F.col("cn0").cast("bigint").alias("n0"),
+        F.col("cn1").cast("bigint").alias("n1"),
+        F.round(m1 - m0, 6).alias("delta"),
+        F.round(
+            (F.col("ct0") / F.col("cn0") - m0 * m0) / F.col("cn0")
+            + (F.col("ct1") / F.col("cn1") - m1 * m1) / F.col("cn1"),
+            6,
+        ).alias("vd"),
+    )
+    tau2 = F.lit(MSPRT_TAU2)
+    ll = stat.filter(F.col("vd") > 0).select(
+        "day",
+        "n0",
+        "n1",
+        "delta",
+        F.round(
+            F.lit(0.5) * F.log(F.col("vd") / (F.col("vd") + tau2))
+            + F.col("delta")
+            * F.col("delta")
+            * tau2
+            / (F.lit(2.0) * F.col("vd") * (F.col("vd") + tau2)),
+            6,
+        ).alias("log_lambda"),
+    )
+    p = F.least(F.lit(1.0), F.exp(-F.max("log_lambda").over(w)))
+    return ll.select(
+        "day",
+        "n0",
+        "n1",
+        "delta",
+        "log_lambda",
+        F.round(p, 6).alias("p_always_valid"),
+        (p < MSPRT_ALPHA).alias("rejected"),
+    ).orderBy("day")

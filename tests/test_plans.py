@@ -831,6 +831,10 @@ def test_local_checkpoint_inventory_is_pinned():
       plan depth flat across BPE_TRAIN_MERGES iterations.
     - streaming/queries.py (3): per-micro-batch probe results and
       bounded batch aggregates — batch-scoped, not corpus-scoped.
+    - stats.py (1, r12): feature_mutual_info's joint-domain cell table
+      (<= |X||Y| rows, 115 here — closed categorical enums) read by
+      four consumers (totals + three entropy branches) that would each
+      re-run the two-table union scan.
     - pipeline.py (3, r9): curriculum_stage_plan's per-doc NLL table
       (doc-level, 3 columns; the count + ordstats passes would each
       re-derive the token-explode + vocab-join aggregation),
@@ -856,6 +860,7 @@ def test_local_checkpoint_inventory_is_pinned():
         "operators/dedup.py": 1,
         "operators/pipeline.py": 3,
         "operators/similarity.py": 3,
+        "operators/stats.py": 1,
         "operators/text.py": 2,
         "streaming/queries.py": 3,
     }, f"localCheckpoint inventory drifted — audit the new/removed site: {sites}"
