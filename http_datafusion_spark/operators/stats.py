@@ -935,11 +935,9 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 MSPRT_TAU2 = 1.0  # mixture variance of the prior on the effect size
 MSPRT_ALPHA = 0.05
 
-
-@query(
-    "events_msprt_sequential",
-    oracle=f"""
-    WITH g AS (
+# day-grain per-arm moment table of purchase value — the sufficient
+# statistic both the batch test and its streaming twin aggregate to
+_MSPRT_DAILY_SQL = f"""
       SELECT strftime(ts, '%Y-%m-%d') AS day,
              CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
              CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -949,7 +947,10 @@ MSPRT_ALPHA = 0.05
              CAST(sum(CASE WHEN user_id % 2 = 1 THEN {_Q6.format(x='value * value')} END) AS DOUBLE) AS t1
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1
-    ),
+"""
+
+# mSPRT math over that day grain — shared verbatim by both oracles
+_MSPRT_TAIL_SQL = f"""
     c AS (
       SELECT day,
              sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
@@ -980,44 +981,17 @@ MSPRT_ALPHA = 0.05
              (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
              < {MSPRT_ALPHA} AS rejected
     FROM ll ORDER BY day
-    """,
-    doc=f"always-valid sequential A/B test via the mixture SPRT "
-    f"(Johari, Pekelis & Walsh 2017 'Peeking at A/B Tests', eq. 10-11 "
-    f"with a N(0, tau^2={MSPRT_TAU2}) mixing prior): daily cumulative "
-    f"per-arm moments of purchase value (arm = user_id %% 2) yield "
-    f"Lambda_n = sqrt(V_n/(V_n+tau^2)) exp(delta_n^2 tau^2 / (2 V_n "
-    f"(V_n+tau^2))) and the always-valid p-value p_n = min(1, min_k "
-    f"1/Lambda_k) — monitoring this DAILY keeps the type-I guarantee "
-    f"that the fixed-horizon z-test (events_ab_lift) forfeits the "
-    f"moment anyone peeks early. One day-grain aggregate over the fact "
-    f"scan (map-side combinable), then every window runs on the "
-    f"|days|-bounded grain; delta and V are 6dp-rounded BEFORE the "
-    f"ln/exp so the only transcendental divergence is a last-ULP washed "
-    f"by the 6dp output round. The running max of log-Lambda "
-    f"implements min_k 1/Lambda_k in log space (exp(-max) caps "
-    f"overflow-free)",
-    tags=("events", "stats"),
-)
-def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def msprt_from_daily(g: DataFrame) -> DataFrame:
+    """mSPRT always-valid p-values from a day-grain per-arm moment
+    table (columns day,n0,n1,s0,s1,t0,t1) — the Spark twin of
+    ``_MSPRT_TAIL_SQL``, shared by the batch test and the streaming
+    monitor so their math cannot drift. Every window here runs on the
+    |days|-bounded grain."""
     from pyspark.sql import Window as W
 
-    e = load_tables(spark, sf_dir, "events")["events"]
-    a0 = F.col("user_id") % 2 == 0
-    a1 = F.col("user_id") % 2 == 1
-    v = F.col("value")
-    g = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.sum(F.when(a0, 1).otherwise(0)).cast("bigint").alias("n0"),
-            F.sum(F.when(a1, 1).otherwise(0)).cast("bigint").alias("n1"),
-            F.sum(F.when(a0, _q6(v))).cast("double").alias("s0"),
-            F.sum(F.when(a1, _q6(v))).cast("double").alias("s1"),
-            F.sum(F.when(a0, _q6(v * v))).cast("double").alias("t0"),
-            F.sum(F.when(a1, _q6(v * v))).cast("double").alias("t1"),
-        )
-    )
-    # all windows below run on the |days|-bounded grain (30 here)
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     c = g.select(
         "day",
@@ -1060,3 +1034,53 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_always_valid"),
         (p < MSPRT_ALPHA).alias("rejected"),
     ).orderBy("day")
+
+
+def msprt_daily_aggregate(df: DataFrame) -> DataFrame:
+    """Day-grain per-arm purchase-value moments (the ``g`` CTE) from
+    an events frame — works on a batch OR streaming input."""
+    a0 = F.col("user_id") % 2 == 0
+    a1 = F.col("user_id") % 2 == 1
+    v = F.col("value")
+    return (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(a0, 1).otherwise(0)).cast("bigint").alias("n0"),
+            F.sum(F.when(a1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(a0, _q6(v))).cast("double").alias("s0"),
+            F.sum(F.when(a1, _q6(v))).cast("double").alias("s1"),
+            F.sum(F.when(a0, _q6(v * v))).cast("double").alias("t0"),
+            F.sum(F.when(a1, _q6(v * v))).cast("double").alias("t1"),
+        )
+    )
+
+
+@query(
+    "events_msprt_sequential",
+    oracle=f"""
+    WITH g AS (
+{_MSPRT_DAILY_SQL}
+    ),
+{_MSPRT_TAIL_SQL}
+    """,
+    doc=f"always-valid sequential A/B test via the mixture SPRT "
+    f"(Johari, Pekelis & Walsh 2017 'Peeking at A/B Tests', eq. 10-11 "
+    f"with a N(0, tau^2={MSPRT_TAU2}) mixing prior): daily cumulative "
+    f"per-arm moments of purchase value (arm = user_id %% 2) yield "
+    f"Lambda_n = sqrt(V_n/(V_n+tau^2)) exp(delta_n^2 tau^2 / (2 V_n "
+    f"(V_n+tau^2))) and the always-valid p-value p_n = min(1, min_k "
+    f"1/Lambda_k) — monitoring this DAILY keeps the type-I guarantee "
+    f"that the fixed-horizon z-test (events_ab_lift) forfeits the "
+    f"moment anyone peeks early. One day-grain aggregate over the fact "
+    f"scan (map-side combinable), then every window runs on the "
+    f"|days|-bounded grain; delta and V are 6dp-rounded BEFORE the "
+    f"ln/exp so the only transcendental divergence is a last-ULP washed "
+    f"by the 6dp output round. The running max of log-Lambda "
+    f"implements min_k 1/Lambda_k in log space (exp(-max) caps "
+    f"overflow-free)",
+    tags=("events", "stats"),
+)
+def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return msprt_from_daily(msprt_daily_aggregate(e))

@@ -1609,3 +1609,45 @@ def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_value"),
         (p < SRM_P_FLOOR).alias("srm_flag"),
     ).orderBy("bucket_h")
+
+
+def _msprt_oracle_sql() -> str:
+    """Oracle for the streaming mSPRT monitor — the batch twin's SQL
+    verbatim (deferred import, same rationale as _srm_tail_sql)."""
+    from http_datafusion_spark.operators.stats import (
+        _MSPRT_DAILY_SQL,
+        _MSPRT_TAIL_SQL,
+    )
+
+    return f"WITH g AS (\n{_MSPRT_DAILY_SQL}\n),\n{_MSPRT_TAIL_SQL}"
+
+
+@query(
+    "stream_msprt_monitor",
+    oracle=_msprt_oracle_sql(),
+    doc="the events_msprt_sequential always-valid sequential test run "
+    "as a LIVE experiment monitor: the day-grain per-arm purchase-value "
+    "moment table (the mSPRT sufficient statistic) is maintained by a "
+    "complete-mode streaming aggregate — each micro-batch folds new "
+    "purchases into their day's moments — and the mSPRT math "
+    "(cumulative moments -> log-Lambda -> running-max always-valid "
+    "p-value) runs on the bounded sink output via the SAME "
+    "msprt_from_daily helper as the batch twin, so the two cannot "
+    "drift; the oracle is the batch twin's SQL verbatim. This is the "
+    "deployment shape the always-valid guarantee exists FOR — the "
+    "p-value updates as data streams in and stays valid under "
+    "continuous peeking. State = one row per (day, arm-moment), "
+    "watermark-boundable to open days at 100 TB (streaming extension; "
+    "SURVEY §2.9)",
+    tags=("streaming", "stats"),
+)
+def stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.stats import (
+        msprt_daily_aggregate,
+        msprt_from_daily,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    g = msprt_daily_aggregate(stream)
+    out = run_to_memory(g, "complete")
+    return msprt_from_daily(out)
