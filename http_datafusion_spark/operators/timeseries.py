@@ -2250,3 +2250,259 @@ def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape_holdout"),
     ).orderBy("n_name")
+
+
+# ------------------------------------------- Croston intermittent demand
+
+CROSTON_ALPHA = 0.2  # classic smoothing constant (Croston 1972)
+CROSTON_MIN_DEMANDS = 2  # need >= 2 demand weeks to update both EWMAs
+CROSTON_TOP = 20
+
+
+@query(
+    "orders_croston_intermittent",
+    oracle=f"""
+    WITH wk AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS w,
+             CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mn AS (SELECT min(w) AS w0 FROM wk),
+    nz AS (
+      SELECT l_partkey, w - w0 + 1 AS pos, d
+      FROM wk CROSS JOIN mn WHERE d > 0
+    ),
+    ser AS (
+      SELECT l_partkey,
+             list_sort(list({{'p': pos, 'd': d}})) AS s
+      FROM nz GROUP BY l_partkey
+    ),
+    folded AS (
+      SELECT l_partkey, CAST(len(s) AS BIGINT) AS n_demand_weeks,
+             list_reduce(
+               list_prepend([s[1].d, CAST(s[1].p AS DOUBLE)],
+                 list_transform(range(2, len(s) + 1),
+                   i -> [s[i].d, CAST(s[i].p - s[i-1].p AS DOUBLE)])),
+               (acc, x) -> [
+                 {CROSTON_ALPHA} * x[1] + (1.0 - {CROSTON_ALPHA}) * acc[1],
+                 {CROSTON_ALPHA} * x[2] + (1.0 - {CROSTON_ALPHA}) * acc[2]
+               ]
+             ) AS st
+      FROM ser WHERE len(s) >= {CROSTON_MIN_DEMANDS}
+    )
+    SELECT l_partkey, n_demand_weeks,
+           round(st[1], 6) AS z_hat,
+           round(st[2], 6) AS p_hat,
+           round(st[1] / st[2], 6) AS croston_fc,
+           round((1.0 - {CROSTON_ALPHA} / 2.0) * st[1] / st[2], 6) AS sbc_fc
+    FROM folded
+    ORDER BY n_demand_weeks DESC, l_partkey ASC
+    LIMIT {CROSTON_TOP}
+    """,
+    doc=f"Croston intermittent-demand forecast (Croston 1972) with the "
+    f"Syntetos-Boylan bias correction (SBC 2005, (1-alpha/2) z/p) per "
+    f"part: weekly demand from lineitem shipments, then for weeks WITH "
+    f"demand two EWMAs — demand size z and inter-demand interval p "
+    f"(first interval = weeks since series start) — folded left-to-"
+    f"right at alpha={CROSTON_ALPHA}; forecast per week = z/p. The "
+    f"supply-chain forecaster for sparse series where Holt/EWMA on the "
+    f"zero-filled grid collapses toward 0 between demands (orders_"
+    f"holt_backtest's blind spot). Same scale shape as the Holt fold: "
+    f"the (part, week) aggregate is the only corpus-sized stage; per-"
+    f"part nonzero-week arrays are calendar-bounded (<= |weeks|), the "
+    f"fold is one in-plan F.aggregate with the identical expression "
+    f"tree both engines evaluate bit-for-bit (doubles; intervals are "
+    f"integers), and the top-{CROSTON_TOP} is a "
+    f"TakeOrderedAndProject. DuckDB state rides a DOUBLE[2] list, NOT "
+    f"a struct — the list_reduce struct-accumulator mutation quirk "
+    f"documented at orders_holt_backtest",
+    tags=("timeseries", "relational"),
+)
+def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wk = li.groupBy(
+        "l_partkey",
+        F.floor(F.unix_timestamp("l_shipdate") / 604800).cast("bigint").alias("w"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity").cast("double"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("d")
+    )
+    mn = wk.agg(F.min("w").alias("w0"))
+    nz = wk.crossJoin(F.broadcast(mn)).filter(F.col("d") > 0).select(
+        "l_partkey", (F.col("w") - F.col("w0") + 1).alias("pos"), "d"
+    )
+    ser = nz.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "d"))).alias("s")
+    )
+    k = F.size("s")
+    items = F.transform(
+        F.sequence(F.lit(2), k),
+        lambda i: F.struct(
+            F.element_at(F.col("s"), i.cast("int"))["d"].alias("x"),
+            (
+                F.element_at(F.col("s"), i.cast("int"))["pos"]
+                - F.element_at(F.col("s"), (i - 1).cast("int"))["pos"]
+            )
+            .cast("double")
+            .alias("q"),
+        ),
+    )
+    A = F.lit(CROSTON_ALPHA)
+    st = F.aggregate(
+        items,
+        F.struct(
+            F.element_at(F.col("s"), 1)["d"].alias("z"),
+            F.element_at(F.col("s"), 1)["pos"].cast("double").alias("p"),
+        ),
+        lambda acc, x: F.struct(
+            (A * x["x"] + (F.lit(1.0) - A) * acc["z"]).alias("z"),
+            (A * x["q"] + (F.lit(1.0) - A) * acc["p"]).alias("p"),
+        ),
+    )
+    folded = ser.filter(k >= CROSTON_MIN_DEMANDS).select(
+        "l_partkey", k.cast("bigint").alias("n_demand_weeks"), st.alias("st")
+    )
+    return (
+        folded.select(
+            "l_partkey",
+            "n_demand_weeks",
+            F.round(F.col("st.z"), 6).alias("z_hat"),
+            F.round(F.col("st.p"), 6).alias("p_hat"),
+            F.round(F.col("st.z") / F.col("st.p"), 6).alias("croston_fc"),
+            F.round(
+                (F.lit(1.0) - A / 2) * F.col("st.z") / F.col("st.p"), 6
+            ).alias("sbc_fc"),
+        )
+        .orderBy(F.col("n_demand_weeks").desc(), F.col("l_partkey").asc())
+        .limit(CROSTON_TOP)
+    )
+
+
+# ------------------------------------------- SAX motif discovery
+
+SAX_SEG_DAYS = 7  # PAA segment width (calendar days)
+SAX_MOTIF_LEN = 3  # motif = this many consecutive symbols
+SAX_TOP = 15
+# Gaussian breakpoints for alphabet size 4 (Lin et al. 2003, table 3)
+SAX_BP = (-0.6745, 0.0, 0.6745)
+
+
+@query(
+    "ts_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    mn AS (SELECT min(day) AS d0 FROM daily),
+    paa AS (
+      SELECT CAST(floor(datediff('day', mn.d0, daily.day) / {SAX_SEG_DAYS})
+                  AS BIGINT) AS seg,
+             CAST(sum(CAST(round(rev, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS v
+      FROM daily CROSS JOIN mn GROUP BY 1
+    ),
+    mom AS (
+      -- v is segment-mean revenue (~1e6 at sf1); v*v overflows
+      -- DECIMAL(18,6), so the moment sums quantize at (38,6)
+      SELECT CAST(sum(CAST(round(v, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS mu,
+             CAST(sum(CAST(round(v * v, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS m2
+      FROM paa
+    ),
+    sym AS (
+      SELECT seg,
+             CASE WHEN z < {SAX_BP[0]} THEN 'a'
+                  WHEN z < {SAX_BP[1]} THEN 'b'
+                  WHEN z < {SAX_BP[2]} THEN 'c'
+                  ELSE 'd' END AS c
+      FROM (
+        SELECT seg, round((v - mu) / sqrt(m2 - mu * mu), 6) AS z
+        FROM paa CROSS JOIN mom
+      )
+    ),
+    tri AS (
+      SELECT c
+             || lead(c, 1) OVER (ORDER BY seg)
+             || lead(c, 2) OVER (ORDER BY seg) AS motif
+      FROM sym
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tri WHERE motif IS NOT NULL
+    GROUP BY motif HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, motif ASC
+    LIMIT {SAX_TOP}
+    """,
+    doc=f"SAX motif discovery (Lin, Keogh et al. 2003 'A Symbolic "
+    f"Representation of Time Series'): daily order revenue -> "
+    f"{SAX_SEG_DAYS}-day PAA segments -> z-normalized at the segment "
+    f"grain -> 4-letter alphabet via the N(0,1) breakpoints "
+    f"{SAX_BP} -> counts of recurring {SAX_MOTIF_LEN}-symbol motifs. "
+    f"The classic cheap motif/novelty screen that makes cross-series "
+    f"pattern search tractable (symbols are join/group keys where raw "
+    f"doubles are not) — the discretization front-end ts_cusum_"
+    f"changepoints and ts_hampel_filter lack. Everything after the "
+    f"day-grain aggregate runs on the |days|/{SAX_SEG_DAYS}-bounded "
+    f"segment grain (~340 rows over the 6.5-year span — calendar-"
+    f"bounded at any corpus size); z is 6dp-rounded BEFORE the "
+    f"breakpoint compare so both engines bucket identically; lead() "
+    f"is an offset window (not ranking) on that bounded grain",
+    tags=("timeseries", "text"),
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(q6(F.col("o_totalprice").cast("double"))).cast("double").alias("rev")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    paa = (
+        daily.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.floor(F.datediff("day", "d0") / SAX_SEG_DAYS)
+            .cast("bigint")
+            .alias("seg")
+        )
+        .agg((F.sum(q6(F.col("rev"))).cast("double") / F.count(F.lit(1))).alias("v"))
+    )
+    # v*v overflows decimal(18,6) (segment-mean revenue squared), so
+    # the moment sums quantize at (38,6) — same note in the oracle
+    q38 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    mom = paa.agg(
+        (F.sum(q38(F.col("v"))).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(q38(F.col("v") * F.col("v"))).cast("double") / F.count(F.lit(1))).alias(
+            "m2"
+        ),
+    )
+    z = F.round(
+        (F.col("v") - F.col("mu")) / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")),
+        6,
+    )
+    sym = paa.crossJoin(F.broadcast(mom)).select(
+        "seg",
+        F.when(z < SAX_BP[0], "a")
+        .when(z < SAX_BP[1], "b")
+        .when(z < SAX_BP[2], "c")
+        .otherwise("d")
+        .alias("c"),
+    )
+    w = W.orderBy("seg")  # segment grain: calendar-bounded, offset window
+    tri = sym.select(
+        F.concat(
+            F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+        ).alias("motif")
+    )
+    return (
+        tri.filter(F.col("motif").isNotNull())
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), F.col("motif").asc())
+        .limit(SAX_TOP)
+    )
