@@ -3011,3 +3011,151 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------- SRP-LSH multiprobe recall
+
+SRP_BITS = 6  # hyperplanes -> 2^6 = 64 buckets
+# plane j = embedding(2j+1) - embedding(2j+2): deterministic data-derived
+# directions (difference vectors are approximately mean-free), standing
+# in for Gaussian hyperplanes the way CENTROID_VEC_IDS stand in for a
+# k-means fit — no RNG on either engine.
+SRP_PLANE_PAIRS = tuple((2 * j + 1, 2 * j + 2) for j in range(SRP_BITS))
+SRP_HAMMING_MASKS = (0,) + tuple(1 << j for j in range(SRP_BITS))  # dist <= 1
+
+_SRP_PAIR_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(SRP_PLANE_PAIRS)
+)
+
+_SRP_CODES_SQL = f"""
+    pl AS (
+      SELECT t.j,
+             list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                  - CAST(b.embedding[i] AS DOUBLE)) AS pv
+      FROM (VALUES {_SRP_PAIR_VALUES}) AS t(j, ia, ib)
+      JOIN embeddings a ON a.vec_id = t.ia
+      JOIN embeddings b ON b.vec_id = t.ib
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN round({_DOT_SQL.format(a='e.embedding', b='pl.pv')}, 6) >= 0
+                           THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS BIGINT) AS code
+      FROM e CROSS JOIN pl
+      GROUP BY e.vec_id
+    )
+"""
+
+
+@query(
+    "sim_srp_lsh_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    {_SRP_CODES_SQL},
+    q AS (
+      SELECT e.embedding AS qv, e.nrm AS qn, c.code AS qcode
+      FROM e JOIN codes c USING (vec_id) WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    probes AS (
+      SELECT xor(q.qcode, m.m) AS pcode
+      FROM q CROSS JOIN (SELECT unnest({list(SRP_HAMMING_MASKS)}) AS m) m
+    ),
+    cand AS (
+      SELECT c.vec_id FROM codes c
+      WHERE c.code IN (SELECT pcode FROM probes) AND c.vec_id <> {QUERY_VEC_ID}
+    ),
+    approx AS (
+      SELECT e.vec_id
+      FROM e JOIN cand USING (vec_id) CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a='e.embedding', b='qv')} / (e.nrm * qn) DESC, e.vec_id
+      LIMIT {TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {_DOT_SQL.format(a='e.embedding', b='qv')} / (e.nrm * qn) DESC, e.vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT CAST({TOP_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM approx JOIN exact USING (vec_id)
+    """,
+    doc=f"signed-random-projection LSH recall audit (Charikar 2002 "
+    f"SimHash-for-cosine; Lv et al. 2007 multi-probe): {SRP_BITS} "
+    f"deterministic difference-vector hyperplanes give every vector a "
+    f"{SRP_BITS}-bit sign code; the query probes its own bucket plus "
+    f"all Hamming-distance-1 neighbors ({len(SRP_HAMMING_MASKS)} "
+    f"literal codes), candidates are re-ranked by exact cosine, and "
+    f"recall@{TOP_K} is measured against the exact scan — the OTHER "
+    f"ANN hash family beside IVF (sim_ivf_recall), hyperplane signs "
+    f"instead of centroid Voronoi cells, so the two audits disagree "
+    f"exactly where a codebook is mis-fit. Codes are one shuffle-free "
+    f"projection per vector ({SRP_BITS} JVM fold expressions against "
+    f"literal plane arrays — the oracle's bounded x{SRP_BITS} cross "
+    f"join is the SQL spelling of the same bits); the probe set is a "
+    f"LITERAL IN filter, partition-prunable when the index is written "
+    f"out partitioned by code; plane dots are 6dp-rounded before the "
+    f"sign so both engines bucket identically. Driver holds only the "
+    f"{2 * SRP_BITS} plane-pair vectors + query (memoized "
+    f"_fetch_vectors)",
+    tags=("similarity",),
+)
+def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.veclib import fold_dot
+
+    plane_ids = tuple(sorted({i for p in SRP_PLANE_PAIRS for i in p}))
+    vecs = _fetch_vectors(spark, sf_dir, plane_ids + (QUERY_VEC_ID,))
+    planes = [vecs[a] - vecs[b] for a, b in SRP_PLANE_PAIRS]
+    qv = vecs[QUERY_VEC_ID]
+    # query code with the SAME strict left-fold dot + 6dp-round-before-
+    # sign as the per-row JVM expressions and the SQL oracle
+    qcode = sum(
+        (1 << j)
+        for j, p in enumerate(planes)
+        if round(float(fold_dot(qv[None, :], p[None, :])[0, 0]), 6) >= 0
+    )
+    probes = [qcode ^ m for m in SRP_HAMMING_MASKS]
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    bits = [
+        F.when(
+            F.round(_dot(emb, F.array(*[F.lit(float(x)) for x in p])), 6) >= 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j, p in enumerate(planes)
+    ]
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    coded = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"), code.alias("code"))
+    cand = coded.filter(
+        F.col("code").isin(*probes) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    qrow = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    approx = (
+        cand.crossJoin(F.broadcast(qrow))
+        .orderBy(cos.desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact = sim_bruteforce_topk(spark, sf_dir).select(F.col("vec_id").alias("x_id"))
+    hits = approx.join(exact, approx["vec_id"] == exact["x_id"], "inner")
+    return hits.agg(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / TOP_K, 6).alias("recall_at_k"),
+    ).crossJoin(F.broadcast(n_cand)).select(
+        "k", "n_candidates", "n_hits", "recall_at_k"
+    )

@@ -74,22 +74,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       train_shuffle_autocorr, cms_error_audit,
 #       dedup_simhash_recall_audit, events_att_stratified,
 #       orders_holt_backtest, stream_srm_check.
-#   (c2) 7 late-r12 additions (landed after the initial window was
+#   (c2) 8 late-r12 additions (landed after the initial window was
 #       laid out; zero driver evidence, so the evidence-age policy
 #       places them IN the window): ml_auc_roc, ml_pr_auc,
 #       feature_mutual_info, events_msprt_sequential,
 #       stream_msprt_monitor, orders_croston_intermittent,
-#       ts_sax_motifs — displacing the last 7 r4-stale
-#       re-confirmations into the r13 head.
-#   (d) 27 slots of r4-stale re-confirmation: the lexicographically-
-#       first 27 of the 46-row r4 tail the r11 head comment named
+#       ts_sax_motifs, sim_srp_lsh_recall — displacing the last 8
+#       r4-stale re-confirmations into the r13 head.
+#   (d) 26 slots of r4-stale re-confirmation: the lexicographically-
+#       first 26 of the 46-row r4 tail the r11 head comment named
 #       verbatim (oldest driver evidence in the registry; unchanged
 #       code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 19 rows of
+#   R13 HEAD (named now, per rotation discipline): FIRST the 20 rows of
 #   the r4 tail that overflowed this window —
-#   q_topk_orders, q_values_inline, quality_drift_psi,
-#   sample_deterministic, semantic_search_join, sim_ivf_recall,
-#   text_bm25_search (displaced by the c2 late additions), then
+#   q_salted_skew_agg, q_topk_orders, q_values_inline,
+#   quality_drift_psi, sample_deterministic, semantic_search_join,
+#   sim_ivf_recall, text_bm25_search (displaced by the c2 late
+#   additions), then
 #   text_char_entropy, text_rare_words, text_repetition, text_top_bigrams,
 #   tokenize_to_ids, train_shuffle_shards, train_val_split, ts_ewma,
 #   ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers, vocab_build
@@ -125,11 +126,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_srm_check",
     # ---- (c2) late-r12 additions (zero driver evidence — the
     # evidence-age policy requires every no-evidence row in the
-    # CURRENT window, so the LAST seven r4-stale re-confirmations
-    # below (q_topk_orders, q_values_inline, quality_drift_psi,
-    # sample_deterministic, semantic_search_join, sim_ivf_recall,
-    # text_bm25_search) moved to the r13 head to make room; see the
-    # r13 head note above) ----
+    # CURRENT window, so the LAST eight r4-stale re-confirmations
+    # below (q_salted_skew_agg, q_topk_orders, q_values_inline,
+    # quality_drift_psi, sample_deterministic, semantic_search_join,
+    # sim_ivf_recall, text_bm25_search) moved to the r13 head to make
+    # room; see the r13 head note above) ----
     "ml_auc_roc",
     "ml_pr_auc",
     "feature_mutual_info",
@@ -137,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_msprt_monitor",
     "orders_croston_intermittent",
     "ts_sax_motifs",
+    "sim_srp_lsh_recall",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
@@ -164,7 +166,6 @@ PRIORITY: tuple[str, ...] = (
     "q_date_bin",
     "q_group_order_all",
     "q_hash_funcs",
-    "q_salted_skew_agg",
 )
 
 def query(
