@@ -925,3 +925,137 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("community_id")
     )
+
+
+# --------------------------------------------- HITS hubs & authorities
+
+HITS_TOPK = 10
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    h1 AS (
+      SELECT c, CAST(round(CAST(count(*) AS DOUBLE) / ne.m, 12)
+                     AS DECIMAL(28,12)) AS h
+      FROM e CROSS JOIN ne GROUP BY c, ne.m
+    ),
+    a1r AS (
+      SELECT e.s, sum(h1.h) AS ar FROM e JOIN h1 ON e.c = h1.c GROUP BY e.s
+    ),
+    a1n AS (SELECT CAST(sum(ar) AS DOUBLE) AS z FROM a1r),
+    a1 AS (
+      SELECT s, CAST(round(CAST(ar AS DOUBLE) / a1n.z, 12)
+                     AS DECIMAL(28,12)) AS a
+      FROM a1r CROSS JOIN a1n
+    ),
+    h2r AS (
+      SELECT e.c, sum(a1.a) AS hr FROM e JOIN a1 ON e.s = a1.s GROUP BY e.c
+    ),
+    h2n AS (SELECT CAST(sum(hr) AS DOUBLE) AS z FROM h2r),
+    h2 AS (
+      SELECT c, CAST(round(CAST(hr AS DOUBLE) / h2n.z, 12)
+                     AS DECIMAL(28,12)) AS h
+      FROM h2r CROSS JOIN h2n
+    ),
+    a2r AS (
+      SELECT e.s, sum(h2.h) AS ar FROM e JOIN h2 ON e.c = h2.c GROUP BY e.s
+    ),
+    a2n AS (SELECT CAST(sum(ar) AS DOUBLE) AS z FROM a2r),
+    a2 AS (
+      SELECT s, CAST(round(CAST(ar AS DOUBLE) / a2n.z, 12)
+                     AS DECIMAL(28,12)) AS a
+      FROM a2r CROSS JOIN a2n
+    ),
+    tops AS (
+      SELECT 'authority' AS role, CAST(s AS BIGINT) AS node,
+             CAST(a AS DOUBLE) AS score
+      FROM a2 ORDER BY a DESC, s LIMIT {HITS_TOPK}
+    ),
+    toph AS (
+      SELECT 'hub' AS role, CAST(c AS BIGINT) AS node,
+             CAST(h AS DOUBLE) AS score
+      FROM h2 ORDER BY h DESC, c LIMIT {HITS_TOPK}
+    )
+    SELECT role, node, round(score, 12) AS score FROM tops
+    UNION ALL
+    SELECT role, node, round(score, 12) AS score FROM toph
+    ORDER BY role, score DESC, node
+    """,
+    doc=f"HITS hubs & authorities (Kleinberg 1999, JACM) over the "
+    f"customer->supplier purchase bipartite graph: two full mutual-"
+    f"reinforcement iterations — authority(s) = sum of hub scores of its "
+    f"buyers, hub(c) = sum of authority scores of its suppliers — each "
+    f"half-step L1-normalized and 12dp-decimal-quantized so every "
+    f"iteration is engine-exact (the graph_pagerank_suppliers "
+    f"discipline; PageRank measures one global importance, HITS "
+    f"separates the two SIDES of the market — big buyers vs pivotal "
+    f"suppliers). Each half-step is one join + partial-agg shuffle on "
+    f"the edge relation, score state is one row per node, "
+    f"normalization constants ride 1-row broadcast frames; top-"
+    f"{HITS_TOPK} per role fuses to TakeOrderedAndProject. At 100 TB "
+    f"rounds scale linearly in |E| like the relational PageRank",
+    tags=("graph", "agg"),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.plans.tables import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    e = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # four half-steps reuse the edge set
+    )
+    dec = "decimal(28,12)"
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    h1 = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .crossJoin(F.broadcast(ne))
+        .select("c", F.round(F.col("d") / F.col("m"), 12).cast(dec).alias("h"))
+    )
+
+    def half_step(score: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        """One HITS half-step: sum the partner side's scores, L1-normalize."""
+        raw = (
+            e.join(score, key)
+            .groupBy(other)
+            .agg(F.sum(score.columns[-1]).alias("raw"))
+        )
+        z = raw.agg(F.sum("raw").cast("double").alias("z"))
+        return raw.crossJoin(F.broadcast(z)).select(
+            other,
+            F.round(F.col("raw").cast("double") / F.col("z"), 12)
+            .cast(dec)
+            .alias(out),
+        )
+
+    a1 = half_step(h1, "c", "s", "a")
+    h2 = half_step(a1, "s", "c", "h")
+    a2 = half_step(h2, "c", "s", "a")
+    tops = (
+        a2.orderBy(F.col("a").desc(), "s")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("bigint").alias("node"),
+            F.round(F.col("a").cast("double"), 12).alias("score"),
+        )
+    )
+    toph = (
+        h2.orderBy(F.col("h").desc(), "c")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("bigint").alias("node"),
+            F.round(F.col("h").cast("double"), 12).alias("score"),
+        )
+    )
+    return tops.unionAll(toph).orderBy("role", F.col("score").desc(), "node")

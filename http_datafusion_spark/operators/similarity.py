@@ -3159,3 +3159,243 @@ def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_cand)).select(
         "k", "n_candidates", "n_hits", "recall_at_k"
     )
+
+
+# ------------------------------------------- batch-to-batch drift audit
+
+DRIFT_Z_BAR = 3.0  # standardized mean-shift alert threshold
+
+
+@query(
+    "embedding_drift_audit",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim),
+    x AS (
+      SELECT dims.dim,
+             CAST(vec_id % 2 AS BIGINT) AS batch,
+             CAST(round(CAST(embedding[dims.dim] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM embeddings CROSS JOIN dims
+    ),
+    m AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN batch = 0 THEN v END) AS DOUBLE) AS s0,
+             CAST(sum(CASE WHEN batch = 1 THEN v END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN batch = 0 THEN CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) END) AS DOUBLE) AS t0,
+             CAST(sum(CASE WHEN batch = 1 THEN CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) END) AS DOUBLE) AS t1
+      FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n0, n1,
+           round(s0 / n0, 6) AS mean_a,
+           round(s1 / n1, 6) AS mean_b,
+           round(abs(s1 / n1 - s0 / n0)
+                 / sqrt((t0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                      + (t1 / n1 - (s1 / n1) * (s1 / n1)) / n1), 6) AS shift_z,
+           abs(s1 / n1 - s0 / n0)
+             / sqrt((t0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                  + (t1 / n1 - (s1 / n1) * (s1 / n1)) / n1) > {DRIFT_Z_BAR}
+             AS drift_flag
+    FROM m ORDER BY dim
+    """,
+    doc=f"per-dimension embedding drift audit between two ingest batches "
+    f"(batch = vec_id %% 2, the deterministic stand-in for "
+    f"yesterday's-model vs today's-model re-embeds): for each of the "
+    f"{EMB_DIM} dimensions, the two-sample standardized mean shift "
+    f"z = |mu_b - mu_a| / sqrt(var_a/n_a + var_b/n_b), flagged above "
+    f"{DRIFT_Z_BAR} — the upstream-model-swap detector a vector store "
+    f"runs before trusting mixed-batch ANN results (a silent encoder "
+    f"update makes cosine scores incomparable; embedding_centroid_shift "
+    f"watches labels move, this watches the COORDINATE SYSTEM move). "
+    f"One {EMB_DIM}x-exploded scan into a (dim, batch) partial "
+    f"aggregate ({EMB_DIM * 2} cells), all moments 6dp-decimal "
+    f"quantized, the z formula (+,-,*,/,sqrt)-only so both engines "
+    f"agree bit-for-bit; at 100 TB this is one map-side-combinable "
+    f"pass, grain bounded by dimensionality not corpus",
+    tags=("similarity", "pipeline"),
+)
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    x = e.select(
+        (F.col("vec_id") % 2).cast("bigint").alias("batch"),
+        F.posexplode("embedding").alias("pos", "raw"),
+    ).select(
+        "batch",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        q6(F.col("raw").cast("double")).alias("v"),
+    )
+    vd = F.col("v").cast("double")
+    m = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("batch") == 0, F.col("v"))).cast("double").alias("s0"),
+        F.sum(F.when(F.col("batch") == 1, F.col("v"))).cast("double").alias("s1"),
+        F.sum(F.when(F.col("batch") == 0, q6(vd * vd))).cast("double").alias("t0"),
+        F.sum(F.when(F.col("batch") == 1, q6(vd * vd))).cast("double").alias("t1"),
+    )
+    mean0 = F.col("s0") / F.col("n0")
+    mean1 = F.col("s1") / F.col("n1")
+    z = F.abs(mean1 - mean0) / F.sqrt(
+        (F.col("t0") / F.col("n0") - mean0 * mean0) / F.col("n0")
+        + (F.col("t1") / F.col("n1") - mean1 * mean1) / F.col("n1")
+    )
+    return m.select(
+        "dim",
+        "n0",
+        "n1",
+        F.round(mean0, 6).alias("mean_a"),
+        F.round(mean1, 6).alias("mean_b"),
+        F.round(z, 6).alias("shift_z"),
+        (z > DRIFT_Z_BAR).alias("drift_flag"),
+    ).orderBy("dim")
+
+
+# --------------------------------------------- whitening isotropy gain
+
+
+@query(
+    "embedding_whitening_audit",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim),
+    raw AS (
+      SELECT e.vec_id, d.dim,
+             CAST(embedding[d.dim] AS DOUBLE) AS x
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    st AS (
+      SELECT dim,
+             round(CAST(sum({_Q6_SQL.format(x='x')}) AS DOUBLE) / count(*), 6) AS mu,
+             round(sqrt(CAST(sum({_Q6_SQL.format(x='x * x')}) AS DOUBLE) / count(*)
+                   - (CAST(sum({_Q6_SQL.format(x='x')}) AS DOUBLE) / count(*))
+                   * (CAST(sum({_Q6_SQL.format(x='x')}) AS DOUBLE) / count(*))), 6) AS sd
+      FROM raw GROUP BY dim
+    ),
+    zf AS (
+      SELECT r.vec_id, r.dim,
+             round((r.x - s.mu) / s.sd, 6) AS z,
+             round(r.x, 6) AS xr
+      FROM raw r JOIN st s ON r.dim = s.dim
+    ),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(CAST(sum({_Q6_SQL.format(x='z * z')}) AS DOUBLE)) AS nz,
+             sqrt(CAST(sum({_Q6_SQL.format(x='xr * xr')}) AS DOUBLE)) AS nx
+      FROM zf GROUP BY vec_id
+    ),
+    ud AS (
+      SELECT z.dim,
+             {_Q6_SQL.format(x='z.z / n.nz')} AS uz,
+             {_Q6_SQL.format(x='(z.z / n.nz) * (z.z / n.nz)')} AS uzsq,
+             {_Q6_SQL.format(x='z.xr / n.nx')} AS ux,
+             {_Q6_SQL.format(x='(z.xr / n.nx) * (z.xr / n.nx)')} AS uxsq
+      FROM zf z JOIN nrm n ON z.vec_id = n.vec_id
+    ),
+    per_dim AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(uz) AS s_z, sum(uzsq) AS t_z,
+             sum(ux) AS s_x, sum(uxsq) AS t_x
+      FROM ud GROUP BY dim
+    ),
+    fin AS (
+      SELECT max(n) AS n,
+             CAST(sum({_Q6_SQL.format(x='CAST(s_z AS DOUBLE) * CAST(s_z AS DOUBLE)')}) AS DOUBLE) AS ssq_z,
+             CAST(sum(t_z) AS DOUBLE) AS tsum_z,
+             CAST(sum({_Q6_SQL.format(x='CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)')}) AS DOUBLE) AS ssq_x,
+             CAST(sum(t_x) AS DOUBLE) AS tsum_x
+      FROM per_dim
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round((ssq_x - tsum_x) / (n * (n - 1.0)), 6) AS mean_pair_cos_raw,
+           round((ssq_z - tsum_z) / (n * (n - 1.0)), 6) AS mean_pair_cos_whitened,
+           round((ssq_x - tsum_x) / (n * (n - 1.0))
+                 - (ssq_z - tsum_z) / (n * (n - 1.0)), 6) AS isotropy_gain
+    FROM fin
+    """,
+    doc=f"whitening isotropy gain (the measurement behind Mu & Viswanath "
+    f"2018 'all-but-the-top' and Su et al. 2021 whitening-for-retrieval): "
+    f"mean pairwise cosine over all n(n-1) pairs BEFORE vs AFTER "
+    f"per-dimension standardization z = (x-mu_d)/sd_d — diagonal "
+    f"whitening, the cheap first-order fix for a collapsed common "
+    f"direction — both computed with ZERO pair materialization via the "
+    f"sum-vector identity ||S||^2 - sum||u||^2 (the "
+    f"embedding_isotropy_audit machinery applied to two coordinate "
+    f"systems in one query). A large gain says cosine scores were "
+    f"saturating on the common component and the store should whiten "
+    f"before ANN; ~0 says the space was already isotropic. Cost: one "
+    f"{EMB_DIM}-key stats pass (broadcast back at the dim grain), one "
+    f"vec-grain norm aggregate, one co-partitioned rejoin — all linear, "
+    f"no pair shuffle ever exists; mu/sd and every coordinate are "
+    f"6dp-rounded before use so both engines transform identically",
+    tags=("similarity", "pipeline"),
+)
+def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    raw = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    xq = q6(F.col("x"))
+    st = raw.groupBy("dim").agg(
+        F.round(F.sum(xq).cast("double") / F.count(F.lit(1)), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(q6(F.col("x") * F.col("x"))).cast("double")
+                / F.count(F.lit(1))
+                - (F.sum(xq).cast("double") / F.count(F.lit(1)))
+                * (F.sum(xq).cast("double") / F.count(F.lit(1)))
+            ),
+            6,
+        ).alias("sd"),
+    )
+    zf = raw.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        F.round(F.col("x"), 6).alias("xr"),
+    )
+    nrm = zf.groupBy("vec_id").agg(
+        F.sqrt(F.sum(q6(F.col("z") * F.col("z"))).cast("double")).alias("nz"),
+        F.sqrt(F.sum(q6(F.col("xr") * F.col("xr"))).cast("double")).alias("nx"),
+    )
+    ud = zf.join(nrm, "vec_id").select(
+        "dim",
+        q6(F.col("z") / F.col("nz")).alias("uz"),
+        q6((F.col("z") / F.col("nz")) * (F.col("z") / F.col("nz"))).alias("uzsq"),
+        q6(F.col("xr") / F.col("nx")).alias("ux"),
+        q6((F.col("xr") / F.col("nx")) * (F.col("xr") / F.col("nx"))).alias("uxsq"),
+    )
+    per_dim = ud.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("uz").alias("s_z"),
+        F.sum("uzsq").alias("t_z"),
+        F.sum("ux").alias("s_x"),
+        F.sum("uxsq").alias("t_x"),
+    )
+    fin = per_dim.agg(
+        F.max("n").alias("n"),
+        F.sum(q6(F.col("s_z").cast("double") * F.col("s_z").cast("double")))
+        .cast("double")
+        .alias("ssq_z"),
+        F.sum("t_z").cast("double").alias("tsum_z"),
+        F.sum(q6(F.col("s_x").cast("double") * F.col("s_x").cast("double")))
+        .cast("double")
+        .alias("ssq_x"),
+        F.sum("t_x").cast("double").alias("tsum_x"),
+    )
+    n = F.col("n").cast("double")
+    raw_cos = (F.col("ssq_x") - F.col("tsum_x")) / (n * (n - 1.0))
+    wht_cos = (F.col("ssq_z") - F.col("tsum_z")) / (n * (n - 1.0))
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(raw_cos, 6).alias("mean_pair_cos_raw"),
+        F.round(wht_cos, 6).alias("mean_pair_cos_whitened"),
+        F.round(raw_cos - wht_cos, 6).alias("isotropy_gain"),
+    )

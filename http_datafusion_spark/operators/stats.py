@@ -1084,3 +1084,846 @@ def msprt_daily_aggregate(df: DataFrame) -> DataFrame:
 def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     return msprt_from_daily(msprt_daily_aggregate(e))
+
+
+# ------------------------------------------- cumulative gains / lift table
+
+LIFT_DECILES = 10
+
+
+@query(
+    "ml_lift_deciles",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(count(*) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    n AS (SELECT CAST(sum(tot) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos FROM s),
+    c AS (
+      SELECT s.score, s.tot, s.pos, n.n, n.n_pos,
+             coalesce(sum(s.tot) OVER (ORDER BY s.score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM s CROSS JOIN n
+    ),
+    dec AS (
+      SELECT least(CAST(floor(cum_prev * {LIFT_DECILES}.0 / n) AS BIGINT),
+                   {LIFT_DECILES - 1}) AS decile,
+             n, n_pos, tot, pos
+      FROM c
+    ),
+    g AS (
+      SELECT decile, n, n_pos,
+             CAST(sum(tot) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS pos_docs
+      FROM dec GROUP BY decile, n, n_pos
+    ),
+    cum AS (
+      SELECT decile, n, n_pos, n_docs, pos_docs,
+             sum(n_docs) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+             sum(pos_docs) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM g
+    )
+    SELECT decile, n_docs, pos_docs,
+           round(CAST(pos_docs AS DOUBLE) / n_docs, 6) AS response_rate,
+           round((CAST(pos_docs AS DOUBLE) / n_docs)
+                 / (CAST(n_pos AS DOUBLE) / n), 6) AS lift,
+           round(CAST(cum_pos AS DOUBLE) / n_pos, 6) AS cum_capture,
+           round((CAST(cum_pos AS DOUBLE) / cum_docs)
+                 / (CAST(n_pos AS DOUBLE) / n), 6) AS cum_lift
+    FROM cum ORDER BY decile
+    """,
+    doc=f"cumulative gains / lift table (the classic campaign-targeting "
+    f"decile readout; Berry & Linoff 2004): score = n_chars ranked "
+    f"descending, outcome = lang='en'; each DISTINCT score value is "
+    f"assigned to the decile where its first document falls (floor of the "
+    f"preceding cumulative count x {LIFT_DECILES} / n), then per decile "
+    f"the response rate, lift vs the base rate, cumulative capture of all "
+    f"positives, and cumulative lift. The decile assignment runs on the "
+    f"distinct-score grain (bounded by the n_chars value domain, ~313 "
+    f"values, NOT corpus size) exactly like ml_auc_roc — the naive "
+    f"ntile-over-every-row global window is what this shape avoids at "
+    f"100 TB. ALL INTEGER until the final divisions, so both engines are "
+    f"exact by construction. Heavy score ties can legitimately leave a "
+    f"decile empty (the whole tie block lands where it starts) — "
+    f"deterministic on both engines. Completes the ranking-audit family: "
+    f"ml_auc_roc orders, ml_pr_auc operates, this one BUDGETS (how deep "
+    f"must curation dig to capture X% of the positives)",
+    tags=("stats", "pipeline"),
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    n = s.agg(
+        F.sum("tot").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, -1)
+    c = s.crossJoin(F.broadcast(n)).select(
+        "score",
+        "tot",
+        "pos",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("tot").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    dec = c.select(
+        F.least(
+            F.floor(F.col("cum_prev") * float(LIFT_DECILES) / F.col("n")).cast(
+                "bigint"
+            ),
+            F.lit(LIFT_DECILES - 1),
+        ).alias("decile"),
+        "n",
+        "n_pos",
+        "tot",
+        "pos",
+    )
+    g = dec.groupBy("decile", "n", "n_pos").agg(
+        F.sum("tot").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("pos_docs"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        "n_docs",
+        "pos_docs",
+        F.sum("n_docs").over(wc).alias("cum_docs"),
+        F.sum("pos_docs").over(wc).alias("cum_pos"),
+    )
+    base = F.col("n_pos").cast("double") / F.col("n")
+    return cum.select(
+        "decile",
+        "n_docs",
+        "pos_docs",
+        F.round(F.col("pos_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "response_rate"
+        ),
+        F.round(
+            (F.col("pos_docs").cast("double") / F.col("n_docs")) / base, 6
+        ).alias("lift"),
+        F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_docs")) / base, 6
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+# --------------------------------------- Murphy Brier-score decomposition
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(sum({_Q6.format(x='CAST(n_chars AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS mu,
+             CAST(sum({_Q6.format(x='CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS m2
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-((CAST(d.n_chars AS DOUBLE) - s.mu)
+                   / sqrt(s.m2 - s.mu * s.mu)))), 6) AS p_hat,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d CROSS JOIN stats s
+    ),
+    g AS (
+      SELECT p_hat,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(y) AS BIGINT) AS s_k
+      FROM scored GROUP BY p_hat
+    ),
+    tot AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(s_k) AS BIGINT) AS s,
+             CAST(sum(s_k) AS DOUBLE) / sum(n_k) AS obar
+      FROM g
+    ),
+    terms AS (
+      SELECT t.n, t.obar,
+             {_Q6.format(x='g.n_k * (g.p_hat - CAST(g.s_k AS DOUBLE) / g.n_k) * (g.p_hat - CAST(g.s_k AS DOUBLE) / g.n_k)')} AS rel_term,
+             {_Q6.format(x='g.n_k * (CAST(g.s_k AS DOUBLE) / g.n_k - t.obar) * (CAST(g.s_k AS DOUBLE) / g.n_k - t.obar)')} AS res_term,
+             {_Q6.format(x='g.n_k * g.p_hat * g.p_hat - 2.0 * g.p_hat * g.s_k + g.s_k')} AS brier_term
+      FROM g CROSS JOIN tot t
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_scores,
+           round(obar, 6) AS base_rate,
+           round(CAST(sum(brier_term) AS DOUBLE) / n, 6) AS brier,
+           round(CAST(sum(rel_term) AS DOUBLE) / n, 6) AS reliability,
+           round(CAST(sum(res_term) AS DOUBLE) / n, 6) AS resolution,
+           round(obar * (1.0 - obar), 6) AS uncertainty,
+           round(CAST(sum(brier_term) AS DOUBLE) / n
+                 - (CAST(sum(rel_term) AS DOUBLE) / n
+                    - CAST(sum(res_term) AS DOUBLE) / n
+                    + obar * (1.0 - obar)), 6) AS decomp_residual
+    FROM terms GROUP BY n, obar
+    """,
+    doc="Murphy (1973) three-component Brier decomposition BS = REL - RES "
+    "+ UNC for the deterministic logistic score of ml_calibration_bins, "
+    "computed at the DISTINCT-FORECAST grain where the identity is EXACT "
+    "(binning at arbitrary edges leaves a within-bin variance residual; "
+    "grouping by the forecast value itself does not — Stephenson et al. "
+    "2008). reliability = how far forecasts sit from their conditional "
+    "outcome rates (lower better), resolution = how much the forecasts "
+    "separate outcome rates from the base rate (higher better), "
+    "uncertainty = obar(1-obar) is the data's irreducible floor. "
+    "decomp_residual is the computed identity check — 0.000000 by "
+    "construction, a wrong-grain regression flips it nonzero. The grain "
+    "is bounded by the n_chars value domain (~313 distinct p_hat values), "
+    "so the decomposition costs one map-side-combinable groupBy plus "
+    "domain-bounded math at ANY corpus size; y-sums stay integer, every "
+    "double term is 6dp-decimal quantized before summing "
+    "(order-independent across partitions and engines)",
+    tags=("stats", "pipeline"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    x = F.col("n_chars").cast("double")
+    stats = d.agg(
+        (F.sum(_q6(x)).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(_q6(x * x)).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        (x - F.col("mu"))
+                        / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+                    )
+                )
+            ),
+            6,
+        ).alias("p_hat"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = scored.groupBy("p_hat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("s_k"),
+    )
+    tot = g.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("s_k").cast("bigint").alias("s"),
+        (F.sum("s_k").cast("double") / F.sum("n_k")).alias("obar"),
+    )
+    o_k = F.col("s_k").cast("double") / F.col("n_k")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "obar",
+        _q6(F.col("n_k") * (F.col("p_hat") - o_k) * (F.col("p_hat") - o_k)).alias(
+            "rel_term"
+        ),
+        _q6(
+            F.col("n_k") * (o_k - F.col("obar")) * (o_k - F.col("obar"))
+        ).alias("res_term"),
+        _q6(
+            F.col("n_k") * F.col("p_hat") * F.col("p_hat")
+            - F.lit(2.0) * F.col("p_hat") * F.col("s_k")
+            + F.col("s_k")
+        ).alias("brier_term"),
+    )
+    rel = F.sum("rel_term").cast("double") / F.col("n")
+    res = F.sum("res_term").cast("double") / F.col("n")
+    brier = F.sum("brier_term").cast("double") / F.col("n")
+    unc = F.col("obar") * (F.lit(1.0) - F.col("obar"))
+    return terms.groupBy("n", "obar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(brier - (rel - res + unc), 6).alias("decomp_residual"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        "n_scores",
+        F.round(F.col("obar"), 6).alias("base_rate"),
+        "brier",
+        "reliability",
+        "resolution",
+        F.round(unc, 6).alias("uncertainty"),
+        "decomp_residual",
+    )
+
+
+# --------------------------------------------- A/B power / MDE calculator
+
+# z_{alpha/2} at alpha=0.05 plus z_{power} at 80% — the standard
+# two-sided 5% / 80%-power design constants (Cohen 1988 table values,
+# written to full double precision so both engines multiply the same
+# literal).
+Z_ALPHA_HALF = 1.9599639845400545
+Z_POWER = 0.8416212335729143
+Z_DESIGN = Z_ALPHA_HALF + Z_POWER  # 2.8015852181129688
+
+
+@query(
+    "events_ab_power_mde",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, user_id, user_id % 2 AS arm,
+             CAST(sum({_Q6.format(x='value')}) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN {_Q6.format(x='x')} END) AS DOUBLE) AS s0,
+             CAST(sum(CASE WHEN arm = 1 THEN {_Q6.format(x='x')} END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN arm = 0 THEN {_Q6.format(x='x * x')} END) AS DOUBLE) AS t0,
+             CAST(sum(CASE WHEN arm = 1 THEN {_Q6.format(x='x * x')} END) AS DOUBLE) AS t1
+      FROM u GROUP BY event_type
+    ),
+    se AS (
+      SELECT event_type, n0, n1, s0 / n0 AS mean0, s1 / n1 AS mean1,
+             sqrt((t0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                + (t1 / n1 - (s1 / n1) * (s1 / n1)) / n1) AS se_diff
+      FROM m
+    )
+    SELECT event_type, n0, n1,
+           round(mean0, 6) AS mean0,
+           round(mean1, 6) AS mean1,
+           round(se_diff, 6) AS se_diff,
+           round({Z_DESIGN!r} * se_diff, 6) AS mde_abs,
+           round({Z_DESIGN!r} * se_diff / mean0, 6) AS mde_rel,
+           round(mean1 - mean0, 6) AS observed_delta,
+           abs(mean1 - mean0) >= {Z_DESIGN!r} * se_diff AS detectable
+    FROM se ORDER BY event_type
+    """,
+    doc="two-sample power analysis / minimum-detectable-effect calculator "
+    "(Cohen 1988; the pre-registration readout every A/B platform prints "
+    "next to its lift): per event_type, the unit of analysis is the "
+    "per-user value sum (randomization-unit grain — computing on raw "
+    "events would understate the variance by the within-user "
+    "correlation), arms split by the deterministic user_id % 2. "
+    "MDE_abs = (z_{alpha/2} + z_{power}) * SE(diff) at the standard "
+    "5%/80% design point, MDE_rel scales by the control mean, and "
+    "'detectable' says whether the OBSERVED delta clears the design bar "
+    "— the honest 'was this experiment even powered for what it claims' "
+    "guard beside events_ab_lift/events_msprt_sequential. One user-grain "
+    "aggregate (the only fact-table shuffle) then |event_type|-bounded "
+    "math; per-user sums and their squares are 6dp-decimal quantized so "
+    "both engines feed identical doubles into the (+,-,*,/,sqrt)-only "
+    "formula — every operation is IEEE-correctly-rounded, no libm "
+    "transcendental anywhere",
+    tags=("events", "stats"),
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    u = e.groupBy(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.sum(_q6(F.col("value"))).cast("double").alias("x"))
+    x = F.col("x")
+    m = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, _q6(x))).cast("double").alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, _q6(x))).cast("double").alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, _q6(x * x))).cast("double").alias("t0"),
+        F.sum(F.when(F.col("arm") == 1, _q6(x * x))).cast("double").alias("t1"),
+    )
+    mean0 = F.col("s0") / F.col("n0")
+    mean1 = F.col("s1") / F.col("n1")
+    se = m.select(
+        "event_type",
+        "n0",
+        "n1",
+        mean0.alias("mean0"),
+        mean1.alias("mean1"),
+        F.sqrt(
+            (F.col("t0") / F.col("n0") - mean0 * mean0) / F.col("n0")
+            + (F.col("t1") / F.col("n1") - mean1 * mean1) / F.col("n1")
+        ).alias("se_diff"),
+    )
+    return se.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round("se_diff", 6).alias("se_diff"),
+        F.round(F.lit(Z_DESIGN) * F.col("se_diff"), 6).alias("mde_abs"),
+        F.round(F.lit(Z_DESIGN) * F.col("se_diff") / F.col("mean0"), 6).alias(
+            "mde_rel"
+        ),
+        F.round(F.col("mean1") - F.col("mean0"), 6).alias("observed_delta"),
+        (
+            F.abs(F.col("mean1") - F.col("mean0"))
+            >= F.lit(Z_DESIGN) * F.col("se_diff")
+        ).alias("detectable"),
+    ).orderBy("event_type")
+
+
+# ------------------------------------------ exact permutation test (hashed)
+
+PERM_K = 64  # re-randomizations; p-value resolution = 1/(K+1)
+
+
+def _perm_arm_sql(k: str) -> str:
+    from http_datafusion_spark.functions.hashing import md5_int_sql
+
+    return (
+        md5_int_sql(f"concat('perm|', CAST({k} AS VARCHAR), '|', "
+                    f"CAST(user_id AS VARCHAR))")
+        + " % 2"
+    )
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum({_Q6.format(x='value')}) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN arm = 1 THEN {_Q6.format(x='x')} END) AS DOUBLE)
+               / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN arm = 0 THEN {_Q6.format(x='x')} END) AS DOUBLE)
+               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS diff_obs
+      FROM u
+    ),
+    ks AS (SELECT unnest(range(0, {PERM_K})) AS k),
+    perm AS (
+      SELECT ks.k, {_perm_arm_sql('ks.k')} AS arm_k, u.x
+      FROM u CROSS JOIN ks
+    ),
+    diffs AS (
+      SELECT k,
+             CAST(sum(CASE WHEN arm_k = 1 THEN {_Q6.format(x='x')} END) AS DOUBLE)
+               / sum(CASE WHEN arm_k = 1 THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN arm_k = 0 THEN {_Q6.format(x='x')} END) AS DOUBLE)
+               / sum(CASE WHEN arm_k = 0 THEN 1 ELSE 0 END) AS diff_k
+      FROM perm GROUP BY k
+    )
+    SELECT o.n_users,
+           round(o.diff_obs, 6) AS observed_diff,
+           CAST({PERM_K} AS BIGINT) AS k_perms,
+           CAST(sum(CASE WHEN abs(d.diff_k) >= abs(o.diff_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           round((1.0 + sum(CASE WHEN abs(d.diff_k) >= abs(o.diff_obs)
+                                 THEN 1 ELSE 0 END)) / ({PERM_K} + 1.0), 6)
+             AS p_value
+    FROM diffs d CROSS JOIN obs o
+    GROUP BY o.n_users, o.diff_obs
+    """,
+    doc=f"exact randomization/permutation test (Fisher 1935; Ernst 2004 "
+    f"review) for the two-arm difference in per-user value sums: the "
+    f"observed split is the deterministic user_id %% 2 assignment, the "
+    f"null distribution is {PERM_K} md5-derived RE-randomizations "
+    f"(arm_k = md5('perm|k|user') %% 2 — reproducible, engine-portable, "
+    f"no rand()), p = (1 + #extreme) / (K+1) with the add-one "
+    f"Phipson-Smyth correction that keeps the test valid at finite K. "
+    f"The distribution-free companion to events_ab_lift's z-test — no "
+    f"normality or variance assumption, just exchangeability under the "
+    f"null. One fact-to-user-grain shuffle, then the user-grain table "
+    f"explodes x{PERM_K} into a (k, arm)-keyed partial aggregate — a "
+    f"bounded multiplier on the SMALL grain, never on raw events; all "
+    f"means from 6dp-decimal sums so the extreme-count comparison is "
+    f"engine-identical",
+    tags=("events", "stats"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.functions.hashing import md5_int
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    u = e.groupBy("user_id").agg(
+        F.sum(_q6(F.col("value"))).cast("double").alias("x")
+    ).select(
+        "user_id", (F.col("user_id") % 2).cast("bigint").alias("arm"), "x"
+    )
+    x6 = _q6(F.col("x"))
+    mean_of = lambda arm_col, a: (  # noqa: E731
+        F.sum(F.when(arm_col == a, x6)).cast("double")
+        / F.sum(F.when(arm_col == a, 1).otherwise(0))
+    )
+    obs = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (mean_of(F.col("arm"), 1) - mean_of(F.col("arm"), 0)).alias("diff_obs"),
+    )
+    perm = u.select(
+        "x", F.explode(F.sequence(F.lit(0), F.lit(PERM_K - 1))).alias("k"), "user_id"
+    ).select(
+        "k",
+        "x",
+        (
+            md5_int(
+                F.concat(
+                    F.lit("perm|"),
+                    F.col("k").cast("string"),
+                    F.lit("|"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+        ).alias("arm_k"),
+    )
+    diffs = perm.groupBy("k").agg(
+        (mean_of(F.col("arm_k"), 1) - mean_of(F.col("arm_k"), 0)).alias("diff_k")
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("diff_k")) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "diff_obs")
+        .agg(
+            extreme.cast("bigint").alias("n_extreme"),
+            F.round(
+                (F.lit(1.0) + extreme) / F.lit(float(PERM_K + 1)), 6
+            ).alias("p_value"),
+        )
+        .select(
+            "n_users",
+            F.round(F.col("diff_obs"), 6).alias("observed_diff"),
+            F.lit(PERM_K).cast("bigint").alias("k_perms"),
+            "n_extreme",
+            "p_value",
+        )
+    )
+
+
+# --------------------------------------- KS score-separation statistic
+
+
+@query(
+    "ml_ks_score_separation",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg FROM s),
+    c AS (
+      SELECT score,
+             sum(pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+      FROM s
+    ),
+    d AS (
+      SELECT score,
+             abs(CAST(cum_pos AS DOUBLE) / t.n_pos
+                 - CAST(cum_neg AS DOUBLE) / t.n_neg) AS gap,
+             t.n_pos, t.n_neg
+      FROM c CROSS JOIN tot t
+    )
+    SELECT n_pos, n_neg,
+           CAST(score AS BIGINT) AS ks_threshold,
+           round(gap, 6) AS ks_stat
+    FROM d ORDER BY gap DESC, score ASC LIMIT 1
+    """,
+    doc="Kolmogorov-Smirnov score-separation statistic (the credit-"
+    "scoring 'KS' — Mays 2004; the two-sample events_ks_two_sample "
+    "machinery specialized to classifier scores): KS = max over score "
+    "thresholds of |ECDF_pos - ECDF_neg| for score n_chars vs outcome "
+    "lang='en', plus the threshold attaining it (smallest on ties). "
+    "Where AUC integrates separation over every operating point, KS "
+    "reports the single BEST cut and where it sits — the number a "
+    "threshold-based curation gate actually deploys. Same scale shape "
+    "as ml_auc_roc: one integer groupBy to the distinct-score grain "
+    "(~313 values, bounded by the n_chars domain), two running sums "
+    "over that grain, a grain-sized top-1 fused to "
+    "TakeOrderedAndProject; cumulative counts are pure integers so the "
+    "gap doubles are engine-identical",
+    tags=("stats", "pipeline"),
+)
+def ml_ks_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(~en, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    tot = s.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    c = s.select(
+        "score",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("neg").over(w).alias("cum_neg"),
+    )
+    gap = F.abs(
+        F.col("cum_pos").cast("double") / F.col("n_pos")
+        - F.col("cum_neg").cast("double") / F.col("n_neg")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("score", gap.alias("gap"), "n_pos", "n_neg")
+        .orderBy(F.col("gap").desc(), F.col("score").asc())
+        .limit(1)
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("score").cast("bigint").alias("ks_threshold"),
+            F.round(F.col("gap"), 6).alias("ks_stat"),
+        )
+    )
+
+
+# ------------------------------------------ IPW (Hajek) ATE estimator
+
+
+@query(
+    "events_ate_ipw",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       >= {ATT_ERR_MIN} THEN 1 ELSE 0 END AS treated,
+             CAST(sum(CASE WHEN event_type <> 'error'
+                           THEN {_Q6.format(x='value')} END) AS DOUBLE)
+               / nullif(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END), 0)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(floor(n_events * 1.0 / {ATT_STRATUM_W}) AS BIGINT) AS stratum,
+             treated, y
+      FROM u WHERE y IS NOT NULL
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(treated) AS BIGINT) AS n1,
+             CAST(sum(1 - treated) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN treated = 1 THEN {_Q6.format(x='y')} END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN treated = 0 THEN {_Q6.format(x='y')} END) AS DOUBLE) AS s0
+      FROM s GROUP BY stratum
+      HAVING sum(treated) >= 1 AND sum(1 - treated) >= 1
+    ),
+    w AS (
+      SELECT n1, n0, s1, s0,
+             CAST(n1 + n0 AS DOUBLE) / n1 AS inv_e,
+             CAST(n1 + n0 AS DOUBLE) / n0 AS inv_ce
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+           CAST(sum(n1) AS BIGINT) AS n_treated,
+           CAST(sum(n0) AS BIGINT) AS n_control,
+           round(CAST(sum({_Q6.format(x='s1')}) AS DOUBLE) / sum(n1)
+                 - CAST(sum({_Q6.format(x='s0')}) AS DOUBLE) / sum(n0), 6)
+             AS naive_diff,
+           round(CAST(sum({_Q6.format(x='s1 * inv_e')}) AS DOUBLE)
+                   / CAST(sum({_Q6.format(x='n1 * inv_e')}) AS DOUBLE)
+                 - CAST(sum({_Q6.format(x='s0 * inv_ce')}) AS DOUBLE)
+                   / CAST(sum({_Q6.format(x='n0 * inv_ce')}) AS DOUBLE), 6)
+             AS ate_ipw,
+           round(CAST(sum({_Q6.format(x='n1 * inv_e')}) AS DOUBLE)
+                 * CAST(sum({_Q6.format(x='n1 * inv_e')}) AS DOUBLE)
+                 / CAST(sum({_Q6.format(x='n1 * inv_e * inv_e')}) AS DOUBLE), 6)
+             AS ess_treated,
+           round(CAST(sum({_Q6.format(x='n0 * inv_ce')}) AS DOUBLE)
+                 * CAST(sum({_Q6.format(x='n0 * inv_ce')}) AS DOUBLE)
+                 / CAST(sum({_Q6.format(x='n0 * inv_ce * inv_ce')}) AS DOUBLE), 6)
+             AS ess_control
+    FROM w
+    """,
+    doc=f"Hajek-normalized inverse-propensity-weighted ATE (Horvitz-"
+    f"Thompson 1952 weighting with the stabilized/self-normalized "
+    f"estimator — Hirano-Imbens-Ridder 2003) on the SAME design as "
+    f"events_att_stratified: treatment = chronic error exposure (>= "
+    f"{ATT_ERR_MIN} errors), outcome = mean non-error value, propensity "
+    f"e_s = n1_s/(n1_s+n0_s) estimated within {ATT_STRATUM_W}-event "
+    f"activity strata holding both arms. Where ATT reweights CONTROLS to "
+    f"the treated distribution, IPW reweights BOTH arms to the full "
+    f"population — the two answer different policy questions and "
+    f"disagreeing is informative. Also reports Kish effective sample "
+    f"sizes (sum w)^2 / sum w^2 per arm — the weight-concentration "
+    f"diagnostic that flags when a near-empty cell's huge weight makes "
+    f"the estimate fragile. One user-keyed aggregate, stratum-bounded "
+    f"math, inverse weights exact rationals from integer cell counts, "
+    f"every cross-stratum sum 6dp-decimal quantized",
+    tags=("events", "stats"),
+)
+def events_ate_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    err = F.col("event_type") == "error"
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.when(F.sum(F.when(err, 1).otherwise(0)) >= ATT_ERR_MIN, 1)
+        .otherwise(0)
+        .alias("treated"),
+        (
+            F.sum(F.when(~err, _q6(F.col("value")))).cast("double")
+            / F.nullif(F.sum(F.when(~err, 1).otherwise(0)), F.lit(0))
+        ).alias("y"),
+    )
+    s = u.filter(F.col("y").isNotNull()).select(
+        F.floor(F.col("n_events") * 1.0 / ATT_STRATUM_W)
+        .cast("bigint")
+        .alias("stratum"),
+        "treated",
+        "y",
+    )
+    cells = (
+        s.groupBy("stratum")
+        .agg(
+            F.sum("treated").cast("bigint").alias("n1"),
+            F.sum(F.lit(1) - F.col("treated")).cast("bigint").alias("n0"),
+            F.sum(F.when(F.col("treated") == 1, _q6(F.col("y"))))
+            .cast("double")
+            .alias("s1"),
+            F.sum(F.when(F.col("treated") == 0, _q6(F.col("y"))))
+            .cast("double")
+            .alias("s0"),
+        )
+        .filter((F.col("n1") >= 1) & (F.col("n0") >= 1))
+    )
+    inv_e = (F.col("n1") + F.col("n0")).cast("double") / F.col("n1")
+    inv_ce = (F.col("n1") + F.col("n0")).cast("double") / F.col("n0")
+    w = cells.select(
+        "n1", "n0", "s1", "s0", inv_e.alias("inv_e"), inv_ce.alias("inv_ce")
+    )
+    sw1 = F.sum(_q6(F.col("n1") * F.col("inv_e"))).cast("double")
+    sw0 = F.sum(_q6(F.col("n0") * F.col("inv_ce"))).cast("double")
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+        F.sum("n1").cast("bigint").alias("n_treated"),
+        F.sum("n0").cast("bigint").alias("n_control"),
+        F.round(
+            F.sum(_q6(F.col("s1"))).cast("double") / F.sum("n1")
+            - F.sum(_q6(F.col("s0"))).cast("double") / F.sum("n0"),
+            6,
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(_q6(F.col("s1") * F.col("inv_e"))).cast("double") / sw1
+            - F.sum(_q6(F.col("s0") * F.col("inv_ce"))).cast("double") / sw0,
+            6,
+        ).alias("ate_ipw"),
+        F.round(
+            sw1 * sw1
+            / F.sum(_q6(F.col("n1") * F.col("inv_e") * F.col("inv_e"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("ess_treated"),
+        F.round(
+            sw0 * sw0
+            / F.sum(_q6(F.col("n0") * F.col("inv_ce") * F.col("inv_ce"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("ess_control"),
+    )
+
+
+# ------------------------------------------------ one-way ANOVA by hour
+
+
+@query(
+    "events_anova_hour",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) % 24 AS hr,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    g AS (
+      SELECT hr,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum({_Q6.format(x='v')}) AS DOUBLE) AS s_h,
+             CAST(sum({_Q6.format(x='v * v')}) AS DOUBLE) AS t_h
+      FROM x GROUP BY hr
+    ),
+    tot AS (
+      SELECT CAST(sum(n_h) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum({_Q6.format(x='s_h')}) AS DOUBLE) AS s,
+             CAST(sum({_Q6.format(x='t_h')}) AS DOUBLE) AS t,
+             CAST(sum({_Q6.format(x='s_h * s_h / n_h')}) AS DOUBLE) AS bsum
+      FROM g
+    )
+    SELECT n, k,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round((bsum - s * s / n) / (k - 1)
+                 / ((t - bsum) / (n - k)), 6) AS f_stat,
+           round((bsum - s * s / n) / (t - s * s / n), 6) AS eta_sq
+    FROM tot
+    """,
+    doc="one-way ANOVA of event value by hour-of-day (Fisher's F; the "
+    "diurnal-effect screen run before any hour-partitioned rollout or "
+    "time-sliced A/B readout is trusted): 24 groups keyed by the "
+    "ENGINE-NEUTRAL integer hour floor(epoch_us/3.6e9) %% 24 — never a "
+    "session-timezone hour() call, the CUPED epoch-flooring lesson — "
+    "with F = (SSB/(k-1)) / (SSW/(n-k)) and the effect size "
+    "eta^2 = SSB/SST from the standard moment identities "
+    "SST = t - s^2/n, SSB = sum s_h^2/n_h - s^2/n. One "
+    "map-side-combinable 24-key aggregate over the fact scan, then "
+    "scalar math on a 1-row frame; per-group moments and the "
+    "cross-group reductions are both 6dp-decimal quantized so F and "
+    "eta^2 are engine-identical. Completes the inference shelf: "
+    "ks/mannwhitney compare two groups, chi-square compares "
+    "categoricals, this compares MANY group means at once",
+    tags=("events", "stats"),
+)
+def events_anova_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    x = e.select(
+        (
+            F.floor(F.unix_micros("ts") / F.lit(3600000000.0)).cast("bigint")
+            % 24
+        ).alias("hr"),
+        F.col("value").cast("double").alias("v"),
+    )
+    v = F.col("v")
+    g = x.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(_q6(v)).cast("double").alias("s_h"),
+        F.sum(_q6(v * v)).cast("double").alias("t_h"),
+    )
+    tot = g.agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(_q6(F.col("s_h"))).cast("double").alias("s"),
+        F.sum(_q6(F.col("t_h"))).cast("double").alias("t"),
+        F.sum(_q6(F.col("s_h") * F.col("s_h") / F.col("n_h")))
+        .cast("double")
+        .alias("bsum"),
+    )
+    ssb = F.col("bsum") - F.col("s") * F.col("s") / F.col("n")
+    sst = F.col("t") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("t") - F.col("bsum")
+    return tot.select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )

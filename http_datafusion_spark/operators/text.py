@@ -2923,3 +2923,116 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- readability grade levels
+
+ARI_HARD_GRADE = 10.0  # 'hard' = above 10th-grade level
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             greatest(CAST(len(list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '')) AS BIGINT), 1) AS words,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  AS BIGINT) AS letters,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                      AS BIGINT), 1) AS sentences
+      FROM documents
+    ),
+    graded AS (
+      SELECT source,
+             CAST(round(4.71 * (CAST(letters AS DOUBLE) / words)
+                        + 0.5 * (CAST(words AS DOUBLE) / sentences)
+                        - 21.43, 6) AS DECIMAL(18,6)) AS ari,
+             CAST(round(0.0588 * (100.0 * letters / words)
+                        - 0.296 * (100.0 * sentences / words)
+                        - 15.8, 6) AS DECIMAL(18,6)) AS cli
+      FROM counts
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(ari) AS DOUBLE) / count(*), 6) AS ari_mean,
+           round(CAST(sum(cli) AS DOUBLE) / count(*), 6) AS cli_mean,
+           round(CAST(sum(CASE WHEN CAST(ari AS DOUBLE) >= 10.0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_hard
+    FROM graded GROUP BY source ORDER BY source
+    """,
+    doc="per-source readability grade levels via the two CHARACTER-based "
+    "formulas — ARI (Senter & Smith 1967: 4.71 chars/word + 0.5 "
+    "words/sentence - 21.43) and Coleman-Liau (1975: 0.0588 L - 0.296 S "
+    "- 15.8 with L/S per-100-words rates) — chosen over Flesch exactly "
+    "because they need NO syllable model, so both engines compute them "
+    "from three codegen'd regex counts (letters, words, [.!?]+ sentence "
+    "runs; empty-text guarded by greatest(...,1) on both sides). The "
+    "audience-difficulty profile a curation mix targets next to "
+    "text_quality_score's mechanical gates: frac_hard = share above "
+    "10th grade. One corpus scan, map-side regex counts, "
+    "|sources|-bounded aggregate; per-doc grades 6dp-decimal quantized "
+    "so the per-source means are order-independent",
+    tags=("text", "pipeline"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    letters = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    ).cast("bigint")
+    sentences = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    counts = d.select(
+        "source",
+        words.alias("words"),
+        letters.alias("letters"),
+        sentences.alias("sentences"),
+    )
+    ari = (
+        F.lit(4.71) * (F.col("letters").cast("double") / F.col("words"))
+        + F.lit(0.5) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588) * (F.lit(100.0) * F.col("letters") / F.col("words"))
+        - F.lit(0.296) * (F.lit(100.0) * F.col("sentences") / F.col("words"))
+        - F.lit(15.8)
+    )
+    graded = counts.select(
+        "source",
+        F.round(ari, 6).cast("decimal(18,6)").alias("ari"),
+        F.round(cli, 6).cast("decimal(18,6)").alias("cli"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        graded.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(F.sum("ari").cast("double") / n, 6).alias("ari_mean"),
+            F.round(F.sum("cli").cast("double") / n, 6).alias("cli_mean"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ari").cast("double") >= ARI_HARD_GRADE, 1
+                    ).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("frac_hard"),
+        )
+        .orderBy("source")
+    )

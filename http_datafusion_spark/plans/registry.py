@@ -85,7 +85,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       first 26 of the 46-row r4 tail the r11 head comment named
 #       verbatim (oldest driver evidence in the registry; unchanged
 #       code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 20 rows of
+#   R13 HEAD (named now, per rotation discipline): FIRST the
+#   zero-driver-evidence rows added after this window froze — the
+#   post-freeze r12 additions ml_lift_deciles, ml_brier_decomposition,
+#   events_ab_power_mde, stats_permutation_test, embedding_drift_audit,
+#   graph_hits_scores, ml_ks_score_separation, events_ate_ipw,
+#   text_readability_scores, split_leakage_audit, events_anova_hour,
+#   embedding_whitening_audit (each locally oracle-exact at
+#   sf0.001+sf0.01 the session it landed) — then the 20 rows of
 #   the r4 tail that overflowed this window —
 #   q_salted_skew_agg, q_topk_orders, q_values_inline,
 #   quality_drift_psi, sample_deterministic, semantic_search_join,
