@@ -1059,3 +1059,163 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tops.unionAll(toph).orderBy("role", F.col("score").desc(), "node")
+
+
+# --------------------------------------------- degree assortativity
+
+_Q6D = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ),
+    ek AS (
+      SELECT da.d AS j, db.d AS k
+      FROM pairs p
+      JOIN deg da ON p.doc_a = da.node
+      JOIN deg db ON p.doc_b = db.node
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(j * k) AS BIGINT) AS sjk,
+             CAST(sum(j + k) AS BIGINT) AS sj,
+             CAST(sum(j * j + k * k) AS BIGINT) AS sj2
+      FROM ek
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    parts AS (
+      SELECT nn.n_nodes, m.m,
+             CAST(m.sjk AS DOUBLE) / m.m
+               - (CAST(m.sj AS DOUBLE) / (2 * m.m))
+                 * (CAST(m.sj AS DOUBLE) / (2 * m.m)) AS num,
+             CAST(m.sj2 AS DOUBLE) / (2 * m.m)
+               - (CAST(m.sj AS DOUBLE) / (2 * m.m))
+                 * (CAST(m.sj AS DOUBLE) / (2 * m.m)) AS den
+      FROM m CROSS JOIN nn
+    )
+    SELECT n_nodes, m AS n_edges,
+           round(num / nullif(den, 0.0), 6) AS assortativity
+    FROM parts
+    """,
+    doc="degree assortativity coefficient (Newman 2002 PRL eq. 4) of the "
+    "MinHash-LSH near-duplicate graph: the Pearson correlation of "
+    "endpoint degrees over edges — positive means duplicate hubs link "
+    "to hubs (template farms cross-copying each other), negative means "
+    "hub-and-spoke copying (one source fanned out to many leaves), and "
+    "the sign decides whether cluster-representative dedup or "
+    "star-collapse dedup fits the corpus. Every sum (jk, j+k, j²+k²) "
+    "is INTEGER over the pair set, so both engines are exact by "
+    "construction up to the one final division. Cost: degrees are one "
+    "groupBy on the doubled (already sub-quadratic, df-bounded) LSH "
+    "edge list, two degree joins back to the pairs, a 1-row reduce",
+    tags=("graph", "dedup"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ek = (
+        pairs.join(deg.select(F.col("u").alias("na"), F.col("d").alias("j")),
+                   F.col("doc_a") == F.col("na"))
+        .join(deg.select(F.col("u").alias("nb"), F.col("d").alias("k")),
+              F.col("doc_b") == F.col("nb"))
+        .select("j", "k")
+    )
+    m = ek.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("sj2"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    mean_half = F.col("sj").cast("double") / (2 * F.col("m"))
+    num = F.col("sjk").cast("double") / F.col("m") - mean_half * mean_half
+    den = F.col("sj2").cast("double") / (2 * F.col("m")) - mean_half * mean_half
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
+
+
+# --------------------------------------------- degree power-law MLE
+
+PL_DMIN = 2  # tail cutoff: fit nodes with degree >= this
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+    ),
+    tail AS (
+      SELECT d, cnt,
+             {_Q6D.format(x=f'cnt * round(ln(d / ({PL_DMIN} - 0.5)), 6)')} AS lterm
+      FROM hist WHERE d >= {PL_DMIN}
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+           CAST({PL_DMIN} AS BIGINT) AS d_min,
+           CAST(max(d) AS BIGINT) AS d_max,
+           round(1.0 + sum(cnt) / CAST(sum(lterm) AS DOUBLE), 6) AS alpha_mle
+    FROM tail
+    """,
+    doc=f"power-law exponent MLE for the near-dup graph's degree "
+    f"distribution (Clauset, Shalizi & Newman 2009 SIAM Rev eq. 3.7, "
+    f"the discrete approximation alpha = 1 + n / sum ln(d_i/(d_min-1/2)) "
+    f"at d_min={PL_DMIN}): the scale-free-ness gauge for duplication "
+    f"structure — alpha near 2 means a few mega-duplicated templates "
+    f"dominate (dedup work is concentrated and cluster caps matter), "
+    f"large alpha means duplication is shallow and uniform. The graph "
+    f"twin of text_zipf_fit. Degrees collapse to the DISTINCT-DEGREE "
+    f"histogram before any transcendental, so ln runs on a "
+    f"domain-bounded grain with the 6dp-round-then-decimal-sum "
+    f"discipline; everything upstream is integer group-bys on the "
+    f"LSH edge list",
+    tags=("graph", "dedup"),
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tail = hist.filter(F.col("d") >= PL_DMIN).select(
+        "d",
+        "cnt",
+        (
+            F.round(
+                F.col("cnt")
+                * F.round(F.log(F.col("d") / F.lit(PL_DMIN - 0.5)), 6),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("lterm"),
+    )
+    return tail.agg(
+        F.sum("cnt").cast("bigint").alias("n_tail"),
+        F.lit(PL_DMIN).cast("bigint").alias("d_min"),
+        F.max("d").cast("bigint").alias("d_max"),
+        F.round(
+            1.0 + F.sum("cnt") / F.sum("lterm").cast("double"), 6
+        ).alias("alpha_mle"),
+    )

@@ -1927,3 +1927,257 @@ def events_anova_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+# ------------------------------------------- WOE / information value
+
+WOE_SMOOTH = 0.5  # Laplace half-count so empty cells stay finite
+
+
+@query(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(count(*) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    n AS (SELECT CAST(sum(tot) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(tot - pos) AS BIGINT) AS n_neg FROM s),
+    c AS (
+      SELECT s.score, s.tot, s.pos, n.n, n.n_pos, n.n_neg,
+             coalesce(sum(s.tot) OVER (ORDER BY s.score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM s CROSS JOIN n
+    ),
+    g AS (
+      SELECT least(CAST(floor(cum_prev * {LIFT_DECILES}.0 / n) AS BIGINT),
+                   {LIFT_DECILES - 1}) AS decile,
+             n_pos, n_neg,
+             CAST(sum(tot) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS pos_b,
+             CAST(sum(tot - pos) AS BIGINT) AS neg_b
+      FROM c GROUP BY 1, n_pos, n_neg
+    ),
+    w AS (
+      SELECT decile, n_docs, pos_b, neg_b,
+             round((pos_b + {WOE_SMOOTH}) / (n_pos + {WOE_SMOOTH} * {LIFT_DECILES})
+                   / ((neg_b + {WOE_SMOOTH}) / (n_neg + {WOE_SMOOTH} * {LIFT_DECILES})), 6)
+               AS odds_ratio,
+             (pos_b + {WOE_SMOOTH}) / (n_pos + {WOE_SMOOTH} * {LIFT_DECILES})
+               - (neg_b + {WOE_SMOOTH}) / (n_neg + {WOE_SMOOTH} * {LIFT_DECILES})
+               AS rate_gap
+      FROM g
+    ),
+    t AS (
+      SELECT decile, n_docs, pos_b, neg_b,
+             round(ln(odds_ratio), 6) AS woe,
+             {_Q6.format(x='rate_gap * round(ln(odds_ratio), 6)')} AS iv_term
+      FROM w
+    ),
+    iv AS (SELECT round(CAST(sum(iv_term) AS DOUBLE), 6) AS iv_total FROM t)
+    SELECT t.decile, t.n_docs, t.pos_b, t.neg_b, t.woe,
+           round(CAST(t.iv_term AS DOUBLE), 6) AS iv_term, i.iv_total
+    FROM t CROSS JOIN iv i ORDER BY t.decile
+    """,
+    doc=f"weight-of-evidence / information value (the credit-scoring "
+    f"feature-strength staple — Siddiqi 2006): score deciles assigned on "
+    f"the distinct-score grain exactly as ml_lift_deciles, per decile "
+    f"WOE = ln(odds ratio of positive vs negative mass) with "
+    f"{WOE_SMOOTH}-Laplace smoothing so empty cells stay finite, IV = "
+    f"sum (p_b - q_b) * WOE_b with the conventional reading (<0.02 "
+    f"useless, >0.5 suspicious). The VALUE-scaled complement of "
+    f"ml_auc_roc's pure ordering: WOE bins are what a scorecard "
+    f"actually deploys. Transcendental discipline: the odds ratio is "
+    f"6dp-rounded BEFORE ln and the WOE after, IV terms 6dp-decimal "
+    f"before summing; everything upstream integer. Bounded-grain "
+    f"windows only; one fact scan",
+    tags=("stats", "pipeline"),
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    n = s.agg(
+        F.sum("tot").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("tot") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, -1)
+    c = s.crossJoin(F.broadcast(n)).select(
+        "score",
+        "tot",
+        "pos",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("tot").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    g = (
+        c.select(
+            F.least(
+                F.floor(
+                    F.col("cum_prev") * float(LIFT_DECILES) / F.col("n")
+                ).cast("bigint"),
+                F.lit(LIFT_DECILES - 1),
+            ).alias("decile"),
+            "n_pos",
+            "n_neg",
+            "tot",
+            "pos",
+        )
+        .groupBy("decile", "n_pos", "n_neg")
+        .agg(
+            F.sum("tot").cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("pos_b"),
+            F.sum(F.col("tot") - F.col("pos")).cast("bigint").alias("neg_b"),
+        )
+    )
+    p_rate = (F.col("pos_b") + WOE_SMOOTH) / (
+        F.col("n_pos") + WOE_SMOOTH * LIFT_DECILES
+    )
+    q_rate = (F.col("neg_b") + WOE_SMOOTH) / (
+        F.col("n_neg") + WOE_SMOOTH * LIFT_DECILES
+    )
+    wdf = g.select(
+        "decile",
+        "n_docs",
+        "pos_b",
+        "neg_b",
+        F.round(p_rate / q_rate, 6).alias("odds_ratio"),
+        (p_rate - q_rate).alias("rate_gap"),
+    )
+    t = wdf.select(
+        "decile",
+        "n_docs",
+        "pos_b",
+        "neg_b",
+        F.round(F.log(F.col("odds_ratio")), 6).alias("woe"),
+        _q6(
+            F.col("rate_gap") * F.round(F.log(F.col("odds_ratio")), 6)
+        ).alias("iv_term"),
+    )
+    iv = t.agg(F.round(F.sum("iv_term").cast("double"), 6).alias("iv_total"))
+    return (
+        t.crossJoin(F.broadcast(iv))
+        .select(
+            "decile",
+            "n_docs",
+            "pos_b",
+            "neg_b",
+            "woe",
+            F.round(F.col("iv_term").cast("double"), 6).alias("iv_term"),
+            "iv_total",
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------------------------------------- cost-optimal threshold
+
+COST_FP = 1.0  # cost of a false positive (wrongly kept document)
+COST_FN = 5.0  # cost of a false negative (wrongly dropped positive)
+
+
+@query(
+    "ml_cost_threshold",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg FROM s),
+    c AS (
+      SELECT score,
+             sum(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM s
+    ),
+    costs AS (
+      SELECT score, tp, fp, t.n_pos, t.n_neg,
+             {COST_FP} * fp + {COST_FN} * (t.n_pos - tp) AS cost
+      FROM c CROSS JOIN tot t
+    ),
+    best AS (
+      SELECT CAST(score AS BIGINT) AS best_threshold,
+             CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(n_pos - tp AS BIGINT) AS fn,
+             CAST(n_neg - fp AS BIGINT) AS tn,
+             round(cost, 6) AS min_cost, n_pos, n_neg
+      FROM costs ORDER BY cost ASC, score ASC LIMIT 1
+    )
+    SELECT best_threshold, tp, fp, fn, tn, min_cost,
+           round({COST_FP} * n_neg, 6) AS cost_accept_all,
+           round({COST_FN} * n_pos, 6) AS cost_reject_all
+    FROM best
+    """,
+    doc=f"cost-sensitive operating point (Elkan 2001 'The Foundations of "
+    f"Cost-Sensitive Learning'): with asymmetric unit costs FP={COST_FP} "
+    f"/ FN={COST_FN} (dropping a genuine positive costs {COST_FN:.0f}x "
+    f"keeping a junk one — the usual curation asymmetry), sweep every "
+    f"threshold on the distinct-score grain and pick the cost-minimal "
+    f"one, beside the two degenerate baselines (accept-all pays "
+    f"FP*n_neg, reject-all pays FN*n_pos) that any deployed cut must "
+    f"beat. Where ml_pr_auc's best-F1 weighs precision and recall "
+    f"equally, this prices them — same grain, same two running sums, a "
+    f"grain-sized top-1 fused to TakeOrderedAndProject; tp/fp are pure "
+    f"integers and the cost a literal-weighted integer combination, so "
+    f"the argmin is engine-identical with no rounding discipline needed",
+    tags=("stats", "pipeline"),
+)
+def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    en = F.col("lang") == "en"
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(~en, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    tot = s.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, 0)
+    c = s.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    costs = c.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        (
+            F.lit(COST_FP) * F.col("fp")
+            + F.lit(COST_FN) * (F.col("n_pos") - F.col("tp"))
+        ).alias("cost"),
+    )
+    return (
+        costs.orderBy(F.col("cost").asc(), F.col("score").asc())
+        .limit(1)
+        .select(
+            F.col("score").cast("bigint").alias("best_threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.col("n_neg") - F.col("fp")).cast("bigint").alias("tn"),
+            F.round(F.col("cost"), 6).alias("min_cost"),
+            F.round(F.lit(COST_FP) * F.col("n_neg"), 6).alias("cost_accept_all"),
+            F.round(F.lit(COST_FN) * F.col("n_pos"), 6).alias("cost_reject_all"),
+        )
+    )
