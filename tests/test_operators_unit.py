@@ -410,3 +410,95 @@ def test_token_count_equals_materialized_split(spark, sf_dir):
             (F.size(whitespace_tokens(F.col("text"))) != token_count(F.col("text"))).alias("x")
         ).filter("x").count()
         assert bad == 0
+
+
+# ---------------------------------------- r12 stats-family invariants
+
+
+def test_brier_decomposition_identity_is_exact(spark, sf_dir):
+    """Murphy's BS = REL - RES + UNC holds EXACTLY at the
+    distinct-forecast grain — the residual column is the computed
+    check, and a wrong-grain regression flips it nonzero."""
+    from http_datafusion_spark.operators.stats import ml_brier_decomposition
+
+    row = ml_brier_decomposition(spark, sf_dir).collect()[0]
+    assert row.decomp_residual == 0.0
+    assert 0.0 <= row.uncertainty <= 0.25  # obar(1-obar) is bounded
+    assert row.brier >= 0.0 and row.reliability >= 0.0 and row.resolution >= 0.0
+
+
+def test_lift_deciles_conserve_totals(spark, sf_dir):
+    """Decile doc/positive counts must partition the corpus exactly,
+    and the last cumulative capture must be 1.0."""
+    from http_datafusion_spark.operators.stats import ml_lift_deciles
+    from http_datafusion_spark.plans.tables import load_tables
+
+    rows = ml_lift_deciles(spark, sf_dir).collect()
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n = d.count()
+    n_pos = d.filter(F.col("lang") == "en").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.pos_docs for r in rows) == n_pos
+    assert rows[-1].cum_capture == 1.0
+
+
+def test_cost_threshold_beats_degenerate_baselines(spark, sf_dir):
+    """The swept operating point can never cost more than accept-all /
+    reject-all (both are points ON the sweep's closure)."""
+    from http_datafusion_spark.operators.stats import ml_cost_threshold
+
+    row = ml_cost_threshold(spark, sf_dir).collect()[0]
+    assert row.min_cost <= row.cost_accept_all
+    assert row.min_cost <= row.cost_reject_all
+    assert row.tp + row.fn > 0 and row.fp + row.tn > 0
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    from http_datafusion_spark.operators.stats import ml_ks_score_separation
+
+    row = ml_ks_score_separation(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+
+
+def test_permutation_pvalue_bounds(spark, sf_dir):
+    """p = (1 + #extreme)/(K+1) is bounded away from 0 by the add-one
+    correction and can never exceed 1."""
+    from http_datafusion_spark.operators.stats import PERM_K, stats_permutation_test
+
+    row = stats_permutation_test(spark, sf_dir).collect()[0]
+    assert 1.0 / (PERM_K + 1) <= row.p_value <= 1.0
+    assert 0 <= row.n_extreme <= PERM_K
+
+
+def test_woe_iv_mass_conservation(spark, sf_dir):
+    """WOE bins must partition the positive/negative mass; IV >= 0 up
+    to the 6dp term quantization."""
+    from http_datafusion_spark.operators.stats import feature_woe_iv
+    from http_datafusion_spark.plans.tables import load_tables
+
+    rows = feature_woe_iv(spark, sf_dir).collect()
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_pos = d.filter(F.col("lang") == "en").count()
+    assert sum(r.pos_b for r in rows) == n_pos
+    assert rows[0].iv_total >= -1e-5  # each true IV term is >= 0; 6dp noise only
+    assert all(r.iv_total == rows[0].iv_total for r in rows)
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    from http_datafusion_spark.operators.components import graph_assortativity
+
+    row = graph_assortativity(spark, sf_dir).collect()[0]
+    if row.assortativity is not None:  # degenerate uniform-degree graphs -> null
+        assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_hits_scores_positive_and_role_split(spark, sf_dir):
+    from http_datafusion_spark.operators.components import graph_hits_scores
+
+    rows = graph_hits_scores(spark, sf_dir).collect()
+    roles = {r.role for r in rows}
+    assert roles == {"authority", "hub"}
+    assert all(r.score > 0.0 for r in rows)
+    # L1-normalized halves: any top-k slice sums to at most 1 (+quantization)
+    for role in roles:
+        assert sum(r.score for r in rows if r.role == role) <= 1.0 + 1e-9
