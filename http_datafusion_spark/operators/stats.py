@@ -2181,3 +2181,221 @@ def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(COST_FN) * F.col("n_pos"), 6).alias("cost_reject_all"),
         )
     )
+
+
+# --------------------------------------- retention decay half-life fit
+
+LN2 = 0.6931471805599453
+
+
+@query(
+    "events_retention_halflife",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS a_day FROM events
+    ),
+    offs AS (
+      SELECT CAST(a.a_day - c.c_day AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_t
+      FROM cohort c JOIN active a ON c.user_id = a.user_id
+      GROUP BY 1
+    ),
+    base AS (SELECT CAST(n_t AS BIGINT) AS n0 FROM offs WHERE t = 0),
+    pts AS (
+      SELECT CAST(t AS DOUBLE) AS x,
+             round(ln(round(CAST(n_t AS DOUBLE) / b.n0, 6)), 6) AS y
+      FROM offs CROSS JOIN base b WHERE t >= 1 AND n_t > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum({_Q6.format(x='x')}) AS DOUBLE) AS sx,
+             CAST(sum({_Q6.format(x='y')}) AS DOUBLE) AS sy,
+             CAST(sum({_Q6.format(x='x * y')}) AS DOUBLE) AS sxy,
+             CAST(sum({_Q6.format(x='x * x')}) AS DOUBLE) AS sxx,
+             CAST(sum({_Q6.format(x='y * y')}) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT k AS n_offsets_fit,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS slope,
+           round(sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k, 6)
+             AS intercept,
+           round(-{LN2!r} / ((sxy - sx * sy / k) / (sxx - sx * sx / k)), 6)
+             AS half_life_days,
+           round((sxy - sx * sy / k) * (sxy - sx * sy / k)
+                 / ((sxx - sx * sx / k) * (syy - sy * sy / k)), 6) AS r_squared
+    FROM m
+    """,
+    doc="retention half-life via the exponential-decay fit the "
+    "events_retention matrix feeds (standard growth-accounting "
+    "practice; linearized ln r_t = a + b t OLS — Fader & Hardie's "
+    "simple-decay baseline): pooled retention r_t = users active at "
+    "offset t / cohort size, fit over t >= 1, half-life = -ln2/b with "
+    "R^2 as the exponential-shape diagnostic (low R^2 says the curve "
+    "has a plateau and a geometric-beta model is needed). Day offsets "
+    "collapse to a calendar-bounded grain (|days| rows) before any "
+    "math; r_t is 6dp-rounded BEFORE ln and y after (the "
+    "transcendental discipline); OLS moments are 6dp-decimal sums over "
+    "that bounded grain. Two user-keyed aggregates are the only "
+    "corpus-sized work — identical scale shape to events_retention "
+    "itself",
+    tags=("events", "stats"),
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    day = F.to_date("ts")
+    cohort = e.groupBy("user_id").agg(F.min(day).alias("c_day"))
+    active = e.select("user_id", day.alias("a_day")).distinct()
+    offs = (
+        cohort.join(active, "user_id")
+        .groupBy(F.datediff("a_day", "c_day").cast("bigint").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    base = offs.filter(F.col("t") == 0).select(F.col("n_t").alias("n0"))
+    pts = (
+        offs.filter((F.col("t") >= 1) & (F.col("n_t") > 0))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("t").cast("double").alias("x"),
+            F.round(
+                F.log(F.round(F.col("n_t").cast("double") / F.col("n0"), 6)), 6
+            ).alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(_q6(x)).cast("double").alias("sx"),
+        F.sum(_q6(y)).cast("double").alias("sy"),
+        F.sum(_q6(x * y)).cast("double").alias("sxy"),
+        F.sum(_q6(x * x)).cast("double").alias("sxx"),
+        F.sum(_q6(y * y)).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("k")
+    slope = cov / varx
+    return m.select(
+        F.col("k").alias("n_offsets_fit"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("k") - slope * F.col("sx") / F.col("k"), 6).alias(
+            "intercept"
+        ),
+        F.round(-F.lit(LN2) / slope, 6).alias("half_life_days"),
+        F.round(cov * cov / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+# --------------------------------------- funnel step Wilson intervals
+
+
+@query(
+    "events_funnel_wilson_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    steps AS (
+      SELECT 'view->click' AS step,
+             (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_base,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_conv
+      UNION ALL
+      SELECT 'click->purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM c),
+             (SELECT CAST(count(*) AS BIGINT) FROM p)
+    ),
+    wi AS (
+      SELECT step, n_base, n_conv,
+             CAST(n_conv AS DOUBLE) / n_base AS ph,
+             {Z_ALPHA_HALF!r} * {Z_ALPHA_HALF!r} / n_base AS z2n
+      FROM steps
+    )
+    SELECT step, n_base, n_conv,
+           round(ph, 6) AS rate,
+           round((ph + z2n / 2 - {Z_ALPHA_HALF!r}
+                  * sqrt(ph * (1 - ph) / n_base + z2n / (4 * n_base)))
+                 / (1 + z2n), 6) AS wilson_lo,
+           round((ph + z2n / 2 + {Z_ALPHA_HALF!r}
+                  * sqrt(ph * (1 - ph) / n_base + z2n / (4 * n_base)))
+                 / (1 + z2n), 6) AS wilson_hi
+    FROM wi ORDER BY step
+    """,
+    doc="Wilson 95% score intervals (Wilson 1927; the Brown-Cai-DasGupta "
+    "2001 recommendation over the Wald interval, which collapses at "
+    "extreme rates) for each ordered-funnel step conversion — the "
+    "uncertainty band a dashboard needs before declaring a step "
+    "'degraded': view->click and click->purchase rates with the same "
+    "strictly-ordered first-qualifying-event semantics as "
+    "events_funnel. Counts are per-user min-timestamp aggregates "
+    "(the funnel machinery); the interval is pure "
+    "(+,-,*,/,sqrt) on two integers per step, so both engines agree "
+    "bit-for-bit with no rounding discipline; 2-row output",
+    tags=("events", "stats"),
+)
+def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ncl = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s1 = (
+        nv.crossJoin(F.broadcast(ncl.withColumnRenamed("n", "n2")))
+        .select(
+            F.lit("view->click").alias("step"),
+            F.col("n").alias("n_base"),
+            F.col("n2").alias("n_conv"),
+        )
+    )
+    s2 = (
+        ncl.crossJoin(F.broadcast(np_.withColumnRenamed("n", "n2")))
+        .select(
+            F.lit("click->purchase").alias("step"),
+            F.col("n").alias("n_base"),
+            F.col("n2").alias("n_conv"),
+        )
+    )
+    steps = s1.unionAll(s2)
+    ph = F.col("n_conv").cast("double") / F.col("n_base")
+    z = F.lit(Z_ALPHA_HALF)
+    z2n = z * z / F.col("n_base")
+    half = z * F.sqrt(ph * (1 - ph) / F.col("n_base") + z2n / (4 * F.col("n_base")))
+    return steps.select(
+        "step",
+        "n_base",
+        "n_conv",
+        F.round(ph, 6).alias("rate"),
+        F.round((ph + z2n / 2 - half) / (1 + z2n), 6).alias("wilson_lo"),
+        F.round((ph + z2n / 2 + half) / (1 + z2n), 6).alias("wilson_hi"),
+    ).orderBy("step")

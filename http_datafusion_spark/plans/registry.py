@@ -92,8 +92,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   graph_hits_scores, ml_ks_score_separation, events_ate_ipw,
 #   text_readability_scores, split_leakage_audit, events_anova_hour,
 #   embedding_whitening_audit, feature_woe_iv, ml_cost_threshold,
-#   graph_assortativity, graph_degree_powerlaw (each locally
-#   oracle-exact at sf0.001+sf0.01 the session it landed) — then the
+#   graph_assortativity, graph_degree_powerlaw,
+#   events_retention_halflife, events_funnel_wilson_ci,
+#   text_simpson_diversity (each locally oracle-exact at
+#   sf0.001+sf0.01 the session it landed) — then the
 #   20 rows of
 #   the r4 tail that overflowed this window —
 #   q_salted_skew_agg, q_topk_orders, q_values_inline,
