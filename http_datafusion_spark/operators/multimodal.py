@@ -1306,3 +1306,144 @@ def multimodal_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_silent") * 1.0 / F.sum("n_frames"), 6).alias("frac_silent"),
         F.round(F.sum("n_clipped") * 1.0 / F.sum("n_frames"), 6).alias("frac_clipped"),
     )
+
+
+# ------------------------------------------------- audio SNR proxy
+
+SNR_DB_FLOOR = 10.0  # scored docs below this amplitude-SNR are flagged
+
+
+@query(
+    "multimodal_audio_snr",
+    oracle=f"""
+    WITH aud AS (
+      SELECT doc_id, source, 16 + n_chars % 50 AS n_samples
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    samp AS (
+      SELECT doc_id, source,
+             i.i AS i,
+             abs(((doc_id * 131 + i.i * 17) % 4096) - 2048) AS a
+      FROM aud, (SELECT unnest(range(0, 66)) AS i) i
+      WHERE i.i < n_samples
+    ),
+    fr AS (
+      SELECT doc_id, source, CAST(floor(i / {VAD_FRAME}) AS BIGINT) AS f,
+             CAST(sum(a) AS BIGINT) AS sa,
+             CAST(count(*) AS BIGINT) AS fl
+      FROM samp GROUP BY 1, 2, 3
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(sum(CASE WHEN sa >= {VAD_THRESHOLD} * fl THEN 1 ELSE 0 END) AS BIGINT) AS n_act,
+             CAST(sum(CASE WHEN sa >= {VAD_THRESHOLD} * fl THEN sa END) AS BIGINT) AS s_act,
+             CAST(sum(CASE WHEN sa >= {VAD_THRESHOLD} * fl THEN fl END) AS BIGINT) AS l_act,
+             CAST(sum(CASE WHEN sa < {VAD_THRESHOLD} * fl THEN 1 ELSE 0 END) AS BIGINT) AS n_sil,
+             CAST(sum(CASE WHEN sa < {VAD_THRESHOLD} * fl THEN sa END) AS BIGINT) AS s_sil,
+             CAST(sum(CASE WHEN sa < {VAD_THRESHOLD} * fl THEN fl END) AS BIGINT) AS l_sil
+      FROM fr GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_act > 0 AND n_sil > 0 AND s_sil > 0 THEN
+               round(20.0 * log10(round((CAST(s_act AS DOUBLE) / l_act)
+                                        / (CAST(s_sil AS DOUBLE) / l_sil), 6)), 6)
+             END AS snr_db
+      FROM perdoc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_audio_docs,
+           CAST(count(snr_db) AS BIGINT) AS n_scored,
+           round(CAST(sum(CAST(round(snr_db, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / nullif(count(snr_db), 0), 6) AS mean_snr_db,
+           round(CAST(sum(CASE WHEN snr_db < {SNR_DB_FLOOR} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / nullif(count(snr_db), 0), 6) AS frac_low_snr
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc=f"per-source audio SNR proxy (the energy-VAD-based estimate a "
+    f"speech pipeline gates ingest on before transcription — active-"
+    f"frame mean amplitude over silent-frame mean amplitude, in dB): "
+    f"frames come from the SAME real RIFF/PCM decode + {VAD_FRAME}-"
+    f"sample framing as multimodal_vad_segments, split at the VAD "
+    f"activity gate; docs lacking either frame class (all speech or "
+    f"all silence) stay unscored rather than faking infinity. "
+    f"Amplitude ratio 6dp-rounded BEFORE log10 and the dB after (the "
+    f"transcendental discipline); per-source means from 6dp-decimal "
+    f"sums; frac below the {SNR_DB_FLOOR:.0f} dB floor is the gate "
+    f"readout. Integer frame sums end to end until the one ratio, so "
+    f"the closed-form generator proves decode + framing byte-exactly; "
+    f"payloads never leave executors, one Arrow pass, then "
+    f"|sources|-bounded math",
+    tags=("multimodal",),
+)
+def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "source": [], "sa": [], "fl": []}
+            for doc_id, src, nc in zip(
+                pdf["doc_id"].tolist(),
+                pdf["source"].tolist(),
+                pdf["n_chars"].tolist(),
+            ):
+                if doc_id % 2 != 1:
+                    continue
+                meta = decode_wav(synth_wav(doc_id, nc))
+                raw = synth_wav(doc_id, nc)
+                data = raw[len(raw) - meta["n_units"] * 2:]
+                samples = struct.unpack(f"<{meta['n_units']}h", data)
+                for f in range((len(samples) + VAD_FRAME - 1) // VAD_FRAME):
+                    frm = samples[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                    rows["doc_id"].append(doc_id)
+                    rows["source"].append(src)
+                    rows["sa"].append(int(sum(abs(s) for s in frm)))
+                    rows["fl"].append(len(frm))
+            yield pd.DataFrame(rows)
+
+    fr = d.select("doc_id", "source", "n_chars").mapInPandas(
+        batches, schema="doc_id bigint, source string, sa bigint, fl bigint"
+    )
+    act = F.col("sa") >= VAD_THRESHOLD * F.col("fl")
+    perdoc = fr.groupBy("doc_id", "source").agg(
+        F.sum(act.cast("long")).cast("bigint").alias("n_act"),
+        F.sum(F.when(act, F.col("sa"))).cast("bigint").alias("s_act"),
+        F.sum(F.when(act, F.col("fl"))).cast("bigint").alias("l_act"),
+        F.sum((~act).cast("long")).cast("bigint").alias("n_sil"),
+        F.sum(F.when(~act, F.col("sa"))).cast("bigint").alias("s_sil"),
+        F.sum(F.when(~act, F.col("fl"))).cast("bigint").alias("l_sil"),
+    )
+    ratio = F.round(
+        (F.col("s_act").cast("double") / F.col("l_act"))
+        / (F.col("s_sil").cast("double") / F.col("l_sil")),
+        6,
+    )
+    scored = perdoc.select(
+        "source",
+        F.when(
+            (F.col("n_act") > 0) & (F.col("n_sil") > 0) & (F.col("s_sil") > 0),
+            F.round(F.lit(20.0) * F.log10(ratio), 6),
+        ).alias("snr_db"),
+    )
+    n_scored = F.count("snr_db")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_audio_docs"),
+            n_scored.cast("bigint").alias("n_scored"),
+            F.round(
+                F.sum(F.round(F.col("snr_db"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.nullif(n_scored, F.lit(0)),
+                6,
+            ).alias("mean_snr_db"),
+            F.round(
+                F.sum(
+                    F.when(F.col("snr_db") < SNR_DB_FLOOR, 1).otherwise(0)
+                ).cast("double")
+                / F.nullif(n_scored, F.lit(0)),
+                6,
+            ).alias("frac_low_snr"),
+        )
+        .orderBy("source")
+    )

@@ -2506,3 +2506,102 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("motif").asc())
         .limit(SAX_TOP)
     )
+
+
+# --------------------------------------------- cohort LTV curve
+
+_Q6LTV = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             CAST(o_totalprice AS DOUBLE) AS rev
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, CAST(min(mi) AS BIGINT) AS mi0 FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT mi0, CAST(count(*) AS BIGINT) AS n_users FROM first GROUP BY mi0
+    ),
+    cell AS (
+      SELECT f.mi0, o.mi - f.mi0 AS offs,
+             CAST(sum({_Q6LTV.format(x='o.rev')}) AS DOUBLE) AS rev
+      FROM o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT mi0, offs,
+             sum({_Q6LTV.format(x='rev')}) OVER (PARTITION BY mi0 ORDER BY offs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM cell
+    )
+    SELECT concat(CAST((c.mi0 - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST(c.mi0 - ((c.mi0 - 1) // 12) * 12 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           CAST(c.offs AS BIGINT) AS month_offset,
+           s.n_users,
+           round(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6)
+             AS cum_revenue_per_user
+    FROM cum c JOIN sizes s ON c.mi0 = s.mi0
+    ORDER BY cohort_month, month_offset
+    """,
+    doc="cohort LTV curve (the cumulative-revenue-per-user matrix behind "
+    "every lifetime-value model — Fader & Hardie's empirical starting "
+    "point): customers grouped by first-order month (engine-neutral "
+    "integer month key year*12+month, the orders_holt_backtest "
+    "convention), revenue accumulated per (cohort, month-offset) cell "
+    "and divided by cohort size — read along a row for a cohort's "
+    "payback trajectory, down a column for cohort-quality drift "
+    "(events_retention counts PRESENCE, this weighs it by money). Two "
+    "customer-keyed aggregates on the fact scan, then every window "
+    "runs on the |months|^2-bounded cohort x offset grain; revenue "
+    "sums 6dp-decimal at both the cell and the cumulative step so the "
+    "running sums are engine-identical",
+    tags=("orders", "timeseries"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def q6(c):
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    o = t.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mi"),
+        F.col("o_totalprice").cast("double").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mi").cast("bigint").alias("mi0"))
+    sizes = first.groupBy("mi0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    cell = (
+        o.join(first, "o_custkey")
+        .groupBy("mi0", (F.col("mi") - F.col("mi0")).alias("offs"))
+        .agg(F.sum(q6(F.col("rev"))).cast("double").alias("rev"))
+    )
+    w = W.partitionBy("mi0").orderBy("offs").rowsBetween(W.unboundedPreceding, 0)
+    cum = cell.select("mi0", "offs", F.sum(q6(F.col("rev"))).over(w).alias("cum_rev"))
+    yr = F.floor((F.col("mi0") - 1) / 12)
+    return (
+        cum.join(sizes, "mi0")
+        .select(
+            F.concat(
+                yr.cast("bigint").cast("string"),
+                F.lit("-"),
+                F.lpad((F.col("mi0") - yr * 12).cast("bigint").cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("offs").cast("bigint").alias("month_offset"),
+            "n_users",
+            F.round(F.col("cum_rev").cast("double") / F.col("n_users"), 6).alias(
+                "cum_revenue_per_user"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
