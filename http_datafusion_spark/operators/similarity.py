@@ -3334,6 +3334,16 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "pipeline"),
 )
 def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan note (perf iteration, measured this round): two array-fold
+    # drafts tried to eliminate the (vec, dim) x per-vector-norm join
+    # by computing norms as exact integer-micros folds over the
+    # embedding array (decimal-cast fold, then a cheaper
+    # double-round-recovers-k fold). BOTH measured SLOWER than this
+    # join form at sf1 (8.7 s join vs 13.0 s / 11.2 s folds; the
+    # 64-element transform+element_at lambdas cost more than the
+    # co-partitioned vec_id shuffle they remove) — reverted, negative
+    # result recorded per the checkpoint-audit discipline. The join
+    # form's shuffle is linear, co-partitioned on vec_id, and AQE-sized.
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
 
     def q6(c: Column) -> Column:
