@@ -94,8 +94,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   embedding_whitening_audit, feature_woe_iv, ml_cost_threshold,
 #   graph_assortativity, graph_degree_powerlaw,
 #   events_retention_halflife, events_funnel_wilson_ci,
-#   text_simpson_diversity, orders_cohort_ltv, multimodal_audio_snr
-#   (each locally oracle-exact at
+#   text_simpson_diversity, orders_cohort_ltv, multimodal_audio_snr,
+#   stream_ab_effect_monitor (each locally oracle-exact at
 #   sf0.001+sf0.01 the session it landed) — then the
 #   20 rows of
 #   the r4 tail that overflowed this window —
