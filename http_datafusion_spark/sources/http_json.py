@@ -510,3 +510,88 @@ def refresh_http_table(
         df = df.cache()
     df.createOrReplaceTempView(table_name)
     return new_etag, new_lm, True
+
+
+def parse_link_next(link_header: str | None) -> str | None:
+    """Extract the ``rel="next"`` target from an RFC 8288 ``Link``
+    header (the GitHub/Stripe-style pagination contract), or None.
+
+    Handles multiple comma-separated link-values, quoted and unquoted
+    ``rel`` params, extra params per link, and multi-valued rel lists
+    (``rel="next last"``). Deliberately a small, dependency-free parser:
+    link-values are split on commas OUTSIDE ``<...>`` targets (URLs may
+    contain commas only percent-encoded, RFC 3986, so a simple split on
+    '>' boundaries is sound).
+    """
+    if not link_header:
+        return None
+    for part in link_header.split(","):
+        part = part.strip()
+        if not part.startswith("<"):
+            continue
+        end = part.find(">")
+        if end < 0:
+            continue
+        target = part[1:end]
+        for param in part[end + 1 :].split(";"):
+            param = param.strip()
+            if not param.lower().startswith("rel"):
+                continue
+            _, _, val = param.partition("=")
+            rels = val.strip().strip('"').lower().split()
+            if "next" in rels:
+                return target
+    return None
+
+
+def fetch_rows_link(
+    url: str,
+    method: str = "GET",
+    timeout: float = _DEFAULT_TIMEOUT,
+    max_rows: int | None = None,
+    max_pages: int = 10_000,
+    headers: dict[str, str] | None = None,
+    json_body: Any | None = None,
+) -> list[Any]:
+    """Walk a ``Link: <...>; rel="next"`` paginated endpoint to
+    exhaustion — the third pagination contract beside page-number
+    (fetch_rows) and cursor/token (fetch_rows_cursor), and the one the
+    reference's page/limit-only model (src/model.rs:20-34) cannot
+    express at all: the server names the next URL, the client follows
+    it verbatim.
+
+    Stops when the response carries no ``rel="next"`` link, on an empty
+    array body, at ``max_rows`` staged rows (limit pushdown, same
+    contract as fetch_rows), at ``max_pages`` (safety cap), or on a
+    next-URL the walk has already visited (a self/looping link is a
+    server bug that must not burn the cap before stopping). Relative
+    next-URLs resolve against the current page's URL (RFC 3986 join).
+    Transient failures ride the shared retry/Retry-After loop.
+    """
+    from urllib.parse import urljoin
+
+    rows: list[Any] = []
+    current = url
+    seen: set[str] = {url}
+    for _ in range(max_pages):
+        if max_rows is not None and len(rows) >= max_rows:
+            break
+        resp = _request_with_retries(
+            current, method=method, timeout=timeout, headers=headers, json_body=json_body
+        )
+        try:
+            body = resp.json()
+        except ValueError as e:
+            raise HttpError(f"failed to parse JSON from {current!r}: {e}") from e
+        if body is None or (isinstance(body, list) and not body):
+            break
+        _extend_rows(rows, body)
+        nxt = parse_link_next(resp.headers.get("Link"))
+        if nxt is None:
+            break
+        nxt = urljoin(current, nxt)
+        if nxt in seen:
+            break  # looping Link chain — stop, don't spin to the cap
+        seen.add(nxt)
+        current = nxt
+    return rows

@@ -110,6 +110,45 @@ class _Handler(BaseHTTPRequestHandler):
             # Buggy server: re-serves the SAME token forever.
             self._send({"data": ROWS[:10], "next_cursor": "tokX"})
             return
+        if u.path == "/linked":
+            # RFC 8288 Link-header pagination: 10 rows/page, 4 pages,
+            # quoted rel with extra params, RELATIVE next URL on page 2
+            # (resolution check), multi-valued rel on page 3, no Link
+            # header on the last page.
+            q2 = parse_qs(u.query)
+            off = int(q2.get("off", ["0"])[0])
+            chunk = ROWS[off : off + 10]
+            body = json.dumps(chunk).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            nxt_off = off + 10
+            if nxt_off < len(ROWS):
+                if off == 10:
+                    link = f'/linked?off={nxt_off}; rel=next'
+                    link = f"<{link.split(';')[0]}>; rel=next"
+                elif off == 20:
+                    self.send_header(
+                        "Link",
+                        f'<first>; rel="first", <{self.path.split("?")[0]}'
+                        f'?off={nxt_off}>; title="p"; rel="next last"',
+                    )
+                    link = None
+                else:
+                    link = f'<http://{self.headers["Host"]}/linked?off={nxt_off}>; rel="next"'
+                if off != 20:
+                    self.send_header("Link", link)
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if u.path == "/linked_loop":
+            # Buggy server: every page links to ITSELF as next.
+            body = json.dumps(ROWS[:10]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Link", f'<{self.path}>; rel="next"')
+            self.end_headers()
+            self.wfile.write(body)
+            return
         q = parse_qs(u.query)
         page = int(q.get("page", ["1"])[0])
         size = int(q.get("limit", [q.get("per", ["10"])[0]])[0])
@@ -507,3 +546,44 @@ def test_conditional_fetch_method_gate_and_errors(base_url):
         fetch_json_conditional(f"{base_url}/etag_resource", method="DELETE")
     with pytest.raises(HttpError, match="404"):
         fetch_json_conditional(f"{base_url}/nope_404")
+
+
+# ------------------------------------------- Link-header pagination
+
+
+def test_link_pagination_walks_all_pages(base_url):
+    """Absolute, relative, and multi-valued-rel next links across 4
+    pages; the last page carries no Link header."""
+    from http_datafusion_spark.sources.http_json import fetch_rows_link
+
+    rows = fetch_rows_link(f"{base_url}/linked")
+    assert [r["id"] for r in rows] == [r["id"] for r in ROWS]
+
+
+def test_link_pagination_max_rows_pushdown(base_url):
+    from http_datafusion_spark.sources.http_json import fetch_rows_link
+
+    rows = fetch_rows_link(f"{base_url}/linked", max_rows=15)
+    # stops FETCHING once >= 15 rows staged (page granularity, like fetch_rows)
+    assert len(rows) == 20
+
+
+def test_link_pagination_self_loop_stops(base_url):
+    from http_datafusion_spark.sources.http_json import fetch_rows_link
+
+    rows = fetch_rows_link(f"{base_url}/linked_loop")
+    assert len(rows) == 10  # one page, then the self-link is refused
+
+
+def test_parse_link_next_forms():
+    from http_datafusion_spark.sources.http_json import parse_link_next
+
+    assert parse_link_next(None) is None
+    assert parse_link_next('<http://x/p?page=2>; rel="next"') == "http://x/p?page=2"
+    assert parse_link_next("<u>; rel=next") == "u"
+    assert (
+        parse_link_next('<a>; rel="prev", <b>; title="t"; rel="next last"') == "b"
+    )
+    assert parse_link_next('<a>; rel="prev", <b>; rel="last"') is None
+    # rel token must be 'next', not merely prefixed with it
+    assert parse_link_next('<c>; rel="nexting"') is None
