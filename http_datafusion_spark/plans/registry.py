@@ -81,37 +81,48 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       stream_msprt_monitor, orders_croston_intermittent,
 #       ts_sax_motifs, sim_srp_lsh_recall — displacing the last 8
 #       r4-stale re-confirmations into the r13 head.
-#   (d) 26 slots of r4-stale re-confirmation: the lexicographically-
-#       first 26 of the 46-row r4 tail the r11 head comment named
-#       verbatim (oldest driver evidence in the registry; unchanged
-#       code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the
-#   zero-driver-evidence rows added after this window froze — the
-#   post-freeze r12 additions ml_lift_deciles, ml_brier_decomposition,
-#   events_ab_power_mde, stats_permutation_test, embedding_drift_audit,
-#   graph_hits_scores, ml_ks_score_separation, events_ate_ipw,
-#   text_readability_scores, split_leakage_audit, events_anova_hour,
-#   embedding_whitening_audit, feature_woe_iv, ml_cost_threshold,
-#   graph_assortativity, graph_degree_powerlaw,
-#   events_retention_halflife, events_funnel_wilson_ci,
-#   text_simpson_diversity, orders_cohort_ltv, multimodal_audio_snr,
-#   stream_ab_effect_monitor (each locally oracle-exact at
-#   sf0.001+sf0.01 the session it landed) — then the
-#   20 rows of
-#   the r4 tail that overflowed this window —
-#   q_salted_skew_agg, q_topk_orders, q_values_inline,
-#   quality_drift_psi, sample_deterministic, semantic_search_join,
-#   sim_ivf_recall, text_bm25_search (displaced by the c2 late
-#   additions), then
-#   text_char_entropy, text_rare_words, text_repetition, text_top_bigrams,
-#   tokenize_to_ids, train_shuffle_shards, train_val_split, ts_ewma,
-#   ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers, vocab_build
+#   (c3) 22 later-r12 additions (same rule as c2 — zero driver
+#       evidence, so the evidence-age policy places them IN the
+#       window, each locally oracle-exact at sf0.001+sf0.01 the
+#       session it landed): ml_lift_deciles, ml_brier_decomposition,
+#       events_ab_power_mde, stats_permutation_test,
+#       embedding_drift_audit, graph_hits_scores,
+#       ml_ks_score_separation, events_ate_ipw,
+#       text_readability_scores, split_leakage_audit,
+#       events_anova_hour, embedding_whitening_audit, feature_woe_iv,
+#       ml_cost_threshold, graph_assortativity, graph_degree_powerlaw,
+#       events_retention_halflife, events_funnel_wilson_ci,
+#       text_simpson_diversity, orders_cohort_ltv,
+#       multimodal_audio_snr, stream_ab_effect_monitor — displacing
+#       the last 22 r4-stale re-confirmations into the r13 head.
+#   (d) 4 remaining slots of r4-stale re-confirmation: the
+#       lexicographically-first 4 of the 46-row r4 tail the r11 head
+#       comment named verbatim (oldest driver evidence in the
+#       registry; unchanged code, pure re-confirmations).
+#   R13 HEAD (named now, per rotation discipline): FIRST the 42 rows
+#   of the r4 tail that overflowed this window —
+#   the 22 displaced by (c3): data_quality_audit, decontaminate_corpus,
+#   dedup_embedding_cosine, dedup_embedding_cosine_exact,
+#   dedup_keep_best, dedup_ngram_coverage, dedup_prefix_pairs,
+#   doc_chunking, embedding_index_build, embedding_negative_pairs,
+#   embedding_quantize_int8, events_retention,
+#   events_session_window_native, events_value_histogram,
+#   graph_pagerank, hll_sketch_union, mix_sources_temperature,
+#   multimodal_features, q_bucketed_join, q_date_bin,
+#   q_group_order_all, q_hash_funcs — then the 20 named by the r11
+#   head that never fit this window: q_salted_skew_agg, q_topk_orders,
+#   q_values_inline, quality_drift_psi, sample_deterministic,
+#   semantic_search_join, sim_ivf_recall, text_bm25_search,
+#   text_char_entropy, text_rare_words, text_repetition,
+#   text_top_bigrams, tokenize_to_ids, train_shuffle_shards,
+#   train_val_split, ts_ewma, ts_mad_outliers, ts_resample_ohlc,
+#   ts_zscore_outliers, vocab_build
 #   — then any row whose code or oracle changes during r12 after this
 #   window freezes, then r13 additions, then the lexicographically-
 #   first of the 35-row r5-stale tail (the next-oldest evidence class
 #   per the CORRECTNESS_r4..r11 histogram: 35 x r5 / 45 x r6 / ...);
 #   overflow defers to the r14 head, named then. The expected
-#   re-confirmation period at this registry size is ~8 rounds — see
+#   re-confirmation period at this registry size is ~8-9 rounds — see
 #   BASELINE.md "Evidence-age policy" and tools/evidence_age.py (r11
 #   verdict task 3, option b).
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
@@ -151,33 +162,34 @@ PRIORITY: tuple[str, ...] = (
     "orders_croston_intermittent",
     "ts_sax_motifs",
     "sim_srp_lsh_recall",
+    # ---- (c3) later-r12 additions (zero driver evidence) ----
+    "ml_lift_deciles",
+    "ml_brier_decomposition",
+    "events_ab_power_mde",
+    "stats_permutation_test",
+    "embedding_drift_audit",
+    "graph_hits_scores",
+    "ml_ks_score_separation",
+    "events_ate_ipw",
+    "text_readability_scores",
+    "split_leakage_audit",
+    "events_anova_hour",
+    "embedding_whitening_audit",
+    "feature_woe_iv",
+    "ml_cost_threshold",
+    "graph_assortativity",
+    "graph_degree_powerlaw",
+    "events_retention_halflife",
+    "events_funnel_wilson_ci",
+    "text_simpson_diversity",
+    "orders_cohort_ltv",
+    "multimodal_audio_snr",
+    "stream_ab_effect_monitor",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
     "cdc_upsert_compaction",
     "corpus_build_roundtrip",
-    "data_quality_audit",
-    "decontaminate_corpus",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "dedup_keep_best",
-    "dedup_ngram_coverage",
-    "dedup_prefix_pairs",
-    "doc_chunking",
-    "embedding_index_build",
-    "embedding_negative_pairs",
-    "embedding_quantize_int8",
-    "events_retention",
-    "events_session_window_native",
-    "events_value_histogram",
-    "graph_pagerank",
-    "hll_sketch_union",
-    "mix_sources_temperature",
-    "multimodal_features",
-    "q_bucketed_join",
-    "q_date_bin",
-    "q_group_order_all",
-    "q_hash_funcs",
 )
 
 def query(
