@@ -2399,3 +2399,92 @@ def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ph + z2n / 2 - half) / (1 + z2n), 6).alias("wilson_lo"),
         F.round((ph + z2n / 2 + half) / (1 + z2n), 6).alias("wilson_hi"),
     ).orderBy("step")
+
+
+# --------------------------------------------- regression point metrics
+
+
+@query(
+    "ml_regression_metrics",
+    oracle=f"""
+    WITH pred AS (
+      SELECT l_partkey,
+             CAST(sum({_Q6.format(x='CAST(l_extendedprice AS DOUBLE)')}) AS DOUBLE)
+               / count(*) AS yhat
+      FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+      GROUP BY l_partkey
+    ),
+    tst AS (
+      SELECT CAST(l.l_extendedprice AS DOUBLE) AS y, p.yhat
+      FROM lineitem l JOIN pred p ON p.l_partkey = l.l_partkey
+      WHERE l.l_orderkey % 4 = 3
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_Q6.format(x='y')}) AS DOUBLE) AS sy,
+             CAST(sum({_Q6.format(x='y * y')}) AS DOUBLE) AS syy,
+             CAST(sum({_Q6.format(x='yhat - y')}) AS DOUBLE) AS sbias,
+             CAST(sum({_Q6.format(x='abs(yhat - y)')}) AS DOUBLE) AS sae,
+             CAST(sum({_Q6.format(x='(yhat - y) * (yhat - y)')}) AS DOUBLE) AS sse,
+             CAST(sum({_Q6.format(x='abs(yhat - y) / y')}) AS DOUBLE) AS sape
+      FROM tst
+    )
+    SELECT n,
+           round(sae / n, 6) AS mae,
+           round(sqrt(sse / n), 6) AS rmse,
+           round(1.0 - sse / (syy - sy * sy / n), 6) AS r_squared,
+           round(100.0 * sape / n, 6) AS mape_pct,
+           round(sbias / n, 6) AS mean_bias
+    FROM m
+    """,
+    doc="held-out regression point metrics (the standard sklearn.metrics "
+    "shelf) for the per-part train-mean price predictor that "
+    "ml_conformal_coverage intervals: MAE, RMSE, R^2 (1 - SSE/SST on "
+    "the test split), MAPE (prices are strictly positive so the "
+    "division is safe), and mean bias (signed — a train/test "
+    "distribution shift shows up here first). Conformal answers 'how "
+    "wide must honest intervals be'; this answers 'how good is the "
+    "point guess' — a model can pass one and fail the other, which is "
+    "the reason both exist. Train split l_orderkey%4 in (0,1), test "
+    "%4=3, identical to the conformal design so the two rows read on "
+    "the same predictor. One train aggregate (partkey grain), one "
+    "co-partitioned test join, a 1-row moment reduce; every residual "
+    "sum 6dp-decimal quantized",
+    tags=("stats", "pipeline"),
+)
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_extendedprice").cast("double")
+    pred = (
+        li.filter((F.col("l_orderkey") % 4).isin(0, 1))
+        .groupBy("l_partkey")
+        .agg((F.sum(_q6(x)).cast("double") / F.count(F.lit(1))).alias("yhat"))
+    )
+    tst = (
+        li.filter(F.col("l_orderkey") % 4 == 3)
+        .join(pred, "l_partkey")
+        .select(x.alias("y"), "yhat")
+    )
+    err = F.col("yhat") - F.col("y")
+    m = tst.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(_q6(F.col("y"))).cast("double").alias("sy"),
+        F.sum(_q6(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(_q6(err)).cast("double").alias("sbias"),
+        F.sum(_q6(F.abs(err))).cast("double").alias("sae"),
+        F.sum(_q6(err * err)).cast("double").alias("sse"),
+        F.sum(_q6(F.abs(err) / F.col("y"))).cast("double").alias("sape"),
+    )
+    return m.select(
+        "n",
+        F.round(F.col("sae") / F.col("n"), 6).alias("mae"),
+        F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sse")
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r_squared"),
+        F.round(F.lit(100.0) * F.col("sape") / F.col("n"), 6).alias("mape_pct"),
+        F.round(F.col("sbias") / F.col("n"), 6).alias("mean_bias"),
+    )

@@ -93,15 +93,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       ml_cost_threshold, graph_assortativity, graph_degree_powerlaw,
 #       events_retention_halflife, events_funnel_wilson_ci,
 #       text_simpson_diversity, orders_cohort_ltv,
-#       multimodal_audio_snr, stream_ab_effect_monitor — displacing
-#       the last 22 r4-stale re-confirmations into the r13 head.
-#   (d) 4 remaining slots of r4-stale re-confirmation: the
-#       lexicographically-first 4 of the 46-row r4 tail the r11 head
+#       multimodal_audio_snr, stream_ab_effect_monitor,
+#       ml_regression_metrics — displacing the last 23 r4-stale
+#       re-confirmations into the r13 head.
+#   (d) 3 remaining slots of r4-stale re-confirmation: the
+#       lexicographically-first 3 of the 46-row r4 tail the r11 head
 #       comment named verbatim (oldest driver evidence in the
 #       registry; unchanged code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 42 rows
+#   R13 HEAD (named now, per rotation discipline): FIRST the 43 rows
 #   of the r4 tail that overflowed this window —
-#   the 22 displaced by (c3): data_quality_audit, decontaminate_corpus,
+#   the 23 displaced by (c3): corpus_build_roundtrip,
+#   data_quality_audit, decontaminate_corpus,
 #   dedup_embedding_cosine, dedup_embedding_cosine_exact,
 #   dedup_keep_best, dedup_ngram_coverage, dedup_prefix_pairs,
 #   doc_chunking, embedding_index_build, embedding_negative_pairs,
@@ -185,11 +187,11 @@ PRIORITY: tuple[str, ...] = (
     "orders_cohort_ltv",
     "multimodal_audio_snr",
     "stream_ab_effect_monitor",
+    "ml_regression_metrics",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
     "cdc_upsert_compaction",
-    "corpus_build_roundtrip",
 )
 
 def query(
