@@ -659,6 +659,17 @@ BROADCAST_GUARD_ALLOWED = {
     # corpus scan — the .explain audit fix), which cuts the lineage the
     # guard walks, so the exemption went stale and was removed (the
     # curriculum_stage_plan r9 precedent).
+    # r12 additions, each bounded by construction:
+    "embedding_whitening_audit": (
+        "per-dim mu/sd stats broadcast back at the dim grain — the "
+        "Aggregate's group key is dim <= EMB_DIM=64 (dimension constant, "
+        "the embedding_pca_power_iteration bound)"
+    ),
+    "events_retention_halflife": (
+        "cohort-size base frame: the offset-grain aggregate filtered to "
+        "t=0 — exactly one row by construction (offset 0 always exists "
+        "and is unique in the day-offset grain)"
+    ),
 }
 
 # The eight operators the round-6 verdict called out by file:line — their
@@ -799,7 +810,7 @@ def test_local_checkpoint_inventory_is_pinned():
 
     Audit of the pinned sites (what each checkpoints and why it is
     bounded or a sound trade):
-    - components.py (8): iterative lineage cuts — connected-components
+    - components.py (9): iterative lineage cuts — connected-components
       star rounds (edges shrink monotonically), minhash-filtered
       shingles computed once and reused per round, triangle edge set
       reused by three join branches (post-threshold candidate edges),
@@ -808,7 +819,10 @@ def test_local_checkpoint_inventory_is_pinned():
       every earlier round — exponential recompute), LPA's symmetrized
       LSH candidate edge set (r11 — 3 unrolled vote rounds read it;
       unshared, each round re-derived the shingle->minhash->band
-      lineage: 16 document scans counted by the .explain audit).
+      lineage: 16 document scans counted by the .explain audit), and
+      HITS' distinct customer->supplier edge set (r12 — four
+      half-steps read it; |edges| <= |custkey x suppkey| pairs that
+      co-purchase, dimension-bounded under replication).
     - curation.py (4): per-customer RFM / revenue aggregates reused by
       3 bucketed-rank passes + sketches — customer-scale (|customers|
       << |facts|), recompute-3x vs store-once trade; MEMORY_AND_DISK
@@ -855,7 +869,7 @@ def test_local_checkpoint_inventory_is_pinned():
         if n:
             sites[str(f.relative_to(pkg))] = n
     assert sites == {
-        "operators/components.py": 8,
+        "operators/components.py": 9,
         "operators/curation.py": 4,
         "operators/dedup.py": 1,
         "operators/pipeline.py": 3,
