@@ -602,3 +602,45 @@ def test_fold_dot_tiling_is_bit_identical(n, m, d, seed):
     for k in range(d):
         ref += A[:, k : k + 1] * B[:, k][None, :]
     assert np.array_equal(fold_dot(A, B), ref)
+
+
+# ------------------------------------------- RFC 8288 Link parsing
+
+_URL_CHARS = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="/?=&.-_%:"
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: ">" not in s and "<" not in s and "," not in s)
+
+_REL_OTHER = st.sampled_from(["prev", "first", "last", "self", "alternate"])
+
+
+@given(
+    target=_URL_CHARS,
+    quoted=st.booleans(),
+    extra_rels=st.lists(st.tuples(_URL_CHARS, _REL_OTHER), max_size=3),
+    trailing_params=st.booleans(),
+    multi_rel=st.booleans(),
+    position=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_link_next_finds_planted_target(
+    target, quoted, extra_rels, trailing_params, multi_rel, position
+):
+    """Whatever non-next link-values surround it, in any order, the
+    planted rel=next target is recovered verbatim — and absent a next
+    link the parser returns None."""
+    from http_datafusion_spark.sources.http_json import parse_link_next
+
+    rel_val = "next last" if multi_rel else "next"
+    rel = f'"{rel_val}"' if (quoted or multi_rel) else rel_val
+    next_link = f"<{target}>; rel={rel}"
+    if trailing_params:
+        next_link += '; title="x"'
+    others = [f'<{u}>; rel="{r}"' for u, r in extra_rels]
+    links = others[:position] + [next_link] + others[position:]
+    assert parse_link_next(", ".join(links)) == target
+    # with the next link removed, nothing else may match
+    assert parse_link_next(", ".join(others)) is None
