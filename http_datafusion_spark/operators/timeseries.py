@@ -2605,3 +2605,100 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# --------------------------------------- burstiness profile (Goh-Barabasi)
+
+BURST_MIN_GAPS = 8  # users with fewer inter-event gaps are not scored
+BURST_FLAG = 0.1  # B above this reads as bursty (B=0 is Poisson)
+
+_Q6B = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+_Q6BW = "CAST(round({x}, 6) AS DECIMAL(38,6))"  # squared-seconds sums
+
+
+@query(
+    "events_burstiness_profile",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             round((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+               / 1000000.0, 6) AS g
+      FROM events
+    ),
+    gaps AS (SELECT user_id, g FROM seq WHERE g IS NOT NULL),
+    pu AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_Q6B.format(x='g')}) AS DOUBLE) AS s,
+             CAST(sum({_Q6BW.format(x='g * g')}) AS DOUBLE) AS t
+      FROM gaps GROUP BY user_id
+    ),
+    scored AS (
+      SELECT n,
+             round((sqrt(t / n - (s / n) * (s / n)) - s / n)
+                   / (sqrt(t / n - (s / n) * (s / n)) + s / n), 6) AS b
+      FROM pu
+      WHERE n >= {BURST_MIN_GAPS}
+        AND sqrt(t / n - (s / n) * (s / n)) + s / n > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users_scored,
+           round(CAST(sum({_Q6B.format(x='b')}) AS DOUBLE) / count(*), 6)
+             AS mean_burstiness,
+           round(CAST(sum(CASE WHEN b > {BURST_FLAG} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS frac_bursty
+    FROM scored
+    """,
+    doc=f"per-user burstiness of inter-event times (Goh & Barabasi 2008 "
+    f"EPL: B = (sigma - mu)/(sigma + mu) over a user's gap sequence — "
+    f"B=0 is Poisson arrivals, B->1 is heavy bursts, B<0 is "
+    f"pacemaker-regular), averaged over users with >= {BURST_MIN_GAPS} "
+    f"gaps plus the fraction above {BURST_FLAG} — the temporal-pattern "
+    f"complement of events_arrival_dispersion (that one measures "
+    f"count-per-minute dispersion CORPUS-wide; this measures each "
+    f"user's own rhythm, the signal behind bot-vs-human and "
+    f"session-boundary heuristics). Gaps come from one user-keyed lag "
+    f"window (natural per-entity key — group size tracks user "
+    f"activity, not corpus size), 6dp-rounded in SECONDS so the "
+    f"squared sums fit DECIMAL(38,6) (day-scale gaps in microseconds "
+    f"would overflow (18,6) squares — the ts_sax_motifs lesson); "
+    f"per-user moments then a 1-row reduce, everything else "
+    f"map-side-combinable",
+    tags=("events", "timeseries"),
+)
+def events_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        F.round((tus - F.lag(tus).over(w)) / F.lit(1000000.0), 6).alias("g"),
+    )
+    gaps = seq.filter(F.col("g").isNotNull())
+    pu = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("g"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("g") * F.col("g"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("t"),
+    )
+    mu = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("t") / F.col("n") - mu * mu)
+    scored = pu.filter(
+        (F.col("n") >= BURST_MIN_GAPS) & (sd + mu > 0)
+    ).select(F.round((sd - mu) / (sd + mu), 6).alias("b"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_scored"),
+        F.round(
+            F.sum(F.round(F.col("b"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_burstiness"),
+        F.round(
+            F.sum(F.when(F.col("b") > BURST_FLAG, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_bursty"),
+    )

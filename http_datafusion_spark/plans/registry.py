@@ -94,15 +94,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       events_retention_halflife, events_funnel_wilson_ci,
 #       text_simpson_diversity, orders_cohort_ltv,
 #       multimodal_audio_snr, stream_ab_effect_monitor,
-#       ml_regression_metrics — displacing the last 23 r4-stale
-#       re-confirmations into the r13 head.
-#   (d) 3 remaining slots of r4-stale re-confirmation: the
-#       lexicographically-first 3 of the 46-row r4 tail the r11 head
+#       ml_regression_metrics, events_burstiness_profile — displacing
+#       the last 24 r4-stale re-confirmations into the r13 head.
+#   (d) 2 remaining slots of r4-stale re-confirmation: the
+#       lexicographically-first 2 of the 46-row r4 tail the r11 head
 #       comment named verbatim (oldest driver evidence in the
 #       registry; unchanged code, pure re-confirmations).
-#   R13 HEAD (named now, per rotation discipline): FIRST the 43 rows
+#   R13 HEAD (named now, per rotation discipline): FIRST the 44 rows
 #   of the r4 tail that overflowed this window —
-#   the 23 displaced by (c3): corpus_build_roundtrip,
+#   the 24 displaced by (c3): cdc_upsert_compaction,
+#   corpus_build_roundtrip,
 #   data_quality_audit, decontaminate_corpus,
 #   dedup_embedding_cosine, dedup_embedding_cosine_exact,
 #   dedup_keep_best, dedup_ngram_coverage, dedup_prefix_pairs,
@@ -188,10 +189,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_audio_snr",
     "stream_ab_effect_monitor",
     "ml_regression_metrics",
+    "events_burstiness_profile",
     # ---- (d) r4-stale re-confirmations (lexicographic fill) ----
     "balance_sources",
     "cdc_scd2_intervals",
-    "cdc_upsert_compaction",
 )
 
 def query(
