@@ -82,6 +82,27 @@ class CursorPagination:
         return cls(**kwargs)
 
 
+@dataclass
+class LinkPagination:
+    """RFC 8288 ``Link: <...>; rel="next"`` pagination (the
+    GitHub/Stripe-list contract) — the server names the next URL and
+    the client follows it verbatim, so neither page numbers nor body
+    tokens exist. ``max_pages``: hard safety cap — a self-linking
+    endpoint must not loop the walk forever (the walk also stops on
+    any next-URL it has already visited)."""
+
+    max_pages: int = 10_000
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> LinkPagination:
+        known = {f.name for f in fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"unknown link_pagination keys: {sorted(unknown)}")
+        kwargs = {k: v for k, v in raw.items() if v is not None}
+        return cls(**kwargs)
+
+
 def _expand_env(value: str, where: str) -> str:
     """Expand ``${VAR}`` placeholders from the environment — secrets
     (API tokens) belong in the environment, never in config.yaml.
@@ -105,6 +126,7 @@ class Source:
     method: str = "GET"
     pagination: Pagination | None = None
     cursor_pagination: CursorPagination | None = None
+    link_pagination: LinkPagination | None = None
     sql: str | None = None
     # Beyond the reference (its request builder sends no headers and no
     # body, src/datasources.rs:212-268): real APIs need auth headers and
@@ -117,10 +139,19 @@ class Source:
             raise ConfigError("source requires a non-empty 'name'")
         if not self.url:
             raise ConfigError(f"source {self.name!r} requires a 'url'")
-        if self.pagination is not None and self.cursor_pagination is not None:
+        modes = [
+            m
+            for m, v in (
+                ("pagination", self.pagination),
+                ("cursor_pagination", self.cursor_pagination),
+                ("link_pagination", self.link_pagination),
+            )
+            if v is not None
+        ]
+        if len(modes) > 1:
             raise ConfigError(
-                f"source {self.name!r}: 'pagination' and 'cursor_pagination' "
-                f"are mutually exclusive"
+                f"source {self.name!r}: pagination modes are mutually "
+                f"exclusive, got {modes}"
             )
         self.method = (self.method or "GET").upper()
         # Reference allows only GET/POST (src/datasources.rs:217-223).
@@ -151,6 +182,7 @@ class Source:
             raise ConfigError(f"source has unknown keys: {sorted(unknown)}")
         pag = raw.get("pagination")
         cpag = raw.get("cursor_pagination")
+        lpag = raw.get("link_pagination")
         return cls(
             name=raw.get("name", ""),
             url=raw.get("url", ""),
@@ -158,6 +190,9 @@ class Source:
             pagination=Pagination.from_dict(pag) if pag is not None else None,
             cursor_pagination=(
                 CursorPagination.from_dict(cpag) if cpag is not None else None
+            ),
+            link_pagination=(
+                LinkPagination.from_dict(lpag) if lpag is not None else None
             ),
             sql=raw.get("sql"),
             headers=raw.get("headers"),

@@ -104,6 +104,7 @@ def run_source(
             headers=source.headers,
             json_body=source.body,
             cursor_pagination=source.cursor_pagination,
+            link_pagination=source.link_pagination,
         )
     result: DataFrame | None = None
     if source.sql:

@@ -39,7 +39,7 @@ from typing import Any
 import requests
 from pyspark.sql import DataFrame, SparkSession
 
-from http_datafusion_spark.config import CursorPagination, Pagination
+from http_datafusion_spark.config import CursorPagination, LinkPagination, Pagination
 from http_datafusion_spark.errors import HttpError
 
 _ALLOWED_METHODS = {"GET", "POST"}
@@ -393,6 +393,7 @@ def register_http_table(
     headers: dict[str, str] | None = None,
     json_body: Any | None = None,
     cursor_pagination: CursorPagination | None = None,
+    link_pagination: LinkPagination | None = None,
 ) -> DataFrame:
     """Fetch + register a named temp view — the Spark analogue of
     ``dataframe::url`` (reference src/dataframe.rs:7-24).
@@ -402,13 +403,20 @@ def register_http_table(
     ingested DataFrame instead so repeat queries hit the in-memory
     columnar form. ``max_rows`` stops page fetches early (limit
     pushdown; see fetch_rows). ``cursor_pagination`` selects the
-    token-walk protocol instead of page numbers (mutually exclusive,
-    enforced by config.Source).
+    token-walk protocol and ``link_pagination`` the RFC 8288
+    rel="next" walk instead of page numbers (the three modes are
+    mutually exclusive, enforced by config.Source).
     """
     if cursor_pagination is not None:
         rows = fetch_rows_cursor(
             url, method, cursor_pagination,
             max_rows=max_rows, headers=headers, json_body=json_body,
+        )
+    elif link_pagination is not None:
+        rows = fetch_rows_link(
+            url, method,
+            max_rows=max_rows, max_pages=link_pagination.max_pages,
+            headers=headers, json_body=json_body,
         )
     else:
         rows = fetch_rows(

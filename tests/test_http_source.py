@@ -587,3 +587,41 @@ def test_parse_link_next_forms():
     assert parse_link_next('<a>; rel="prev", <b>; rel="last"') is None
     # rel token must be 'next', not merely prefixed with it
     assert parse_link_next('<c>; rel="nexting"') is None
+
+
+def test_link_pagination_config_e2e(base_url, spark):
+    """YAML-config product path with link_pagination: the registered
+    view holds all 4 linked pages' rows."""
+    from http_datafusion_spark.config import Source
+    from http_datafusion_spark.engine import run_source
+
+    src = Source.from_dict(
+        {
+            "name": "linked_rows",
+            "url": f"{base_url}/linked",
+            "link_pagination": {"max_pages": 100},
+            "sql": "SELECT count(*) AS n, sum(id) AS id_sum FROM linked_rows",
+        }
+    )
+    res = run_source(spark, src)
+    row = res.result.collect()[0]
+    assert row.n == len(ROWS)
+    assert row.id_sum == sum(r["id"] for r in ROWS)
+
+
+def test_link_pagination_mutually_exclusive():
+    from http_datafusion_spark.config import Source
+
+    with pytest.raises(ConfigError, match="mutually"):
+        Source.from_dict(
+            {
+                "name": "x",
+                "url": "http://x/",
+                "pagination": {"start_page": 1},
+                "link_pagination": {},
+            }
+        )
+    with pytest.raises(ConfigError, match="unknown link_pagination"):
+        Source.from_dict(
+            {"name": "x", "url": "http://x/", "link_pagination": {"bogus": 1}}
+        )
