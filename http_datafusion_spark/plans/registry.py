@@ -121,7 +121,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   train_val_split, ts_ewma, ts_mad_outliers, ts_resample_ohlc,
 #   ts_zscore_outliers, vocab_build
 #   — then any row whose code or oracle changes during r12 after this
-#   window freezes, then r13 additions, then the lexicographically-
+#   window freezes (known so far: http_ingest_nation — its
+#   register_http_table entry point gained the behavior-preserving
+#   link_pagination kwarg, default None; e2e-tested, but the
+#   changed-code rule is mechanical, so it re-enters),
+#   then r13 additions, then the lexicographically-
 #   first of the 35-row r5-stale tail (the next-oldest evidence class
 #   per the CORRECTNESS_r4..r11 histogram: 35 x r5 / 45 x r6 / ...);
 #   overflow defers to the r14 head, named then. The expected
