@@ -625,3 +625,44 @@ def test_link_pagination_mutually_exclusive():
         Source.from_dict(
             {"name": "x", "url": "http://x/", "link_pagination": {"bogus": 1}}
         )
+
+
+def test_three_pagination_modes_one_config(base_url, spark, tmp_path):
+    """Capstone product-path test: one YAML config registers a
+    page-number source, a cursor source, and a Link-header source, then
+    joins all three in the last source's sql — every pagination mode
+    the engine speaks, exercised through run_config in one shot."""
+    import json as _json
+
+    from http_datafusion_spark.engine import run_config
+
+    cfg = f"""
+sources:
+  - name: paged
+    url: {base_url}/paged_empty
+    pagination:
+      start_page: 1
+      page_size: 10
+  - name: tokened
+    url: {base_url}/cursor
+    cursor_pagination:
+      cursor_param: cursor
+      cursor_field: next_cursor
+      data_field: data
+  - name: linked
+    url: {base_url}/linked
+    link_pagination:
+      max_pages: 50
+    sql: >
+      SELECT count(*) AS n_joined
+      FROM paged p
+      JOIN tokened t ON p.id = t.id
+      JOIN linked l ON t.id = l.id
+"""
+    path = tmp_path / "three_modes.yaml"
+    path.write_text(cfg)
+    results = run_config(str(path), spark=spark, show=False)
+    by_name = {r.source.name: r for r in results}
+    for name in ("paged", "tokened", "linked"):
+        assert by_name[name].table.count() == len(ROWS)
+    assert by_name["linked"].result.collect()[0].n_joined == len(ROWS)
