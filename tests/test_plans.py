@@ -1259,3 +1259,55 @@ def test_pandas_guard_unit(spark, sf_dir):
         head1, schema="doc_id bigint, source string"
     )
     assert grouped_pandas_key_signatures(g) == [("source", "shard")]
+
+
+def test_collect_inventory_is_pinned():
+    """Every driver-side `.collect()` in the package must have a
+    documented bound — the 'all collect sites bounded' claim has been a
+    per-round manual grep since r6; this pin makes it structural (the
+    localCheckpoint-inventory pattern), so an unbounded collect cannot
+    land silently.
+
+    Audit of the pinned sites (what bounds each):
+    - engine.py (1): show-all-rows parity renderer — the PRODUCT-path
+      table is a driver-staged HTTP ingest (the reference stages the
+      same rows in driver memory, src/datasources.rs:192-198); the
+      docstring documents the one-collect-vs-two-jobs trade.
+    - functions/ordstats.py (4): two percentile_approx boundary
+      probes (ORD_BUCKETS values each), one 1-row scalar, one
+      rank-hit frame (<= |probed ranks| rows by the bucketed
+      two-phase construction).
+    - operators/similarity.py (5): fixed vec-id fetches (|ids| rows:
+      query + centroid constants), K-centroid codebooks x2, and the
+      MMR rerank candidate set (TOP_K rows by limit) + its pair grid
+      (TOP_K^2) — all index-time constants, never corpus-scale.
+    - operators/text.py (2): BPE merge loop's top-1 pair (limit 1 per
+      step) and the BPE_TRAIN_MERGES-row merge table — tokenizer
+      constants.
+    - plans/reshape.py (1): 1-row min/max month extent feeding the
+      recursive-CTE month grid.
+    - sources/ingest_queries.py (1): the 25-row nation dim ingested
+      over mock HTTP (dimension table by definition).
+    - streaming/queries.py (1): 1-row min/max extent of a
+      micro-batch probe.
+    """
+    import pathlib
+    import re as _re
+
+    pkg = pathlib.Path(__file__).parent.parent / "http_datafusion_spark"
+    sites: dict[str, int] = {}
+    for f in sorted(pkg.rglob("*.py")):
+        txt = f.read_text()
+        # `.collect()` calls only — not collect_list/collect_set exprs
+        n = len(_re.findall(r"\.collect\(\)", txt))
+        if n:
+            sites[str(f.relative_to(pkg))] = n
+    assert sites == {
+        "engine.py": 1,
+        "functions/ordstats.py": 4,
+        "operators/similarity.py": 5,
+        "operators/text.py": 2,
+        "plans/reshape.py": 1,
+        "sources/ingest_queries.py": 1,
+        "streaming/queries.py": 1,
+    }, f"collect() inventory drifted — audit the new/removed site: {sites}"
