@@ -1271,7 +1271,7 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(brier_term) AS DOUBLE) / n
                  - (CAST(sum(rel_term) AS DOUBLE) / n
                     - CAST(sum(res_term) AS DOUBLE) / n
-                    + obar * (1.0 - obar)), 6) AS decomp_residual
+                    + obar * (1.0 - obar)), 6) + 0.0 AS decomp_residual
     FROM terms GROUP BY n, obar
     """,
     doc="Murphy (1973) three-component Brier decomposition BS = REL - RES "
@@ -1349,7 +1349,14 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(brier, 6).alias("brier"),
         F.round(rel, 6).alias("reliability"),
         F.round(res, 6).alias("resolution"),
-        F.round(brier - (rel - res + unc), 6).alias("decomp_residual"),
+        # + 0.0 normalizes the sign of zero (IEEE: -0.0 + 0.0 = +0.0) on
+        # BOTH engine sides: the identity check rounds a difference, and
+        # DuckDB's round landed on -0.0 while Spark's landed on 0.0 —
+        # numerically equal but the driver hashes RENDERED values, so
+        # repr(-0.0) = '-0.0' diverged (the one red CORRECTNESS_r12 row).
+        (F.round(brier - (rel - res + unc), 6) + F.lit(0.0)).alias(
+            "decomp_residual"
+        ),
     ).select(
         F.col("n").cast("bigint").alias("n_docs"),
         "n_scores",

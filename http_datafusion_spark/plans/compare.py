@@ -76,8 +76,15 @@ def _values_equal(a: object, b: object) -> tuple[bool, bool]:
             # how quality_model_score shipped driver-red while 505 local
             # tests were green (CORRECTNESS_r06): the old coercion hid the
             # Decimal(18,3)-vs-double scale gap.
-            mixed = isinstance(a, Decimal) != isinstance(b, Decimal)
-            if mixed and _render(a) != _render(b):
+            # fa == fb is NOT sufficient for 'exact': the driver hashes
+            # RENDERED values, and two numerically-equal values can still
+            # render apart — Decimal('3.410') vs 3.41 (the r6
+            # quality_model_score incident), and -0.0 vs 0.0
+            # (repr(-0.0) = '-0.0'; the r12 ml_brier_decomposition
+            # incident — a float/float pair, which the old mixed-dtype-only
+            # check waved through). Require render equality regardless of
+            # dtype mix.
+            if _render(a) != _render(b):
                 return (True, False)
             return (True, True)
         close = math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)

@@ -81,7 +81,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       stream_msprt_monitor, orders_croston_intermittent,
 #       ts_sax_motifs, sim_srp_lsh_recall — displacing the last 8
 #       r4-stale re-confirmations into the r13 head.
-#   (c3) 22 later-r12 additions (same rule as c2 — zero driver
+#   (c3) 24 later-r12 additions (same rule as c2 — zero driver
 #       evidence, so the evidence-age policy places them IN the
 #       window, each locally oracle-exact at sf0.001+sf0.01 the
 #       session it landed): ml_lift_deciles, ml_brier_decomposition,

@@ -526,14 +526,44 @@ def parse_link_next(link_header: str | None) -> str | None:
 
     Handles multiple comma-separated link-values, quoted and unquoted
     ``rel`` params, extra params per link, and multi-valued rel lists
-    (``rel="next last"``). Deliberately a small, dependency-free parser:
-    link-values are split on commas OUTSIDE ``<...>`` targets (URLs may
-    contain commas only percent-encoded, RFC 3986, so a simple split on
-    '>' boundaries is sound).
+    (``rel="next last"``). Deliberately a small, dependency-free parser.
+    Link-values are split on commas OUTSIDE ``<...>`` targets and
+    outside quoted param values: RFC 3986 allows a bare ',' (a
+    sub-delim) in URL paths and query strings, so a legal target like
+    ``</items?ids=1,2,3>`` must NOT be split apart (an earlier naive
+    split silently dropped such a rel=next link and truncated ingest).
+    The ``rel`` param name is matched exactly — a ``relation=...``
+    extension param must not be misread as the relation list.
     """
     if not link_header:
         return None
-    for part in link_header.split(","):
+    # State-scan split: commas inside <...> or inside a quoted param
+    # value belong to the link-value, not the list delimiter.
+    parts: list[str] = []
+    buf: list[str] = []
+    in_angle = in_quote = False
+    for ch in link_header:
+        if in_quote:
+            if ch == '"':
+                in_quote = False
+            buf.append(ch)
+        elif in_angle:
+            if ch == ">":
+                in_angle = False
+            buf.append(ch)
+        elif ch == "<":
+            in_angle = True
+            buf.append(ch)
+        elif ch == '"':
+            in_quote = True
+            buf.append(ch)
+        elif ch == ",":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for part in parts:
         part = part.strip()
         if not part.startswith("<"):
             continue
@@ -542,10 +572,9 @@ def parse_link_next(link_header: str | None) -> str | None:
             continue
         target = part[1:end]
         for param in part[end + 1 :].split(";"):
-            param = param.strip()
-            if not param.lower().startswith("rel"):
+            name, _, val = param.partition("=")
+            if name.strip().lower() != "rel":
                 continue
-            _, _, val = param.partition("=")
             rels = val.strip().strip('"').lower().split()
             if "next" in rels:
                 return target

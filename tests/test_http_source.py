@@ -587,6 +587,23 @@ def test_parse_link_next_forms():
     assert parse_link_next('<a>; rel="prev", <b>; rel="last"') is None
     # rel token must be 'next', not merely prefixed with it
     assert parse_link_next('<c>; rel="nexting"') is None
+    # RFC 3986 allows a bare ',' (sub-delim) inside the target URL —
+    # the list split must not break the link-value apart
+    assert (
+        parse_link_next('</items?ids=1,2,3&page=2>; rel="next"')
+        == "/items?ids=1,2,3&page=2"
+    )
+    assert (
+        parse_link_next('<a?x=9,9>; rel="prev", <b?ids=1,2>; rel="next"')
+        == "b?ids=1,2"
+    )
+    # a comma inside a quoted param value is not a list delimiter either
+    assert parse_link_next('<a>; title="p, q"; rel="next"') == "a"
+    # the param NAME must be exactly 'rel' — an extension param whose
+    # name merely starts with 'rel' and whose value contains the token
+    # 'next' must not be misread as the relation list
+    assert parse_link_next('<d>; relation="next"') is None
+    assert parse_link_next('<d>; relation="next", <e>; rel="next"') == "e"
 
 
 def test_link_pagination_config_e2e(base_url, spark):
