@@ -5073,3 +5073,165 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# ------------------------------ mergeable quantile-sketch error audit
+
+QS_SHARDS = 128  # parallel summary shards; scales with the cluster
+QS_K = 32  # summary points per shard (the accuracy knob)
+QS_SALT = 9400  # shard-assignment hash salt
+QS_TARGETS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+_QS_SHARD_SQL = (
+    f"{salted_hash_sql('concat(CAST(l_orderkey AS VARCHAR), chr(45), CAST(l_linenumber AS VARCHAR))', QS_SALT)}"
+    f" % {QS_SHARDS}"
+)
+
+
+@query(
+    "quantile_sketch_audit",
+    oracle=f"""
+    WITH rows_v AS (
+      SELECT {_QS_SHARD_SQL} AS shard, l_extendedprice AS v
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT shard, v,
+             row_number() OVER (PARTITION BY shard ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY shard) AS n_s
+      FROM rows_v
+    ),
+    summ AS (
+      SELECT shard, CAST(floor((rn - 1) * {QS_K} / n_s) AS BIGINT) AS blk,
+             min(v) AS rep, CAST(count(*) AS BIGINT) AS w
+      FROM ranked GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT rep, w,
+             sum(w) OVER (ORDER BY rep, shard, blk
+                          ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM summ
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_v),
+    tq AS (
+      SELECT q, CAST(ceil(q * t.n) AS BIGINT) AS t_rank, t.n
+      FROM (SELECT unnest([{", ".join(str(q) for q in QS_TARGETS)}]) AS q)
+      CROSS JOIN tot t
+    ),
+    est AS (
+      SELECT tq.q, tq.t_rank, tq.n, min(m.rep) AS est_value
+      FROM tq JOIN merged m ON m.cumw >= tq.t_rank
+      GROUP BY 1, 2, 3
+    ),
+    truth AS (
+      SELECT e.q, e.t_rank, e.n, e.est_value,
+             CAST(sum(CASE WHEN r.v <= e.est_value THEN 1 ELSE 0 END)
+                  AS BIGINT) AS true_rank
+      FROM est e CROSS JOIN rows_v r
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT q AS quantile, est_value, t_rank AS target_rank, true_rank,
+           round(CAST(abs(true_rank - t_rank) AS DOUBLE) / n, 6)
+             AS rank_err_frac,
+           round(2.0 / {QS_K} + 2.0 * {QS_SHARDS} / n, 6) AS eps_bound,
+           CAST(abs(true_rank - t_rank) AS DOUBLE) / n
+             <= 2.0 / {QS_K} + 2.0 * {QS_SHARDS} / n AS within_bound
+    FROM truth ORDER BY quantile
+    """,
+    doc=f"mergeable quantile-sketch accuracy audit against EXACT ranks, the "
+    f"quantile member of the sketch-audit arc beside cms_error_audit "
+    f"(frequencies) and hll_sketch_union (cardinality). The sketch is the "
+    f"deterministic one-level member of the KLL/MRL family (Karnin-Lang-"
+    f"Liberty FOCS 2016; Manku-Rajagopalan-Lindsay SIGMOD 1998): each of "
+    f"{QS_SHARDS} hash-assigned shards sorts locally and keeps {QS_K} "
+    f"equi-depth block minima with their block weights (fixed {QS_K}-point "
+    f"summary per shard regardless of shard size — the property the sf1/sf5 "
+    f"spot checks pin), and estimation merges the {QS_SHARDS}x{QS_K} "
+    f"weighted points by value. Per-shard unseen mass between kept points "
+    f"is <= ceil(n_s/{QS_K}), so the merged additive rank error is "
+    f"<= n/{QS_K} + {QS_SHARDS}, and the query-side step adds at most one "
+    f"more block: guaranteed |true_rank - target| <= 2(n/{QS_K} + "
+    f"{QS_SHARDS}), the eps_bound column the audit checks every target "
+    f"quantile against. Scale shape: the per-shard window is the "
+    f"train_shuffle_shards two-phase pattern (contents = corpus/{QS_SHARDS}, "
+    f"{QS_SHARDS} is the parallelism knob); the merge is a global window "
+    f"over the {QS_SHARDS * QS_K}-row summary (constant-bounded); the "
+    f"truth pass broadcasts {len(QS_TARGETS)} probe rows over one pruned "
+    f"column scan, map-side combinable. Values are only compared and "
+    f"min'd, never arithmetically combined — both engines see identical "
+    f"parquet doubles, so every output is exact",
+    tags=("sketch", "pipeline"),
+)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rows = li.select(
+        (
+            salted_hash(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                QS_SALT,
+            )
+            % QS_SHARDS
+        ).alias("shard"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    w = Window.partitionBy("shard").orderBy("v")
+    wn = Window.partitionBy("shard")
+    ranked = rows.select(
+        "shard",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_s"),
+    )
+    summ = (
+        ranked.groupBy(
+            "shard",
+            F.floor((F.col("rn") - 1) * QS_K / F.col("n_s")).alias("blk"),
+        )
+        .agg(F.min("v").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    merged = summ.select(
+        "rep",
+        "w",
+        F.sum("w")
+        .over(
+            Window.orderBy("rep", "shard", "blk").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cumw"),
+    )
+    tot = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tq = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in QS_TARGETS])).alias("q"), "n"
+    ).select("q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("t_rank"), "n")
+    est = (
+        F.broadcast(tq)
+        .join(merged, merged["cumw"] >= tq["t_rank"])
+        .groupBy("q", "t_rank", "n")
+        .agg(F.min("rep").alias("est_value"))
+    )
+    truth = (
+        rows.crossJoin(F.broadcast(est))
+        .groupBy("q", "t_rank", "n", "est_value")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est_value"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_rank")
+        )
+    )
+    err = F.abs(F.col("true_rank") - F.col("t_rank")).cast("double") / F.col("n")
+    bound = F.lit(2.0) / QS_K + F.lit(2.0) * QS_SHARDS / F.col("n")
+    return truth.select(
+        F.col("q").alias("quantile"),
+        "est_value",
+        F.col("t_rank").alias("target_rank"),
+        "true_rank",
+        F.round(err, 6).alias("rank_err_frac"),
+        F.round(bound, 6).alias("eps_bound"),
+        (err <= bound).alias("within_bound"),
+    ).orderBy("quantile")
+

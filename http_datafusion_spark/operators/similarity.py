@@ -3409,3 +3409,131 @@ def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wht_cos, 6).alias("mean_pair_cos_whitened"),
         F.round(raw_cos - wht_cos, 6).alias("isotropy_gain"),
     )
+
+
+# ----------------------------- linear-kernel MMD two-sample audit
+
+MMD_SPLIT_LABEL = 5  # groups: label < 5 ("x") vs label >= 5 ("y")
+
+
+@query(
+    "embedding_mmd_two_sample",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim),
+    ud AS (
+      SELECT d.dim,
+             CASE WHEN label < {MMD_SPLIT_LABEL} THEN 1 ELSE 0 END AS gx,
+             {_Q6_SQL.format(x='CAST(embedding[d.dim] AS DOUBLE)')} AS xq,
+             {_Q6_SQL.format(x='CAST(embedding[d.dim] AS DOUBLE) * CAST(embedding[d.dim] AS DOUBLE)')} AS xsq
+      FROM embeddings CROSS JOIN dims d
+    ),
+    per_dim AS (
+      SELECT dim,
+             CAST(sum(gx) AS BIGINT) AS n_x,
+             CAST(sum(1 - gx) AS BIGINT) AS n_y,
+             CAST(sum(CASE WHEN gx = 1 THEN xq END) AS DOUBLE) AS s_x,
+             CAST(sum(CASE WHEN gx = 0 THEN xq END) AS DOUBLE) AS s_y,
+             CAST(sum(CASE WHEN gx = 1 THEN xsq END) AS DOUBLE) AS t_x,
+             CAST(sum(CASE WHEN gx = 0 THEN xsq END) AS DOUBLE) AS t_y
+      FROM ud GROUP BY dim
+    ),
+    md AS (
+      SELECT n_x, n_y,
+             {_Q6_SQL.format(x='(s_x / n_x - s_y / n_y) * (s_x / n_x - s_y / n_y)')} AS d2q,
+             {_Q6_SQL.format(x='(s_x / n_x) * (s_y / n_y)')} AS xyq,
+             {_Q6_SQL.format(x='(s_x / n_x) * (s_x / n_x)')} AS xxq,
+             {_Q6_SQL.format(x='(s_y / n_y) * (s_y / n_y)')} AS yyq,
+             {_Q6_SQL.format(x='((t_x - s_x * s_x / n_x) + (t_y - s_y * s_y / n_y)) / (n_x + n_y - 2)')} AS vwq
+      FROM per_dim
+    ),
+    fin AS (
+      SELECT max(n_x) AS n_x, max(n_y) AS n_y,
+             CAST(sum(d2q) AS DOUBLE) AS mmd2,
+             CAST(sum(xyq) AS DOUBLE) AS dot_xy,
+             CAST(sum(xxq) AS DOUBLE) AS nx2,
+             CAST(sum(yyq) AS DOUBLE) AS ny2,
+             CAST(sum(vwq) AS DOUBLE) AS trace_w
+      FROM md
+    )
+    SELECT CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+           round(mmd2, 6) AS mmd2,
+           round(dot_xy / (sqrt(nx2) * sqrt(ny2)), 6) AS mean_cos,
+           round(trace_w, 6) AS pooled_var_trace,
+           round(mmd2 / trace_w, 6) AS mmd2_over_trace
+    FROM fin
+    """,
+    doc=f"linear-kernel Maximum Mean Discrepancy two-sample audit (Gretton "
+    f"et al. JMLR 2012) between the label<{MMD_SPLIT_LABEL} and "
+    f"label>={MMD_SPLIT_LABEL} embedding populations: for the linear "
+    f"kernel, MMD^2 collapses to ||mean_x - mean_y||^2 — computable from "
+    f"per-dimension first moments alone, no pair ever materialized (the "
+    f"two-sample sibling of embedding_drift_audit; this one adds the "
+    f"pooled within-group variance trace so the gap reads in noise units, "
+    f"a Hotelling-style effect size mmd2_over_trace, plus the cosine "
+    f"between group means). One dim-exploded scan, {EMB_DIM}-key partial "
+    f"agg, every cross-dim reduction a 6dp-decimal sum (order-independent "
+    f"across partitions and engines); at 100 TB this is a map-side pass "
+    f"plus a {EMB_DIM}-row merge — the audit a curation pipeline runs "
+    f"before trusting that two corpus slices are exchangeable",
+    tags=("similarity", "stats", "pipeline"),
+)
+def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    def q6(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    ed = e.select(
+        F.when(F.col("label") < MMD_SPLIT_LABEL, 1).otherwise(0).alias("gx"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "dim",
+        "gx",
+        q6(F.col("v")).alias("xq"),
+        q6(F.col("v") * F.col("v")).alias("xsq"),
+    )
+    gx1 = F.col("gx") == 1
+    per_dim = ed.groupBy("dim").agg(
+        F.sum("gx").cast("bigint").alias("n_x"),
+        F.sum(F.lit(1) - F.col("gx")).cast("bigint").alias("n_y"),
+        F.sum(F.when(gx1, F.col("xq"))).cast("double").alias("s_x"),
+        F.sum(F.when(~gx1, F.col("xq"))).cast("double").alias("s_y"),
+        F.sum(F.when(gx1, F.col("xsq"))).cast("double").alias("t_x"),
+        F.sum(F.when(~gx1, F.col("xsq"))).cast("double").alias("t_y"),
+    )
+    mx = F.col("s_x") / F.col("n_x")
+    my = F.col("s_y") / F.col("n_y")
+    md = per_dim.select(
+        "n_x",
+        "n_y",
+        q6((mx - my) * (mx - my)).alias("d2q"),
+        q6(mx * my).alias("xyq"),
+        q6(mx * mx).alias("xxq"),
+        q6(my * my).alias("yyq"),
+        q6(
+            (
+                (F.col("t_x") - F.col("s_x") * F.col("s_x") / F.col("n_x"))
+                + (F.col("t_y") - F.col("s_y") * F.col("s_y") / F.col("n_y"))
+            )
+            / (F.col("n_x") + F.col("n_y") - 2)
+        ).alias("vwq"),
+    )
+    fin = md.agg(
+        F.max("n_x").alias("n_x"),
+        F.max("n_y").alias("n_y"),
+        F.sum("d2q").cast("double").alias("mmd2"),
+        F.sum("xyq").cast("double").alias("dot_xy"),
+        F.sum("xxq").cast("double").alias("nx2"),
+        F.sum("yyq").cast("double").alias("ny2"),
+        F.sum("vwq").cast("double").alias("trace_w"),
+    )
+    return fin.select(
+        F.col("n_x").cast("bigint").alias("n_x"),
+        F.col("n_y").cast("bigint").alias("n_y"),
+        F.round(F.col("mmd2"), 6).alias("mmd2"),
+        F.round(
+            F.col("dot_xy") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("ny2"))), 6
+        ).alias("mean_cos"),
+        F.round(F.col("trace_w"), 6).alias("pooled_var_trace"),
+        F.round(F.col("mmd2") / F.col("trace_w"), 6).alias("mmd2_over_trace"),
+    )

@@ -2702,3 +2702,170 @@ def events_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_bursty"),
     )
+
+
+# --------------------------------------- CUSUM drift detection (Page)
+
+CUSUM_H_SIGMA = 5.0  # alarm threshold in daily-count sigmas
+CUSUM_K_SIGMA = 0.5  # slack (reference drift) in sigmas
+
+_Q6C = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+
+# Batch/stream-shared CUSUM-over-daily-counts SQL: everything AFTER the
+# daily count table, so the streaming twin can reuse it verbatim as its
+# oracle (its micro-batched complete-mode aggregate produces the same
+# daily table the batch scan does).
+_CUSUM_FROM_DAILY_SQL = f"""
+    params AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+             sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)
+                  - (CAST(sum(x) AS DOUBLE) / count(*))
+                    * (CAST(sum(x) AS DOUBLE) / count(*))) AS sd
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, p.n_days, p.mu, p.sd,
+             CAST(d.x AS DECIMAL(18,6))
+               - {_Q6C.format(x='p.mu')}
+               - {_Q6C.format(x=f'{CUSUM_K_SIGMA} * p.sd')} AS dv
+      FROM daily d JOIN params p USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, day, n_days, mu, sd,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS s_t
+      FROM dev
+    ),
+    stat AS (
+      SELECT event_type, day, n_days, mu, sd,
+             round({CUSUM_H_SIGMA} * sd, 6) AS h,
+             CAST(s_t - least(CAST(0 AS DECIMAL(18,6)),
+                              min(s_t) OVER (PARTITION BY event_type
+                                             ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING))
+                  AS DOUBLE) AS g
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(max(n_days) AS BIGINT) AS n_days,
+           round(max(mu), 6) AS mean_daily,
+           round(max(sd), 6) AS sigma_daily,
+           round(max(h), 6) AS threshold,
+           round(max(g), 6) AS max_stat,
+           CAST(sum(CASE WHEN g > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days,
+           min(CASE WHEN g > h THEN CAST(day AS VARCHAR) END)
+             AS first_alarm_day
+    FROM stat GROUP BY event_type ORDER BY event_type
+"""
+
+_CUSUM_ORACLE_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+{_CUSUM_FROM_DAILY_SQL}
+"""
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """Page (1954) one-sided CUSUM over a per-(event_type, day) count
+    table — the scan both the batch query and the streaming monitor
+    share. ``daily`` has columns (event_type, day DATE, x BIGINT); its
+    size is |event_type| x |days|, calendar-bounded at any corpus
+    scale, so every window here runs over a tiny table."""
+    params = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("x") * F.col("x")).cast("double") / F.count(F.lit(1))
+            - (F.sum("x").cast("double") / F.count(F.lit(1)))
+            * (F.sum("x").cast("double") / F.count(F.lit(1)))
+        ).alias("sd"),
+    )
+    dec6 = "decimal(18,6)"
+    # re-key the params side: joining an aggregate of `daily` back onto
+    # `daily` itself trips "Conflicting attributes" when the input is a
+    # streaming memory-sink table (shared expression IDs); a rename
+    # mints fresh IDs on the broadcast side
+    params = params.withColumnRenamed("event_type", "et")
+    dev = daily.join(
+        F.broadcast(params), daily["event_type"] == params["et"]
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        "mu",
+        "sd",
+        (
+            F.col("x").cast(dec6)
+            - F.round(F.col("mu"), 6).cast(dec6)
+            - F.round(F.lit(CUSUM_K_SIGMA) * F.col("sd"), 6).cast(dec6)
+        ).alias("dv"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "event_type", "day", "n_days", "mu", "sd",
+        F.sum("dv").over(wcum).alias("s_t"),
+    )
+    stat = cum.select(
+        "event_type", "day", "n_days", "mu", "sd",
+        F.round(F.lit(CUSUM_H_SIGMA) * F.col("sd"), 6).alias("h"),
+        (
+            F.col("s_t")
+            - F.least(F.lit(0).cast(dec6), F.min("s_t").over(wcum))
+        ).cast("double").alias("g"),
+    )
+    alarm = F.col("g") > F.col("h")
+    return (
+        stat.groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.round(F.max("mu"), 6).alias("mean_daily"),
+            F.round(F.max("sd"), 6).alias("sigma_daily"),
+            F.round(F.max("h"), 6).alias("threshold"),
+            F.round(F.max("g"), 6).alias("max_stat"),
+            F.sum(F.when(alarm, 1).otherwise(0)).cast("bigint").alias("n_alarm_days"),
+            # ISO string, not DATE: a NULL date surfaces as pandas NaT on
+            # one engine and None on the other — renders apart. ISO
+            # strings min lexicographically = chronologically.
+            F.min(F.when(alarm, F.col("day").cast("string"))).alias(
+                "first_alarm_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_cusum_drift",
+    oracle=_CUSUM_ORACLE_SQL,
+    doc=f"one-sided CUSUM drift detector (Page 1954 Biometrika) over each "
+    f"event_type's DAILY arrival counts: g_t = max(0, g_t-1 + x_t - mu - "
+    f"k*sigma) via the scan identity g_t = S_t - min(0, min_prefix S) with "
+    f"S the cumulative slack-adjusted deviation, alarming when g exceeds "
+    f"h = {CUSUM_H_SIGMA} sigma with slack k = {CUSUM_K_SIGMA} sigma — the "
+    f"classic sequential change-point monitor a pipeline points at its "
+    f"ingest volumes (complements events_burstiness_profile, which scores "
+    f"per-user rhythm, and quality_drift_psi, which scores distribution "
+    f"shift; stream_cusum_monitor is its live twin). Day-grain per type: "
+    f"the windows run over |event_type| x |days| rows — calendar-bounded "
+    f"at ANY corpus size after one map-side-combinable count agg. "
+    f"Deviations are exact DECIMAL(18,6) (integer counts minus "
+    f"6dp-quantized mu and slack), so the cumulative sum and running min "
+    f"are order-exact on both engines; doubles appear only in the final "
+    f"rounded readouts",
+    tags=("events", "timeseries"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return cusum_from_daily(daily)

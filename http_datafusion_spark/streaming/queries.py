@@ -1738,3 +1738,42 @@ def stream_ab_effect_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_abs"),
         F.round(F.lit(2.0) * _phi_tail(z), 6).alias("p_value"),
     ).orderBy("event_type")
+
+
+def _cusum_oracle_sql() -> str:
+    """Oracle for the streaming CUSUM monitor — the batch twin's SQL
+    verbatim (deferred import, same rationale as _srm_tail_sql)."""
+    from http_datafusion_spark.operators.timeseries import _CUSUM_ORACLE_SQL
+
+    return _CUSUM_ORACLE_SQL
+
+
+@query(
+    "stream_cusum_monitor",
+    oracle=_cusum_oracle_sql(),
+    doc="streaming CUSUM volume monitor: events_cusum_drift's Page (1954) "
+    "sequential change-point detector run CONTINUOUSLY — a complete-mode "
+    "per-(event_type, event-time day) count aggregate over the stream, "
+    "then the shared cusum_from_daily scan on the sink output, so the "
+    "oracle is the batch twin's SQL verbatim (the same pattern as "
+    "stream_srm_check / stream_msprt_monitor: corpus-sized work lives in "
+    "the streaming aggregate, the sequential statistic runs over the "
+    "calendar-bounded day grid). An ingest pipeline runs exactly this as "
+    "a live volume guard — a feed outage or duplication storm trips the "
+    "5-sigma alarm the day it starts instead of at the next batch audit. "
+    "State = |event_type| x |open days| counters (streaming extension)",
+    tags=("streaming", "events", "timeseries"),
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.timeseries import cusum_from_daily
+
+    stream = read_events_stream(spark, sf_dir)
+    seg = stream.groupBy(
+        "event_type",
+        F.window("ts", "1 day").alias("w"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    out = run_to_memory(seg, "complete")
+    daily = out.select(
+        "event_type", F.to_date(F.col("w.start")).alias("day"), "x"
+    )
+    return cusum_from_daily(daily)

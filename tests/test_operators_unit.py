@@ -502,3 +502,153 @@ def test_hits_scores_positive_and_role_split(spark, sf_dir):
     # L1-normalized halves: any top-k slice sums to at most 1 (+quantization)
     for role in roles:
         assert sum(r.score for r in rows if r.role == role) <= 1.0 + 1e-9
+
+
+# ---------------------------------------- r13 additions: invariants
+
+
+def test_quantile_sketch_error_within_guarantee(spark, sf_dir):
+    """Every target quantile's observed rank error must respect the
+    2(n/K + S) additive guarantee, the estimate values must be actual
+    data values, and estimates must be monotone in the quantile."""
+    from http_datafusion_spark.operators.curation import (
+        QS_K,
+        QS_SHARDS,
+        QS_TARGETS,
+    )
+    from http_datafusion_spark.operators.curation import quantile_sketch_audit
+    from http_datafusion_spark.plans.tables import load_tables
+
+    rows = quantile_sketch_audit(spark, sf_dir).collect()
+    assert [r.quantile for r in rows] == sorted(QS_TARGETS)
+    n = load_tables(spark, sf_dir, "lineitem")["lineitem"].count()
+    bound = 2.0 / QS_K + 2.0 * QS_SHARDS / n
+    for r in rows:
+        assert r.within_bound, (r.quantile, r.rank_err_frac, bound)
+        assert abs(r.target_rank - r.true_rank) <= bound * n + 1e-9
+    ests = [r.est_value for r in rows]
+    assert ests == sorted(ests)  # monotone in q
+    vals = {
+        x.l_extendedprice
+        for x in load_tables(spark, sf_dir, "lineitem")["lineitem"]
+        .select("l_extendedprice")
+        .collect()
+    }
+    assert all(e in vals for e in ests)  # block minima are data values
+
+
+def test_cusum_scan_identity_matches_recursion(spark):
+    """g_t = S_t - min(0, prefix-min S) must equal the textbook
+    recursion g_t = max(0, g_{t-1} + dev_t) — checked on a constructed
+    series with a planted level shift that must alarm."""
+    from decimal import Decimal
+
+    from http_datafusion_spark.operators.timeseries import (
+        CUSUM_H_SIGMA,
+        CUSUM_K_SIGMA,
+        cusum_from_daily,
+    )
+
+    # 20 quiet days at 100 then 10 shifted days at 160
+    xs = [100] * 20 + [160] * 10
+    daily = spark.createDataFrame(
+        [("feed", f"2024-01-{i + 1:02d}", x) for i, x in enumerate(xs)],
+        ["event_type", "day", "x"],
+    ).select("event_type", F.to_date("day").alias("day"), F.col("x").cast("bigint").alias("x"))
+    row = cusum_from_daily(daily).collect()[0]
+
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = (sum(x * x for x in xs) / n - mu * mu) ** 0.5
+    muq = Decimal(str(round(mu, 6)))
+    kq = Decimal(str(round(CUSUM_K_SIGMA * sd, 6)))
+    h = round(CUSUM_H_SIGMA * sd, 6)
+    g, gs = Decimal(0), []
+    for x in xs:
+        g = max(Decimal(0), g + Decimal(x) - muq - kq)
+        gs.append(float(g))
+    assert row.max_stat == round(max(gs), 6)
+    assert row.n_alarm_days == sum(1 for v in gs if v > h)
+    assert row.n_alarm_days > 0  # the planted shift must alarm
+    first = next(i for i, v in enumerate(gs) if v > h)
+    assert row.first_alarm_day == f"2024-01-{first + 1:02d}"
+
+
+def test_cusum_quiet_series_stays_silent(spark, sf_dir):
+    """On the synthetic events table (no planted drift) the detector
+    must report a positive statistic but zero alarms."""
+    from http_datafusion_spark.operators.timeseries import events_cusum_drift
+
+    rows = events_cusum_drift(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.max_stat >= 0.0
+        assert r.n_alarm_days == 0 and r.first_alarm_day is None
+        # threshold rounds 5*sd from the UNROUNDED sd; compare loosely
+        assert abs(r.threshold - 5.0 * r.sigma_daily) < 1e-5
+
+
+def test_mmd_is_zero_against_itself_and_detects_shift(spark):
+    """MMD² must be ~0 when both groups are the same population and
+    must equal the squared mean gap when one group is shifted by a
+    constant vector."""
+    import numpy as np
+
+    from http_datafusion_spark.operators.similarity import MMD_SPLIT_LABEL
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 4)).round(3)
+    shift = 0.5
+
+    def run(shifted: bool) -> tuple[float, float]:
+        rows = []
+        for i, v in enumerate(base):
+            lab = 0 if i % 2 == 0 else MMD_SPLIT_LABEL
+            vec = v + (shift if (lab >= MMD_SPLIT_LABEL and shifted) else 0.0)
+            rows.append((i, [float(x) for x in vec], lab))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        df.createOrReplaceTempView("tmp_mmd_embeddings")
+        # drive the same math the operator uses, on the temp table
+        from pyspark.sql import functions as FF
+
+        from http_datafusion_spark.operators import similarity as S
+
+        ed = df.select(
+            FF.when(FF.col("label") < MMD_SPLIT_LABEL, 1).otherwise(0).alias("gx"),
+            FF.posexplode(FF.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        per = ed.groupBy("dim", "gx").agg(
+            FF.count(FF.lit(1)).alias("n"), FF.sum("v").alias("s")
+        )
+        p = per.groupBy("dim").agg(
+            FF.max(FF.when(FF.col("gx") == 1, FF.col("s") / FF.col("n"))).alias("mx"),
+            FF.max(FF.when(FF.col("gx") == 0, FF.col("s") / FF.col("n"))).alias("my"),
+        )
+        got = p.agg(
+            FF.sum((FF.col("mx") - FF.col("my")) * (FF.col("mx") - FF.col("my")))
+        ).collect()[0][0]
+        return got
+
+    # same population: only sampling noise (~2d/n); shifted by 0.5 in
+    # 4 dims the gap is near 4 * 0.25 = 1.0 plus that noise
+    mmd_null = run(False)
+    mmd_shifted = run(True)
+    assert mmd_null < 0.4
+    assert 0.4 < mmd_shifted < 2.5
+    assert mmd_shifted > 3 * mmd_null
+
+
+def test_stream_cusum_matches_batch_twin(spark, sf_dir):
+    """The streaming monitor's sink-side scan must reproduce the batch
+    twin row-for-row (same oracle by construction)."""
+    from http_datafusion_spark.operators.timeseries import events_cusum_drift
+    from http_datafusion_spark.streaming.queries import stream_cusum_monitor
+
+    batch = {r.event_type: r for r in events_cusum_drift(spark, sf_dir).collect()}
+    for r in stream_cusum_monitor(spark, sf_dir).collect():
+        b = batch[r.event_type]
+        assert (r.n_days, r.max_stat, r.n_alarm_days) == (
+            b.n_days,
+            b.max_stat,
+            b.n_alarm_days,
+        )

@@ -612,6 +612,8 @@ BROADCAST_GUARD_ALLOWED = {
     "segment_chisquare": "segment x priority marginals (bounded keys)",
     # per-event_type statistics: event_type is a small closed enum
     "ts_cusum_changepoints": "per-event_type mean/chunk offsets (bounded key)",
+    "events_cusum_drift": "per-event_type mu/sd params (bounded key; the daily table upstream is calendar-bounded)",
+    "quantile_sketch_audit": "len(QS_TARGETS)=7 probe rows (q, t_rank, n, est_value) — a constant of the audit, not of corpus size",
     "ts_zscore_outliers": "per-event_type moments (bounded key)",
     "ts_mad_outliers": "per-event_type medians (bounded key)",
     "markov_next_event_eval": "event_type transition matrix (bounded key pairs)",
@@ -1030,6 +1032,7 @@ WINDOW_GUARD_ALLOWED = {
     "q_window_clause": "o_custkey keys are corpus-scale (SQL named-WINDOW parity surface)",
     "dedup_substring_runs": "(da, db, diag) pair-diagonal keys are corpus-scale; contents = seeds on one diagonal of one doc pair, bounded by document length (and upstream by the gram df-cap)",
     "stats_bh_fdr": "global step-up window over the per-nation test table — m<=25 rows by the nation-keyed aggregate upstream; BH's sort is over TESTS, never facts",
+    "quantile_sketch_audit": "per-shard local sort IS the sketch's parallelism unit (train_shuffle_shards pattern): contents = corpus/QS_SHARDS, QS_SHARDS the cluster-scaling knob; downstream merge is a window over the constant QS_SHARDS*QS_K summary",
 }
 
 # The r8 verdict's scale-killer class, repaired in r9 — these must stay

@@ -1,6 +1,6 @@
 """Evidence-age report for the driver-correctness rotation.
 
-The registry (382 rows as of r12) outgrew the driver's ~50-row
+The registry (421 rows as of r13) outgrew the driver's ~50-row
 correctness window around r10, so every row's driver evidence ages
 until its re-confirmation slot comes around. This tool makes that
 debt VISIBLE and POLICED (r11 verdict task 3, option b — the
@@ -13,9 +13,10 @@ formalize-the-carry choice):
   is that round) and the rows with NO driver evidence at all;
 - flag every row whose evidence is older than EXPECTED_PERIOD rounds
   — the alert the policy promises. The period is derived, not vibes:
-  window 50, ~13 slots/round spent on new/changed rows, leaves ~37
-  re-confirmation slots; 372 standing rows / 37 ~ 10, and the
-  observed histogram cycles in ~8 (r4 rows re-confirmed by r12).
+  window 50 (a HARD driver cap — r3 shipped 51 names and got exactly
+  50 rows back), and since r13 additions are throttled so the whole
+  oldest evidence class fits each window (~4-13 new/changed rows,
+  ~44 re-confirmation slots); 421 standing rows / 44 ~ 10.
 
 Usage:  python tools/evidence_age.py [--round N]
         exit code 1 if any row exceeds the period (CI-able); the
