@@ -638,8 +638,9 @@ def test_parse_link_next_finds_planted_target(
     rel = f'"{rel_val}"' if (quoted or multi_rel) else rel_val
     next_link = f"<{target}>; rel={rel}"
     if trailing_params:
-        next_link += '; title="x"'
-    others = [f'<{u}>; rel="{r}"' for u, r in extra_rels]
+        # a comma INSIDE a quoted param value is not a list delimiter
+        next_link += '; title="x, y"'
+    others = [f'<{u}>; rel="{r}"; title="a,b"' for u, r in extra_rels]
     links = others[:position] + [next_link] + others[position:]
     assert parse_link_next(", ".join(links)) == target
     # with the next link removed, nothing else may match
