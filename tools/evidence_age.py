@@ -61,8 +61,69 @@ def latest_green_rounds() -> tuple[dict[str, int], int]:
     return latest, newest
 
 
+def plan_window(head: list[str], cap: int = 50) -> tuple[list[str], list[str]]:
+    """Compose the next round's PRIORITY window per the rotation policy
+    (BASELINE.md "Evidence-age policy"): the caller-supplied head (this
+    round's changed-code rows + additions, i.e. everything the
+    mechanical rules force into the window) goes first, then no-evidence
+    rows not already in the head, then the oldest evidence classes fill
+    lexicographically up to the hard 50-row driver cap (r3: position 51
+    was silently dropped). Returns (window, named_overflow) — the
+    overflow MUST be named verbatim in the registry's next-round head
+    comment, never silently deferred.
+
+    Usage: python tools/evidence_age.py --plan changed1,new2,...
+    """
+    from http_datafusion_spark.plans.registry import all_queries
+
+    names = list(all_queries())
+    latest, _ = latest_green_rounds()
+    window = [n for n in head if n in names]
+    unknown = sorted(set(head) - set(names))
+    if unknown:
+        raise SystemExit(f"--plan names not in the registry: {unknown}")
+    for n in sorted(n for n in names if n not in latest):
+        if n not in window:
+            window.append(n)  # no-evidence rows are mandatory occupants
+    if len(window) > cap:
+        raise SystemExit(
+            f"head + no-evidence rows already exceed the {cap}-row cap "
+            f"({len(window)}) — throttle additions"
+        )
+    by_round: dict[int, list[str]] = {}
+    for n, r in latest.items():
+        if n in names:
+            by_round.setdefault(r, []).append(n)
+    overflow: list[str] = []
+    for rnd in sorted(by_round):
+        for n in sorted(by_round[rnd]):
+            if n in window:
+                continue
+            if len(window) < cap:
+                window.append(n)
+            elif rnd == min(by_round):
+                overflow.append(n)  # oldest-class rows that missed the cap
+    return window, overflow
+
+
 def main() -> int:
     from http_datafusion_spark.plans.registry import PRIORITY, all_queries
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--plan":
+        head = [
+            n.strip()
+            for n in (sys.argv[2] if len(sys.argv) > 2 else "").split(",")
+            if n.strip()
+        ]
+        window, overflow = plan_window(head)
+        print("PRIORITY window plan (paste-ready, 50 rows):")
+        for n in window:
+            print(f'    "{n}",')
+        if overflow:
+            print(f"# NAMED OVERFLOW for the round after ({len(overflow)}):")
+            for n in overflow:
+                print(f"#   {n}")
+        return 0
 
     names = list(all_queries())
     latest, newest = latest_green_rounds()
