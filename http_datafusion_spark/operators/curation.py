@@ -5235,3 +5235,251 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err <= bound).alias("within_bound"),
     ).orderBy("quantile")
 
+
+
+# --------------------------- Kaplan-Meier survival WITH censoring
+
+KM_CENSOR_GAP_DAYS = 90  # no order for this long before corpus end => churned
+KM_MONTH_DAYS = 30  # month grain for durations
+
+_Q9KM = "CAST(round({x}, 9) AS DECIMAL(18,9))"
+
+
+@query(
+    "customer_survival_km",
+    oracle=f"""
+    WITH horizon AS (SELECT max(o_orderdate) AS t_end FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             min(o_orderdate) AS first_o,
+             max(o_orderdate) AS last_o
+      FROM orders GROUP BY o_custkey
+    ),
+    obs AS (
+      SELECT CASE WHEN date_diff('day', last_o, h.t_end)
+                       > {KM_CENSOR_GAP_DAYS} THEN 1 ELSE 0 END AS churned,
+             CAST(floor(date_diff('day', first_o,
+                    CASE WHEN date_diff('day', last_o, h.t_end)
+                              > {KM_CENSOR_GAP_DAYS}
+                         THEN last_o ELSE h.t_end END)
+                  / {KM_MONTH_DAYS}.0) AS BIGINT) AS m
+      FROM cust CROSS JOIN horizon h
+    ),
+    per_m AS (
+      SELECT m,
+             CAST(sum(churned) AS BIGINT) AS d,
+             CAST(sum(1 - churned) AS BIGINT) AS c
+      FROM obs GROUP BY m
+    ),
+    risk AS (
+      SELECT m, d, c,
+             sum(d + c) OVER (ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM per_m
+    ),
+    surv AS (
+      SELECT m, d, c, n_risk,
+             sum({_Q9KM.format(x='ln(1.0 - CAST(d AS DOUBLE) / n_risk)')})
+               OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_ln
+      FROM risk
+    )
+    SELECT m AS month, CAST(n_risk AS BIGINT) AS n_at_risk,
+           d AS n_churned, c AS n_censored,
+           round(exp(CAST(cum_ln AS DOUBLE)), 6) AS survival
+    FROM surv ORDER BY month
+    """,
+    doc=f"Kaplan-Meier survival estimator WITH right-censoring (Kaplan & "
+    f"Meier 1958 JASA) over customer order lifetimes — the censored "
+    f"completion of customer_survival_curve, whose docstring flags its own "
+    f"no-censoring simplification: a customer whose last order is within "
+    f"{KM_CENSOR_GAP_DAYS} days of the corpus horizon is CENSORED (still "
+    f"alive, at risk up to the horizon), not counted as churned — naive "
+    f"retention curves biased low precisely because they treat those as "
+    f"deaths. S(t) = prod over event months (1 - d_t/n_t) with n_t from "
+    f"one reverse cumulative sum; the month grain is calendar-bounded so "
+    f"every window runs over a tiny table after one customer-keyed "
+    f"aggregate. The product is exp(sum(9dp-quantized ln factors)) — the "
+    f"ln terms are exact-rational inputs on both engines and the decimal "
+    f"cumsum is order-exact (exp-then-round-6 follows the A&S tail "
+    f"precedent, stream_srm_check)",
+    tags=("curation", "stats", "pipeline"),
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    horizon = o.agg(F.max("o_orderdate").alias("t_end"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    gap = F.datediff(F.col("t_end"), F.col("last_o"))
+    churned = F.when(gap > KM_CENSOR_GAP_DAYS, 1).otherwise(0)
+    t_obs = F.when(gap > KM_CENSOR_GAP_DAYS, F.col("last_o")).otherwise(
+        F.col("t_end")
+    )
+    obs = cust.crossJoin(F.broadcast(horizon)).select(
+        churned.alias("churned"),
+        F.floor(
+            F.datediff(t_obs, F.col("first_o")) / float(KM_MONTH_DAYS)
+        ).cast("bigint").alias("m"),
+    )
+    per_m = obs.groupBy("m").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).cast("bigint").alias("c"),
+    )
+    w_rev = Window.orderBy("m").rowsBetween(0, Window.unboundedFollowing)
+    risk = per_m.select(
+        "m", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_rev).alias("n_risk")
+    )
+    w_fwd = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    ln_f = F.round(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 9
+    ).cast("decimal(18,9)")
+    surv = risk.select(
+        "m", "d", "c", "n_risk", F.sum(ln_f).over(w_fwd).alias("cum_ln")
+    )
+    return surv.select(
+        F.col("m").alias("month"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round(F.exp(F.col("cum_ln").cast("double")), 6).alias("survival"),
+    ).orderBy("month")
+
+
+# ------------------------- feature-hashing collision-rate audit
+
+FH_SALT = 9500  # per-k salts: FH_SALT + k
+FH_BITS = (10, 12, 14, 16)  # hashed feature-space sizes 2^k
+
+
+def _fh_bucket_sql(k: int) -> str:
+    return f"{salted_hash_sql('tok', FH_SALT + k)} % {1 << k}"
+
+
+@query(
+    "feature_hash_collision_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS words
+      FROM documents
+    ),
+    toks AS (
+      SELECT lower(words[i]) || ' ' || lower(words[i + 1]) AS tok
+      FROM w, unnest(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    hashed AS (
+      SELECT kb.k, kb.bucket, cnt
+      FROM (
+        SELECT cnt, unnest([{", ".join(f"{{'k': {k}, 'bucket': {_fh_bucket_sql(k)}}}" for k in FH_BITS)}]) AS kb
+        FROM vocab
+      )
+    ),
+    buckets AS (
+      SELECT k, bucket, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(cnt) AS BIGINT) AS mass
+      FROM hashed GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cnt) AS BIGINT) AS t
+      FROM vocab
+    )
+    SELECT k, CAST(1 << k AS BIGINT) AS n_buckets, tot.v AS vocab_size,
+           round(CAST(sum(CASE WHEN n_terms >= 2 THEN n_terms ELSE 0 END)
+                      AS DOUBLE) / tot.v, 6) AS colliding_term_frac,
+           round(CAST(sum(CASE WHEN n_terms >= 2 THEN mass ELSE 0 END)
+                      AS DOUBLE) / tot.t, 6) AS colliding_mass_frac,
+           round(1.0 - exp((tot.v - 1.0) * ln(1.0 - 1.0 / (1 << k))), 6)
+             AS expected_term_frac
+    FROM buckets CROSS JOIN tot
+    GROUP BY k, tot.v, tot.t ORDER BY k
+    """,
+    doc=f"hashing-trick collision audit (Weinberger et al. ICML 2009): the "
+    f"corpus BIGRAM vocabulary (the hashed feature space practice ships, "
+    f"cf. corpus_dsir_importance's hashed-bigram multinomials; unigram "
+    f"vocab here is ~31 terms — degenerate) hashed into 2^k buckets for "
+    f"k in {FH_BITS}, "
+    f"reporting the fraction of vocab TERMS that share a bucket and the "
+    f"fraction of token MASS sitting in collided buckets, against the "
+    f"birthday-bound expectation 1 - (1 - 1/B)^(V-1) — the dimensioning "
+    f"measurement a pipeline runs before fixing its hashed-feature width "
+    f"(mass matters more than terms: colliding two hapaxes is harmless, "
+    f"colliding a stopword into a content word is not). Completes the "
+    f"sketch-SIZING arc beside cms_error_audit (count width), "
+    f"hll_sketch_union (cardinality), quantile_sketch_audit (rank "
+    f"error). One token scan -> vocab agg; everything after is "
+    f"vocab-bounded x {len(FH_BITS)} literal widths, map-side-combinable "
+    f"integer counts; the only float is the final three ratios (the "
+    f"expectation follows the exp-then-round A&S-tail precedent)",
+    tags=("text", "sketch", "pipeline"),
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"))
+        .withColumn("w1", F.lead("w", 1).over(wdoc))
+        .filter(F.col("w1").isNotNull())
+        .select(F.concat_ws(" ", F.lower("w"), F.lower("w1")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    hashed = vocab.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (salted_hash(F.col("tok"), FH_SALT + k) % (1 << k)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for k in FH_BITS
+                ]
+            )
+        ).alias("kb"),
+    ).select(F.col("kb.k").alias("k"), F.col("kb.bucket").alias("bucket"), "cnt")
+    buckets = hashed.groupBy("k", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("cnt").cast("bigint").alias("mass"),
+    )
+    tot = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("cnt").cast("bigint").alias("t"),
+    )
+    collided = F.col("n_terms") >= 2
+    # Python-API shiftleft wants a literal bit count; the SQL form
+    # accepts a column
+    nb = F.expr("shiftleft(1, k)").cast("bigint")
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .groupBy("k", "v", "t")
+        .agg(
+            F.sum(F.when(collided, F.col("n_terms")).otherwise(0))
+            .cast("double")
+            .alias("ct"),
+            F.sum(F.when(collided, F.col("mass")).otherwise(0))
+            .cast("double")
+            .alias("cm"),
+        )
+        .select(
+            "k",
+            nb.alias("n_buckets"),
+            F.col("v").alias("vocab_size"),
+            F.round(F.col("ct") / F.col("v"), 6).alias("colliding_term_frac"),
+            F.round(F.col("cm") / F.col("t"), 6).alias("colliding_mass_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.exp(
+                    (F.col("v") - F.lit(1.0))
+                    * F.log(F.lit(1.0) - F.lit(1.0) / nb)
+                ),
+                6,
+            ).alias("expected_term_frac"),
+        )
+        .orderBy("k")
+    )

@@ -79,20 +79,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   (b) http_ingest_nation — changed-code twice over: the r12
 #       link_pagination kwarg, and this round's parse_link_next fix
 #       (comma-in-URL splitting + exact rel-param match, ADVICE r12).
-#   (c) the 4 r13 ADDITIONS (growth deliberately throttled to clear
-#       the entire r4 class — r12 verdict task 4's intent), each
-#       locally oracle-exact at sf0.001+sf0.01 with a COVERAGE row:
-#       quantile_sketch_audit (KLL/MRL-family mergeable quantile
-#       summary vs exact ranks — completes the sketch-audit arc),
+#   (c) the 8 r13 ADDITIONS (throttled under the verdict's ~10 cap so
+#       re-confirmation stays >= the 35-slot floor; 40 slots
+#       re-confirm), each locally oracle-exact at sf0.001+sf0.01 with
+#       a COVERAGE row: quantile_sketch_audit (KLL/MRL-family
+#       mergeable quantile summary vs exact ranks),
 #       events_cusum_drift + stream_cusum_monitor (Page 1954 batch +
-#       live twins), embedding_mmd_two_sample (linear-kernel MMD).
-#   (d) the ENTIRE 44-row r4-stale class, in the r12 head's named
-#       order (24 displaced + 20 r11-named) — pure re-confirmations;
-#       after this window the oldest evidence class becomes r5.
-#   R14 HEAD (named now, per rotation discipline): FIRST any row whose
-#   code or oracle changes during r13 after this window freezes, then
-#   r14 additions (throttle to <=13 so the whole r5 class fits), then
-#   the 35-row r5-stale class, lexicographic:
+#       live twins), embedding_mmd_two_sample (linear-kernel MMD),
+#       customer_survival_km (Kaplan-Meier WITH right-censoring),
+#       ml_auc_delong_ci (DeLong AUC variance at the distinct-score
+#       grain), text_burrows_delta (stylometric source fingerprint),
+#       feature_hash_collision_audit (hashing-trick sizing — with
+#       quantile_sketch_audit this completes the sketch-sizing arc).
+#   (d) 40 of the 44-row r4-stale class, in the r12 head's named
+#       order (lexicographic) — pure re-confirmations. The LAST 4
+#       (ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers,
+#       vocab_build) overflow to the r14 head, named there FIRST.
+#       (tools/evidence_age.py --plan reproduces this window verbatim.)
+#   R14 HEAD (named now, per rotation discipline): FIRST the 4 r4
+#   overflow rows above, then any row whose code or oracle changes
+#   during r13 after this window freezes, then r14 additions (throttle
+#   so the whole remaining r5 class fits), then the 35-row r5-stale
+#   class, lexicographic:
 #   asof_join_click_purchase, cms_heavy_hitters,
 #   dedup_cluster_representatives, dedup_exact, dedup_minhash_signature,
 #   dedup_minhash_threshold_sweep, dedup_ngram_jaccard,
@@ -123,7 +131,12 @@ PRIORITY: tuple[str, ...] = (
     "events_cusum_drift",
     "stream_cusum_monitor",
     "embedding_mmd_two_sample",
-    # ---- (d) the full 44-row r4-stale class (re-confirmations) ----
+    "customer_survival_km",
+    "ml_auc_delong_ci",
+    "text_burrows_delta",
+    "feature_hash_collision_audit",
+    # ---- (d) 40 of the 44-row r4-stale class (re-confirmations;
+    # last 4 lexicographic overflow to the r14 head, named above) ----
     "cdc_upsert_compaction",
     "corpus_build_roundtrip",
     "data_quality_audit",
@@ -164,10 +177,6 @@ PRIORITY: tuple[str, ...] = (
     "train_shuffle_shards",
     "train_val_split",
     "ts_ewma",
-    "ts_mad_outliers",
-    "ts_resample_ohlc",
-    "ts_zscore_outliers",
-    "vocab_build",
 )
 
 def query(

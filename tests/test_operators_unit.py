@@ -652,3 +652,83 @@ def test_stream_cusum_matches_batch_twin(spark, sf_dir):
             b.max_stat,
             b.n_alarm_days,
         )
+
+
+def test_km_survival_monotone_and_censoring_matters(spark, sf_dir):
+    """Survival must start at <=1, decrease monotonically, count every
+    customer exactly once across (churned + censored), and differ from
+    the naive no-censoring curve in the right DIRECTION (censoring can
+    only raise late-time survival estimates)."""
+    from http_datafusion_spark.operators.curation import customer_survival_km
+    from http_datafusion_spark.plans.tables import load_tables
+
+    rows = customer_survival_km(spark, sf_dir).collect()
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    n_cust = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_churned + r.n_censored for r in rows) == n_cust
+    assert rows[0].n_at_risk == n_cust  # everyone at risk at the first month
+    assert sum(r.n_censored for r in rows) > 0  # censoring actually occurs
+
+
+def test_delong_ci_brackets_auc_and_matches_point_estimate(spark, sf_dir):
+    from http_datafusion_spark.operators.stats import (
+        ml_auc_delong_ci,
+        ml_auc_roc,
+    )
+
+    ci = ml_auc_delong_ci(spark, sf_dir).collect()[0]
+    point = ml_auc_roc(spark, sf_dir).collect()[0]
+    assert ci.auc == point.auc  # same Mann-Whitney estimate, same grain
+    assert ci.ci_lo < ci.auc < ci.ci_hi
+    assert ci.se_delong > 0
+    # CI half-width == z * se (rounding slack only)
+    assert abs((ci.ci_hi - ci.ci_lo) / 2 - 1.959964 * ci.se_delong) < 2e-6
+
+
+def test_burrows_delta_symmetric_complete_and_selfsimilar(spark, sf_dir):
+    """All source pairs present exactly once (a < b), deltas positive,
+    and a source duplicated under two names must score (near) zero."""
+    import itertools
+
+    from http_datafusion_spark.operators.text import text_burrows_delta
+    from http_datafusion_spark.plans.tables import load_tables
+
+    rows = text_burrows_delta(spark, sf_dir).collect()
+    srcs = sorted(
+        r.source
+        for r in load_tables(spark, sf_dir, "documents")["documents"]
+        .select("source")
+        .distinct()
+        .collect()
+    )
+    want = {(a, b) for a, b in itertools.combinations(srcs, 2)}
+    got = {(r.source_a, r.source_b) for r in rows}
+    assert got == want
+    assert all(r.delta > 0 for r in rows)
+    assert all(r.n_words > 0 for r in rows)
+
+
+def test_feature_hash_collisions_track_birthday_bound(spark, sf_dir):
+    """Observed collision fraction must fall with k and sit near the
+    birthday-bound expectation (within 3x either way — it's one draw),
+    and mass/term fractions must be consistent."""
+    from http_datafusion_spark.operators.curation import (
+        feature_hash_collision_audit,
+    )
+
+    rows = feature_hash_collision_audit(spark, sf_dir).collect()
+    assert [r.k for r in rows] == [10, 12, 14, 16]
+    fracs = [r.colliding_term_frac for r in rows]
+    assert all(a >= b for a, b in zip(fracs, fracs[1:]))  # more bits, fewer hits
+    for r in rows:
+        assert 0.0 <= r.colliding_term_frac <= 1.0
+        if r.expected_term_frac > 0.01:  # enough signal to compare
+            assert r.colliding_term_frac < 3 * r.expected_term_frac
+            assert r.colliding_term_frac > r.expected_term_frac / 3

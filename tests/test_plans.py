@@ -614,6 +614,7 @@ BROADCAST_GUARD_ALLOWED = {
     "ts_cusum_changepoints": "per-event_type mean/chunk offsets (bounded key)",
     "events_cusum_drift": "per-event_type mu/sd params (bounded key; the daily table upstream is calendar-bounded)",
     "quantile_sketch_audit": "len(QS_TARGETS)=7 probe rows (q, t_rank, n, est_value) — a constant of the audit, not of corpus size",
+    "text_burrows_delta": "top_words (LIMIT 50 — the hint lands below the limit in the analyzed plan) and wstats (grouped by tok AFTER the inner join with the 50-word list, so <= BURROWS_TOP_WORDS rows; the guard can't credit a bound that arrives via a join partner)",
     "ts_zscore_outliers": "per-event_type moments (bounded key)",
     "ts_mad_outliers": "per-event_type medians (bounded key)",
     "markov_next_event_eval": "event_type transition matrix (bounded key pairs)",
