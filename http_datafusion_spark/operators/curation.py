@@ -5508,3 +5508,4 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+

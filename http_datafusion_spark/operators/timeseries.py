@@ -2852,9 +2852,12 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     f"S the cumulative slack-adjusted deviation, alarming when g exceeds "
     f"h = {CUSUM_H_SIGMA} sigma with slack k = {CUSUM_K_SIGMA} sigma — the "
     f"classic sequential change-point monitor a pipeline points at its "
-    f"ingest volumes (complements events_burstiness_profile, which scores "
-    f"per-user rhythm, and quality_drift_psi, which scores distribution "
-    f"shift; stream_cusum_monitor is its live twin). Day-grain per type: "
+    f"ingest volumes (ts_cusum_changepoints is the OFFLINE single-"
+    f"change-point LOCATION estimator — argmax |CUSUM| over per-event "
+    f"deviations; this is the day-grain sequential ALARM with slack and "
+    f"threshold, plus stream_cusum_monitor as its live twin; "
+    f"events_burstiness_profile scores per-user rhythm, "
+    f"quality_drift_psi distribution shift). Day-grain per type: "
     f"the windows run over |event_type| x |days| rows — calendar-bounded "
     f"at ANY corpus size after one map-side-combinable count agg. "
     f"Deviations are exact DECIMAL(18,6) (integer counts minus "
