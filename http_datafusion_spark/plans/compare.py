@@ -99,9 +99,16 @@ def _values_equal(a: object, b: object) -> tuple[bool, bool]:
 
 def _render(v: object) -> str:
     """How a numeric value stringifies for hashing purposes: Decimals keep
-    their scale verbatim; floats via repr (trailing zeros dropped)."""
+    their scale verbatim, INTEGERS stay integers ('3', never '3.0' —
+    a bigint-vs-double pair is numerically equal but renders apart, the
+    same class as the Decimal-scale and -0.0 incidents), floats via
+    repr (trailing zeros dropped)."""
     if isinstance(v, Decimal):
         return str(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+        return str(int(v))
     return repr(float(v))
 
 
