@@ -645,3 +645,76 @@ def test_parse_link_next_finds_planted_target(
     assert parse_link_next(", ".join(links)) == target
     # with the next link removed, nothing else may match
     assert parse_link_next(", ".join(others)) is None
+
+
+# --------------------------- r13 closed-form kernels (pure integer/decimal)
+
+
+@given(
+    n_s=st.integers(min_value=1, max_value=5000),
+    k=st.sampled_from([1, 2, 8, 32, 64]),
+)
+@settings(max_examples=300, deadline=None)
+def test_quantile_sketch_blocks_partition_ranks_exactly(n_s, k):
+    """The equi-depth block formulas quantile_sketch_audit relies on:
+    blk(rn) = floor((rn-1)k/n_s) buckets local ranks 1..n_s into blocks
+    whose closed-form boundaries lo(b) = ceil(b*n_s/k), hi(b) =
+    ceil((b+1)*n_s/k) partition the ranks EXACTLY (weights sum to n_s,
+    every block size within ceil(n_s/k)), and the mid-rank the operator
+    keeps falls inside its own block."""
+    import math
+
+    def blk(rn):
+        return (rn - 1) * k // n_s
+
+    def lo(b):
+        return (b * n_s + k - 1) // k
+
+    def hi(b):
+        return ((b + 1) * n_s + k - 1) // k
+
+    blocks = sorted({blk(rn) for rn in range(1, n_s + 1)})
+    total_w = 0
+    for b in blocks:
+        members = [rn for rn in range(1, n_s + 1) if blk(rn) == b]
+        # closed-form boundaries match the actual membership
+        assert members == list(range(lo(b) + 1, hi(b) + 1))
+        w = hi(b) - lo(b)
+        assert w == len(members)
+        assert w <= math.ceil(n_s / k)
+        total_w += w
+        mid = lo(b) + 1 + (w - 1) // 2
+        assert mid in members  # the kept representative is in its block
+    assert total_w == n_s  # weights partition the shard
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200
+    ),
+    mu_milli=st.integers(min_value=0, max_value=10_000_000),
+    k_milli=st.integers(min_value=0, max_value=1_000_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_cusum_scan_identity_equals_recursion(xs, mu_milli, k_milli):
+    """events_cusum_drift computes Page's g_t via the scan identity
+    g_t = S_t - min(0, min_{u<=t} S_u); it must equal the textbook
+    recursion g_t = max(0, g_{t-1} + dev_t) for every prefix, for any
+    integer series and any (mu, slack)."""
+    from decimal import Decimal
+
+    mu = Decimal(mu_milli) / 1000
+    kk = Decimal(k_milli) / 1000
+    devs = [Decimal(x) - mu - kk for x in xs]
+    # recursion
+    g, rec = Decimal(0), []
+    for d in devs:
+        g = max(Decimal(0), g + d)
+        rec.append(g)
+    # scan identity
+    s, smin, scan = Decimal(0), Decimal(0), []
+    for d in devs:
+        s += d
+        smin = min(smin, s)
+        scan.append(s - min(Decimal(0), smin))
+    assert scan == rec
