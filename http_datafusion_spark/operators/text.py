@@ -3131,21 +3131,24 @@ _Q9BD = "CAST(round({x}, 9) AS DECIMAL(18,9))"
                                 x -> x <> '')) AS tok
       FROM documents
     ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
     top_words AS (
-      SELECT tok FROM toks GROUP BY tok
-      ORDER BY count(*) DESC, tok LIMIT {BURROWS_TOP_WORDS}
+      SELECT tok FROM st GROUP BY tok
+      ORDER BY sum(c) DESC, tok LIMIT {BURROWS_TOP_WORDS}
     ),
     src_totals AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS total FROM toks GROUP BY source
+      SELECT source, CAST(sum(c) AS BIGINT) AS total FROM st GROUP BY source
     ),
     grid AS (
-      SELECT st.source, st.total, tw.tok
-      FROM src_totals st CROSS JOIN top_words tw
+      SELECT s.source, s.total, tw.tok
+      FROM src_totals s CROSS JOIN top_words tw
     ),
     cnts AS (
-      SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS cnt
-      FROM toks t JOIN top_words tw ON t.tok = tw.tok
-      GROUP BY 1, 2
+      SELECT s.source, s.tok, s.c AS cnt
+      FROM st s JOIN top_words tw ON s.tok = tw.tok
     ),
     rels AS (
       SELECT g.source, g.tok,
@@ -3195,21 +3198,26 @@ _Q9BD = "CAST(round({x}, 9) AS DECIMAL(18,9))"
 def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    # ONE corpus token pass: the (source, tok) count table feeds the
+    # top-word list, the per-source totals, AND the count grid — the
+    # first cut derived each from `toks` directly, i.e. three corpus
+    # scans, which loses at 100 TB (the text_keyness_g2 trade, same
+    # direction). Everything below this aggregate is |sources| x vocab
+    # bounded.
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
     top_words = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "tok")
+        st.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
         .limit(BURROWS_TOP_WORDS)
         .select("tok")
     )
-    src_totals = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total")
-    )
+    src_totals = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("total"))
     grid = src_totals.crossJoin(F.broadcast(top_words))
-    cnts = (
-        toks.join(F.broadcast(top_words), "tok")
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cnts = st.join(F.broadcast(top_words), "tok").select(
+        "source", "tok", F.col("c").alias("cnt")
     )
     rels = grid.join(cnts, ["source", "tok"], "left").select(
         "source",
