@@ -534,7 +534,7 @@ def test_quantile_sketch_error_within_guarantee(spark, sf_dir):
         .select("l_extendedprice")
         .collect()
     }
-    assert all(e in vals for e in ests)  # block minima are data values
+    assert all(e in vals for e in ests)  # block representatives are data values
 
 
 def test_cusum_scan_identity_matches_recursion(spark):

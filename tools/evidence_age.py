@@ -1,6 +1,7 @@
 """Evidence-age report for the driver-correctness rotation.
 
-The registry (421 rows as of r13) outgrew the driver's ~50-row
+The registry (425 rows as of r13; the report derives the live count
+from the artifacts it parses) outgrew the driver's ~50-row
 correctness window around r10, so every row's driver evidence ages
 until its re-confirmation slot comes around. This tool makes that
 debt VISIBLE and POLICED (r11 verdict task 3, option b — the
@@ -16,7 +17,7 @@ formalize-the-carry choice):
   window 50 (a HARD driver cap — r3 shipped 51 names and got exactly
   50 rows back), and since r13 additions are throttled so the whole
   oldest evidence class fits each window (~4-13 new/changed rows,
-  ~44 re-confirmation slots); 421 standing rows / 44 ~ 10.
+  ~44 re-confirmation slots); 425 standing rows / 44 ~ 10.
 
 Usage:  python tools/evidence_age.py [--round N]
         exit code 1 if any row exceeds the period (CI-able); the
