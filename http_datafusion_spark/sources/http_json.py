@@ -520,6 +520,47 @@ def refresh_http_table(
     return new_etag, new_lm, True
 
 
+def _state_split(s: str, delim: str, *, angle: bool) -> list[str]:
+    """Split ``s`` on ``delim`` OUTSIDE quoted strings (and, when
+    ``angle`` is set, outside ``<...>`` targets). An unterminated
+    ``<`` flushes at the next ``<``: RFC 3986 forbids a raw ``<`` in a
+    URI-Reference, so a second ``<`` inside an open target means the
+    first one was truncated/malformed — flushing it as its own (dead)
+    part keeps a broken link-value from absorbing a later well-formed
+    one (``'<broken, <b>; rel="next"'`` must still yield ``b``).
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    in_angle = in_quote = False
+    for ch in s:
+        if in_quote:
+            if ch == '"':
+                in_quote = False
+            buf.append(ch)
+        elif in_angle:
+            if ch == ">":
+                in_angle = False
+                buf.append(ch)
+            elif ch == "<":
+                parts.append("".join(buf))
+                buf = [ch]
+            else:
+                buf.append(ch)
+        elif ch == "<" and angle:
+            in_angle = True
+            buf.append(ch)
+        elif ch == '"':
+            in_quote = True
+            buf.append(ch)
+        elif ch == delim:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_link_next(link_header: str | None) -> str | None:
     """Extract the ``rel="next"`` target from an RFC 8288 ``Link``
     header (the GitHub/Stripe-style pagination contract), or None.
@@ -532,38 +573,16 @@ def parse_link_next(link_header: str | None) -> str | None:
     sub-delim) in URL paths and query strings, so a legal target like
     ``</items?ids=1,2,3>`` must NOT be split apart (an earlier naive
     split silently dropped such a rel=next link and truncated ingest).
-    The ``rel`` param name is matched exactly — a ``relation=...``
-    extension param must not be misread as the relation list.
+    The per-link ``;`` param split is quote-aware for the same reason
+    one level down: a quoted param value may contain ``;`` (e.g.
+    ``title="x;rel=next"``), and a bare split tears it into a fragment
+    that reads as a rel param — returning the WRONG link. The ``rel``
+    param name is matched exactly — a ``relation=...`` extension param
+    must not be misread as the relation list.
     """
     if not link_header:
         return None
-    # State-scan split: commas inside <...> or inside a quoted param
-    # value belong to the link-value, not the list delimiter.
-    parts: list[str] = []
-    buf: list[str] = []
-    in_angle = in_quote = False
-    for ch in link_header:
-        if in_quote:
-            if ch == '"':
-                in_quote = False
-            buf.append(ch)
-        elif in_angle:
-            if ch == ">":
-                in_angle = False
-            buf.append(ch)
-        elif ch == "<":
-            in_angle = True
-            buf.append(ch)
-        elif ch == '"':
-            in_quote = True
-            buf.append(ch)
-        elif ch == ",":
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    parts.append("".join(buf))
-    for part in parts:
+    for part in _state_split(link_header, ",", angle=True):
         part = part.strip()
         if not part.startswith("<"):
             continue
@@ -571,7 +590,7 @@ def parse_link_next(link_header: str | None) -> str | None:
         if end < 0:
             continue
         target = part[1:end]
-        for param in part[end + 1 :].split(";"):
+        for param in _state_split(part[end + 1 :], ";", angle=False):
             name, _, val = param.partition("=")
             if name.strip().lower() != "rel":
                 continue

@@ -604,6 +604,17 @@ def test_parse_link_next_forms():
     # 'next' must not be misread as the relation list
     assert parse_link_next('<d>; relation="next"') is None
     assert parse_link_next('<d>; relation="next", <e>; rel="next"') == "e"
+    # a ';' inside a quoted param value is not a param delimiter: a
+    # bare split tears '"x;rel=next"' into a fragment that reads as a
+    # rel param and returns the WRONG (rel=prev) link (r13 verdict)
+    assert (
+        parse_link_next('<u1>; title="x;rel=next"; rel="prev", <u2>; rel="next"')
+        == "u2"
+    )
+    # an unterminated '<' must not absorb a later well-formed link-value
+    # into a garbage target (ADVICE r13)
+    assert parse_link_next('<broken, <b>; rel="next"') == "b"
+    assert parse_link_next("<never-closed, nothing-else") is None
 
 
 def test_link_pagination_config_e2e(base_url, spark):

@@ -624,14 +624,18 @@ _REL_OTHER = st.sampled_from(["prev", "first", "last", "self", "alternate"])
     trailing_params=st.booleans(),
     multi_rel=st.booleans(),
     position=st.integers(min_value=0, max_value=3),
+    poison_titles=st.booleans(),
 )
 @settings(max_examples=200, deadline=None)
 def test_parse_link_next_finds_planted_target(
-    target, quoted, extra_rels, trailing_params, multi_rel, position
+    target, quoted, extra_rels, trailing_params, multi_rel, position, poison_titles
 ):
     """Whatever non-next link-values surround it, in any order, the
     planted rel=next target is recovered verbatim — and absent a next
-    link the parser returns None."""
+    link the parser returns None. ``poison_titles`` plants a quoted
+    ``;rel=next`` inside the NON-next links' title params (the r13
+    verdict edge): a bare ';' split tears that quote open and misreads
+    the fragment as a rel param, returning the wrong link."""
     from http_datafusion_spark.sources.http_json import parse_link_next
 
     rel_val = "next last" if multi_rel else "next"
@@ -640,7 +644,8 @@ def test_parse_link_next_finds_planted_target(
     if trailing_params:
         # a comma INSIDE a quoted param value is not a list delimiter
         next_link += '; title="x, y"'
-    others = [f'<{u}>; rel="{r}"; title="a,b"' for u, r in extra_rels]
+    title = '"x;rel=next"' if poison_titles else '"a,b"'
+    others = [f'<{u}>; title={title}; rel="{r}"' for u, r in extra_rels]
     links = others[:position] + [next_link] + others[position:]
     assert parse_link_next(", ".join(links)) == target
     # with the next link removed, nothing else may match
