@@ -5266,8 +5266,17 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_CENSOR_GAP_DAYS = 90  # no order for this long before corpus end => churned
 KM_MONTH_DAYS = 30  # month grain for durations
+# Sentinel ln-factor for the d == n_risk month (survival drops to 0):
+# ln(0) is -inf — DuckDB raises, Spark returns NULL that the window sum
+# skips. -1e6 fits DECIMAL(18,9) and exp() of any cumsum containing it
+# underflows to exactly 0.0 on both engines.
+KM_LN_ZERO = -1000000.0
 
 _Q9KM = "CAST(round({x}, 9) AS DECIMAL(18,9))"
+_KM_LN_FACTOR = (
+    f"CASE WHEN d = n_risk THEN {KM_LN_ZERO!r} "
+    f"ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END"
+)
 
 
 @query(
@@ -5304,7 +5313,7 @@ _Q9KM = "CAST(round({x}, 9) AS DECIMAL(18,9))"
     ),
     surv AS (
       SELECT m, d, c, n_risk,
-             sum({_Q9KM.format(x='ln(1.0 - CAST(d AS DOUBLE) / n_risk)')})
+             sum({_Q9KM.format(x=_KM_LN_FACTOR)})
                OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_ln
       FROM risk
     )
@@ -5356,8 +5365,18 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_rev).alias("n_risk")
     )
     w_fwd = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_risk (everyone still at risk churns this month — only
+    # possible at the maximal month, since n_risk counts all m' >= m)
+    # would be ln(0): DuckDB raises out-of-range while Spark's F.log
+    # returns NULL that the window sum silently SKIPS, leaving survival
+    # at the prior level instead of 0 (ADVICE r13). Both engines take
+    # the same finite sentinel instead; exp(-1e6 + bounded terms)
+    # underflows to exactly 0.0, so survival lands at 0 on both.
     ln_f = F.round(
-        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 9
+        F.when(F.col("d") == F.col("n_risk"), F.lit(KM_LN_ZERO)).otherwise(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+        ),
+        9,
     ).cast("decimal(18,9)")
     surv = risk.select(
         "m", "d", "c", "n_risk", F.sum(ln_f).over(w_fwd).alias("cum_ln")

@@ -677,6 +677,50 @@ def test_km_survival_monotone_and_censoring_matters(spark, sf_dir):
     assert sum(r.n_censored for r in rows) > 0  # censoring actually occurs
 
 
+def test_km_survival_total_churn_month_drops_to_zero(spark, tmp_path):
+    """ADVICE r13: a maximal month where EVERY remaining at-risk
+    customer churns (d == n_risk, zero censored) is ln(0) unguarded —
+    DuckDB raises out-of-range while Spark's F.log yields NULL that the
+    window sum silently skips (survival stuck at the prior level).
+    Both engines must instead agree on survival = 0, oracle-exact."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from http_datafusion_spark.operators.curation import customer_survival_km
+    from http_datafusion_spark.plans.compare import compare_query, duckdb_connection
+    from http_datafusion_spark.plans.registry import all_queries
+
+    # cust 1: lifetime 2019-01-01 .. 2019-12-01 (month 11), gap to the
+    # horizon 105 d > 90 => CHURNED at the maximal month, alone there.
+    # cust 2: single order AT the horizon 2020-03-15 => censored, month 0.
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.date(2019, 1, 1), dt.date(2019, 12, 1), dt.date(2020, 3, 15)],
+                pa.date32(),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    d = str(tmp_path)
+    rows = customer_survival_km(spark, d).orderBy("month").collect()
+    assert [(r.month, r.n_at_risk, r.n_churned, r.n_censored) for r in rows] == [
+        (0, 2, 0, 1),
+        (11, 1, 1, 0),
+    ]
+    assert rows[0].survival == 1.0
+    assert rows[1].survival == 0.0  # total-churn month: S drops to 0, not NULL-skip
+    con = duckdb_connection(d)
+    try:
+        res = compare_query(spark, all_queries()["customer_survival_km"], d, con=con)
+        assert res.ok and res.exact, res.detail
+    finally:
+        con.close()
+
+
 def test_delong_ci_brackets_auc_and_matches_point_estimate(spark, sf_dir):
     from http_datafusion_spark.operators.stats import (
         ml_auc_delong_ci,
