@@ -1086,6 +1086,200 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_from_daily(msprt_daily_aggregate(e))
 
 
+# --------------------------------- group-sequential alpha-spending design
+
+GS_LOOKS = 5  # scheduled interim analyses (K)
+GS_ALPHA = 0.05
+GS_ZA2 = 1.959964  # z_{alpha/2} at 6dp (the DeLong CI constant)
+
+# Group-sequential math over the SAME day-grain per-arm moment table as
+# the mSPRT (the `g` CTE, _MSPRT_DAILY_SQL) — shared verbatim by the
+# batch test and its streaming twin so their math cannot drift.
+# Chained CTEs reference prior ALIASES (not expressions) so the Spark
+# twin's select-chain computes bit-identical doubles.
+_GS_TAIL_SQL = f"""
+    c AS (
+      SELECT day,
+             sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+             sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1,
+             sum(t0) OVER w AS ct0, sum(t1) OVER w AS ct1
+      FROM g
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+      SELECT day, CAST(cn0 AS BIGINT) AS n0, CAST(cn1 AS BIGINT) AS n1,
+             round(cs1 / cn1 - cs0 / cn0, 6) AS delta,
+             round((ct0 / cn0 - (cs0 / cn0) * (cs0 / cn0)) / cn0
+                 + (ct1 / cn1 - (cs1 / cn1) * (cs1 / cn1)) / cn1, 6) AS vd
+      FROM c WHERE cn0 >= 2 AND cn1 >= 2
+    ),
+    ok AS (
+      SELECT day, n0, n1, delta, vd,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM stat WHERE vd > 0
+    ),
+    sized AS (
+      SELECT day, n0, n1, delta, vd, rn,
+             CAST(max(rn) OVER () AS BIGINT) AS nd,
+             CAST(max(n0 + n1) OVER () AS BIGINT) AS tot
+      FROM ok
+    ),
+    sel AS (
+      SELECT day, n0, n1, delta, vd, rn, tot
+      FROM sized
+      WHERE floor(rn * {GS_LOOKS} * 1.0 / nd)
+            > floor((rn - 1) * {GS_LOOKS} * 1.0 / nd)
+    ),
+    sp1 AS (
+      SELECT CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS look,
+             day, n0, n1,
+             round(CAST(n0 + n1 AS DOUBLE) / tot, 6) AS info_frac,
+             round(delta / sqrt(vd), 6) AS z_stat
+      FROM sel
+    ),
+    sp2 AS (
+      SELECT look, day, n0, n1, info_frac, z_stat,
+             round({GS_ZA2} / sqrt(info_frac), 6) AS obf_boundary
+      FROM sp1
+    ),
+    sp3 AS (
+      SELECT look, day, n0, n1, info_frac, z_stat, obf_boundary,
+             round(2.0 * {{phi_tail_obf}}, 6) AS alpha_spent
+      FROM sp2
+    )
+    SELECT look, day, n0, n1, info_frac, z_stat, obf_boundary, alpha_spent,
+           round(alpha_spent
+                 - coalesce(lag(alpha_spent) OVER (ORDER BY look), 0.0), 6)
+             AS alpha_incr,
+           abs(z_stat) > obf_boundary AS crossed
+    FROM sp3 ORDER BY look
+"""
+
+
+def _gs_tail_sql() -> str:
+    return _GS_TAIL_SQL.format(phi_tail_obf=_phi_tail_sql("obf_boundary"))
+
+
+def group_sequential_from_daily(g: DataFrame) -> DataFrame:
+    """K-look group-sequential readout from a day-grain per-arm moment
+    table (columns day,n0,n1,s0,s1,t0,t1) — the Spark twin of
+    ``_GS_TAIL_SQL``, shared by the batch test and the streaming
+    monitor. Every window here runs on the |days|-bounded grain (the
+    looks table is <= GS_LOOKS rows)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "day",
+        *[F.sum(x).over(w).alias("c" + x) for x in ("n0", "n1", "s0", "s1", "t0", "t1")],
+    )
+    m0, m1 = F.col("cs0") / F.col("cn0"), F.col("cs1") / F.col("cn1")
+    stat = c.filter((F.col("cn0") >= 2) & (F.col("cn1") >= 2)).select(
+        "day",
+        F.col("cn0").cast("bigint").alias("n0"),
+        F.col("cn1").cast("bigint").alias("n1"),
+        F.round(m1 - m0, 6).alias("delta"),
+        F.round(
+            (F.col("ct0") / F.col("cn0") - m0 * m0) / F.col("cn0")
+            + (F.col("ct1") / F.col("cn1") - m1 * m1) / F.col("cn1"),
+            6,
+        ).alias("vd"),
+    ).filter(F.col("vd") > 0)
+    ok = stat.select("*", F.row_number().over(W.orderBy("day")).alias("rn"))
+    # Look schedule WITHOUT a second pass over the fact scan: nd/tot as
+    # global windows on the day-grain table, and "rn is a look day" via
+    # the exact counting identity  |{j in 1..K : ceil(j*nd/K) = rn}| =
+    # floor(rn*K/nd) - floor((rn-1)*K/nd)  (integers in the half-open
+    # interval ((rn-1)K/nd, rnK/nd]) — so no join against a generated
+    # j-list, hence ONE events scan where the CUSUM twin's params
+    # branch takes two. Quotients are exact small rationals (< 1e-13
+    # double error, never straddling an integer), identical cross-engine.
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    sized = ok.select(
+        "*",
+        F.max("rn").over(wall).cast("bigint").alias("nd"),
+        F.max(F.col("n0") + F.col("n1")).over(wall).cast("bigint").alias("tot"),
+    )
+    sel = sized.filter(
+        F.floor(F.col("rn") * GS_LOOKS * F.lit(1.0) / F.col("nd"))
+        > F.floor((F.col("rn") - 1) * GS_LOOKS * F.lit(1.0) / F.col("nd"))
+    ).drop("nd")
+    sp1 = sel.select(
+        F.row_number().over(W.orderBy("rn")).cast("bigint").alias("look"),
+        "day",
+        "n0",
+        "n1",
+        F.round((F.col("n0") + F.col("n1")).cast("double") / F.col("tot"), 6).alias(
+            "info_frac"
+        ),
+        F.round(F.col("delta") / F.sqrt(F.col("vd")), 6).alias("z_stat"),
+    )
+    sp2 = sp1.select(
+        "*", F.round(F.lit(GS_ZA2) / F.sqrt(F.col("info_frac")), 6).alias("obf_boundary")
+    )
+    sp3 = sp2.select(
+        "*",
+        F.round(F.lit(2.0) * _phi_tail(F.col("obf_boundary")), 6).alias("alpha_spent"),
+    )
+    wl = W.orderBy("look")
+    return sp3.select(
+        "look",
+        "day",
+        "n0",
+        "n1",
+        "info_frac",
+        "z_stat",
+        "obf_boundary",
+        "alpha_spent",
+        F.round(
+            F.col("alpha_spent")
+            - F.coalesce(F.lag("alpha_spent").over(wl), F.lit(0.0)),
+            6,
+        ).alias("alpha_incr"),
+        (F.abs(F.col("z_stat")) > F.col("obf_boundary")).alias("crossed"),
+    ).orderBy("look")
+
+
+@query(
+    "events_group_sequential",
+    oracle=f"""
+    WITH g AS (
+{_MSPRT_DAILY_SQL}
+    ),
+{_GS_TAIL_SQL.format(phi_tail_obf=_phi_tail_sql("obf_boundary"))}
+    """,
+    doc=f"group-sequential interim-analysis monitor with Lan-DeMets "
+    f"alpha spending (Lan & DeMets 1983 Biometrika; O'Brien & Fleming "
+    f"1979 Biometrics): {GS_LOOKS} looks scheduled at equal fractions of "
+    f"the day-grain analysis calendar, each reporting the cumulative "
+    f"two-sample z on per-arm purchase value (arm = user_id %% 2, the "
+    f"mSPRT sufficient statistic reused verbatim), the information "
+    f"fraction t_k = (n0+n1)_k / (n0+n1)_K, the classical O'Brien-"
+    f"Fleming boundary z_a2/sqrt(t_k), and the OBF-LIKE spending "
+    f"function alpha*(t) = 2(1 - Phi(z_a2/sqrt(t))) with its per-look "
+    f"increment — the fixed-look classical member completing the "
+    f"sequential-testing arc beside the always-valid mSPRT "
+    f"(events_msprt_sequential), the SRM guard (events_srm_check) and "
+    f"the CUSUM drift twins (events_cusum_drift). The boundary column "
+    f"is the classical OBF SHAPE (slightly conservative at these "
+    f"spending times); the exact Lan-DeMets boundary needs recursive "
+    f"multivariate-normal integration, which no closed-form SQL twin "
+    f"can honestly claim — the spending column itself is exact. ONE "
+    f"map-side-combinable day-grain aggregate over the fact scan (the "
+    f"look schedule derives from window maxima plus the exact counting "
+    f"identity floor(rn*K/nd) - floor((rn-1)*K/nd) >= 1, so there is no "
+    f"second sizing pass — unlike the CUSUM twin's params branch); "
+    f"every window after runs on the |days|-bounded grain and the looks "
+    f"table is <= {GS_LOOKS} rows. The boundary is 6dp-rounded before "
+    f"the shared A&S Horner tail (the stats-module transcendental "
+    f"discipline)",
+    tags=("events", "stats"),
+)
+def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return group_sequential_from_daily(msprt_daily_aggregate(e))
+
+
 # ------------------------------------------- cumulative gains / lift table
 
 LIFT_DECILES = 10

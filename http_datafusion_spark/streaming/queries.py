@@ -1653,6 +1653,48 @@ def stream_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_from_daily(out)
 
 
+def _gs_oracle_sql() -> str:
+    """Oracle for the streaming group-sequential monitor — the batch
+    twin's SQL verbatim (deferred import, same rationale as
+    _srm_tail_sql)."""
+    from http_datafusion_spark.operators.stats import _MSPRT_DAILY_SQL, _gs_tail_sql
+
+    return f"WITH g AS (\n{_MSPRT_DAILY_SQL}\n),\n{_gs_tail_sql()}"
+
+
+@query(
+    "stream_group_sequential",
+    oracle=_gs_oracle_sql(),
+    doc="the events_group_sequential Lan-DeMets alpha-spending design "
+    "run as a LIVE experiment monitor: the day-grain per-arm "
+    "purchase-value moment table (the shared mSPRT sufficient "
+    "statistic) is maintained by a complete-mode streaming aggregate, "
+    "and the look schedule + spending math run on the bounded sink "
+    "output via the SAME group_sequential_from_daily helper as the "
+    "batch twin, so the two cannot drift; the oracle is the batch "
+    "twin's SQL verbatim (the stream_msprt_monitor / "
+    "stream_cusum_monitor pattern). This is how the classical K-look "
+    "design deploys in practice — the dashboard shows each scheduled "
+    "interim's z against its O'Brien-Fleming boundary and the alpha "
+    "spent so far, updating as data arrives, while the schedule itself "
+    "keeps the type-I budget the always-valid mSPRT twin trades "
+    "power for. State = one row per (day, arm-moment), "
+    "watermark-boundable to open days at 100 TB (streaming extension; "
+    "SURVEY §2.9)",
+    tags=("streaming", "stats"),
+)
+def stream_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.stats import (
+        group_sequential_from_daily,
+        msprt_daily_aggregate,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    g = msprt_daily_aggregate(stream)
+    out = run_to_memory(g, "complete")
+    return group_sequential_from_daily(out)
+
+
 def _ab_effect_oracle_sql() -> str:
     """Oracle for the live A/B effect monitor — event-grain per-arm
     moments per event_type, z-statistic and A&S-tail p-value (deferred

@@ -721,6 +721,56 @@ def test_km_survival_total_churn_month_drops_to_zero(spark, tmp_path):
         con.close()
 
 
+def test_group_sequential_schedule_properties(spark, sf_dir):
+    """The Lan-DeMets schedule invariants: K looks, information rising
+    to exactly 1, the OBF boundary falling to exactly z_a2, cumulative
+    spending rising to alpha with increments that sum to it, and the
+    crossing flag consistent with |z| vs the boundary."""
+    from http_datafusion_spark.operators.stats import (
+        GS_ALPHA,
+        GS_LOOKS,
+        GS_ZA2,
+        events_group_sequential,
+    )
+
+    rows = events_group_sequential(spark, sf_dir).orderBy("look").collect()
+    assert [r.look for r in rows] == list(range(1, GS_LOOKS + 1))
+    info = [r.info_frac for r in rows]
+    assert all(a < b for a, b in zip(info, info[1:]))
+    assert info[-1] == 1.0
+    bnd = [r.obf_boundary for r in rows]
+    assert all(a > b for a, b in zip(bnd, bnd[1:]))
+    assert bnd[-1] == GS_ZA2  # at t=1 the boundary IS the fixed-horizon z
+    spent = [r.alpha_spent for r in rows]
+    assert all(a < b for a, b in zip(spent, spent[1:]))
+    assert abs(spent[-1] - GS_ALPHA) < 1e-6  # full budget spent at the end
+    assert abs(sum(r.alpha_incr for r in rows) - spent[-1]) < 5e-6
+    for r in rows:
+        assert r.crossed == (abs(r.z_stat) > r.obf_boundary)
+        assert r.n0 >= 2 and r.n1 >= 2
+
+
+def test_stream_group_sequential_matches_batch_twin(spark, sf_dir):
+    """The streaming monitor's sink-side schedule must reproduce the
+    batch twin row-for-row (same oracle by construction)."""
+    from http_datafusion_spark.operators.stats import events_group_sequential
+    from http_datafusion_spark.streaming.queries import stream_group_sequential
+
+    batch = {r.look: r for r in events_group_sequential(spark, sf_dir).collect()}
+    stream = stream_group_sequential(spark, sf_dir).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[r.look]
+        assert (r.day, r.n0, r.n1, r.z_stat, r.alpha_spent, r.crossed) == (
+            b.day,
+            b.n0,
+            b.n1,
+            b.z_stat,
+            b.alpha_spent,
+            b.crossed,
+        )
+
+
 def test_delong_ci_brackets_auc_and_matches_point_estimate(spark, sf_dir):
     from http_datafusion_spark.operators.stats import (
         ml_auc_delong_ci,

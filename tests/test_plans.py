@@ -1033,6 +1033,7 @@ WINDOW_GUARD_ALLOWED = {
     "q_window_clause": "o_custkey keys are corpus-scale (SQL named-WINDOW parity surface)",
     "dedup_substring_runs": "(da, db, diag) pair-diagonal keys are corpus-scale; contents = seeds on one diagonal of one doc pair, bounded by document length (and upstream by the gram df-cap)",
     "stats_bh_fdr": "global step-up window over the per-nation test table — m<=25 rows by the nation-keyed aggregate upstream; BH's sort is over TESTS, never facts",
+    "events_group_sequential": "global look-scheduling windows over the day-grain cumulative table — |days|-bounded by the day-keyed aggregate upstream, and the looks table is <= GS_LOOKS rows; the schedule sorts DAYS, never facts",
     "quantile_sketch_audit": "per-shard local sort IS the sketch's parallelism unit (train_shuffle_shards pattern): contents = corpus/QS_SHARDS, QS_SHARDS the cluster-scaling knob; downstream merge is a window over the constant QS_SHARDS*QS_K summary",
 }
 
