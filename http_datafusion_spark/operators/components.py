@@ -895,6 +895,20 @@ def _lpa_round_sql(i: int) -> str:
     tags=("graph", "dedup"),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pairs, _edges, labels = _lpa_label_frame(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("lab").cast("bigint").alias("community_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("community_id")
+    )
+
+
+def _lpa_label_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, symmetric checkpointed edges, node->lab after LPA_ROUNDS
+    synchronous rounds) — shared by graph_label_propagation and
+    graph_modularity_score so partition and score see the SAME rounds."""
     from pyspark.sql.window import Window as W
 
     from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
@@ -904,10 +918,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ints/row): every unrolled round joins against it — without the
     # cut each of the 3 rounds re-derives the full shingle->minhash->
     # band lineage (the .explain audit counted 16 document scans).
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
@@ -920,9 +933,115 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = votes.withColumn("rk", rk).filter(F.col("rk") == 1).select("node", "lab")
+    return pairs, edges, labels
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges),
+    {",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))},
+    lab AS (SELECT node, CAST(lab AS BIGINT) AS lab FROM l{LPA_ROUNDS}),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    w AS (
+      SELECT la.lab AS community_id, CAST(count(*) AS BIGINT) AS m_within
+      FROM pairs p
+      JOIN lab la ON p.doc_a = la.node
+      JOIN lab lb ON p.doc_b = lb.node
+      WHERE la.lab = lb.lab GROUP BY 1
+    ),
+    d AS (
+      SELECT la.lab AS community_id,
+             CAST(count(*) AS BIGINT) AS d_sum,
+             CAST(count(DISTINCT e.u) AS BIGINT) AS n_nodes
+      FROM edges e JOIN lab la ON e.u = la.node GROUP BY 1
+    ),
+    per AS (
+      SELECT d.community_id, d.n_nodes,
+             coalesce(w.m_within, 0) AS m_within, d.d_sum,
+             CAST(round(coalesce(w.m_within, 0) * 1.0 / mm.m
+                        - (d.d_sum * 1.0 / (2 * mm.m))
+                          * (d.d_sum * 1.0 / (2 * mm.m)), 12)
+                  AS DECIMAL(18,12)) AS qc
+      FROM d LEFT JOIN w ON d.community_id = w.community_id CROSS JOIN mm
+    )
+    SELECT community_id, n_nodes, m_within, d_sum,
+           round(CAST(qc AS DOUBLE), 6) AS q_contrib,
+           round(CAST(sum(qc) OVER () AS DOUBLE), 6) AS modularity
+    FROM per ORDER BY community_id
+    """,
+    doc=f"Newman-Girvan modularity Q of the LPA partition (Newman & "
+    f"Girvan 2004 Phys Rev E; Newman 2006 PNAS): Q = sum over "
+    f"communities of m_c/m - (d_c/2m)^2 with m_c the within-community "
+    f"edge count and d_c the community degree sum — the standard score "
+    f"of whether graph_label_propagation's {LPA_ROUNDS}-round partition "
+    f"found real structure (Q near 0 = no better than random wiring at "
+    f"the same degree sequence; dedup candidate graphs should score "
+    f"HIGH since near-dup clusters are dense). Same unrolled synchronous "
+    f"LPA rounds as the community query (shared _lpa_label_frame / SQL "
+    f"CTEs, so partition and score can never drift). Scale shape: two "
+    f"label-broadcast joins over the LSH-bounded pair list + per-"
+    f"community aggs; contributions are 12dp-decimal quantized so the "
+    f"cross-community sum is order-exact on both engines (north-star "
+    f"graph / dedup)",
+    tags=("graph", "dedup"),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    pairs, edges, labels = _lpa_label_frame(spark, sf_dir)
+    lab = labels.select("node", F.col("lab").cast("bigint").alias("lab"))
+    la = lab.withColumnRenamed("node", "na").withColumnRenamed("lab", "la")
+    lb = lab.withColumnRenamed("node", "nb").withColumnRenamed("lab", "lb")
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    w = (
+        pairs.join(la, pairs["doc_a"] == la["na"])
+        .join(lb, pairs["doc_b"] == lb["nb"])
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_within"))
+    )
+    d = (
+        edges.join(lab, edges["u"] == lab["node"])
+        .groupBy(F.col("lab").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("d_sum"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+        )
+    )
+    per = (
+        d.join(w, "community_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community_id",
+            "n_nodes",
+            F.coalesce(F.col("m_within"), F.lit(0)).cast("bigint").alias("m_within"),
+            "d_sum",
+            F.round(
+                F.coalesce(F.col("m_within"), F.lit(0)) * F.lit(1.0) / F.col("m")
+                - (F.col("d_sum") * F.lit(1.0) / (2 * F.col("m")))
+                * (F.col("d_sum") * F.lit(1.0) / (2 * F.col("m"))),
+                12,
+            )
+            .cast("decimal(18,12)")
+            .alias("qc"),
+        )
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
-        labels.groupBy(F.col("lab").cast("bigint").alias("community_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        per.select(
+            "community_id",
+            "n_nodes",
+            "m_within",
+            "d_sum",
+            F.round(F.col("qc").cast("double"), 6).alias("q_contrib"),
+            F.round(F.sum("qc").over(wall).cast("double"), 6).alias("modularity"),
+        )
         .orderBy("community_id")
     )
 

@@ -31,7 +31,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql
+from http_datafusion_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+    salted_hash,
+    salted_hash_sql,
+)
 from http_datafusion_spark.plans.registry import REGISTRY, query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -107,6 +112,86 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.sum("n_chars").cast("bigint").alias("sampled_chars"),
         )
+    )
+
+
+# ----------------------- weighted sampling (sequential Poisson / priority)
+
+PRIO_SALT = 9600  # independent of sample_deterministic's unsalted gate
+PRIO_K = 100  # sample size k; the (k+1)-th priority is the DLT threshold
+_U60 = 1 << 60  # md5_int range: u = (h+1)/2^60 in (0, 1]
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             greatest(n_chars, 1) AS w,
+             ({salted_hash_sql("CAST(doc_id AS VARCHAR)", PRIO_SALT)} + 1)
+               * 1.0 / {_U60} AS u
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_chars, w, u, w / u AS prio
+      FROM s ORDER BY prio DESC, doc_id LIMIT {PRIO_K + 1}
+    ),
+    t AS (SELECT *, min(prio) OVER () AS tau FROM p)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           round(u, 9) AS u_draw,
+           round(greatest(w * 1.0, tau), 6) AS est_weight
+    FROM t WHERE prio > tau ORDER BY doc_id
+    """,
+    doc=f"weighted sampling WITHOUT replacement via priority / sequential "
+    f"Poisson sampling (Ohlsson 1998; Duffield, Lund & Thorup 2007 "
+    f"JACM): each document draws a deterministic uniform u = "
+    f"(md5_60(salt|doc_id)+1)/2^60 and gets priority w/u with w = "
+    f"n_chars (length-weighted corpus sampling — the mixing weight a "
+    f"training pipeline actually uses), the top {PRIO_K} priorities are "
+    f"the sample and the ({PRIO_K + 1})-th is the DLT threshold tau; "
+    f"est_weight = max(w, tau) is the UNBIASED subset-sum estimator "
+    f"(sum over the sample estimates total corpus chars). The "
+    f"deterministic-u trick makes the 'random' sample re-runnable and "
+    f"parallelism-independent, and — unlike the Efraimidis-Spirakis "
+    f"u^(1/w) key — the priority needs NO transcendental, so both "
+    f"engines compute bit-identical IEEE keys and the sample SET "
+    f"matches exactly (a last-ULP ln() divergence could flip the k-th "
+    f"boundary member). Scale shape: one scan, codegen'd md5 + "
+    f"arithmetic, TakeOrderedAndProject(k+1) — per-partition heaps, "
+    f"no global sort, no shuffle beyond the k+1-row gather; the "
+    f"complement of sample_deterministic (unweighted hash-gate %) and "
+    f"corpus_dsir_importance (importance RESAMPLING to a target "
+    f"distribution)",
+    tags=("pipeline", "sampling"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (salted_hash(F.col("doc_id").cast("string"), PRIO_SALT) + 1) * F.lit(
+        1.0
+    ) / F.lit(float(_U60))
+    p = (
+        d.select("doc_id", "source", "n_chars", w.alias("w"), u.alias("u"))
+        .select("*", (F.col("w") / F.col("u")).alias("prio"))
+        .orderBy(F.desc("prio"), "doc_id")
+        .limit(PRIO_K + 1)
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = p.select("*", F.min("prio").over(wall).alias("tau"))
+    return (
+        t.filter(F.col("prio") > F.col("tau"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(F.col("u"), 9).alias("u_draw"),
+            F.round(F.greatest(F.col("w") * F.lit(1.0), F.col("tau")), 6).alias(
+                "est_weight"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

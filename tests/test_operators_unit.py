@@ -721,6 +721,56 @@ def test_km_survival_total_churn_month_drops_to_zero(spark, tmp_path):
         con.close()
 
 
+def test_modularity_identities_hold(spark, sf_dir):
+    """Newman's bookkeeping identities on the scored partition: every
+    degree is counted once per endpoint (sum d_c = 2m), within-edges
+    never exceed the total, singleton communities contribute only the
+    negative degree term, and Q = sum of contributions, inside the
+    theoretical [-0.5, 1] range."""
+    from http_datafusion_spark.operators.components import graph_modularity_score
+    from http_datafusion_spark.operators.dedup import dedup_minhash_pairs
+
+    rows = graph_modularity_score(spark, sf_dir).collect()
+    m = dedup_minhash_pairs(spark, sf_dir).count()
+    assert sum(r.d_sum for r in rows) == 2 * m
+    assert sum(r.m_within for r in rows) <= m
+    q = rows[0].modularity
+    assert all(r.modularity == q for r in rows)  # global Q repeated per row
+    assert abs(sum(r.q_contrib for r in rows) - q) < 5e-5  # rounded parts
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert 2 * r.m_within <= r.d_sum  # within-edges use two endpoints
+        if r.n_nodes == 1:
+            assert r.m_within == 0 and r.q_contrib < 0
+
+
+def test_weighted_priority_sample_is_deterministic_and_unbiased_ish(spark, sf_dir):
+    """Exactly k rows, re-runnable bit-for-bit, u in (0,1], and the
+    DLT subset-sum estimator lands near the true total weight (k=100
+    of 500 docs: generous +-40%% band, the point is unbiasedness not
+    precision)."""
+    import duckdb
+
+    from http_datafusion_spark.operators.pipeline import (
+        PRIO_K,
+        sample_weighted_priority,
+    )
+
+    a = sample_weighted_priority(spark, sf_dir).collect()
+    b = sample_weighted_priority(spark, sf_dir).collect()
+    assert a == b  # deterministic draw: no rand(), ever
+    assert len(a) == PRIO_K
+    assert len({r.doc_id for r in a}) == PRIO_K  # without replacement
+    assert all(0.0 < r.u_draw <= 1.0 for r in a)
+    true_total = duckdb.sql(
+        f"SELECT sum(greatest(n_chars, 1)) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()[0][0]
+    est = sum(r.est_weight for r in a)
+    assert 0.6 * true_total < est < 1.4 * true_total
+    # every estimator weight is >= the item's own weight (max(w, tau))
+    assert all(r.est_weight >= min(r.n_chars, 1) for r in a)
+
+
 def test_group_sequential_schedule_properties(spark, sf_dir):
     """The Lan-DeMets schedule invariants: K looks, information rising
     to exactly 1, the OBF boundary falling to exactly z_a2, cumulative
