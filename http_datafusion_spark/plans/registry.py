@@ -55,128 +55,121 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-13 rotation (per the r12 verdict's tasks 1/2/4):
-#   The r12 verdict named this head as "the 44-row r4 tail first, then
-#   the 20-name r11 overflow, then the changed-code rows, then r13
-#   additions". Two corrections, both from the repo's own record:
-#   (1) QUEUE ORDER: the evidence-age policy (CI: test_no_evidence_
-#       rows_are_in_window) is mechanical — every row with zero driver
-#       evidence or changed code MUST sit in the CURRENT window, so
-#       those rows jump the named queue, exactly as r12's (c2)/(c3)
-#       blocks displaced re-confirmations. They go FIRST (positions
-#       1-6) so a cap surprise can only ever truncate re-confirmations.
-#   (2) WINDOW-SIZE PROBE (r12 verdict task 4): DECLINED as already
-#       answered — round 3 shipped 51 PRIORITY names and the driver
-#       silently recorded exactly 50 (the incident pinned in
-#       test_driver_contract.py's "HARD <= 50" comment); shipping 55
-#       would re-run a probe whose result is on file and waste 5
-#       slots. Recorded in BASELINE.md "Evidence-age policy".
+# Round-14 rotation (per the r13 verdict's task 2, the named r14 head):
+#   "FIRST the 4 r4-overflow rows (ts_mad_outliers, ts_resample_ohlc,
+#   ts_zscore_outliers, vocab_build), then any changed-code rows, then
+#   r14 additions (throttle to <= 11 so the whole 35-row r5 class
+#   fits), then the r5 class lexicographic." Composed mechanically by
+#   tools/evidence_age.py --plan with that head — the planner then
+#   fills the remaining 4 slots from the next-oldest (r6) class, so
+#   the window is exactly 50 and the r5 evidence class goes to ZERO
+#   this round (after which no row carries evidence older than r6).
 #   Window composition (exactly 50):
-#   (a) ml_brier_decomposition — the ONLY row with zero driver
-#       evidence (r12's one red row; -0.0 rendering fixed this round
-#       on both engine sides, plus the compare.py float/float render
-#       hole behind it) — FIRST.
-#   (b) http_ingest_nation — changed-code twice over: the r12
-#       link_pagination kwarg, and this round's parse_link_next fix
-#       (comma-in-URL splitting + exact rel-param match, ADVICE r12).
-#   (c) the 8 r13 ADDITIONS (throttled under the verdict's ~10 cap so
-#       re-confirmation stays >= the 35-slot floor; 40 slots
-#       re-confirm), each locally oracle-exact at sf0.001+sf0.01 with
-#       a COVERAGE row: quantile_sketch_audit (KLL/MRL-family
-#       mergeable quantile summary vs exact ranks),
-#       events_cusum_drift + stream_cusum_monitor (Page 1954 batch +
-#       live twins), embedding_mmd_two_sample (linear-kernel MMD),
-#       customer_survival_km (Kaplan-Meier WITH right-censoring),
-#       ml_auc_delong_ci (DeLong AUC variance at the distinct-score
-#       grain), text_burrows_delta (stylometric source fingerprint),
-#       feature_hash_collision_audit (hashing-trick sizing — with
-#       quantile_sketch_audit this completes the sketch-sizing arc).
-#   (d) 40 of the 44-row r4-stale class, in the r12 head's named
-#       order (lexicographic) — pure re-confirmations. The LAST 4
-#       (ts_mad_outliers, ts_resample_ohlc, ts_zscore_outliers,
-#       vocab_build) overflow to the r14 head, named there FIRST.
-#       (tools/evidence_age.py --plan reproduces this window verbatim.)
-#   R14 HEAD (named now, per rotation discipline): FIRST the 4 r4
-#   overflow rows above, then any row whose code or oracle changes
-#   during r13 after this window freezes, then r14 additions (throttle
-#   so the whole remaining r5 class fits), then the 35-row r5-stale
-#   class, lexicographic:
-#   asof_join_click_purchase, cms_heavy_hitters,
-#   dedup_cluster_representatives, dedup_exact, dedup_minhash_signature,
-#   dedup_minhash_threshold_sweep, dedup_ngram_jaccard,
-#   dedup_normalized_exact, dedup_semantic_clusters, dedup_simhash,
-#   dedup_winnowing, doc_boilerplate_detect, embedding_centroid_shift,
-#   embedding_norm_outliers, embedding_pca_power_iteration,
-#   embedding_recall_curve, events_ab_lift, events_markov_transitions,
-#   fuzzy_join_blocked, join_skew_diagnose, ngram_novelty_score,
-#   orders_cohort_matrix, privacy_dp_counts, privacy_kanonymity_audit,
-#   privacy_kanonymity_joint, scd2_point_in_time_join,
-#   split_leakage_safe, stream_error_alert, stream_hopping_agg,
-#   stream_incremental_minhash, stream_topk_per_window,
-#   table_stats_profile, text_langid_confusion, text_zipf_fit,
-#   vocab_coverage_oov
-#   — overflow defers to the r15 head, named then. With additions
-#   throttled to ~4-13/round, ~44 slots/round re-confirm and the
-#   re-confirmation period is ~10 rounds at the current 421-row size
-#   (tools/evidence_age.py EXPECTED_PERIOD).
+#   (a) the 4 r4-overflow rows named by the r13 head — FIRST, so a cap
+#       surprise can only truncate re-confirmations further down.
+#   (b) 3 changed-code rows: http_ingest_nation (parse_link_next got
+#       the quote-aware ';' param split + unterminated-'<' recovery,
+#       r13 verdict What's-wrong #1 + ADVICE), customer_survival_km
+#       (the d == n_risk month is ln(0)-guarded on both engines,
+#       ADVICE r13 medium), graph_label_propagation (LPA rounds
+#       factored into _lpa_label_frame shared with the new modularity
+#       score; checkpoint moved from the symmetric union to the pair
+#       list).
+#   (c) the 4 r14 ADDITIONS (throttled well under the <= 11 budget;
+#       35 + 4 slots re-confirm), each locally oracle-exact at
+#       sf0.001 + sf0.01 with a COVERAGE row: events_group_sequential
+#       + stream_group_sequential (Lan-DeMets 1983 alpha-spending
+#       interim monitor, batch + live twins sharing the mSPRT daily
+#       moment table), graph_modularity_score (Newman-Girvan Q of the
+#       LPA partition), sample_weighted_priority (Ohlsson/DLT
+#       sequential Poisson weighted sampling).
+#   (d) the ENTIRE 35-row r5-stale class, in the r13 head's named
+#       order (lexicographic) — pure re-confirmations.
+#   (e) the first 4 rows of the 45-row r6 class, lexicographic
+#       (asof_join_nearest, bootstrap_mean_ci, bpe_merge_train,
+#       compaction_bin_plan) — the planner's fill to the 50-cap.
+#   R15 HEAD (named now, per rotation discipline): FIRST any row whose
+#   code or oracle changes during r14 after this window freezes, then
+#   r15 additions (throttle so the remaining r6 class fits across
+#   r15-r16), then the remaining 41 rows of the r6 class in
+#   lexicographic order:
+#   customer_survival_curve, dedup_incremental_minhash,
+#   dedup_minhash_pairs, embedding_jl_projection, events_bot_detection,
+#   events_debounce, events_impact_did, fd_discovery_audit,
+#   feature_target_encode, feature_trailing_90d, feature_winsorize,
+#   geo_grid_join, graph_pagerank_suppliers, histogram_equi_depth,
+#   incremental_agg_merge, join_size_preflight, kmv_distinct_sketch,
+#   multimodal_blob_dedup, multimodal_resize_audit,
+#   order_fulfillment_latency, orders_backlog_timeseries,
+#   orders_benford_audit, orders_gini_coefficient,
+#   orders_pareto_analysis, orders_rfm_segmentation,
+#   orders_seasonal_backtest, privacy_pseudonymize_release,
+#   quality_model_gradient, segment_chisquare, snapshot_versioned_read,
+#   stratified_fixed_n_sample, stream_debounce, stream_snapshot_append,
+#   stream_temporal_join, table_snapshot_diff,
+#   text_inverted_index_roundtrip, tokenize_bpe_apply,
+#   train_split_temporal, ts_autocorrelation, ts_cusum_changepoints,
+#   vocab_js_divergence
+#   — lexicographic overflow defers to the r16 head, named then.
+#   (tools/evidence_age.py --plan reproduces this window verbatim.)
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) zero driver evidence + changed code ----
-    "ml_brier_decomposition",
-    # ---- (b) changed-code row ----
+    # ---- (a) the 4 r4-overflow rows (r13's named r14 head) ----
+    "ts_mad_outliers",
+    "ts_resample_ohlc",
+    "ts_zscore_outliers",
+    "vocab_build",
+    # ---- (b) changed-code rows ----
     "http_ingest_nation",
-    # ---- (c) r13 additions ----
-    "quantile_sketch_audit",
-    "events_cusum_drift",
-    "stream_cusum_monitor",
-    "embedding_mmd_two_sample",
     "customer_survival_km",
-    "ml_auc_delong_ci",
-    "text_burrows_delta",
-    "feature_hash_collision_audit",
-    # ---- (d) 40 of the 44-row r4-stale class (re-confirmations;
-    # last 4 lexicographic overflow to the r14 head, named above) ----
-    "cdc_upsert_compaction",
-    "corpus_build_roundtrip",
-    "data_quality_audit",
-    "decontaminate_corpus",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "dedup_keep_best",
-    "dedup_ngram_coverage",
-    "dedup_prefix_pairs",
-    "doc_chunking",
-    "embedding_index_build",
-    "embedding_negative_pairs",
-    "embedding_quantize_int8",
-    "events_retention",
-    "events_session_window_native",
-    "events_value_histogram",
-    "graph_pagerank",
-    "hll_sketch_union",
-    "mix_sources_temperature",
-    "multimodal_features",
-    "q_bucketed_join",
-    "q_date_bin",
-    "q_group_order_all",
-    "q_hash_funcs",
-    "q_salted_skew_agg",
-    "q_topk_orders",
-    "q_values_inline",
-    "quality_drift_psi",
-    "sample_deterministic",
-    "semantic_search_join",
-    "sim_ivf_recall",
-    "text_bm25_search",
-    "text_char_entropy",
-    "text_rare_words",
-    "text_repetition",
-    "text_top_bigrams",
-    "tokenize_to_ids",
-    "train_shuffle_shards",
-    "train_val_split",
-    "ts_ewma",
+    "graph_label_propagation",
+    # ---- (c) r14 additions ----
+    "events_group_sequential",
+    "stream_group_sequential",
+    "graph_modularity_score",
+    "sample_weighted_priority",
+    # ---- (d) the entire 35-row r5-stale class (re-confirmations) ----
+    "asof_join_click_purchase",
+    "cms_heavy_hitters",
+    "dedup_cluster_representatives",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_threshold_sweep",
+    "dedup_ngram_jaccard",
+    "dedup_normalized_exact",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "doc_boilerplate_detect",
+    "embedding_centroid_shift",
+    "embedding_norm_outliers",
+    "embedding_pca_power_iteration",
+    "embedding_recall_curve",
+    "events_ab_lift",
+    "events_markov_transitions",
+    "fuzzy_join_blocked",
+    "join_skew_diagnose",
+    "ngram_novelty_score",
+    "orders_cohort_matrix",
+    "privacy_dp_counts",
+    "privacy_kanonymity_audit",
+    "privacy_kanonymity_joint",
+    "scd2_point_in_time_join",
+    "split_leakage_safe",
+    "stream_error_alert",
+    "stream_hopping_agg",
+    "stream_incremental_minhash",
+    "stream_topk_per_window",
+    "table_stats_profile",
+    "text_langid_confusion",
+    "text_zipf_fit",
+    "vocab_coverage_oov",
+    # ---- (e) r6-class fill to the 50-cap (lexicographic) ----
+    "asof_join_nearest",
+    "bootstrap_mean_ci",
+    "bpe_merge_train",
+    "compaction_bin_plan",
 )
 
 def query(
