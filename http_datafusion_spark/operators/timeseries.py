@@ -2776,33 +2776,36 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     share. ``daily`` has columns (event_type, day DATE, x BIGINT); its
     size is |event_type| x |days|, calendar-bounded at any corpus
     scale, so every window here runs over a tiny table."""
-    params = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
-        F.sqrt(
-            F.sum(F.col("x") * F.col("x")).cast("double") / F.count(F.lit(1))
-            - (F.sum("x").cast("double") / F.count(F.lit(1)))
-            * (F.sum("x").cast("double") / F.count(F.lit(1)))
-        ).alias("sd"),
-    )
     dec6 = "decimal(18,6)"
-    # re-key the params side: joining an aggregate of `daily` back onto
-    # `daily` itself trips "Conflicting attributes" when the input is a
-    # streaming memory-sink table (shared expression IDs); a rename
-    # mints fresh IDs on the broadcast side
-    params = params.withColumnRenamed("event_type", "et")
-    dev = daily.join(
-        F.broadcast(params), daily["event_type"] == params["et"]
-    ).select(
+    # Per-type mu/sd as UNBOUNDED windows over the day-grain table
+    # instead of a groupBy + broadcast-join-back: the join form made
+    # Spark derive `daily` twice (two full fact scans in the physical
+    # plan — the r14 .explain audit); the window form is ONE scan, one
+    # event_type shuffle, and the partition contents are |days|-bounded
+    # at any corpus size. Same arithmetic, same doubles, oracle
+    # untouched. (This also retires the rename workaround the join
+    # needed against streaming memory-sink self-join attribute clashes.)
+    wfull = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    n_days = F.count(F.lit(1)).over(wfull).cast("bigint")
+    mu = F.sum("x").over(wfull).cast("double") / n_days
+    sd = F.sqrt(
+        F.sum(F.col("x") * F.col("x")).over(wfull).cast("double") / n_days
+        - mu * mu
+    )
+    dev = daily.select(
         "event_type",
         "day",
-        "n_days",
-        "mu",
-        "sd",
+        n_days.alias("n_days"),
+        mu.alias("mu"),
+        sd.alias("sd"),
         (
             F.col("x").cast(dec6)
-            - F.round(F.col("mu"), 6).cast(dec6)
-            - F.round(F.lit(CUSUM_K_SIGMA) * F.col("sd"), 6).cast(dec6)
+            - F.round(mu, 6).cast(dec6)
+            - F.round(F.lit(CUSUM_K_SIGMA) * sd, 6).cast(dec6)
         ).alias("dv"),
     )
     wcum = (

@@ -89,7 +89,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       (asof_join_nearest, bootstrap_mean_ci, bpe_merge_train,
 #       compaction_bin_plan) — the planner's fill to the 50-cap.
 #   R15 HEAD (named now, per rotation discipline): FIRST any row whose
-#   code or oracle changes during r14 after this window freezes, then
+#   code or oracle changes during r14 after this window freezes —
+#   already two: events_cusum_drift + stream_cusum_monitor
+#   (cusum_from_daily's params branch became unbounded windows, one
+#   fact scan instead of two, -35% at sf5 same-session; oracle
+#   untouched) — then
 #   r15 additions (throttle so the remaining r6 class fits across
 #   r15-r16), then the remaining 41 rows of the r6 class in
 #   lexicographic order:
