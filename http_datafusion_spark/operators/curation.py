@@ -1271,7 +1271,11 @@ def _pca_oracle() -> str:
     "broadcasts between iterations and the norm is a 64-row fold. Products are "
     "8dp-quantized into exact decimal sums, so every engine sums in ANY order to "
     "the same bits and the oracle matches exactly despite two chained "
-    "normalizations. At 100 TB: per-iteration cost is two shuffles whose reduce "
+    "normalizations. The exploded (vec, dim, x) frame and every iterate are "
+    "eagerly checkpointed (r15), pinning the physical plan to ONE embeddings "
+    "scan + three passes over the checkpointed frame — the unpinned plan "
+    "re-derived the parquet scan 12x. At 100 TB: per-iteration cost is two "
+    "shuffles whose reduce "
     "side is dim-bounded (64 rows) or vec-bounded (one scalar per vector) — the "
     "principal-component drift monitor for an embedding store "
     "(north-star similarity)",
@@ -1286,17 +1290,31 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     def q6(c):
         return F.round(c, 6).cast("decimal(28,6)")
 
-    dims = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("j0", "xf"),
-    ).select(
-        "vec_id", (F.col("j0") + 1).alias("j"), F.col("xf").cast("double").alias("x")
+    # Unrolled-iteration-without-checkpoint was the r14 scan audit's
+    # 12x-embeddings-scans finding: s1/u2/s2 each re-derived the
+    # posexplode lineage, and the chained iterates compounded it. The
+    # lineage cuts below pin the physical plan to ONE embeddings scan
+    # (the dims materialization) + the three inherent passes over the
+    # checkpointed exploded frame; every 64-row / per-vec iterate is
+    # checkpointed so no shuffle runs twice (_lpa_label_frame pattern).
+    dims = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("j0", "xf"),
+        )
+        .select(
+            "vec_id", (F.col("j0") + 1).alias("j"), F.col("xf").cast("double").alias("x")
+        )
+        .localCheckpoint(eager=True)
     )
-    u1 = e.select("vec_id", F.element_at("embedding", 1).cast("double").alias("u"))
+    # u1 = e_1 start vector, read off the checkpointed frame (j == 1 is
+    # exactly embedding[1]) instead of a second parquet scan.
+    u1 = dims.filter(F.col("j") == 1).select("vec_id", F.col("x").alias("u"))
     s1 = (
         dims.join(u1, "vec_id")
         .groupBy("j")
         .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
+        .localCheckpoint(eager=True)  # 64 rows
     )
     n1 = s1.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
     v1 = s1.crossJoin(F.broadcast(n1)).select("j", (F.col("s") / F.col("nrm")).alias("v"))
@@ -1304,11 +1322,13 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         dims.join(F.broadcast(v1), "j")
         .groupBy("vec_id")
         .agg(F.sum(q8(F.col("x") * F.col("v"))).cast("double").alias("u"))
+        .localCheckpoint(eager=True)  # one scalar per vector
     )
     s2 = (
         dims.join(u2, "vec_id")
         .groupBy("j")
         .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
+        .localCheckpoint(eager=True)  # 64 rows; final select + n2 both read it
     )
     n2 = s2.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
     return s2.crossJoin(F.broadcast(n2)).select(

@@ -1689,9 +1689,12 @@ def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Full-set counts are cheap (no verify); the verify join runs only
     # on the fixed 1/SHRA_SAMPLE_MOD hash sample of the union — judged
-    # pairs, Henzinger-style. The union is materialized once and both
-    # branches reuse its Exchange per execution.
-    u = u.repartition("doc_a", "doc_b")
+    # pairs, Henzinger-style. The union is LSH-banding-bounded, so an
+    # eager checkpoint materializes it ONCE for its three consumers
+    # (totals, shared, scored) — the repartition it replaces only
+    # shared an Exchange per execution, and the r14 scan audit showed
+    # Catalyst still re-derived the two candidate pipelines 16x.
+    u = u.localCheckpoint(eager=True)
     totals = u.agg(
         F.sum(F.when(F.col("in_sh"), 1).otherwise(0)).cast("bigint").alias("n_simhash_pairs"),
         F.sum(F.when(F.col("in_mh"), 1).otherwise(0)).cast("bigint").alias("n_minhash_pairs"),
@@ -1710,7 +1713,23 @@ def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     judged = u.filter(gate)
-    sh = shingled_docs(spark, sf_dir)
+    # The verify frame only ever joins to judged docs, so restrict the
+    # corpus-sized shingle explode to the sample-bounded judged doc set
+    # BEFORE checkpointing: one documents scan, and the materialized
+    # frame is judged-docs-sized, not corpus-sized. sizes/a/b all read
+    # the checkpoint (was: three independent re-derivations of the
+    # explode lineage). Value-identical: sizes beyond judged docs were
+    # only ever dropped by the za/zb joins.
+    jdocs = (
+        judged.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(judged.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .join(jdocs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -3187,7 +3187,9 @@ _Q9BD = "CAST(round({x}, 9) AS DECIMAL(18,9))"
     f"fingerprint that catches one crawl source masquerading as two (near-"
     f"zero Delta) or a style break inside a supposedly uniform feed. "
     f"Grain discipline: one token scan feeds the top-word list, per-source "
-    f"totals, and the (source x {BURROWS_TOP_WORDS}) count grid; every "
+    f"totals, and the (source x {BURROWS_TOP_WORDS}) count grid — enforced "
+    f"physically by an eager localCheckpoint of the (source, tok) count "
+    f"aggregate (r15; the unpinned plan re-derived the corpus scan 16x); every "
     f"downstream table is |sources|-bounded (pairs = |sources| choose 2), "
     f"never corpus-sized. Relative frequencies are exact ratios; "
     f"cross-source moments and the pair sums are 9dp-decimal quantized "
@@ -3198,14 +3200,19 @@ _Q9BD = "CAST(round({x}, 9) AS DECIMAL(18,9))"
 def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
-    # ONE corpus token pass: the (source, tok) count table feeds the
-    # top-word list, the per-source totals, AND the count grid — the
-    # first cut derived each from `toks` directly, i.e. three corpus
-    # scans, which loses at 100 TB (the text_keyness_g2 trade, same
-    # direction). Everything below this aggregate is |sources| x vocab
-    # bounded.
-    st = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # ONE corpus token pass — physically, not just logically: the
+    # (source, tok) count table feeds THREE branches (top-word list,
+    # per-source totals, count grid), and without a lineage cut
+    # Catalyst re-derives the explode-over-text scan per consumer (the
+    # r14 scan audit measured 16x documents scans in this plan). The
+    # eager localCheckpoint materializes the |sources| x vocab-bounded
+    # aggregate once, so every downstream branch reads the checkpoint
+    # instead of the corpus (dedup_candidate_budget pattern,
+    # dedup.py:1076).
+    st = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     top_words = (
         st.groupBy("tok")

@@ -612,7 +612,9 @@ BROADCAST_GUARD_ALLOWED = {
     "segment_chisquare": "segment x priority marginals (bounded keys)",
     # per-event_type statistics: event_type is a small closed enum
     "ts_cusum_changepoints": "per-event_type mean/chunk offsets (bounded key)",
-    "events_cusum_drift": "per-event_type mu/sd params (bounded key; the daily table upstream is calendar-bounded)",
+    # events_cusum_drift dropped r15: the r14 single-scan rewrite
+    # (commit c749f9b) replaced the broadcast-join-back with unbounded
+    # windows, so the site this entry explained no longer exists.
     "quantile_sketch_audit": "len(QS_TARGETS)=7 probe rows (q, t_rank, n, est_value) — a constant of the audit, not of corpus size",
     "text_burrows_delta": "top_words (LIMIT 50 — the hint lands below the limit in the analyzed plan) and wstats (grouped by tok AFTER the inner join with the 50-word list, so <= BURROWS_TOP_WORDS rows; the guard can't credit a bound that arrives via a join partner)",
     "ts_zscore_outliers": "per-event_type moments (bounded key)",

@@ -42,20 +42,44 @@ _FACTS = (
 )
 
 
-def scan_counts(df) -> Counter:
-    """Per-parquet-file count of scan nodes in the formatted plan."""
+def scan_counts(df) -> tuple[Counter, int]:
+    """Per-parquet-file count of scan nodes in the formatted plan, plus
+    the count of checkpoint/RDD leaves (``Scan ExistingRDD``).
+
+    The second number closes the r14 blind spot: a localCheckpoint (or
+    memory sink) severs the parquet lineage, so a remediated plan would
+    otherwise report 0 sources and drop out of the very audit that
+    motivated its repair. A plan with parquet==0 AND rdd==0 is a real
+    anomaly; parquet==0 with rdd>0 means "reads only checkpointed
+    frames" and stays visible.
+    """
     jvm = df.sparkSession._jvm
     plan = df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     c: Counter = Counter()
+    rdd = 0
+    other = 0
     for line in plan.splitlines():
+        # formatted explain prints each node twice (tree + detail
+        # section); count only the numbered detail header once.
+        s = line.strip()
+        if re.match(r"^\(\d+\) Scan ExistingRDD", s):
+            rdd += 1
+            continue
+        if re.match(r"^\(\d+\) (LocalTableScan|Scan OneRowRelation|Range)", s):
+            other += 1
+            continue
         if "Location:" not in line:
             continue
+        hit = False
         for f in _FACTS:
             if f in line:
                 c[f] += len(re.findall(re.escape(f), line))
-    return c
+                hit = True
+        if not hit:
+            other += 1  # non-fact parquet (temp/stream sink reads)
+    return c, rdd, other
 
 
 def main() -> int:
@@ -74,23 +98,38 @@ def main() -> int:
     specs = all_queries()
     rows: list[tuple[str, str, int]] = []
     hist: Counter = Counter()
+    rdd_hist: Counter = Counter()
+    anomalies: list[str] = []
     for name in names:
         try:
-            c = scan_counts(specs[name].spark(spark, args.sf_dir))
+            c, rdd, other = scan_counts(specs[name].spark(spark, args.sf_dir))
         except Exception as e:  # a build failure is itself a finding
             print(f"BUILD-ERROR {name}: {type(e).__name__}: {e}", flush=True)
             continue
         worst = max(c.values(), default=0)
         hist[worst] += 1
+        if rdd:
+            rdd_hist[rdd] += 1
+        if worst == 0 and rdd == 0 and other == 0:
+            anomalies.append(name)
         for f, n in c.items():
             if n >= args.min:
                 rows.append((name, f, n))
     for name, f, n in sorted(rows, key=lambda r: -r[2]):
         print(f"{n}x {f:22s} {name}")
     print(
-        "max-scans-per-table histogram: "
+        "max-parquet-scans-per-table histogram: "
         + ", ".join(f"{k}x:{hist[k]}" for k in sorted(hist))
     )
+    print(
+        "checkpoint/RDD-leaf histogram (plans with >=1): "
+        + (", ".join(f"{k} leaves:{rdd_hist[k]}" for k in sorted(rdd_hist)) or "none")
+    )
+    if anomalies:
+        print(
+            "ZERO-SOURCE anomalies (no parquet, no RDD/local/temp leaf): "
+            f"{anomalies}"
+        )
     return 0
 
 
