@@ -87,14 +87,21 @@ def connected_components(
     exhaustion means something is genuinely wrong — never return
     silently-unconverged labels).
     """
+    # Checkpoint the caller's edge list FIRST: `nodes` used to read the
+    # raw `edges` frame, so the final centers anti-join re-derived the
+    # caller's whole candidate pipeline in every CC consumer's plan
+    # (the r14 scan audit's 9-10x class for CC-based queries). One
+    # materialization; nodes and the contraction both read it.
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        e0.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -337,16 +344,31 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.plans.tables import load_tables
 
     t = load_tables(spark, sf_dir, "orders", "lineitem")
+    # The distinct (customer, supplier) edge list feeds seven branches
+    # (counts, both degree tables, three propagation half-steps) —
+    # unpinned, each re-derived the orders x lineitem join (10x fact
+    # scans per table, r14 scan audit). One eager checkpoint of the
+    # edge list + the two node-bounded degree tables pins the plan to
+    # one scan of each fact (the _lpa_label_frame pattern).
     e = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nc = e.agg(F.countDistinct("c").cast("bigint").alias("nc"))
     ns = e.agg(F.countDistinct("s").cast("bigint").alias("ns"))
-    degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
-    degs = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("ds"))
+    degc = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+        .localCheckpoint(eager=True)
+    )
+    degs = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ds"))
+        .localCheckpoint(eager=True)
+    )
     dec = "decimal(28,12)"
 
     q0 = degc.crossJoin(F.broadcast(nc)).select(
@@ -462,13 +484,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = load_tables(spark, sf_dir, "orders", "lineitem")
+    # Edge list / degrees / capped edges each feed 2-3 branches;
+    # unpinned, the orders x lineitem join re-derived 6x per fact (r14
+    # scan audit). Checkpoints pin one scan of each fact
+    # (graph_pagerank_suppliers pattern).
     e = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     # degree-cap the wedge generation (see TRI_DEGREE_CAP at the triangle
     # operator): per-customer top-CAP suppliers by global degree bounds the
     # per-customer pair fan-out at CAP^2 — the denominator keeps TRUE degrees
@@ -478,6 +509,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wcap))
         .filter(F.col("rk") <= TRI_DEGREE_CAP)
         .select("c", "s")
+        .localCheckpoint(eager=True)  # <= CAP x |customers| rows; both join sides
     )
     a, b = ecap.alias("a"), ecap.alias("b")
     common = (
@@ -579,8 +611,13 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs)
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    members = comp.join(d, comp["node"] == d["doc_id"]).select(
-        "component", "doc_id", "lang", "source", "n_chars"
+    # members (one row per clustered doc) feeds the lang-vote and the
+    # per-field survivorship branches; unpinned, each re-derived the
+    # pair pipeline + documents join (10x docs scans, r14 scan audit).
+    members = (
+        comp.join(d, comp["node"] == d["doc_id"])
+        .select("component", "doc_id", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
     )
     votes = members.groupBy("component", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
@@ -1238,11 +1275,21 @@ _Q6D = "CAST(round({x}, 6) AS DECIMAL(18,6))"
     tags=("graph", "dedup"),
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    # The pair list feeds the doubled edge union AND the two degree
+    # join-backs, and deg feeds three branches — unpinned, the r14 scan
+    # audit counted 14 re-derivations of the MinHash pipeline. Eager
+    # checkpoints on both (LSH-pair-bounded / node-bounded) pin the
+    # plan to one candidate-pipeline run (graph_modularity_score
+    # pattern, components.py:921).
+    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
     edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
         pairs.select(F.col("doc_b").alias("u"))
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     ek = (
         pairs.join(deg.select(F.col("u").alias("na"), F.col("d").alias("j")),
                    F.col("doc_a") == F.col("na"))

@@ -595,9 +595,13 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled_docs(spark, sf_dir)  # (doc_id, shingle) distinct per doc
     d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
     src_sh = sh.join(d, "doc_id").select("source", "shingle").distinct()
+    # Four consumers (counts + k-min pass, per-source and merged) each
+    # re-derived the shingle explode + join (8x documents scans, r14
+    # scan audit); checkpoint the hashed distinct-shingle frame once —
+    # it is the sketch input both sketches legitimately share.
     hashed = src_sh.select(
         "source", "shingle", (md5_int(F.col("shingle")) / F.lit(_H_NORM)).alias("h")
-    )
+    ).localCheckpoint(eager=True)
 
     def _sketch(df: DataFrame, part_cols: list[str], label: F.Column | None) -> DataFrame:
         # TWO-PHASE k-min (the mergeability the docstring claims, made
@@ -861,8 +865,24 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import shingled_docs
 
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    sh = shingled_docs(spark, sf_dir)
+    # cand feeds the verify join AND the scoring join; the shingle
+    # frame feeds sizes/a/b — unpinned, the r14 scan audit counted 8
+    # documents re-derivations. Checkpoint the LSH-bounded candidate
+    # list, and restrict the corpus shingle explode to candidate docs
+    # before checkpointing (dedup_simhash_recall_audit pattern):
+    # value-identical, since sizes beyond candidate docs were only
+    # ever dropped by the za/zb joins.
+    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .join(cdocs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -942,8 +962,26 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
 def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import shingled_docs
 
-    cand = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = shingled_docs(spark, sf_dir)
+    # Candidate list + candidate-restricted shingle frame, both
+    # checkpointed (dedup_minhash_estimator_calibration pattern; 6x
+    # documents scans unpinned, r14 scan audit). Value-identical:
+    # sizes beyond candidate docs were only ever dropped by the
+    # za/zb joins.
+    cand = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .join(cdocs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -2809,6 +2847,9 @@ def segment_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        # seg x pri cells (~25 rows) feeding four branches; unpinned,
+        # each re-derived the orders scan (6x, r14 scan audit).
+        .localCheckpoint(eager=True)
     )
     tot = obs.agg(F.sum("o").cast("bigint").alias("t"))
     rowt = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rt"))
@@ -5360,11 +5401,14 @@ _KM_LN_FACTOR = (
 )
 def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    horizon = o.agg(F.max("o_orderdate").alias("t_end"))
+    # ONE orders scan (was 2, r14 verdict #6): the corpus horizon is
+    # the max of the per-customer maxes, so it folds off the
+    # checkpointed customer aggregate instead of a second fact scan.
     cust = o.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_o"),
         F.max("o_orderdate").alias("last_o"),
-    )
+    ).localCheckpoint(eager=True)
+    horizon = cust.agg(F.max("last_o").alias("t_end"))
     gap = F.datediff(F.col("t_end"), F.col("last_o"))
     churned = F.when(gap > KM_CENSOR_GAP_DAYS, 1).otherwise(0)
     t_obs = F.when(gap > KM_CENSOR_GAP_DAYS, F.col("last_o")).otherwise(

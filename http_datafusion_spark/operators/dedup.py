@@ -559,12 +559,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     while still preferring content: fan the pairs into directed edges,
     keep docs with no dominating neighbor via one anti-join."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    # The pair list fans into both edge directions (2x the MinHash
+    # pipeline unpinned — 7x documents scans total, r14 scan audit),
+    # and the dominance check reads (doc_id, n_chars) on both sides;
+    # checkpoint the LSH-bounded pairs and the two-column length frame
+    # so the final plan scans documents once (the survivor projection).
+    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    da = d.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("ca"))
-    db = d.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("cb"))
+    lens = d.select("doc_id", "n_chars").localCheckpoint(eager=True)
+    da = lens.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("ca"))
+    db = lens.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("cb"))
     dominated = (
         edges.join(da, "a").join(db, "b")
         .filter(
@@ -1188,9 +1194,13 @@ def _calib_oracle() -> str:
 )
 def dedup_semantic_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # pred is sim-bounded but carries the whole IVF pipeline; the
+    # scoring join AND the n_pred count each re-derived it (9x
+    # embeddings scans, r14 scan audit) — checkpoint the pair list.
     pred = (
         embedding_pairs_ivf(spark, sf_dir, e, threshold=CALIB_DEPLOY_T)
         .select("vec_a", "vec_b", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
     )
     truth = embedding_pairs_blocked(spark, e, threshold=CALIB_TRUTH_FLOOR)
     # truth pairs are the near-dup set (sim-bounded, << N^2 rows); pred is
@@ -1292,10 +1302,15 @@ def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(_words(F.lower(F.trim(F.col("text")))))), " "
     )
     truth = d.select("doc_id", F.md5(canon).alias("pb"))
+    # The contingency table (one row per (pred, truth) cluster pair)
+    # feeds three branches (both marginals + the agreement sums);
+    # unpinned, each re-derived the signature + canon pipelines (6x
+    # documents scans, r14 scan audit) — checkpoint the cells.
     cont = (
         pred.join(truth, "doc_id")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     c2 = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
     rows_a = cont.groupBy("pa").agg(F.sum("n").cast("bigint").alias("na"))
@@ -1537,7 +1552,14 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_RUN_DF_CAP))
         .select("gram")
     )
-    gk = grams.join(keyed, "gram")
+    # The df-gated gram table feeds both sides of the seed self-join;
+    # unpinned, a and b each re-derived grams + keyed (8x documents
+    # scans, r14 scan audit). Checkpointing gk pins the plan at TWO
+    # corpus scans — the induce-then-apply floor (keyed needs the df
+    # histogram before gk can filter) — while materializing only the
+    # df-in-[2,cap] grams, never the full gram stream (which is ~5x
+    # corpus bytes and would be the wrong trade at 100 TB).
+    gk = grams.join(keyed, "gram").localCheckpoint(eager=True)
     a = gk.select(
         F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("gram")
     )

@@ -2954,6 +2954,12 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("qid").orderBy(F.desc("hits"), F.asc("doc_id")))
         .alias("rl"),
     ).filter(F.col("rl") <= RRF_DEPTH)
+    # lr and sr are |Q| x RRF_DEPTH rows but carry the full lexical /
+    # semantic scoring lineage, and fusion + both recall branches each
+    # re-derived them (6x embeddings scans, r14 scan audit) — eager
+    # checkpoints on the bounded rankings pin one scoring pass per
+    # signal.
+    lr = lr.localCheckpoint(eager=True)
     emb = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
     qe = base.filter(F.col("vec_id").isin(*RAG_QUERY_DOCS)).select(
@@ -2970,13 +2976,17 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sr = sem.select(
-        "qid",
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
-        .alias("rs"),
-    ).filter(F.col("rs") <= RRF_DEPTH)
+    sr = (
+        sem.select(
+            "qid",
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("rs"),
+        )
+        .filter(F.col("rs") <= RRF_DEPTH)
+        .localCheckpoint(eager=True)
+    )
     fused = (
         lr.join(sr, ["qid", "doc_id"], "full")
         .select(
@@ -3594,7 +3604,14 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents", "embeddings")
     d, e = t["documents"], t["embeddings"]
     lwords = whitespace_tokens(F.lower(F.col("text")))
-    toks = d.select("doc_id", F.explode(F.array_distinct(lwords)).alias("word"))
+    # The distinct-token index feeds four branches (query tokens,
+    # lexical ranker, corpus IDF, candidate-token fetch); unpinned,
+    # each re-derived the explode-over-text lineage (9x documents
+    # scans, r14 scan audit). Checkpoint it once — the BM25 tf-index
+    # pattern (text_prf_query_expansion).
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(lwords)).alias("word")
+    ).localCheckpoint(eager=True)
     q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
         F.col("doc_id").alias("qid"), "word"
     )
@@ -3627,13 +3644,20 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sr = sem.select(
-        "qid",
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
-        .alias("rs"),
-    ).filter(F.col("rs") <= RRF_DEPTH)
+    # sr / fr are |Q| x depth rows carrying the full scoring lineage;
+    # their three consumers each drove a re-derivation (10x embeddings
+    # scans) — checkpoint the bounded rankings.
+    sr = (
+        sem.select(
+            "qid",
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("rs"),
+        )
+        .filter(F.col("rs") <= RRF_DEPTH)
+        .localCheckpoint(eager=True)
+    )
     fused = lr.join(sr, ["qid", "doc_id"], "full").select(
         "qid",
         "doc_id",
@@ -3642,13 +3666,17 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rs")), F.lit(0.0))
         ).alias("score"),
     )
-    fr = fused.select(
-        "qid",
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("rf"),
-    ).filter(F.col("rf") <= RERANK_DEPTH)
+    fr = (
+        fused.select(
+            "qid",
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rf"),
+        )
+        .filter(F.col("rf") <= RERANK_DEPTH)
+        .localCheckpoint(eager=True)  # |Q| x RERANK_DEPTH rows; 3 consumers
+    )
     # Corpus-wide integer IDF weights; the reranker only ever reads the
     # weights of tokens appearing in candidate docs, but df must be
     # computed over the FULL corpus (that is what IDF means).

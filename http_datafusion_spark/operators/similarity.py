@@ -1712,8 +1712,14 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = F.col("embedding").cast("array<double>")
     base_e = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
-    qrow = base_e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb").alias("qvc"), F.col("nrm").alias("qn")
+    # The 1-row query vector is cross-joined into all four top-k
+    # branches; checkpointing it removes four pruned-scan
+    # re-derivations (6x embeddings scans unpinned, r14 scan audit).
+    # The two exact baselines (before/after) are inherently two passes.
+    qrow = (
+        base_e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("emb").alias("qvc"), F.col("nrm").alias("qn"))
+        .localCheckpoint(eager=True)
     )
     cos = _dot(F.col("emb"), F.col("qvc")) / (F.col("nrm") * F.col("qn"))
 
@@ -2511,7 +2517,14 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     kpred = knn_loo_predictions(spark, sf_dir).select("qid", F.col("plabel").alias("pk"))
     cpred = centroid_assignments(spark, sf_dir).select("vec_id", F.col("pred_label").alias("pc"))
-    j = kpred.join(cpred, kpred["qid"] == cpred["vec_id"]).select("pc", "pk")
+    # One (pc, pk) row per vector, but three consumers (totals + both
+    # marginals) re-derived the two upstream classifier pipelines 6x
+    # unpinned (r14 scan audit) — checkpoint the label-pair frame.
+    j = (
+        kpred.join(cpred, kpred["qid"] == cpred["vec_id"])
+        .select("pc", "pk")
+        .localCheckpoint(eager=True)
+    )
     tot = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("pc") == F.col("pk"), 1).otherwise(0))
@@ -2629,6 +2642,11 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(F.col("cos").desc(), F.col("vec_id"))),
         )
         .select("vec_id", "embedding", "exact_rank")
+        # FIDELITY_TOP_K rows carrying the full exact-scoring scan; the
+        # candidate branch and the final rank join each re-derived it
+        # (8x embeddings scans with proj's two consumers compounding,
+        # r14 scan audit) — checkpoint the bounded frame.
+        .localCheckpoint(eager=True)
     )
     cand = exact.select("vec_id", "embedding").unionAll(
         # .limit(1): vec_id is unique so this changes nothing, but it
@@ -2659,6 +2677,7 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.crossJoin(F.broadcast(dims))
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * sign).cast("decimal(28,6)").alias("y"))
+        .localCheckpoint(eager=True)  # (k+1) x JL_OUT_DIM rows; 2 consumers
     )
     qproj = proj.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         "j", F.col("y").alias("qy")

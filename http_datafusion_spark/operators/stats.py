@@ -2550,16 +2550,23 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # Each per-user step frame feeds the next step AND one-or-two count
+    # branches; unpinned, the re-derivations compounded to 8 events
+    # scans (r14 scan audit). Checkpointing the user-bounded step
+    # frames pins the plan at exactly three type-filtered, pushed-down
+    # events scans — one per funnel layer, the shape you'd want.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.join(v, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.join(c, "user_id")
@@ -2568,6 +2575,7 @@ def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ncl = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -1545,9 +1545,14 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
         .filter(F.length("word") >= 2)
     )
+    # The vocab-bounded sequence table feeds pair mining AND the merge
+    # rewrite; the pair tables each feed an argmax and a total branch —
+    # unpinned, the corpus explode re-derived 6x (r14 scan audit).
+    # Checkpoints pin ONE corpus scan; everything below is vocab-sized
+    # (the bpe_merge_train pattern one function down).
     seqs = vocab.select(
         "word", "wf", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq")
-    )
+    ).localCheckpoint(eager=True)
 
     def pairs_of(df: DataFrame) -> DataFrame:
         arr = df.select("wf", F.split("seq", " ").alias("arr")).filter(F.size("arr") >= 2)
@@ -1562,7 +1567,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return p.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("cnt"))
 
-    pairs = pairs_of(seqs)
+    pairs = pairs_of(seqs).localCheckpoint(eager=True)  # distinct char-pairs
     top1 = pairs.orderBy(F.desc("cnt"), "pair").limit(1)
     before = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_pairs"),
@@ -1580,7 +1585,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq"),
     )
-    pairs2 = pairs_of(merged)
+    pairs2 = pairs_of(merged).localCheckpoint(eager=True)
     top2 = pairs2.orderBy(F.desc("cnt"), "pair").limit(1)
     after = pairs2.agg(F.sum("cnt").cast("bigint").alias("n_pairs_after"))
     return (
@@ -1827,17 +1832,25 @@ def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
-    corpus = (
-        toks.groupBy("word")
+    # One checkpointed (source, word) count table feeds BOTH the
+    # corpus-level vocab and the per-source counts (the
+    # text_burrows_delta pattern) — unpinned, corpus + sc each
+    # re-derived the explode (6x documents scans, r14 scan audit).
+    st = (
+        toks.groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = (
+        st.groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), "word")
         .limit(JSD_VOCAB)
+        .localCheckpoint(eager=True)  # JSD_VOCAB rows; 3 consumers
     )
     ctot = corpus.agg(F.sum("c").cast("bigint").alias("n"))
-    sc = (
-        toks.join(F.broadcast(corpus.select("word")), "word")
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sc = st.join(F.broadcast(corpus.select("word")), "word").select(
+        "source", "word", "c"
     )
     stot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     cells = (
@@ -2050,8 +2063,10 @@ def _prf_oracle() -> str:
     "dependent expansion possible where the literal-column bench variant "
     "cannot; per-(doc, term) contributions quantize then decimal-sum so "
     "scores are order-independent. Everything data-dependent stays in-plan: "
-    "no driver round-trip between rounds. At 100 TB: two corpus passes + "
-    "vocab-/k-bounded joins (north-star text / retrieval capstone)",
+    "no driver round-trip between rounds. At 100 TB: ONE physical corpus "
+    "pass — the (doc, word, tf) index is eagerly checkpointed (r15; the "
+    "unpinned plan re-derived the corpus scan 15x) and both rounds read "
+    "it — + vocab-/k-bounded joins (north-star text / retrieval capstone)",
     tags=("text", "pipeline", "similarity"),
 )
 def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2061,12 +2076,26 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # The (doc, word, tf) table IS the BM25 index, and both scoring
+    # rounds plus the candidate miner read it; unpinned, Catalyst
+    # re-derived the corpus explode 15x (r14 scan audit). Checkpoint it
+    # once — "two corpus passes" in the docstring becomes ONE physical
+    # parquet scan + index reads — and derive doclen from it (sum of
+    # per-word tf == token count, value-identical to counting toks).
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .localCheckpoint(eager=True)  # one row per doc; 3 consumers
+    )
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
 
     def score(termset: DataFrame) -> DataFrame:
@@ -2096,7 +2125,12 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q1 = spark.createDataFrame([(t,) for t in BM25_TERMS], "word string")
     r1 = score(q1)
-    top1 = r1.orderBy(F.desc("score"), "doc_id").limit(PRF_FEEDBACK_DOCS).select("doc_id")
+    top1 = (
+        r1.orderBy(F.desc("score"), "doc_id")
+        .limit(PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # PRF_FEEDBACK_DOCS rows; 2 consumers
+    )
     cand = (
         tf.join(F.broadcast(top1), "doc_id")
         .join(dfreq, "word")

@@ -369,11 +369,24 @@ MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
 )
 def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    # dev fed both the MAD median and the scoring pass, so the r14
+    # scan audit counted 4 events scans. Checkpointing the per-type
+    # scalar tables (<= |event types| rows each) — NOT the events-sized
+    # dev frame — pins the plan at the three passes two exact medians +
+    # one count inherently need, with no fact-scale materialization.
+    med = (
+        e.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=True)
+    )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.median("adev").alias("mad"))
+        .localCheckpoint(eager=True)
+    )
     scored = dev.join(F.broadcast(mad), "event_type")
     return scored.groupBy("event_type").agg(
         F.round(F.max("med"), 4).alias("med"),
@@ -1635,8 +1648,16 @@ KS_CRIT_COEF = 1.358  # c(alpha) at alpha = 0.05 (classic KS table, public)
 )
 def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
-    s = e.filter(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)).select(
-        "value", (F.col("event_type") == KS_GROUP_A).cast("int").alias("ga")
+    # The two-column sample frame feeds the range pre-pass AND the
+    # binning pass, and the 256-row bin table feeds the cumulative and
+    # total branches; unpinned, the re-derivations compounded to 6
+    # events scans (r14 scan audit). Checkpointing the (value, ga)
+    # projection pins ONE pushed-down events scan; the two passes the
+    # equi-width grid inherently needs run over the checkpoint.
+    s = (
+        e.filter(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B))
+        .select("value", (F.col("event_type") == KS_GROUP_A).cast("int").alias("ga"))
+        .localCheckpoint(eager=True)
     )
     rng = s.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = (
@@ -1661,6 +1682,7 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ga")).cast("bigint").alias("ca"),
             F.sum(F.lit(1) - F.col("ga")).cast("bigint").alias("cb"),
         )
+        .localCheckpoint(eager=True)  # <= KS_BINS rows; 2 consumers
     )
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
     cum = binned.select(

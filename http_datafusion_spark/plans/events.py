@@ -276,10 +276,16 @@ def events_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    # Each per-user step frame feeds the next step AND the final wide
+    # join; unpinned, the re-derivations compounded to 6 events scans
+    # (r14 scan audit). Checkpointing the user-bounded step frames pins
+    # exactly three type-filtered, pushed-down events scans — one per
+    # funnel layer (events_funnel_wilson_ci twin).
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -287,6 +293,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -294,6 +301,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
+        .localCheckpoint(eager=True)
     )
     depth = (
         F.when(F.col("t_purchase").isNotNull(), 3)

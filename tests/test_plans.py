@@ -609,16 +609,21 @@ def test_ordstats_rank_search_never_single_partition(spark, sf_dir):
 BROADCAST_GUARD_ALLOWED = {
     # per-segment / per-priority marginals: group key has <= ~5 values
     "feature_target_encode": "per-o_orderpriority aggregate (bounded key)",
-    "segment_chisquare": "segment x priority marginals (bounded keys)",
+    # segment_chisquare dropped r15: the seg x pri cell table is now
+    # eagerly checkpointed, so the marginal broadcasts read RDD leaves.
     # per-event_type statistics: event_type is a small closed enum
     "ts_cusum_changepoints": "per-event_type mean/chunk offsets (bounded key)",
     # events_cusum_drift dropped r15: the r14 single-scan rewrite
     # (commit c749f9b) replaced the broadcast-join-back with unbounded
     # windows, so the site this entry explained no longer exists.
     "quantile_sketch_audit": "len(QS_TARGETS)=7 probe rows (q, t_rank, n, est_value) — a constant of the audit, not of corpus size",
-    "text_burrows_delta": "top_words (LIMIT 50 — the hint lands below the limit in the analyzed plan) and wstats (grouped by tok AFTER the inner join with the 50-word list, so <= BURROWS_TOP_WORDS rows; the guard can't credit a bound that arrives via a join partner)",
+    # text_burrows_delta dropped r15: the (source, tok) count table is
+    # now eagerly checkpointed, cutting the corpus lineage under the
+    # top_words/wstats broadcasts.
     "ts_zscore_outliers": "per-event_type moments (bounded key)",
-    "ts_mad_outliers": "per-event_type medians (bounded key)",
+    # ts_mad_outliers dropped r15: the per-type med/mad tables are now
+    # eagerly checkpointed (scan-audit remediation), so the broadcasts
+    # read RDD leaves and the guard sees no fact-derived hint.
     "markov_next_event_eval": "event_type transition matrix (bounded key pairs)",
     "events_transition_coverage": "event_type pair coverage (bounded key pairs)",
     # calendar-bounded group keys
@@ -652,13 +657,12 @@ BROADCAST_GUARD_ALLOWED = {
     "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
     "mix_sources_temperature": "per-source mixture weights (source is a closed enum)",
     "embedding_centroid_shift": "per-label centroid norms (closed label set)",
-    "embedding_pca_power_iteration": "eigenvector keyed by dim j <= 64 (dimension constant)",
-    "text_prf_query_expansion": "PRF expansion terms: row_number<=K per limit-N feedback docs",
+    # embedding_pca_power_iteration + text_prf_query_expansion dropped
+    # r15: dims/iterates and the tf index are now eagerly checkpointed
+    # (scan-audit remediation), cutting the lineage the guard walked.
     # r10 additions, each bounded by construction:
-    "rag_rerank_cross_encoder": (
-        "fused candidate frame: row_number<=RERANK_DEPTH per probe query "
-        "(|RAG_QUERY_DOCS| x 20 rows, probe set is a pipeline constant)"
-    ),
+    # rag_rerank_cross_encoder dropped r15: the fused candidate frame
+    # fr is now eagerly checkpointed (scan-audit remediation).
     # shard_mix_audit's per-source/per-shard broadcasts were exempted
     # here briefly in r10; its cell grid is now localCheckpointed (one
     # corpus scan — the .explain audit fix), which cuts the lineage the
@@ -861,8 +865,25 @@ def test_local_checkpoint_inventory_is_pinned():
       zero-key branches read it), and corpus_dsir_importance's
       <=DSIR_BUCKETS-row feature-count grid (totals + lambda derive
       from it instead of re-running the bigram explode).
+    - r15 scan-audit remediation (VERDICT r14 What's-wrong #2: the
+      >=6x fact-rescan class): every addition checkpoints a BOUNDED
+      shared frame so multi-consumer plans stop re-deriving the fact
+      scan — token/tf/shingle index tables (corpus-aggregate grain:
+      burrows/prf/jsd/kmv/rag toks), LSH candidate-pair lists and
+      candidate-restricted shingle frames (recall audit, estimator
+      calibration, containment, keep_best, cluster_ari cells), graph
+      edge/degree frames (assortativity, pagerank, link prediction,
+      CC's e0 nodes fix, golden members), k-bounded rankings
+      (rag lr/sr/fr, spearman exact/proj, ivf qrow, kappa j), per-type
+      scalar tables (mad med/mad, ks bins, chisquare cells, funnel
+      v/c/p both variants, phash hashes/sel, semantic-calib pred,
+      substring gk — the one 2-scan floor, full gram stream NOT
+      materialized), PCA dims + iterates, KM customer aggregate, and
+      BPE first-merge vocab frames.
     histogram_equi_depth / weighted_median_price deliberately carry NO
-    checkpoint (deterministic hash-gate re-scan; see their comments).
+    checkpoint (deterministic hash-gate re-scan; see their comments);
+    text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
+    no-checkpoint disposition (runtime exchange reuse wins there).
     """
     import pathlib
     import re as _re
@@ -874,13 +895,16 @@ def test_local_checkpoint_inventory_is_pinned():
         if n:
             sites[str(f.relative_to(pkg))] = n
     assert sites == {
-        "operators/components.py": 9,
-        "operators/curation.py": 4,
-        "operators/dedup.py": 1,
-        "operators/pipeline.py": 3,
-        "operators/similarity.py": 3,
-        "operators/stats.py": 1,
-        "operators/text.py": 2,
+        "operators/components.py": 19,
+        "operators/curation.py": 15,
+        "operators/dedup.py": 8,
+        "operators/multimodal.py": 1,
+        "operators/pipeline.py": 8,
+        "operators/similarity.py": 7,
+        "operators/stats.py": 4,
+        "operators/text.py": 11,
+        "operators/timeseries.py": 4,
+        "plans/events.py": 3,
         "streaming/queries.py": 3,
     }, f"localCheckpoint inventory drifted — audit the new/removed site: {sites}"
 
@@ -992,10 +1016,16 @@ def test_retrieval_eval_windows_prune_map_side(spark, sf_dir):
     rows, never a corpus-sized partition. Without the Partial stage the
     3-20 probe reducers would each sort ~corpus/|probes| rows (the one
     scale-killer class the r8 verdict found)."""
+    # rag_rrf_fusion_eval dropped from 6 windows to 1 in r15: the
+    # lexical/semantic rankings (lr/sr) are now eagerly checkpointed
+    # (scan-audit remediation — their triple re-derivation was 6
+    # embeddings scans), so only the fusion ranking remains in the
+    # final plan; lr/sr keep their literal bounds and WindowGroupLimit
+    # at materialization time.
     for name, n_windows in (
         ("sim_matryoshka_recall", 2),
         ("rag_chunk_retrieval_eval", 2),
-        ("rag_rrf_fusion_eval", 6),
+        ("rag_rrf_fusion_eval", 1),
     ):
         p = plan_of(QS[name].spark(spark, sf_dir))
         n_rank_windows = sum(
@@ -1026,14 +1056,18 @@ WINDOW_GUARD_ALLOWED = {
     "multimodal_vad_segments": "per-doc frame index: doc_id keys are corpus-scale, contents bounded by one audio payload",
     "dedup_segments": "segment-fingerprint keys are corpus-scale; contents = one duplicate group",
     "train_shuffle_shards": "two-phase rank: (shard, hb) = 16x64 constant keys, contents corpus/1024, N_SHARD_SUBBUCKETS is the knob; the per-key external sort IS the design's parallelism unit",
-    "golden_record_merge": "connected-component keys are corpus-scale; contents = one duplicate cluster",
+    # golden_record_merge dropped r15: members is now eagerly
+    # checkpointed, so the survivorship windows read an RDD leaf and
+    # the guard sees no fact scan beneath them.
     "dedup_cluster_representatives": "connected-component keys are corpus-scale; contents = one duplicate cluster",
     "histogram_equi_depth": "ordstats-style two-phase rank over the literal-mod sample slice; __bkt buckets are equi-depth by quantile construction (balanced contents)",
     "bootstrap_mean_ci": "global window over the B-row replicate-mean table (B a literal grid; per-replicate keyed agg upstream bounds the input)",
     "attribution_models_compare": "conv_id keys are corpus-scale conversions; contents = one user journey",
     "cdc_scd2_intervals": "user_id keys are corpus-scale; contents = one user's event stream",
     "q_window_clause": "o_custkey keys are corpus-scale (SQL named-WINDOW parity surface)",
-    "dedup_substring_runs": "(da, db, diag) pair-diagonal keys are corpus-scale; contents = seeds on one diagonal of one doc pair, bounded by document length (and upstream by the gram df-cap)",
+    # dedup_substring_runs dropped r15: the df-gated gram table gk is
+    # now eagerly checkpointed, so the gaps-and-islands window reads an
+    # RDD leaf and the guard sees no fact scan beneath it.
     "stats_bh_fdr": "global step-up window over the per-nation test table — m<=25 rows by the nation-keyed aggregate upstream; BH's sort is over TESTS, never facts",
     "events_group_sequential": "global look-scheduling windows over the day-grain cumulative table — |days|-bounded by the day-keyed aggregate upstream, and the looks table is <= GS_LOOKS rows; the schedule sorts DAYS, never facts",
     "quantile_sketch_audit": "per-shard local sort IS the sketch's parallelism unit (train_shuffle_shards pattern): contents = corpus/QS_SHARDS, QS_SHARDS the cluster-scaling knob; downstream merge is a window over the constant QS_SHARDS*QS_K summary",
