@@ -136,7 +136,10 @@ _U60 = 1 << 60  # md5_int range: u = (h+1)/2^60 in (0, 1]
       SELECT doc_id, source, n_chars, w, u, w / u AS prio
       FROM s ORDER BY prio DESC, doc_id LIMIT {PRIO_K + 1}
     ),
-    t AS (SELECT *, min(prio) OVER () AS tau FROM p)
+    t AS (SELECT *,
+                 CASE WHEN count(*) OVER () <= {PRIO_K}
+                      THEN 0.0 ELSE min(prio) OVER () END AS tau
+          FROM p)
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
            round(u, 9) AS u_draw,
            round(greatest(w * 1.0, tau), 6) AS est_weight
@@ -156,7 +159,12 @@ _U60 = 1 << 60  # md5_int range: u = (h+1)/2^60 in (0, 1]
     f"u^(1/w) key — the priority needs NO transcendental, so both "
     f"engines compute bit-identical IEEE keys and the sample SET "
     f"matches exactly (a last-ULP ln() divergence could flip the k-th "
-    f"boundary member). Scale shape: one scan, codegen'd md5 + "
+    f"boundary member); populations of <= {PRIO_K} docs are kept whole "
+    f"with est_weight = w (tau = 0, the DLT small-population case). An "
+    f"EXACT k-th/(k+1)-th priority tie (impossible under distinct "
+    f"doc_ids: u differs per doc, so prio collisions need a w/u "
+    f"coincidence) would drop both tied rows — documented, not "
+    f"special-cased. Scale shape: one scan, codegen'd md5 + "
     f"arithmetic, TakeOrderedAndProject(k+1) — per-partition heaps, "
     f"no global sort, no shuffle beyond the k+1-row gather; the "
     f"complement of sample_deterministic (unweighted hash-gate %) and "
@@ -179,7 +187,14 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PRIO_K + 1)
     )
     wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    t = p.select("*", F.min("prio").over(wall).alias("tau"))
+    # n <= k populations keep EVERY row with est_weight = w (tau = 0 —
+    # standard DLT priority sampling; r14 ADVICE): the k+1-limit frame
+    # then holds the whole population and no threshold exists. prio is
+    # always > 0 (w >= 1, u in (0,1]), so the tau filter passes all.
+    tau = F.when(
+        F.count(F.lit(1)).over(wall) <= PRIO_K, F.lit(0.0)
+    ).otherwise(F.min("prio").over(wall))
+    t = p.select("*", tau.alias("tau"))
     return (
         t.filter(F.col("prio") > F.col("tau"))
         .select(

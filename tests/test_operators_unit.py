@@ -768,7 +768,7 @@ def test_weighted_priority_sample_is_deterministic_and_unbiased_ish(spark, sf_di
     est = sum(r.est_weight for r in a)
     assert 0.6 * true_total < est < 1.4 * true_total
     # every estimator weight is >= the item's own weight (max(w, tau))
-    assert all(r.est_weight >= min(r.n_chars, 1) for r in a)
+    assert all(r.est_weight >= max(r.n_chars, 1) for r in a)
 
 
 def test_group_sequential_schedule_properties(spark, sf_dir):

@@ -1,7 +1,7 @@
 """Evidence-age report for the driver-correctness rotation.
 
-The registry (425 rows as of r13; the report derives the live count
-from the artifacts it parses) outgrew the driver's ~50-row
+The registry (429 rows after the four r14 additions; the report
+derives the live count from the artifacts it parses) outgrew the driver's ~50-row
 correctness window around r10, so every row's driver evidence ages
 until its re-confirmation slot comes around. This tool makes that
 debt VISIBLE and POLICED (r11 verdict task 3, option b — the
