@@ -1339,6 +1339,143 @@ def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------- lexical-vs-semantic cluster agreement (ARI)
+
+
+def _lexical_semantic_ari_oracle() -> str:
+    return f"""
+    WITH RECURSIVE lpairs AS ({_minhash_pairs_sql()}),
+    ledges AS (
+      SELECT doc_a AS a, doc_b AS b FROM lpairs
+      UNION SELECT doc_b, doc_a FROM lpairs
+    ),
+    lreach(src, dst) AS (
+      SELECT a, a FROM ledges
+      UNION
+      SELECT r.src, e.b FROM lreach r JOIN ledges e ON r.dst = e.a
+    ),
+    lcomp AS (SELECT src AS node, min(dst) AS c FROM lreach GROUP BY src),
+    spairs AS ({_ivf_dedup_oracle(0.4, IVF_DEDUP_PROBES)}),
+    sedges AS (
+      SELECT vec_a AS a, vec_b AS b FROM spairs
+      UNION SELECT vec_b, vec_a FROM spairs
+    ),
+    sreach(src, dst) AS (
+      SELECT a, a FROM sedges
+      UNION
+      SELECT r.src, e.b FROM sreach r JOIN sedges e ON r.dst = e.a
+    ),
+    scomp AS (SELECT src AS node, min(dst) AS c FROM sreach GROUP BY src),
+    assigned AS (
+      SELECT coalesce(l.c, d.doc_id) AS la, coalesce(s.c, d.doc_id) AS lb
+      FROM documents d
+      LEFT JOIN lcomp l ON l.node = d.doc_id
+      LEFT JOIN scomp s ON s.node = d.doc_id
+    ),
+    cont AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1, 2),
+    rows_a AS (SELECT la, CAST(sum(n) AS BIGINT) AS na FROM cont GROUP BY 1),
+    rows_b AS (SELECT lb, CAST(sum(n) AS BIGINT) AS nb FROM cont GROUP BY 1),
+    sums AS (
+      SELECT (SELECT sum(n * (n - 1) // 2) FROM cont)      AS sij,
+             (SELECT sum(na * (na - 1) // 2) FROM rows_a)  AS sa,
+             (SELECT sum(nb * (nb - 1) // 2) FROM rows_b)  AS sb,
+             (SELECT sum(n) FROM cont)                     AS nd,
+             (SELECT count(*) FROM rows_a)                 AS ga,
+             (SELECT count(*) FROM rows_b)                 AS gb
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(ga AS BIGINT) AS n_lex_groups,
+           CAST(gb AS BIGINT) AS n_sem_groups,
+           CAST(sij AS BIGINT) AS pairs_agree,
+           CAST(sa AS BIGINT) AS pairs_lex,
+           CAST(sb AS BIGINT) AS pairs_sem,
+           round((sij - CAST(sa AS DOUBLE) * sb / (nd * (nd - 1) // 2))
+                 / NULLIF((CAST(sa AS DOUBLE) + sb) / 2
+                          - CAST(sa AS DOUBLE) * sb / (nd * (nd - 1) // 2), 0), 6)
+             AS ari
+    FROM sums
+    """
+
+
+@query(
+    "dedup_lexical_semantic_ari",
+    oracle=_lexical_semantic_ari_oracle(),
+    doc="Adjusted Rand Index (Hubert & Arabie 1985) between the LEXICAL "
+    "near-dup partition (connected components over MinHash-LSH pairs, "
+    "dedup_clusters) and the SEMANTIC one (components over the IVF-gated "
+    "embedding-cosine pairs, dedup_semantic_clusters), both extended to "
+    "the full corpus with singleton clusters for unclustered docs — the "
+    "ship/no-ship readout for layering semantic dedup ON TOP of lexical: "
+    "ARI near 1 means the embedding tier only rediscovers what shingles "
+    "already caught (skip the GPU pass); low ARI with nontrivial semantic "
+    "mass means paraphrase duplication survives lexical dedup. Pair "
+    "counts come from the (la, lb) contingency table — one row per doc "
+    "label pair, never materialized pairs — and every sum is integer "
+    "until the final division (the dedup_cluster_ari algebra). Both pair "
+    "pipelines are sub-quadratic (banded LSH / IVF-gated); components "
+    "run the checkpointed star contraction; the contingency and its "
+    "marginals read ONE checkpointed cell table (r15 scan discipline) "
+    "(north-star dedup / eval)",
+    tags=("dedup", "similarity", "graph"),
+)
+def dedup_lexical_semantic_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from http_datafusion_spark.operators.components import connected_components
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    lex = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sem = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    lc = connected_components(lex).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("ca")
+    )
+    sc = connected_components(sem).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cb")
+    )
+    assigned = (
+        d.join(lc, "doc_id", "left")
+        .join(sc, "doc_id", "left")
+        .select(
+            F.coalesce("ca", "doc_id").alias("la"),
+            F.coalesce("cb", "doc_id").alias("lb"),
+        )
+    )
+    # contingency cells feed both marginals + the agreement sums —
+    # checkpoint once (dedup_cluster_ari r15 pattern).
+    cont = (
+        assigned.groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
+    rows_a = cont.groupBy("la").agg(F.sum("n").cast("bigint").alias("na"))
+    rows_b = cont.groupBy("lb").agg(F.sum("n").cast("bigint").alias("nb"))
+    sums = (
+        cont.agg(
+            F.sum(c2("n")).alias("sij"),
+            F.sum("n").cast("bigint").alias("nd"),
+        )
+        .crossJoin(rows_a.agg(F.sum(c2("na")).alias("sa"), F.count(F.lit(1)).alias("ga")))
+        .crossJoin(rows_b.agg(F.sum(c2("nb")).alias("sb"), F.count(F.lit(1)).alias("gb")))
+    )
+    t_pairs = F.expr("CAST(nd * (nd - 1) DIV 2 AS BIGINT)")
+    exp = F.col("sa").cast("double") * F.col("sb") / t_pairs
+    denom = (F.col("sa").cast("double") + F.col("sb")) / 2 - exp
+    return sums.select(
+        F.col("nd").cast("bigint").alias("n_docs"),
+        F.col("ga").cast("bigint").alias("n_lex_groups"),
+        F.col("gb").cast("bigint").alias("n_sem_groups"),
+        F.col("sij").cast("bigint").alias("pairs_agree"),
+        F.col("sa").cast("bigint").alias("pairs_lex"),
+        F.col("sb").cast("bigint").alias("pairs_sem"),
+        F.round(
+            F.when(denom != 0, (F.col("sij") - exp) / denom).otherwise(F.lit(None)), 6
+        ).alias("ari"),
+    )
+
+
 # -------------------------------------------- LSH band-plan tuning
 
 # Candidate (bands, rows) splits of the k=8 signature. For each, the
