@@ -55,125 +55,117 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-14 rotation (per the r13 verdict's task 2, the named r14 head):
-#   "FIRST the 4 r4-overflow rows (ts_mad_outliers, ts_resample_ohlc,
-#   ts_zscore_outliers, vocab_build), then any changed-code rows, then
-#   r14 additions (throttle to <= 11 so the whole 35-row r5 class
-#   fits), then the r5 class lexicographic." Composed mechanically by
-#   tools/evidence_age.py --plan with that head — the planner then
-#   fills the remaining 4 slots from the next-oldest (r6) class, so
-#   the window is exactly 50 and the r5 evidence class goes to ZERO
-#   this round (after which no row carries evidence older than r6).
+# Round-15 rotation (per the r14 verdict's task 3, the named r15 head):
+#   "FIRST any row whose code or oracle changed during r14 after the
+#   window froze — events_cusum_drift + stream_cusum_monitor — then
+#   r15 additions (throttled), then the remaining 41 rows of the r6
+#   class in lexicographic order." Composed mechanically by
+#   tools/evidence_age.py --plan with that head. The r15 changed-code
+#   set is far larger than the two named rows because the round's main
+#   work was the scan-audit remediation (r14 verdict What's-wrong #2 /
+#   task 2): 34 queries had their plans repinned with eager
+#   checkpoints of bounded shared frames so multi-consumer lineages
+#   stop re-deriving fact scans — every one of them is changed-code
+#   and enters this window by the mechanical rule, squeezing the r6
+#   re-confirmation fill to 13 slots.
 #   Window composition (exactly 50):
-#   (a) the 4 r4-overflow rows named by the r13 head — FIRST, so a cap
-#       surprise can only truncate re-confirmations further down.
-#   (b) 3 changed-code rows: http_ingest_nation (parse_link_next got
-#       the quote-aware ';' param split + unterminated-'<' recovery,
-#       r13 verdict What's-wrong #1 + ADVICE), customer_survival_km
-#       (the d == n_risk month is ln(0)-guarded on both engines,
-#       ADVICE r13 medium), graph_label_propagation (LPA rounds
-#       factored into _lpa_label_frame shared with the new modularity
-#       score; checkpoint moved from the symmetric union to the pair
-#       list).
-#   (c) the 4 r14 ADDITIONS (throttled well under the <= 11 budget;
-#       35 + 4 slots re-confirm), each locally oracle-exact at
-#       sf0.001 + sf0.01 with a COVERAGE row: events_group_sequential
-#       + stream_group_sequential (Lan-DeMets 1983 alpha-spending
-#       interim monitor, batch + live twins sharing the mSPRT daily
-#       moment table), graph_modularity_score (Newman-Girvan Q of the
-#       LPA partition), sample_weighted_priority (Ohlsson/DLT
-#       sequential Poisson weighted sampling).
-#   (d) the ENTIRE 35-row r5-stale class, in the r13 head's named
-#       order (lexicographic) — pure re-confirmations.
-#   (e) the first 4 rows of the 45-row r6 class, lexicographic
-#       (asof_join_nearest, bootstrap_mean_ci, bpe_merge_train,
-#       compaction_bin_plan) — the planner's fill to the 50-cap.
-#   R15 HEAD (named now, per rotation discipline): FIRST any row whose
-#   code or oracle changes during r14 after this window freezes —
-#   already two: events_cusum_drift + stream_cusum_monitor
-#   (cusum_from_daily's params branch became unbounded windows, one
-#   fact scan instead of two, -35% at sf5 same-session; oracle
-#   untouched) — then
-#   r15 additions (throttle so the remaining r6 class fits across
-#   r15-r16), then the remaining 41 rows of the r6 class in
-#   lexicographic order:
-#   customer_survival_curve, dedup_incremental_minhash,
-#   dedup_minhash_pairs, embedding_jl_projection, events_bot_detection,
-#   events_debounce, events_impact_did, fd_discovery_audit,
-#   feature_target_encode, feature_trailing_90d, feature_winsorize,
-#   geo_grid_join, graph_pagerank_suppliers, histogram_equi_depth,
-#   incremental_agg_merge, join_size_preflight, kmv_distinct_sketch,
-#   multimodal_blob_dedup, multimodal_resize_audit,
-#   order_fulfillment_latency, orders_backlog_timeseries,
-#   orders_benford_audit, orders_gini_coefficient,
-#   orders_pareto_analysis, orders_rfm_segmentation,
-#   orders_seasonal_backtest, privacy_pseudonymize_release,
-#   quality_model_gradient, segment_chisquare, snapshot_versioned_read,
-#   stratified_fixed_n_sample, stream_debounce, stream_snapshot_append,
-#   stream_temporal_join, table_snapshot_diff,
-#   text_inverted_index_roundtrip, tokenize_bpe_apply,
-#   train_split_temporal, ts_autocorrelation, ts_cusum_changepoints,
-#   vocab_js_divergence
-#   — lexicographic overflow defers to the r16 head, named then.
+#   (a) the 2 rows the r14 head named FIRST: events_cusum_drift +
+#       stream_cusum_monitor (cusum_from_daily's params branch became
+#       unbounded windows in r14 commit c749f9b — one fact scan
+#       instead of two; oracle untouched).
+#   (b) 34 changed-code rows, scan-audit remediation + ADVICE fixes:
+#       the >=6x re-derivation tail pinned via eager checkpoints of
+#       bounded frames (token/tf/shingle index tables, LSH candidate
+#       lists, graph edge/degree frames, k-bounded rankings, per-type
+#       scalar tables, PCA iterates); split_leakage_safe,
+#       dedup_cluster_representatives, dedup_semantic_clusters,
+#       dedup_clusters and golden_record_merge enter via the shared
+#       connected_components e0-checkpoint fix; customer_survival_km
+#       folds the corpus horizon off the customer aggregate (1x orders
+#       scan, r14 verdict Next #6); sample_weighted_priority keeps
+#       n <= k populations whole with tau = 0 (r14 ADVICE).
+#   (c) the 1 r15 ADDITION (throttled: the remediation consumed the
+#       window): dedup_lexical_semantic_ari (Hubert-Arabie ARI between
+#       the lexical MinHash-LSH partition and the semantic IVF-cosine
+#       partition — the ship/no-ship readout for layering semantic
+#       dedup on top of lexical), locally oracle-exact at
+#       sf0.001 + sf0.01.
+#   (d) the first 13 rows of the remaining 37-row r6 class,
+#       lexicographic (customer_survival_curve .. histogram_equi_depth).
+#   R16 HEAD (named now, per rotation discipline): FIRST any row whose
+#   code or oracle changes during r15 after this window freezes, then
+#   r16 additions (throttled), then the 24-row named r6-class
+#   overflow in lexicographic order:
+#   incremental_agg_merge, join_size_preflight, multimodal_blob_dedup,
+#   multimodal_resize_audit, order_fulfillment_latency,
+#   orders_backlog_timeseries, orders_benford_audit,
+#   orders_gini_coefficient, orders_pareto_analysis,
+#   orders_rfm_segmentation, orders_seasonal_backtest,
+#   privacy_pseudonymize_release, quality_model_gradient,
+#   snapshot_versioned_read, stratified_fixed_n_sample,
+#   stream_debounce, stream_snapshot_append, stream_temporal_join,
+#   table_snapshot_diff, text_inverted_index_roundtrip,
+#   tokenize_bpe_apply, train_split_temporal, ts_autocorrelation,
+#   ts_cusum_changepoints
+#   — then the balance of the r6 class lands back in r16's fill.
 #   (tools/evidence_age.py --plan reproduces this window verbatim.)
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) the 4 r4-overflow rows (r13's named r14 head) ----
-    "ts_mad_outliers",
-    "ts_resample_ohlc",
-    "ts_zscore_outliers",
-    "vocab_build",
-    # ---- (b) changed-code rows ----
-    "http_ingest_nation",
-    "customer_survival_km",
-    "graph_label_propagation",
-    # ---- (c) r14 additions ----
-    "events_group_sequential",
-    "stream_group_sequential",
-    "graph_modularity_score",
-    "sample_weighted_priority",
-    # ---- (d) the entire 35-row r5-stale class (re-confirmations) ----
-    "asof_join_click_purchase",
-    "cms_heavy_hitters",
-    "dedup_cluster_representatives",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_minhash_threshold_sweep",
-    "dedup_ngram_jaccard",
-    "dedup_normalized_exact",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "dedup_winnowing",
-    "doc_boilerplate_detect",
-    "embedding_centroid_shift",
-    "embedding_norm_outliers",
+    # ---- (a) the 2 rows the r14 head named first ----
+    "events_cusum_drift",
+    "stream_cusum_monitor",
+    # ---- (b) changed-code rows: scan-audit remediation + ADVICE ----
+    "text_burrows_delta",
+    "dedup_simhash_recall_audit",
     "embedding_pca_power_iteration",
-    "embedding_recall_curve",
-    "events_ab_lift",
-    "events_markov_transitions",
-    "fuzzy_join_blocked",
-    "join_skew_diagnose",
-    "ngram_novelty_score",
-    "orders_cohort_matrix",
-    "privacy_dp_counts",
-    "privacy_kanonymity_audit",
-    "privacy_kanonymity_joint",
-    "scd2_point_in_time_join",
     "split_leakage_safe",
-    "stream_error_alert",
-    "stream_hopping_agg",
-    "stream_incremental_minhash",
-    "stream_topk_per_window",
-    "table_stats_profile",
-    "text_langid_confusion",
-    "text_zipf_fit",
-    "vocab_coverage_oov",
-    # ---- (e) r6-class fill to the 50-cap (lexicographic) ----
-    "asof_join_nearest",
-    "bootstrap_mean_ci",
-    "bpe_merge_train",
-    "compaction_bin_plan",
+    "dedup_cluster_representatives",
+    "dedup_semantic_clusters",
+    "dedup_clusters",
+    "golden_record_merge",
+    "graph_pagerank_suppliers",
+    "graph_link_prediction",
+    "graph_assortativity",
+    "kmv_distinct_sketch",
+    "dedup_minhash_estimator_calibration",
+    "minhash_containment",
+    "segment_chisquare",
+    "customer_survival_km",
+    "dedup_keep_best",
+    "dedup_semantic_threshold_calibration",
+    "dedup_cluster_ari",
+    "dedup_substring_runs",
+    "multimodal_phash_near_dup",
+    "sample_weighted_priority",
+    "rag_rrf_fusion_eval",
+    "rag_rerank_cross_encoder",
+    "sim_ivf_incremental_upsert",
+    "sim_classifier_agreement_kappa",
+    "sim_spearman_rank_fidelity",
+    "events_funnel_wilson_ci",
+    "bpe_first_merge",
+    "vocab_js_divergence",
+    "text_prf_query_expansion",
+    "ts_mad_outliers",
+    "events_ks_two_sample",
+    "events_funnel",
+    # ---- (c) the r15 addition ----
+    "dedup_lexical_semantic_ari",
+    # ---- (d) r6-class fill to the 50-cap (lexicographic) ----
+    "customer_survival_curve",
+    "dedup_incremental_minhash",
+    "dedup_minhash_pairs",
+    "embedding_jl_projection",
+    "events_bot_detection",
+    "events_debounce",
+    "events_impact_did",
+    "fd_discovery_audit",
+    "feature_target_encode",
+    "feature_trailing_90d",
+    "feature_winsorize",
+    "geo_grid_join",
+    "histogram_equi_depth",
 )
 
 def query(
