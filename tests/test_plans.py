@@ -880,6 +880,9 @@ def test_local_checkpoint_inventory_is_pinned():
       substring gk — the one 2-scan floor, full gram stream NOT
       materialized), PCA dims + iterates, KM customer aggregate, and
       BPE first-merge vocab frames.
+    - r15 addition: dedup_lexical_semantic_ari's contingency cells
+      (one row per (lexical, semantic) label pair; three marginal
+      consumers).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments);
     text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
@@ -897,7 +900,7 @@ def test_local_checkpoint_inventory_is_pinned():
     assert sites == {
         "operators/components.py": 19,
         "operators/curation.py": 15,
-        "operators/dedup.py": 8,
+        "operators/dedup.py": 9,
         "operators/multimodal.py": 1,
         "operators/pipeline.py": 8,
         "operators/similarity.py": 7,
