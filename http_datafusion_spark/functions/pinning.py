@@ -1,0 +1,85 @@
+"""``pin(df)`` — the repo's single frame-materialization primitive.
+
+Every multi-consumer BOUNDED frame in the registry is pinned so its
+plan stops re-deriving the fact scan per consumer (the r14/r15
+scan-audit remediation). Until r16 each site spelled the idiom raw
+(``.localCheckpoint(eager=True)``, 87 call sites); this module
+centralizes it behind one name so (a) the checkpoint-inventory test
+pins a single greppable site, and (b) the CLUSTER story is a config
+switch instead of an 87-site rewrite.
+
+Cluster story (the r15 verdict's structural note): a local checkpoint
+is **executor-local and non-replicated** — it severs lineage, so an
+executor loss kills the job instead of recomputing. Locally (one JVM,
+the test/bench environment) that is free determinism; on a 1000-executor
+cluster you want one of:
+
+- ``spark.http_datafusion.pin.mode=persist`` — replicated, spill-friendly
+  ``MEMORY_AND_DISK_2`` persist. Lineage is KEPT (recoverable: a lost
+  replica recomputes), at the cost of plan-depth growth across
+  iterative loops (the reason localCheckpoint was chosen locally).
+- ``spark.http_datafusion.pin.mode=reliable`` — a reliable
+  ``df.checkpoint()`` into ``spark.http_datafusion.pin.dir`` (HDFS/S3):
+  lineage severed AND replicated by the filesystem; survives executor
+  loss. The right choice for the long iterative contractions
+  (connected components / LPA) at 100k-task scale.
+
+Per-site escape hatches:
+
+- ``storage=`` overrides the storage level in local/persist modes —
+  e.g. ``StorageLevel.DISK_ONLY`` for the biggest LPA round frames,
+  whose eager MEMORY_AND_DISK blocks competed with aggregation memory
+  in one unified pool and OOM'd the sf25 modularity probe below 48 g
+  (BASELINE r15; the r16 fix).
+- ``fact_scale=True`` declares the frame proportional to a FACT table
+  (not a bounded aggregate). Fact-scale frames are never
+  local-checkpointed: unreplicated executor storage of a fact is both
+  a memory cliff and an availability bug (r15 ADVICE on
+  events_ks_two_sample). They get a lineage-recoverable
+  ``MEMORY_AND_DISK`` persist in every mode instead.
+
+Call style: ``df.transform(pin)`` (chain-preserving), or
+``df.transform(pin, storage=...)`` / ``pin(df)`` directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+PIN_MODE_KEY = "spark.http_datafusion.pin.mode"  # local | persist | reliable
+PIN_DIR_KEY = "spark.http_datafusion.pin.dir"  # reliable-mode checkpoint dir
+
+
+def pin(
+    df: DataFrame,
+    *,
+    storage: StorageLevel | None = None,
+    fact_scale: bool = False,
+) -> DataFrame:
+    """Materialize ``df`` once so every downstream consumer reads the
+    stored frame instead of re-deriving its lineage.
+
+    Default (mode ``local``) is an eager ``localCheckpoint`` — identical
+    behavior to the pre-r16 raw idiom, byte-for-byte the same plans
+    (the adoption was verified scan-audit-histogram-identical). See the
+    module docstring for the cluster modes and the per-site knobs.
+    """
+    if fact_scale:
+        # Lineage-recoverable in every mode: a fact-sized frame must
+        # never sit solely in unreplicated executor storage.
+        return df.persist(storage or StorageLevel.MEMORY_AND_DISK)
+    mode = df.sparkSession.conf.get(PIN_MODE_KEY, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=True, storageLevel=storage)
+    if mode == "persist":
+        return df.persist(storage or StorageLevel.MEMORY_AND_DISK_2)
+    if mode == "reliable":
+        spark = df.sparkSession
+        ckdir = spark.conf.get(PIN_DIR_KEY, None)
+        if ckdir:
+            spark.sparkContext.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    raise ValueError(
+        f"{PIN_MODE_KEY}={mode!r}: expected 'local', 'persist', or 'reliable'"
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 
 log = logging.getLogger(__name__)
@@ -94,20 +95,30 @@ def connected_components(
     # materialization; nodes and the contraction both read it.
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     nodes = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
+    # NOTE (r15 ADVICE): this second checkpoint doubles the edge list's
+    # executor-storage footprint back-to-back with e0 (and ARI-style
+    # consumers pay it twice per run). Accepted: e0 must outlive this
+    # frame anyway (the final centers anti-join reads nodes from e0,
+    # including self-loop-only nodes that the u!=v filter drops), and
+    # the contraction loop below replaces `e` each round — so the
+    # overlap is one round's worth of deduped edges, bounded by e0
+    # itself. If storage pressure ever matters, drop THIS checkpoint
+    # (reads of e are already off the materialized e0, one narrow
+    # filter+distinct recompute per first-round consumer).
     e = (
         e0.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     prev = _digest(e)
     for it in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).transform(pin)
         cur = _digest(e)
         if cur == prev:
             log.debug("connected_components converged after %d rounds", it + 1)
@@ -239,7 +250,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= PR_SHINGLE_DF_CAP
     )
-    sh = sh0.join(keep.select("shingle"), "shingle").localCheckpoint(eager=True)
+    sh = sh0.join(keep.select("shingle"), "shingle").transform(pin)
     prs = (
         sh.alias("a")
         .join(
@@ -254,7 +265,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         prs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
         .union(prs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
-        .localCheckpoint(eager=True)  # computed once; reused every iteration
+        .transform(pin)  # computed once; reused every iteration
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     n = edges.select("src").distinct().count()  # scalar: one number, not node state
@@ -355,19 +366,19 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nc = e.agg(F.countDistinct("c").cast("bigint").alias("nc"))
     ns = e.agg(F.countDistinct("s").cast("bigint").alias("ns"))
     degc = (
         e.groupBy("c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     degs = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ds"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     dec = "decimal(28,12)"
 
@@ -493,12 +504,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # degree-cap the wedge generation (see TRI_DEGREE_CAP at the triangle
     # operator): per-customer top-CAP suppliers by global degree bounds the
@@ -509,7 +520,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wcap))
         .filter(F.col("rk") <= TRI_DEGREE_CAP)
         .select("c", "s")
-        .localCheckpoint(eager=True)  # <= CAP x |customers| rows; both join sides
+        .transform(pin)  # <= CAP x |customers| rows; both join sides
     )
     a, b = ecap.alias("a"), ecap.alias("b")
     common = (
@@ -617,7 +628,7 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         comp.join(d, comp["node"] == d["doc_id"])
         .select("component", "doc_id", "lang", "source", "n_chars")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     votes = members.groupBy("component", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
@@ -739,7 +750,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nc"))
         .filter(F.col("nc") >= TRI_MIN_COMMON)
         .select("u", "v")
-        .localCheckpoint(eager=True)  # three join branches reuse it
+        .transform(pin)  # three join branches reuse it
     )
     e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
     e2 = edges.select(F.col("u").alias("w_b"), F.col("v").alias("t_c"))
@@ -842,7 +853,7 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # iterative lineage cut (same pattern as connected components):
         # without it every round re-derives the LSH candidate join and
         # the per-round stats re-derive every earlier round.
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     out = None
     for i in range(1, KCORE_ROUNDS + 1):
@@ -856,7 +867,7 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(weak, edges["u"] == weak["node"], "left_anti")
             .join(weak, edges["v"] == weak["node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         nodes_after = (
             edges.select(F.col("u").alias("node"))
@@ -955,7 +966,7 @@ def _lpa_label_frame(
     # ints/row): every unrolled round joins against it — without the
     # cut each of the 3 rounds re-derives the full shingle->minhash->
     # band lineage (the .explain audit counted 16 document scans).
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(pin)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -1167,7 +1178,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)  # four half-steps reuse the edge set
+        .transform(pin)  # four half-steps reuse the edge set
     )
     dec = "decimal(28,12)"
     ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
@@ -1281,14 +1292,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints on both (LSH-pair-bounded / node-bounded) pin the
     # plan to one candidate-pipeline run (graph_modularity_score
     # pattern, components.py:921).
-    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
     edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
         pairs.select(F.col("doc_b").alias("u"))
     )
     deg = (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ek = (
         pairs.join(deg.select(F.col("u").alias("na"), F.col("d").alias("j")),

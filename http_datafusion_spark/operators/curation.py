@@ -33,6 +33,7 @@ from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted
 from http_datafusion_spark.operators.components import connected_components
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
 from http_datafusion_spark.operators.text import token_count, whitespace_tokens
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -601,7 +602,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it is the sketch input both sketches legitimately share.
     hashed = src_sh.select(
         "source", "shingle", (md5_int(F.col("shingle")) / F.lit(_H_NORM)).alias("h")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     def _sketch(df: DataFrame, part_cols: list[str], label: F.Column | None) -> DataFrame:
         # TWO-PHASE k-min (the mergeability the docstring claims, made
@@ -872,7 +873,7 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
     # before checkpointing (dedup_simhash_recall_audit pattern):
     # value-identical, since sizes beyond candidate docs were only
     # ever dropped by the za/zb joins.
-    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    cand = dedup_minhash_pairs(spark, sf_dir).transform(pin)
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -881,7 +882,7 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
     sh = (
         shingled_docs(spark, sf_dir)
         .join(cdocs, "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -970,7 +971,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         dedup_minhash_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -980,7 +981,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         shingled_docs(spark, sf_dir)
         .join(cdocs, "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1343,7 +1344,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "vec_id", (F.col("j0") + 1).alias("j"), F.col("xf").cast("double").alias("x")
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # u1 = e_1 start vector, read off the checkpointed frame (j == 1 is
     # exactly embedding[1]) instead of a second parquet scan.
@@ -1352,7 +1353,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         dims.join(u1, "vec_id")
         .groupBy("j")
         .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
-        .localCheckpoint(eager=True)  # 64 rows
+        .transform(pin)  # 64 rows
     )
     n1 = s1.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
     v1 = s1.crossJoin(F.broadcast(n1)).select("j", (F.col("s") / F.col("nrm")).alias("v"))
@@ -1360,13 +1361,13 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         dims.join(F.broadcast(v1), "j")
         .groupBy("vec_id")
         .agg(F.sum(q8(F.col("x") * F.col("v"))).cast("double").alias("u"))
-        .localCheckpoint(eager=True)  # one scalar per vector
+        .transform(pin)  # one scalar per vector
     )
     s2 = (
         dims.join(u2, "vec_id")
         .groupBy("j")
         .agg(F.sum(q8(F.col("x") * F.col("u"))).cast("double").alias("s"))
-        .localCheckpoint(eager=True)  # 64 rows; final select + n2 both read it
+        .transform(pin)  # 64 rows; final select + n2 both read it
     )
     n2 = s2.agg(F.sqrt(F.sum(q6(F.col("s") * F.col("s"))).cast("double")).alias("nrm"))
     return s2.crossJoin(F.broadcast(n2)).select(
@@ -1820,7 +1821,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
         .withColumn("rec_s", F.unix_timestamp("last_order").cast("double"))
-        .localCheckpoint(eager=True)  # 3 rank passes + sketches reuse it
+        .transform(pin)  # 3 rank passes + sketches reuse it
     )
     n = per_cust.count()
     a = bucketed_global_rank(per_cust, "rec_s", ["o_custkey"], "rk_r", descending=True)
@@ -1961,7 +1962,7 @@ def orders_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
         .withColumn("rev_d", F.col("rev").cast("double"))
-        .localCheckpoint(eager=True)  # sketch + rank pass reuse it
+        .transform(pin)  # sketch + rank pass reuse it
     )
     totals = per_cust.agg(
         F.count(F.lit(1)).alias("n_cust"),
@@ -2849,7 +2850,7 @@ def segment_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
         # seg x pri cells (~25 rows) feeding four branches; unpinned,
         # each re-derived the orders scan (6x, r14 scan audit).
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     tot = obs.agg(F.sum("o").cast("bigint").alias("t"))
     rowt = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rt"))
@@ -3396,7 +3397,7 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
         .withColumn("rev_d", F.col("rev").cast("double"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ranked = bucketed_global_rank(per_cust, "rev_d", ["o_custkey"], "rk")
     return ranked.agg(
@@ -4889,7 +4890,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     tot = trans.agg(
         F.sum("c").cast("bigint").alias("n"),
@@ -5407,7 +5408,7 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = o.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_o"),
         F.max("o_orderdate").alias("last_o"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     horizon = cust.agg(F.max("last_o").alias("t_end"))
     gap = F.datediff(F.col("t_end"), F.col("last_o"))
     churned = F.when(gap > KM_CENSOR_GAP_DAYS, 1).otherwise(0)

@@ -39,6 +39,7 @@ from http_datafusion_spark.functions.hashing import (
     minhash_perm,
     minhash_perm_sql,
 )
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -564,11 +565,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the dominance check reads (doc_id, n_chars) on both sides;
     # checkpoint the LSH-bounded pairs and the two-column length frame
     # so the final plan scans documents once (the survivor projection).
-    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    lens = d.select("doc_id", "n_chars").localCheckpoint(eager=True)
+    lens = d.select("doc_id", "n_chars").transform(pin)
     da = lens.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("ca"))
     db = lens.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("cb"))
     dominated = (
@@ -1079,7 +1080,7 @@ def _candidate_budget_oracle() -> str:
 def dedup_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
 
-    sig = minhash_signature(spark, sf_dir).localCheckpoint(eager=True)
+    sig = minhash_signature(spark, sf_dir).transform(pin)
 
     def plan(nb: int) -> DataFrame:
         rows_per = N_MINHASH // nb
@@ -1200,7 +1201,7 @@ def dedup_semantic_threshold_calibration(spark: SparkSession, sf_dir: str) -> Da
     pred = (
         embedding_pairs_ivf(spark, sf_dir, e, threshold=CALIB_DEPLOY_T)
         .select("vec_a", "vec_b", F.lit(1).alias("hit"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     truth = embedding_pairs_blocked(spark, e, threshold=CALIB_TRUTH_FLOOR)
     # truth pairs are the near-dup set (sim-bounded, << N^2 rows); pred is
@@ -1310,7 +1311,7 @@ def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.join(truth, "doc_id")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     c2 = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
     rows_a = cont.groupBy("pa").agg(F.sum("n").cast("bigint").alias("na"))
@@ -1447,7 +1448,7 @@ def dedup_lexical_semantic_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = (
         assigned.groupBy("la", "lb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     c2 = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
     rows_a = cont.groupBy("la").agg(F.sum("n").cast("bigint").alias("na"))
@@ -1696,7 +1697,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram before gk can filter) — while materializing only the
     # df-in-[2,cap] grams, never the full gram stream (which is ~5x
     # corpus bytes and would be the wrong trade at 100 TB).
-    gk = grams.join(keyed, "gram").localCheckpoint(eager=True)
+    gk = grams.join(keyed, "gram").transform(pin)
     a = gk.select(
         F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("gram")
     )
@@ -1853,7 +1854,7 @@ def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (totals, shared, scored) — the repartition it replaces only
     # shared an Exchange per execution, and the r14 scan audit showed
     # Catalyst still re-derived the two candidate pipelines 16x.
-    u = u.localCheckpoint(eager=True)
+    u = u.transform(pin)
     totals = u.agg(
         F.sum(F.when(F.col("in_sh"), 1).otherwise(0)).cast("bigint").alias("n_simhash_pairs"),
         F.sum(F.when(F.col("in_mh"), 1).otherwise(0)).cast("bigint").alias("n_minhash_pairs"),
@@ -1887,7 +1888,7 @@ def dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         shingled_docs(spark, sf_dir)
         .join(jdocs, "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

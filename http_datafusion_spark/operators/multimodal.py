@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -777,7 +778,7 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpinned (r14 scan audit) — checkpoint the per-image hash table.
     hashes = d.select("doc_id", "n_chars").mapInPandas(
         batches, schema="img_id bigint, h_hi bigint, h_lo bigint"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     band_vals = F.array(
         F.shiftright(F.col("h_hi"), 16).bitwiseAND(65535),
         F.col("h_hi").bitwiseAND(65535),

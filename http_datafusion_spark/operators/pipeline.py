@@ -37,6 +37,7 @@ from http_datafusion_spark.functions.hashing import (
     salted_hash,
     salted_hash_sql,
 )
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import REGISTRY, query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -1418,7 +1419,7 @@ def sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus pass: the three strategy branches below each aggregate
     # this |sources|-row partial — checkpoint it so the union does not
     # re-derive the token scan 3x (same trade as curriculum_stage_plan)
-    persrc = persrc.localCheckpoint(eager=True)
+    persrc = persrc.transform(pin)
     pad = persrc.agg(
         F.lit("pad_each").alias("strategy"),
         F.sum("ceil_l_s").cast("bigint").alias("n_seqs"),
@@ -2533,9 +2534,15 @@ def rag_chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(lwords)).alias("word")
     )
+    # The query-token frame is bounded (|RAG_QUERY_DOCS| docs' distinct
+    # words) and feeds THREE consumers (whole-doc hits, per-chunk hits,
+    # the qid grid); unpinned, each re-derived the documents scan — the
+    # r15 scan audit's 5x class. Pinned, the plan is at its 2-scan
+    # floor: one whole-doc token pass + one chunk token pass (the two
+    # passes ARE the A/B being evaluated).
     q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
         F.col("doc_id").alias("qid"), "word"
-    )
+    ).transform(pin)
     whole = (
         toks.join(F.broadcast(q), "word")
         .filter(F.col("doc_id") != F.col("qid"))
@@ -2695,7 +2702,7 @@ def curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointing was dropped — this lineage is the expensive part,
     # and the checkpointed relation is doc-level (3 columns), the same
     # trade graph_kcore_rounds makes for its candidate edges.
-    perdoc = perdoc.localCheckpoint(eager=True)
+    perdoc = perdoc.transform(pin)
     n_docs = perdoc.count()
     ranked = bucketed_global_rank(perdoc, "avg_nll", ["doc_id"], "rk")
     staged = ranked.select(
@@ -2974,7 +2981,7 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derived them (6x embeddings scans, r14 scan audit) — eager
     # checkpoints on the bounded rankings pin one scoring pass per
     # signal.
-    lr = lr.localCheckpoint(eager=True)
+    lr = lr.transform(pin)
     emb = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
     qe = base.filter(F.col("vec_id").isin(*RAG_QUERY_DOCS)).select(
@@ -3000,7 +3007,7 @@ def rag_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rs"),
         )
         .filter(F.col("rs") <= RRF_DEPTH)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     fused = (
         lr.join(sr, ["qid", "doc_id"], "full")
@@ -3168,7 +3175,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.count(F.lit(1)).cast("bigint").alias("r"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     tot = rf.agg(
         F.sum("t").cast("bigint").alias("tt"), F.sum("r").cast("bigint").alias("rt")
@@ -3626,7 +3633,7 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern (text_prf_query_expansion).
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(lwords)).alias("word")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     q = toks.filter(F.col("doc_id").isin(*RAG_QUERY_DOCS)).select(
         F.col("doc_id").alias("qid"), "word"
     )
@@ -3671,7 +3678,7 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rs"),
         )
         .filter(F.col("rs") <= RRF_DEPTH)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     fused = lr.join(sr, ["qid", "doc_id"], "full").select(
         "qid",
@@ -3690,7 +3697,7 @@ def rag_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rf"),
         )
         .filter(F.col("rf") <= RERANK_DEPTH)
-        .localCheckpoint(eager=True)  # |Q| x RERANK_DEPTH rows; 3 consumers
+        .transform(pin)  # |Q| x RERANK_DEPTH rows; 3 consumers
     )
     # Corpus-wide integer IDF weights; the reranker only ever reads the
     # weights of tokens appearing in candidate docs, but df must be
@@ -3847,7 +3854,7 @@ def shard_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         h.groupBy("shard", "source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     sh = cell.groupBy("shard").agg(F.sum("c").cast("bigint").alias("nsh"))
     src = cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
@@ -3994,7 +4001,7 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("mn"),
             F.max("o_orderdate").alias("mx"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = parts.groupBy("ci").agg(
         F.count(F.lit(1)).cast("bigint").alias("np"),

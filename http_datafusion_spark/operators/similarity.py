@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.functions.veclib import fold_norms, fold_sqdist
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -1096,7 +1097,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(TOP_K)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a, b = cand.alias("a"), cand.alias("b")
     psim = (
@@ -1374,7 +1375,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="vec_id bigint, label bigint, embedding array<float>, bucket bigint, cosine_raw double",
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .localCheckpoint(eager=True)  # one scoring pass feeds every width
+        .transform(pin)  # one scoring pass feeds every width
     )
     exact = (
         scored.orderBy(F.col("cosine_raw").desc(), "vec_id")
@@ -1719,7 +1720,7 @@ def sim_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = (
         base_e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("emb").alias("qvc"), F.col("nrm").alias("qn"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     cos = _dot(F.col("emb"), F.col("qvc")) / (F.col("nrm") * F.col("qn"))
 
@@ -2005,7 +2006,7 @@ def salted_bucket_groups(
     sizes = (
         asg.groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bsz"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n_sub = F.greatest(F.lit(1), F.ceil(F.col("bsz") / F.lit(row_cap))).cast("int")
     salt = F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).cast("int")
@@ -2523,7 +2524,7 @@ def sim_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFram
     j = (
         kpred.join(cpred, kpred["qid"] == cpred["vec_id"])
         .select("pc", "pk")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     tot = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2646,7 +2647,7 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate branch and the final rank join each re-derived it
         # (8x embeddings scans with proj's two consumers compounding,
         # r14 scan audit) — checkpoint the bounded frame.
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     cand = exact.select("vec_id", "embedding").unionAll(
         # .limit(1): vec_id is unique so this changes nothing, but it
@@ -2677,7 +2678,7 @@ def sim_spearman_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.crossJoin(F.broadcast(dims))
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * sign).cast("decimal(28,6)").alias("y"))
-        .localCheckpoint(eager=True)  # (k+1) x JL_OUT_DIM rows; 2 consumers
+        .transform(pin)  # (k+1) x JL_OUT_DIM rows; 2 consumers
     )
     qproj = proj.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         "j", F.col("y").alias("qy")
@@ -3155,12 +3156,23 @@ def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bits[1:]:
         code = code + b
     coded = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"), code.alias("code"))
+    # Pin the bucket-bounded multi-probe candidate set: its two
+    # consumers (the count and the exact rerank) each re-derived the
+    # full coded projection — 2 of the 5 embeddings scans the r15 scan
+    # audit counted here. The query row comes from the driver-held
+    # vector (vecs already fetched it, memoized) as literals: fold_norms
+    # is the same left-fold as _norm/the oracle, and qn is a constant
+    # scale factor across candidates so the top-k ordering is exact
+    # regardless. Plan after both: ONE full coded pass + the exact
+    # tier's own scans (the truth side of the recall audit).
     cand = coded.filter(
         F.col("code").isin(*probes) & (F.col("vec_id") != QUERY_VEC_ID)
-    )
+    ).transform(pin)
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    qrow = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb").alias("qv"), F.col("nrm").alias("qn")
+    qn = float(fold_norms(qv[None, :])[0])
+    qrow = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in qv]).alias("qv"),
+        F.lit(qn).alias("qn"),
     )
     cos = _dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
     approx = (

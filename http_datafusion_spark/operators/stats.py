@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -893,7 +894,7 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pairs.groupBy("feature_pair", "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)  # <=115 rows; 4 downstream consumers
+    ).transform(pin)  # <=115 rows; 4 downstream consumers
     tot = cells.groupBy("feature_pair").agg(F.sum("c").cast("bigint").alias("n"))
 
     def _ent(df: DataFrame, cnt: str, out: str) -> DataFrame:
@@ -2559,14 +2560,14 @@ def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     c = (
         e.join(v, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     p = (
         e.join(c, "user_id")
@@ -2575,7 +2576,7 @@ def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ncl = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.functions.hashing import md5_int_sql
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -1552,7 +1553,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the bpe_merge_train pattern one function down).
     seqs = vocab.select(
         "word", "wf", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     def pairs_of(df: DataFrame) -> DataFrame:
         arr = df.select("wf", F.split("seq", " ").alias("arr")).filter(F.size("arr") >= 2)
@@ -1567,7 +1568,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return p.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("cnt"))
 
-    pairs = pairs_of(seqs).localCheckpoint(eager=True)  # distinct char-pairs
+    pairs = pairs_of(seqs).transform(pin)  # distinct char-pairs
     top1 = pairs.orderBy(F.desc("cnt"), "pair").limit(1)
     before = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_pairs"),
@@ -1585,7 +1586,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq"),
     )
-    pairs2 = pairs_of(merged).localCheckpoint(eager=True)
+    pairs2 = pairs_of(merged).transform(pin)
     top2 = pairs2.orderBy(F.desc("cnt"), "pair").limit(1)
     after = pairs2.agg(F.sum("cnt").cast("bigint").alias("n_pairs_after"))
     return (
@@ -1656,7 +1657,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seqs = vocab.select(
         "word", "wf", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     def pairs_of(df: DataFrame) -> DataFrame:
         arr = df.select("wf", F.split("seq", " ").alias("arr")).filter(F.size("arr") >= 2)
@@ -1689,7 +1690,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rep,
                 )
             ).alias("seq"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return spark.createDataFrame(
         merges, "step bigint, merge_pair string, pair_count bigint"
     )
@@ -1839,14 +1840,14 @@ def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         toks.groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     corpus = (
         st.groupBy("word")
         .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), "word")
         .limit(JSD_VOCAB)
-        .localCheckpoint(eager=True)  # JSD_VOCAB rows; 3 consumers
+        .transform(pin)  # JSD_VOCAB rows; 3 consumers
     )
     ctot = corpus.agg(F.sum("c").cast("bigint").alias("n"))
     sc = st.join(F.broadcast(corpus.select("word")), "word").select(
@@ -2085,12 +2086,12 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     doclen = (
         tf.groupBy("doc_id")
         .agg(F.sum("tf").cast("bigint").alias("dl"))
-        .localCheckpoint(eager=True)  # one row per doc; 3 consumers
+        .transform(pin)  # one row per doc; 3 consumers
     )
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -2129,7 +2130,7 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1.orderBy(F.desc("score"), "doc_id")
         .limit(PRF_FEEDBACK_DOCS)
         .select("doc_id")
-        .localCheckpoint(eager=True)  # PRF_FEEDBACK_DOCS rows; 2 consumers
+        .transform(pin)  # PRF_FEEDBACK_DOCS rows; 2 consumers
     )
     cand = (
         tf.join(F.broadcast(top1), "doc_id")
@@ -3246,7 +3247,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         toks.groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     top_words = (
         st.groupBy("tok")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -377,7 +378,7 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         e.groupBy("event_type")
         .agg(F.median("value").alias("med"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
@@ -385,7 +386,7 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = (
         dev.groupBy("event_type")
         .agg(F.median("adev").alias("mad"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     scored = dev.join(F.broadcast(mad), "event_type")
     return scored.groupBy("event_type").agg(
@@ -816,9 +817,15 @@ ACF_MAX_LAG = 24  # hourly lags
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # The |hours|-bounded count series feeds FIVE consumers (stats, both
+    # lag-join sides, the denominator, the final agg); unpinned, each
+    # re-derived the events scan (the r15 scan audit's 5x class). One
+    # rollup shuffle, everything after runs on the pinned hours-grain
+    # table.
     hourly = (
         e.groupBy(F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("slot"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(pin)
     )
     stats = hourly.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
@@ -1480,12 +1487,15 @@ CCF_MAX_LAG = 6
 )
 def events_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # Same 5x fix as ts_autocorrelation: the hours-bounded two-series
+    # table feeds stats, both lag-join sides, and the denominator —
+    # pin it so the plan scans events once (r15 scan audit, 5x class).
     hourly = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("slot")
     ).agg(
         F.sum((F.col("event_type") == "view").cast("int")).cast("bigint").alias("x"),
         F.sum((F.col("event_type") == "error").cast("int")).cast("bigint").alias("y"),
-    )
+    ).transform(pin)
     stats = hourly.agg(
         F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("mx"),
         F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("my"),
@@ -1651,13 +1661,16 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The two-column sample frame feeds the range pre-pass AND the
     # binning pass, and the 256-row bin table feeds the cumulative and
     # total branches; unpinned, the re-derivations compounded to 6
-    # events scans (r14 scan audit). Checkpointing the (value, ga)
-    # projection pins ONE pushed-down events scan; the two passes the
-    # equi-width grid inherently needs run over the checkpoint.
+    # events scans (r14 scan audit). This frame is FACT-SCALE (every
+    # row of two event types), so it is pinned fact_scale — a
+    # lineage-recoverable MEMORY_AND_DISK persist, never an
+    # unreplicated executor-local checkpoint (r15 ADVICE: an executor
+    # loss must recompute the sample, not kill the job). The two
+    # passes the equi-width grid inherently needs run over the persist.
     s = (
         e.filter(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B))
         .select("value", (F.col("event_type") == KS_GROUP_A).cast("int").alias("ga"))
-        .localCheckpoint(eager=True)
+        .transform(pin, fact_scale=True)
     )
     rng = s.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = (
@@ -1682,7 +1695,7 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ga")).cast("bigint").alias("ca"),
             F.sum(F.lit(1) - F.col("ga")).cast("bigint").alias("cb"),
         )
-        .localCheckpoint(eager=True)  # <= KS_BINS rows; 2 consumers
+        .transform(pin)  # <= KS_BINS rows; 2 consumers
     )
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
     cum = binned.select(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -285,7 +286,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -293,7 +294,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -301,7 +302,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     depth = (
         F.when(F.col("t_purchase").isNotNull(), 3)

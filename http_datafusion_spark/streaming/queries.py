@@ -27,6 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import _ensure_session_confs
 
@@ -616,7 +617,7 @@ def stream_incremental_minhash(
         sess = batch.sparkSession
         new_bands = banded_signature(
             minhash_signature_of(batch.filter(F.col("doc_id") % 2 == 1))
-        ).localCheckpoint(eager=True)  # cut the lineage: probe + append re-use it
+        ).transform(pin)  # cut the lineage: probe + append re-use it
         store_before = sess.read.parquet(store_path).count() if audit_out is not None else None
         store_base = sess.read.parquet(store_path).filter(F.col("origin") == "base")
         probe_band_store(new_bands, store_base).write.mode("append").parquet(matches_path)
@@ -652,7 +653,7 @@ def stream_incremental_minhash(
         q.awaitTermination(30)
     # materialize the result, then reclaim the run-scoped scratch dirs —
     # repeated gate/test runs must not grow /tmp unboundedly
-    out = spark.read.parquet(matches_path).localCheckpoint(eager=True)
+    out = spark.read.parquet(matches_path).transform(pin)
     for d in (store_path, matches_path, ckpt_path):
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -874,9 +875,7 @@ def stream_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("bigint").alias("char_checksum"),
             )
         )
-    result = functools.reduce(lambda a, b: a.unionByName(b), outs).localCheckpoint(
-        eager=True
-    )
+    result = functools.reduce(lambda a, b: a.unionByName(b), outs).transform(pin)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
@@ -1078,7 +1077,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("keep").cast("int")) * 1.0 / F.count(F.lit(1)), 6
             ).alias("keep_rate"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     shutil.rmtree(out_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

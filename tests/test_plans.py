@@ -813,9 +813,17 @@ def test_r8_operators_plan_invariants(spark, sf_dir):
 
 
 def test_local_checkpoint_inventory_is_pinned():
-    """Grep-able invariant (VERDICT r7 task 5): every localCheckpoint is
+    """Grep-able invariant (VERDICT r7 task 5): every pinned frame is
     a deliberate, documented reuse materialization — no new fact-scale
     eager materialization can appear without updating this inventory.
+
+    Since r16 the idiom is centralized (VERDICT r15 task 5): every site
+    calls ``functions/pinning.py::pin`` (``.transform(pin)``), which is
+    byte-identical to the old raw ``.localCheckpoint(eager=True)`` in
+    its default mode (adoption verified scan-audit-histogram-identical)
+    but carries the cluster story — replicated persist / reliable
+    checkpoint dir by config — in ONE place. Raw ``localCheckpoint``
+    calls outside pinning.py are banned outright (asserted below).
 
     Audit of the pinned sites (what each checkpoints and why it is
     bounded or a sound trade):
@@ -883,6 +891,17 @@ def test_local_checkpoint_inventory_is_pinned():
     - r15 addition: dedup_lexical_semantic_ari's contingency cells
       (one row per (lexical, semantic) label pair; three marginal
       consumers).
+    - r16 5x-scan-class triage (VERDICT r15 task 3, all four members):
+      ts_autocorrelation / events_crosscorrelation pin the
+      |hours|-bounded count series (five consumers each);
+      rag_chunk_retrieval_eval pins the query-token frame
+      (|RAG_QUERY_DOCS| docs' distinct words, three consumers);
+      sim_srp_lsh_recall pins the bucket-bounded multi-probe candidate
+      set (count + rerank consumers) and takes its query row from the
+      driver-held memoized vector. events_ks_two_sample's (value, ga)
+      sample frame is the one FACT-SCALE pin — fact_scale=True, a
+      lineage-recoverable persist, never an executor-local checkpoint
+      (r15 ADVICE).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments);
     text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
@@ -893,23 +912,39 @@ def test_local_checkpoint_inventory_is_pinned():
 
     pkg = pathlib.Path(__file__).parent.parent / "http_datafusion_spark"
     sites: dict[str, int] = {}
+    raw: dict[str, int] = {}
     for f in sorted(pkg.rglob("*.py")):
-        n = len(_re.findall(r"\.localCheckpoint\(eager=True\)", f.read_text()))
-        if n:
-            sites[str(f.relative_to(pkg))] = n
+        rel = str(f.relative_to(pkg))
+        text = f.read_text()
+        n = len(_re.findall(r"\.transform\(pin[,)]|(?<![\w.])pin\(", text))
+        if n and rel != "functions/pinning.py":
+            sites[rel] = n
+        if rel != "functions/pinning.py":
+            r = len(_re.findall(r"\.localCheckpoint\(", text))
+            if r:
+                raw[rel] = r
+    assert raw == {}, (
+        "raw .localCheckpoint() call outside functions/pinning.py — use "
+        f"pin() (df.transform(pin)) so the cluster story stays central: {raw}"
+    )
+    # pipeline.py gained 2 vs the r15 raw-call inventory: two pre-r15
+    # sites spelled the idiom `.localCheckpoint()` (bare, eager by
+    # default) and were invisible to the old eager=True grep; the
+    # mechanical r16 adoption normalized them. streaming/queries.py
+    # gained 1 the same way (a multiline call).
     assert sites == {
         "operators/components.py": 19,
         "operators/curation.py": 15,
         "operators/dedup.py": 9,
         "operators/multimodal.py": 1,
-        "operators/pipeline.py": 8,
-        "operators/similarity.py": 7,
+        "operators/pipeline.py": 11,
+        "operators/similarity.py": 8,
         "operators/stats.py": 4,
         "operators/text.py": 11,
-        "operators/timeseries.py": 4,
+        "operators/timeseries.py": 6,
         "plans/events.py": 3,
-        "streaming/queries.py": 3,
-    }, f"localCheckpoint inventory drifted — audit the new/removed site: {sites}"
+        "streaming/queries.py": 4,
+    }, f"pin() inventory drifted — audit the new/removed site: {sites}"
 
 
 def test_bucketed_global_rank_guards_empty_input(spark):

@@ -1,7 +1,8 @@
 """Evidence-age report for the driver-correctness rotation.
 
-The registry (429 rows after the four r14 additions; the report
-derives the live count from the artifacts it parses) outgrew the driver's ~50-row
+The registry (the report derives the live row count from the
+artifacts it parses — one canonical number per run, never hardcoded
+here) outgrew the driver's ~50-row
 correctness window around r10, so every row's driver evidence ages
 until its re-confirmation slot comes around. This tool makes that
 debt VISIBLE and POLICED (r11 verdict task 3, option b — the

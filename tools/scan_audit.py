@@ -42,9 +42,11 @@ _FACTS = (
 )
 
 
-def scan_counts(df) -> tuple[Counter, int]:
+def scan_counts(df) -> tuple[Counter, int, int]:
     """Per-parquet-file count of scan nodes in the formatted plan, plus
-    the count of checkpoint/RDD leaves (``Scan ExistingRDD``).
+    the count of checkpoint/RDD leaves (``Scan ExistingRDD``), plus the
+    count of non-fact/other leaves (LocalTableScan, OneRowRelation,
+    Range, non-fact parquet such as temp/stream sink reads).
 
     The second number closes the r14 blind spot: a localCheckpoint (or
     memory sink) severs the parquet lineage, so a remediated plan would
