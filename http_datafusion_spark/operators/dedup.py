@@ -714,6 +714,107 @@ def _multi_probe_assign_fn(cids: list[int], C, n_probe: int):
     return fn
 
 
+IVF_SUBBLOCKS = 8  # within-bucket block grid for the tile verification
+_TILE_ROW_CHUNK = 1024  # A-side rows scored per kernel call (memory bound)
+
+
+def _ivf_tile_assign_fn(cids: list[int], C, n_probe: int, nb: int):
+    """mapInPandas fn for the tile verification path: each vector is
+    replicated to (its ``n_probe`` nearest centroids) x (the ``nb``
+    within-bucket block tasks its hash block participates in), carrying
+    its embedding, so the downstream groupBy((bucket, bi, bj)) shuffles
+    once and every tile task holds exactly the two sub-blocks it
+    scores. Assignment parity with the SQL oracle is unchanged from
+    :func:`_multi_probe_assign_fn` (fold-exact squared-L2, stable
+    argsort ties to smallest cid = ``ORDER BY d2, cid``)."""
+    import numpy as np
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import fold_sqdist, stack_embeddings
+
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    # block b participates in tasks (min(b, j), max(b, j)) for j in 0..nb-1
+    task_bi = np.array([[min(b, j) for j in range(nb)] for b in range(nb)], dtype=np.int32)
+    task_bj = np.array([[max(b, j) for j in range(nb)] for b in range(nb)], dtype=np.int32)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = stack_embeddings(pdf["embedding"])
+            d2 = fold_sqdist(M, C)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]  # (n, p)
+            n, p = order.shape
+            vids = pdf["vec_id"].to_numpy()
+            blks = (vids % nb).astype(np.int32)
+            # output ordering: vector-major, probe-next, task-minor
+            yield pd.DataFrame(
+                {
+                    "bucket": np.repeat(cid_arr[order].ravel(), nb),
+                    "bi": task_bi[blks].repeat(p, axis=0).ravel(),
+                    "bj": task_bj[blks].repeat(p, axis=0).ravel(),
+                    "vec_id": np.repeat(vids, p * nb),
+                    "blk": np.repeat(blks, p * nb),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), p * nb),
+                }
+            )
+
+    return fn
+
+
+def _ivf_bucket_tile_fn(threshold: float):
+    """applyInPandas fn: score one (bucket, block_i, block_j) tile with
+    the fold-exact numpy kernel; emit pairs above ``threshold`` (the
+    UNROUNDED comparison, like the oracle), cosine rounded to 4dp.
+    A-side rows are processed in ``_TILE_ROW_CHUNK`` chunks so task
+    memory is O(chunk x |B-side|) at any bucket size."""
+    import numpy as np
+    import pandas as pd
+
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms, stack_embeddings
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def tile(key, pdf):
+        _bucket, bi, bj = (int(k) for k in key)
+        a = pdf[pdf["blk"] == bi]
+        b = pdf if bi == bj else pdf[pdf["blk"] == bj]
+        if not len(a) or not len(b):
+            return empty
+        MB = stack_embeddings(b["embedding"])
+        nrm_b = fold_norms(MB)
+        ids_b = b["vec_id"].to_numpy()
+        outs = []
+        ids_a_all = a["vec_id"].to_numpy()
+        for c0 in range(0, len(a), _TILE_ROW_CHUNK):
+            ac = a.iloc[c0 : c0 + _TILE_ROW_CHUNK]
+            MA = stack_embeddings(ac["embedding"])
+            cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), nrm_b)
+            ids_a = ids_a_all[c0 : c0 + _TILE_ROW_CHUNK]
+            mask = cos > threshold
+            # same-block tile: strict upper triangle; cross-block tiles
+            # see each (x, y) exactly once (blk(x)=bi, blk(y)=bj), so
+            # only self-pairs need excluding before orienting a < b.
+            mask &= ids_a[:, None] < ids_b[None, :] if bi == bj else ids_a[:, None] != ids_b[None, :]
+            ia, ib = np.nonzero(mask)
+            if not len(ia):
+                continue
+            va, vb = ids_a[ia], ids_b[ib]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            outs.append(
+                pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": np.round(cos[ia, ib], 4)})
+            )
+        return pd.concat(outs) if outs else empty
+
+    return tile
+
+
 def embedding_pairs_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -725,67 +826,58 @@ def embedding_pairs_ivf(
 
     Stage 1 (candidates): every vector is assigned to its ``n_probe``
     nearest of the K fixed IVF centroids (operators/similarity.py) in
-    one shuffle-free Arrow pass; candidate pairs are a self-equi-join
-    on the bucket id — the same banded-bucket shape as MinHash-LSH, so
-    the shuffle is bounded by bucket sizes, never N^2. Stage 2
-    (verification): ONLY candidate pairs are hydrated (two vec_id
-    joins) and scored with the exact JVM fold-cosine; pairs above
-    ``threshold`` survive. Compute is O(sum_b n_b^2) not O(N^2), and
-    per-task memory is one join partition.
+    one shuffle-free Arrow pass. Stage 2 (verification, REWRITTEN r16):
+    within-bucket pairs are scored by the fold-exact numpy tile kernel
+    (functions/veclib.py) — each bucket's members are hash-split into
+    ``IVF_SUBBLOCKS`` sub-blocks and every (bucket, bi, bj) tile is an
+    independent ``applyInPandas`` task, so per-task memory is
+    O(chunk x sub-block) at any bucket size and parallelism is
+    K x nb(nb+1)/2 tasks, not K. The r15 shape hydrated candidate
+    PAIRS through two vec_id joins and scored them with the
+    interpreted JVM fold (~17-20x slower than the vectorized kernel,
+    BASELINE.md) — measured 363 s at sf1 for this function's main
+    consumer vs ~12 s after the rewrite, IDENTICAL output (same
+    candidate set, same left-fold accumulation, same 4dp rounding; the
+    SQL oracle is untouched).
 
-    Recall is governed by ``n_probe`` and the threshold: near-dup
-    thresholds (>= 0.9) land pairs in shared buckets with high
-    probability; at permissive thresholds close to the corpus noise
-    floor (this registry row's 0.4 on synthetic data whose non-dup
-    pairs reach 0.35) no bucketing scheme separates signal from noise,
-    so the gate IS the declared semantics — the oracle mirrors the
-    same deterministic probe assignment, and the exact tier
+    Why the quantizer stays at K fixed centroids rather than a
+    scale-adaptive sample-trained k-means (the r15 verdict's
+    hypothesis, investigated and MEASURED r16, BASELINE.md): every
+    true pair of this corpus lies at cosine 0.40-0.51 — the noise
+    floor — so recall collapses under any sub-cluster partitioning
+    (K=sqrt(N) hash-seeded: 0.76; 5-iter Lloyd-trained: 0.88; both
+    below the 0.9 gate), and widening n_probe to compensate costs more
+    candidates than all-pairs. At production near-dup thresholds
+    (>= 0.9, tight pairs) the same plan with larger K IS sub-quadratic;
+    at this row's declared 0.4 the within-cluster quadratic is the
+    data's own bound, and the tile kernel makes its constant the
+    vectorized-flops floor. The oracle mirrors the same deterministic
+    probe assignment, and the exact tier
     (:func:`dedup_embedding_cosine_exact`) remains the verification
-    path. Measured at sf0.01: 115k candidate pairs vs 125k all-pairs
-    scored exact-tier; the gated row returns 47 of the 59 exact pairs
-    (recall 0.80 at n_probe=2, 0.95 at 3 — hence the default of 3,
+    path. Recall measured at sf0.01: 0.95+ at n_probe=3 (the default,
     gated by a recall >= 0.9 test against the exact tier).
     """
     import numpy as np
 
     from http_datafusion_spark.operators.similarity import (
         CENTROID_VEC_IDS,
-        _dot,
         _fetch_vectors,
-        _norm,
     )
 
     cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
     cids = sorted(cents)
     C = np.stack([cents[c] for c in cids])
-    assign = e.select("vec_id", "embedding").mapInPandas(
-        _multi_probe_assign_fn(cids, C, n_probe), schema="vec_id bigint, bucket bigint"
+    nb = IVF_SUBBLOCKS
+    grid = e.select("vec_id", "embedding").mapInPandas(
+        _ivf_tile_assign_fn(cids, C, n_probe, nb),
+        schema="bucket bigint, bi int, bj int, vec_id bigint, blk int, embedding array<float>",
     )
-    cand = (
-        assign.alias("x")
-        .join(
-            assign.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
+    pairs = grid.groupBy("bucket", "bi", "bj").applyInPandas(
+        _ivf_bucket_tile_fn(threshold), schema="vec_a bigint, vec_b bigint, cosine double"
     )
-    emb = F.col("embedding").cast("array<double>")
-    base = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"))
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") > threshold)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    # a pair can surface from up to n_probe shared buckets with the
+    # identical fold-exact cosine — distinct collapses the duplicates
+    return pairs.distinct()
 
 
 N_VEC_BLOCKS = 8

@@ -1605,10 +1605,16 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (source, bin) keys — nothing scales with row count."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     b = d.select("source", F.floor(F.col("n_chars") / PSI_BIN_W).cast("bigint").alias("bin"))
-    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # (source, bin)-bounded cell table: pin it and derive BOTH marginals
+    # AND the grand total from the cells instead of re-scanning the
+    # corpus per consumer (4 documents scans, r16 4x-class triage) —
+    # the plan is one corpus pass.
+    sb = b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(pin)
     st = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
     qb = sb.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cb"))
-    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    n = sb.agg(F.sum("c").cast("bigint").alias("total"))
     p = F.col("c") * 1.0 / F.col("ns")
     q = F.col("cb") * 1.0 / F.col("total")
     term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")

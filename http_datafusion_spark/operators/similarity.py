@@ -829,6 +829,9 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = F.broadcast(
         e.sparkSession.range(1, 65).select(F.col("id").cast("int").alias("dim"))
     )
+    # |labels| x 64-dim bounded centroid table feeds THREE consumers
+    # (norms + both dot-join sides); unpinned, each re-derived the
+    # embeddings scan (r16 4x-class triage) — pin it: one corpus pass.
     cent = (
         e.crossJoin(dims)
         .select(
@@ -840,6 +843,7 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg((F.sum("v6").cast("double") / F.count(F.lit(1))).alias("cval"))
+        .transform(pin)
     )
     norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nrm"))
     a, b = cent.alias("a"), cent.alias("b")

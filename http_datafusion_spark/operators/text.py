@@ -2398,7 +2398,13 @@ LANG_SKEW_JSD_GATE = 0.02  # nats; flag sources whose language mix diverges
 )
 def corpus_language_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # |sources| x |langs|-bounded cell table feeds FOUR consumers (both
+    # marginals, the total, and the grid join); unpinned, each
+    # re-derived the documents scan (r16 4x-class triage) — pin it so
+    # the plan is one corpus pass.
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).transform(pin)
     s = sl.groupBy("source").agg(F.sum("n").alias("ns"))
     g = sl.groupBy("lang").agg(F.sum("n").alias("ng"))
     tot = sl.agg(F.sum("n").alias("nt"))

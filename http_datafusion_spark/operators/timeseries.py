@@ -1571,9 +1571,13 @@ def events_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
+    # months-bounded revenue series feeds FOUR consumers (both slope
+    # self-join sides, the month count, the residual pass); unpinned,
+    # each re-derived the orders scan (r16 4x-class triage) — the
+    # ts_autocorrelation pattern verbatim.
     monthly = o.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("midx")
-    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("rev"))
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("rev")).transform(pin)
     a, b = monthly.alias("a"), monthly.alias("b")
     slopes = a.join(b, F.col("a.midx") < F.col("b.midx")).select(
         ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.midx") - F.col("a.midx"))).alias("s")

@@ -55,117 +55,134 @@ REGISTRY: dict[str, QuerySpec] = {}
 # already driver-verified in a previous round and unchanged since sit
 # in the tail (they stay covered by the local sf0.001+sf0.01 parity
 # sweep, tests/test_oracle_parity.py).
-# Round-15 rotation (per the r14 verdict's task 3, the named r15 head):
-#   "FIRST any row whose code or oracle changed during r14 after the
-#   window froze — events_cusum_drift + stream_cusum_monitor — then
-#   r15 additions (throttled), then the remaining 41 rows of the r6
-#   class in lexicographic order." Composed mechanically by
-#   tools/evidence_age.py --plan with that head. The r15 changed-code
-#   set is far larger than the two named rows because the round's main
-#   work was the scan-audit remediation (r14 verdict What's-wrong #2 /
-#   task 2): 34 queries had their plans repinned with eager
-#   checkpoints of bounded shared frames so multi-consumer lineages
-#   stop re-deriving fact scans — every one of them is changed-code
-#   and enters this window by the mechanical rule, squeezing the r6
-#   re-confirmation fill to 13 slots.
+# Round-16 rotation (per the r15 verdict's task 2, the named r16 head):
+#   "FIRST any row whose code or oracle changes during r15 after this
+#   window freezes, then r16 additions (throttled), then the 24-row
+#   named r6-class overflow in lexicographic order, then the balance
+#   of the r6 class lands back in r16's fill." Composed mechanically by
+#   tools/evidence_age.py --plan with that head.
 #   Window composition (exactly 50):
-#   (a) the 2 rows the r14 head named FIRST: events_cusum_drift +
-#       stream_cusum_monitor (cusum_from_daily's params branch became
-#       unbounded windows in r14 commit c749f9b — one fact scan
-#       instead of two; oracle untouched).
-#   (b) 34 changed-code rows, scan-audit remediation + ADVICE fixes:
-#       the >=6x re-derivation tail pinned via eager checkpoints of
-#       bounded frames (token/tf/shingle index tables, LSH candidate
-#       lists, graph edge/degree frames, k-bounded rankings, per-type
-#       scalar tables, PCA iterates); split_leakage_safe,
-#       dedup_cluster_representatives, dedup_semantic_clusters,
-#       dedup_clusters and golden_record_merge enter via the shared
-#       connected_components e0-checkpoint fix; customer_survival_km
-#       folds the corpus horizon off the customer aggregate (1x orders
-#       scan, r14 verdict Next #6); sample_weighted_priority keeps
-#       n <= k populations whole with tau = 0 (r14 ADVICE).
-#   (c) the 1 r15 ADDITION (throttled: the remediation consumed the
-#       window): dedup_lexical_semantic_ari (Hubert-Arabie ARI between
-#       the lexical MinHash-LSH partition and the semantic IVF-cosine
-#       partition — the ship/no-ship readout for layering semantic
-#       dedup on top of lexical), locally oracle-exact at
-#       sf0.001 + sf0.01.
-#   (d) the first 13 rows of the remaining 37-row r6 class,
-#       lexicographic (customer_survival_curve .. histogram_equi_depth).
-#   R16 HEAD (named now, per rotation discipline): FIRST any row whose
-#   code or oracle changes during r15 after this window freezes, then
-#   r16 additions (throttled), then the 24-row named r6-class
-#   overflow in lexicographic order:
-#   incremental_agg_merge, join_size_preflight, multimodal_blob_dedup,
-#   multimodal_resize_audit, order_fulfillment_latency,
-#   orders_backlog_timeseries, orders_benford_audit,
-#   orders_gini_coefficient, orders_pareto_analysis,
-#   orders_rfm_segmentation, orders_seasonal_backtest,
-#   privacy_pseudonymize_release, quality_model_gradient,
-#   snapshot_versioned_read, stratified_fixed_n_sample,
-#   stream_debounce, stream_snapshot_append, stream_temporal_join,
-#   table_snapshot_diff, text_inverted_index_roundtrip,
-#   tokenize_bpe_apply, train_split_temporal, ts_autocorrelation,
-#   ts_cusum_changepoints
-#   — then the balance of the r6 class lands back in r16's fill.
+#   (a) 13 changed-code rows (every r16 semantic code change, nothing
+#       else changed):
+#       - dedup_embedding_cosine, dedup_semantic_threshold_calibration,
+#         dedup_semantic_clusters, dedup_lexical_semantic_ari: the IVF
+#         verification-tier rewrite (r15 verdict task 1) — candidates
+#         are scored by the fold-exact numpy tile kernel over
+#         (bucket, sub-block, sub-block) applyInPandas tasks instead of
+#         pair-hydration joins + the interpreted JVM fold. ORACLES
+#         UNTOUCHED; output bit-identical (same candidate set, same
+#         left-fold, same rounding); 363.5 -> 25.6 s cold at sf1 for
+#         dedup_embedding_cosine (BASELINE r16). The r15-verdict
+#         hypothesis (sample-trained scale-adaptive quantizer) was
+#         investigated and measured-refuted: all true pairs of this
+#         corpus live at cosine 0.40-0.51 (the noise floor), so any
+#         sub-cluster K breaks the 0.9 recall gate (K=sqrt(N) seeded
+#         0.76, Lloyd-trained 0.88) — see embedding_pairs_ivf's
+#         docstring and the BASELINE r16 study table.
+#       - ts_autocorrelation (ALSO in the named r6 overflow — one slot
+#         covers both roles), events_crosscorrelation,
+#         rag_chunk_retrieval_eval, sim_srp_lsh_recall: the 5x
+#         scan-class triage (r15 verdict task 3) — bounded shared
+#         frames pinned; 5x -> 0-2 fact scans per plan.
+#       - events_ks_two_sample: the fact-scale sample frame moved to a
+#         lineage-recoverable persist (pin(fact_scale=True), r15
+#         ADVICE).
+#       - corpus_language_skew_audit, embedding_centroid_shift,
+#         orders_theil_sen_trend, quality_drift_psi: the four crispest
+#         4x-scan-class fixes (bounded cell/series tables pinned; 4x ->
+#         one fact pass each) — the rest of the 4x class carries
+#         dispositions in BASELINE r16, per the verdict's record-don't-
+#         blanket-fix rule.
+#       NOT window-triggering (mechanical, value-preserving, verified
+#       scan-audit-histogram-identical): the r16 pin() refactor that
+#       replaced all 87 raw localCheckpoint sites (the r15 verdict's
+#       own task-5 done-criterion is "no plan change") and the
+#       DISK_ONLY storage level on the largest CC/LPA round pins (a
+#       storage knob, not a plan/value change; its consumers
+#       dedup_semantic_clusters + dedup_lexical_semantic_ari sit in
+#       this window as live representatives of the changed loop).
+#   (b) r16 ADDITIONS: none — zero additions this round so the r6
+#       evidence class drains completely (the r15 verdict's task-2
+#       "the r6 class empties" done-criterion).
+#   (c) the 23 remaining rows of the named 24-row r6 overflow,
+#       lexicographic (incremental_agg_merge .. ts_cusum_changepoints;
+#       ts_autocorrelation already satisfied in (a)). After this
+#       window the r6 class is EMPTY.
+#   (d) 14 rows of r7-class fill, lexicographic
+#       (attribution_models_compare .. events_transition_coverage;
+#       events_crosscorrelation already satisfied in (a)).
+#   R17 HEAD (named now, per rotation discipline): FIRST any row whose
+#   code or oracle changes during r16 after this window freezes, then
+#   r17 additions (throttle can relax — the oldest class is r7 and
+#   shrinking), then the 23-row r7-class overflow in lexicographic
+#   order:
+#   ngram_pmi_bigrams, orders_duplicate_invoice_detect,
+#   orders_littles_law_check, orders_market_basket, orders_price_index,
+#   orders_seasonality_decompose, part_price_dispersion, parts_abc_xyz,
+#   privacy_ldiversity_audit, quality_model_score, revenue_bridge_pvm,
+#   sim_ivf_nprobe_sweep, sim_mmr_rerank, stream_quality_gate,
+#   supplier_concentration_hhi, text_bigram_logprob, text_burstiness,
+#   text_heaps_law_fit, text_heldout_perplexity, text_stopword_induction,
+#   text_tfidf_topterm, text_unigram_logprob, weighted_median_price
+#   — then r8-class fill.
 #   (tools/evidence_age.py --plan reproduces this window verbatim.)
 # test_driver_contract.py asserts 40 <= len(PRIORITY) <= 50 — window
 # occupancy is load-bearing.
 PRIORITY: tuple[str, ...] = (
-    # ---- (a) the 2 rows the r14 head named first ----
-    "events_cusum_drift",
-    "stream_cusum_monitor",
-    # ---- (b) changed-code rows: scan-audit remediation + ADVICE ----
-    "text_burrows_delta",
-    "dedup_simhash_recall_audit",
-    "embedding_pca_power_iteration",
-    "split_leakage_safe",
-    "dedup_cluster_representatives",
-    "dedup_semantic_clusters",
-    "dedup_clusters",
-    "golden_record_merge",
-    "graph_pagerank_suppliers",
-    "graph_link_prediction",
-    "graph_assortativity",
-    "kmv_distinct_sketch",
-    "dedup_minhash_estimator_calibration",
-    "minhash_containment",
-    "segment_chisquare",
-    "customer_survival_km",
-    "dedup_keep_best",
+    # ---- (a) changed-code rows ----
+    "dedup_embedding_cosine",
     "dedup_semantic_threshold_calibration",
-    "dedup_cluster_ari",
-    "dedup_substring_runs",
-    "multimodal_phash_near_dup",
-    "sample_weighted_priority",
-    "rag_rrf_fusion_eval",
-    "rag_rerank_cross_encoder",
-    "sim_ivf_incremental_upsert",
-    "sim_classifier_agreement_kappa",
-    "sim_spearman_rank_fidelity",
-    "events_funnel_wilson_ci",
-    "bpe_first_merge",
-    "vocab_js_divergence",
-    "text_prf_query_expansion",
-    "ts_mad_outliers",
-    "events_ks_two_sample",
-    "events_funnel",
-    # ---- (c) the r15 addition ----
+    "dedup_semantic_clusters",
     "dedup_lexical_semantic_ari",
-    # ---- (d) r6-class fill to the 50-cap (lexicographic) ----
-    "customer_survival_curve",
-    "dedup_incremental_minhash",
-    "dedup_minhash_pairs",
-    "embedding_jl_projection",
-    "events_bot_detection",
-    "events_debounce",
-    "events_impact_did",
-    "fd_discovery_audit",
-    "feature_target_encode",
-    "feature_trailing_90d",
-    "feature_winsorize",
-    "geo_grid_join",
-    "histogram_equi_depth",
+    "ts_autocorrelation",
+    "events_crosscorrelation",
+    "rag_chunk_retrieval_eval",
+    "sim_srp_lsh_recall",
+    "events_ks_two_sample",
+    "corpus_language_skew_audit",
+    "embedding_centroid_shift",
+    "orders_theil_sen_trend",
+    "quality_drift_psi",
+    # ---- (b) r16 additions: none ----
+    # ---- (c) the named r6-class overflow (lexicographic) ----
+    "incremental_agg_merge",
+    "join_size_preflight",
+    "multimodal_blob_dedup",
+    "multimodal_resize_audit",
+    "order_fulfillment_latency",
+    "orders_backlog_timeseries",
+    "orders_benford_audit",
+    "orders_gini_coefficient",
+    "orders_pareto_analysis",
+    "orders_rfm_segmentation",
+    "orders_seasonal_backtest",
+    "privacy_pseudonymize_release",
+    "quality_model_gradient",
+    "snapshot_versioned_read",
+    "stratified_fixed_n_sample",
+    "stream_debounce",
+    "stream_snapshot_append",
+    "stream_temporal_join",
+    "table_snapshot_diff",
+    "text_inverted_index_roundtrip",
+    "tokenize_bpe_apply",
+    "train_split_temporal",
+    "ts_cusum_changepoints",
+    # ---- (d) r7-class fill (lexicographic) ----
+    "attribution_models_compare",
+    "attribution_window_sweep",
+    "customer_order_regularity",
+    "decontaminate_threshold_sweep",
+    "dedup_candidate_budget",
+    "dedup_cross_source_matrix",
+    "deletion_propagate",
+    "discount_elasticity",
+    "events_arrival_dispersion",
+    "events_concurrency_histogram",
+    "events_dau_wau",
+    "events_error_budget_burn",
+    "events_path_3gram",
+    "events_transition_coverage",
 )
 
 def query(

@@ -902,6 +902,13 @@ def test_local_checkpoint_inventory_is_pinned():
       sample frame is the one FACT-SCALE pin — fact_scale=True, a
       lineage-recoverable persist, never an executor-local checkpoint
       (r15 ADVICE).
+    - r16 4x-scan-class fixes (the four crispest bounded-frame cases;
+      the rest of the class carries dispositions in BASELINE r16):
+      corpus_language_skew_audit's |sources|x|langs| cells,
+      embedding_centroid_shift's |labels|x64 centroid table,
+      orders_theil_sen_trend's months-bounded revenue series,
+      quality_drift_psi's (source, bin) cells (total now derived from
+      the cells, not a fourth corpus pass).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments);
     text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
@@ -915,7 +922,10 @@ def test_local_checkpoint_inventory_is_pinned():
     raw: dict[str, int] = {}
     for f in sorted(pkg.rglob("*.py")):
         rel = str(f.relative_to(pkg))
-        text = f.read_text()
+        # code lines only — pin() is discussed in comments/docstrings too
+        text = "\n".join(
+            ln for ln in f.read_text().splitlines() if not ln.lstrip().startswith("#")
+        )
         n = len(_re.findall(r"\.transform\(pin[,)]|(?<![\w.])pin\(", text))
         if n and rel != "functions/pinning.py":
             sites[rel] = n
@@ -937,11 +947,11 @@ def test_local_checkpoint_inventory_is_pinned():
         "operators/curation.py": 15,
         "operators/dedup.py": 9,
         "operators/multimodal.py": 1,
-        "operators/pipeline.py": 11,
-        "operators/similarity.py": 8,
+        "operators/pipeline.py": 12,
+        "operators/similarity.py": 9,
         "operators/stats.py": 4,
-        "operators/text.py": 11,
-        "operators/timeseries.py": 6,
+        "operators/text.py": 12,
+        "operators/timeseries.py": 7,
         "plans/events.py": 3,
         "streaming/queries.py": 4,
     }, f"pin() inventory drifted — audit the new/removed site: {sites}"
