@@ -27,6 +27,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
 from http_datafusion_spark.functions.pinning import pin
@@ -93,9 +94,17 @@ def connected_components(
     # caller's whole candidate pipeline in every CC consumer's plan
     # (the r14 scan audit's 9-10x class for CC-based queries). One
     # materialization; nodes and the contraction both read it.
+    # DISK_ONLY (r16, the sf25 memory cliff): the edge frames are the
+    # LARGEST pinned data in the registry — on the replicated sf25
+    # corpus the LSH candidate graph densifies superlinearly and eager
+    # MEMORY_AND_DISK checkpoint blocks competed with aggregation
+    # memory in the single local JVM (AGGREGATE_OUT_OF_MEMORY below
+    # 48 g, BASELINE r15). Edge blocks are written once and read
+    # sequentially per round, so disk storage costs little and frees
+    # the unified pool for the contraction's aggs.
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).transform(pin)
+    ).transform(pin, storage=StorageLevel.DISK_ONLY)
     nodes = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
@@ -114,11 +123,11 @@ def connected_components(
     e = (
         e0.filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(pin)
+        .transform(pin, storage=StorageLevel.DISK_ONLY)
     )
     prev = _digest(e)
     for it in range(max_iter):
-        e = _small_star(_large_star(e)).transform(pin)
+        e = _small_star(_large_star(e)).transform(pin, storage=StorageLevel.DISK_ONLY)
         cur = _digest(e)
         if cur == prev:
             log.debug("connected_components converged after %d rounds", it + 1)
@@ -966,7 +975,9 @@ def _lpa_label_frame(
     # ints/row): every unrolled round joins against it — without the
     # cut each of the 3 rounds re-derives the full shingle->minhash->
     # band lineage (the .explain audit counted 16 document scans).
-    pairs = pairs.transform(pin)
+    # DISK_ONLY for the same sf25 memory-cliff reason as
+    # connected_components' edge pins (see the comment there).
+    pairs = pairs.transform(pin, storage=StorageLevel.DISK_ONLY)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -433,7 +433,10 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(c), 4).alias(f"min_{c}"),
             F.round(F.max(c), 4).alias(f"max_{c}"),
         ]
-    s = li.agg(*aggs)
+    # ONE wide agg row feeds a union branch per profiled column; without
+    # the pin each branch re-derived the full lineitem scan (4 executed
+    # scans, zero exchange reuse — measured r16, 4x-class triage).
+    s = li.agg(*aggs).transform(pin)
     per_col = [
         s.select(
             F.lit(c).alias("column_name"),

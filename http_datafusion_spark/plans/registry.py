@@ -62,7 +62,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   of the r6 class lands back in r16's fill." Composed mechanically by
 #   tools/evidence_age.py --plan with that head.
 #   Window composition (exactly 50):
-#   (a) 13 changed-code rows (every r16 semantic code change, nothing
+#   (a) 14 changed-code rows (every r16 semantic code change, nothing
 #       else changed):
 #       - dedup_embedding_cosine, dedup_semantic_threshold_calibration,
 #         dedup_semantic_clusters, dedup_lexical_semantic_ari: the IVF
@@ -88,11 +88,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 #         lineage-recoverable persist (pin(fact_scale=True), r15
 #         ADVICE).
 #       - corpus_language_skew_audit, embedding_centroid_shift,
-#         orders_theil_sen_trend, quality_drift_psi: the four crispest
-#         4x-scan-class fixes (bounded cell/series tables pinned; 4x ->
-#         one fact pass each) — the rest of the 4x class carries
-#         dispositions in BASELINE r16, per the verdict's record-don't-
-#         blanket-fix rule.
+#         orders_theil_sen_trend, quality_drift_psi,
+#         table_stats_profile: the five crispest 4x-scan-class fixes
+#         (bounded cell/series/1-row tables pinned; 4x -> one fact pass
+#         each; table_stats_profile measured zero exchange reuse before
+#         fixing, per the kneser-ney lesson) — the rest of the 4x class
+#         carries dispositions in BASELINE r16, per the verdict's
+#         record-don't-blanket-fix rule.
 #       NOT window-triggering (mechanical, value-preserving, verified
 #       scan-audit-histogram-identical): the r16 pin() refactor that
 #       replaced all 87 raw localCheckpoint sites (the r15 verdict's
@@ -108,8 +110,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #       lexicographic (incremental_agg_merge .. ts_cusum_changepoints;
 #       ts_autocorrelation already satisfied in (a)). After this
 #       window the r6 class is EMPTY.
-#   (d) 14 rows of r7-class fill, lexicographic
-#       (attribution_models_compare .. events_transition_coverage;
+#   (d) 13 rows of r7-class fill, lexicographic
+#       (attribution_models_compare .. events_path_3gram;
 #       events_crosscorrelation already satisfied in (a)).
 #   R17 HEAD (named now, per rotation discipline): FIRST any row whose
 #   code or oracle changes during r16 after this window freezes, then
@@ -143,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_centroid_shift",
     "orders_theil_sen_trend",
     "quality_drift_psi",
+    "table_stats_profile",
     # ---- (b) r16 additions: none ----
     # ---- (c) the named r6-class overflow (lexicographic) ----
     "incremental_agg_merge",
@@ -182,7 +185,6 @@ PRIORITY: tuple[str, ...] = (
     "events_dau_wau",
     "events_error_budget_burn",
     "events_path_3gram",
-    "events_transition_coverage",
 )
 
 def query(

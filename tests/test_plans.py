@@ -908,7 +908,9 @@ def test_local_checkpoint_inventory_is_pinned():
       embedding_centroid_shift's |labels|x64 centroid table,
       orders_theil_sen_trend's months-bounded revenue series,
       quality_drift_psi's (source, bin) cells (total now derived from
-      the cells, not a fourth corpus pass).
+      the cells, not a fourth corpus pass), table_stats_profile's 1-row
+      wide-agg stats frame (six union branches re-scanned lineitem;
+      zero exchange reuse measured before fixing).
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments);
     text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
@@ -944,7 +946,7 @@ def test_local_checkpoint_inventory_is_pinned():
     # gained 1 the same way (a multiline call).
     assert sites == {
         "operators/components.py": 19,
-        "operators/curation.py": 15,
+        "operators/curation.py": 16,
         "operators/dedup.py": 9,
         "operators/multimodal.py": 1,
         "operators/pipeline.py": 12,
