@@ -656,7 +656,9 @@ BROADCAST_GUARD_ALLOWED = {
     # rank filter the plan text can't show.
     "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
     "mix_sources_temperature": "per-source mixture weights (source is a closed enum)",
-    "embedding_centroid_shift": "per-label centroid norms (closed label set)",
+    # embedding_centroid_shift dropped r16: the label x dim centroid
+    # table is now pinned (4x-class fix), cutting the lineage the
+    # guard walked — same mechanism as the r15 drops below.
     # embedding_pca_power_iteration + text_prf_query_expansion dropped
     # r15: dims/iterates and the tf index are now eagerly checkpointed
     # (scan-audit remediation), cutting the lineage the guard walked.
@@ -1296,6 +1298,13 @@ PANDAS_GUARD_BOUNDED: dict[tuple[str, ...], str] = {
         "dedup block tiles (dedup.embedding_pairs_blocked): two vec_id "
         "% n_blocks blocks per group, n/n_blocks rows each; n_blocks "
         "is the scale knob (~sqrt parallelism at 100 TB)"
+    ),
+    ("bucket", "bi", "bj"): (
+        "IVF within-bucket tiles (dedup.embedding_pairs_ivf, r16): a "
+        "group holds two vec_id % IVF_SUBBLOCKS sub-blocks of ONE "
+        "probe bucket (<= 2 x bucket/nb rows), and the tile fn scores "
+        "A-side rows in _TILE_ROW_CHUNK chunks, so task memory is "
+        "O(chunk x sub-block) at any bucket size"
     ),
     ("user_id",): (
         "cogrouped per-entity key: group size tracks one user's "
