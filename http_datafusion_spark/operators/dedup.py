@@ -762,12 +762,15 @@ def _ivf_tile_assign_fn(cids: list[int], C, n_probe: int, nb: int):
     return fn
 
 
-def _ivf_bucket_tile_fn(threshold: float):
+def _ivf_bucket_tile_fn(threshold: float, row_chunk: int = _TILE_ROW_CHUNK):
     """applyInPandas fn: score one (bucket, block_i, block_j) tile with
     the fold-exact numpy kernel; emit pairs above ``threshold`` (the
     UNROUNDED comparison, like the oracle), cosine rounded to 4dp.
-    A-side rows are processed in ``_TILE_ROW_CHUNK`` chunks so task
-    memory is O(chunk x |B-side|) at any bucket size."""
+    A-side rows are processed in ``row_chunk`` chunks so task memory is
+    O(chunk x |B-side|) at any bucket size. ``row_chunk`` is captured
+    by value in the closure (workers re-import this module, so a
+    module-global would not reach them — the unit test relies on
+    passing a small chunk explicitly)."""
     import numpy as np
     import pandas as pd
 
@@ -792,11 +795,11 @@ def _ivf_bucket_tile_fn(threshold: float):
         ids_b = b["vec_id"].to_numpy()
         outs = []
         ids_a_all = a["vec_id"].to_numpy()
-        for c0 in range(0, len(a), _TILE_ROW_CHUNK):
-            ac = a.iloc[c0 : c0 + _TILE_ROW_CHUNK]
+        for c0 in range(0, len(a), row_chunk):
+            ac = a.iloc[c0 : c0 + row_chunk]
             MA = stack_embeddings(ac["embedding"])
             cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), nrm_b)
-            ids_a = ids_a_all[c0 : c0 + _TILE_ROW_CHUNK]
+            ids_a = ids_a_all[c0 : c0 + row_chunk]
             mask = cos > threshold
             # same-block tile: strict upper triangle; cross-block tiles
             # see each (x, y) exactly once (blk(x)=bi, blk(y)=bj), so

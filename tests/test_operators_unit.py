@@ -132,6 +132,64 @@ def test_dedup_embedding_cosine_no_driver_table_materialization(spark, sf_dir, m
     assert not sizes or max(sizes) <= 16  # no label/table-sized collects
 
 
+def test_ivf_tile_composition_matches_bruteforce(spark):
+    """The r16 tile verification path — assign fn x tile fn x distinct —
+    must emit EXACTLY the pairs that share a probed bucket and clear
+    the threshold, each once, with the fold-exact cosine. Checked
+    against an independent brute-force numpy reference on a corpus
+    sized to exercise multi-bucket membership, cross-block and
+    same-block tiles, and the chunked A-side loop (default chunk > n,
+    plus an explicit row_chunk=7 to force multiple chunks)."""
+    import numpy as np
+
+    from http_datafusion_spark.functions.veclib import fold_dot, fold_norms
+    from http_datafusion_spark.operators import dedup as D
+
+    rng = np.random.RandomState(7)
+    n, d, K, n_probe, thr = 120, 16, 5, 3, 0.2
+    E = rng.randn(n, d).astype("float32").astype("float64")
+    ids = np.arange(n, dtype=np.int64)
+    C = E[:K].copy()
+    cids = list(range(1, K + 1))
+
+    # independent reference: probe sets by squared L2, then all pairs
+    # sharing any probed bucket with fold cosine > thr
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    probes = [set(np.argsort(d2[i], kind="stable")[:n_probe]) for i in range(n)]
+    nrm = fold_norms(E)
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if probes[i] & probes[j]:
+                cos = fold_dot(E[i : i + 1], E[j : j + 1])[0, 0] / (nrm[i] * nrm[j])
+                if cos > thr:
+                    expect[(i, j)] = round(cos, 4)
+
+    def run(row_chunk):
+        sdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in E[i]]) for i in ids],
+            "vec_id bigint, embedding array<float>",
+        )
+        grid = sdf.mapInPandas(
+            D._ivf_tile_assign_fn(cids, C, n_probe, D.IVF_SUBBLOCKS),
+            schema="bucket bigint, bi int, bj int, vec_id bigint, blk int, embedding array<float>",
+        )
+        pairs = grid.groupBy("bucket", "bi", "bj").applyInPandas(
+            D._ivf_bucket_tile_fn(thr, row_chunk=row_chunk),
+            schema="vec_a bigint, vec_b bigint, cosine double",
+        )
+        rows = pairs.distinct().collect()
+        got = {(r.vec_a, r.vec_b): r.cosine for r in rows}
+        assert len(rows) == len(got), "distinct left duplicate (vec_a, vec_b) rows"
+        return got
+
+    assert run(D._TILE_ROW_CHUNK) == expect
+    # row_chunk=7 < any A-side: forces the chunked loop through multiple
+    # iterations (captured by value — a module-global monkeypatch would
+    # not reach the re-importing workers)
+    assert run(7) == expect
+
+
 def test_fold_dot_matches_sequential_fold():
     """fold_dot/fold_norms accumulate in the exact left-fold order a
     per-pair sequential reduction (DuckDB list_sum) uses."""

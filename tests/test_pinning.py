@@ -1,0 +1,100 @@
+"""functions/pinning.py — the centralized materialization primitive.
+
+The default (local) mode is exercised by every pinned plan in the
+suite; these tests pin the three cluster-facing branches the r16
+refactor introduced (persist / reliable / fact_scale) plus the
+config-error path, so a typo'd mode can't silently fall through to
+some default.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.storagelevel import StorageLevel
+
+from http_datafusion_spark.functions.pinning import PIN_DIR_KEY, PIN_MODE_KEY, pin
+
+
+@pytest.fixture
+def df(spark):
+    return spark.range(10).selectExpr("id", "id * 2 AS v")
+
+
+def _reset(spark):
+    spark.conf.unset(PIN_MODE_KEY)
+    spark.conf.unset(PIN_DIR_KEY)
+
+
+def test_local_mode_severs_lineage_and_matches_values(spark, df):
+    _reset(spark)
+    out = df.transform(pin)
+    # localCheckpoint replaces the logical plan with an RDD scan leaf
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+
+
+def test_local_mode_storage_override(spark, df):
+    _reset(spark)
+    out = df.transform(pin, storage=StorageLevel.DISK_ONLY)
+    assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+    # the checkpoint's blocks must carry the requested level
+    rdd_infos = [
+        i
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.numCachedPartitions() > 0 and "Disk Serialized" in i.storageLevel().description()
+    ]
+    assert rdd_infos, "no DISK_ONLY-cached RDD found after an eager DISK_ONLY pin"
+
+
+def test_fact_scale_is_lineage_recoverable_persist(spark, df):
+    _reset(spark)
+    out = df.transform(pin, fact_scale=True)
+    try:
+        # persist keeps lineage: the optimized plan still shows the range,
+        # NOT a severed RDD leaf — executor loss recomputes instead of dying
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" not in plan and "ExistingRDD" not in plan
+        assert out.storageLevel.useDisk and out.storageLevel.useMemory
+        assert out.storageLevel.replication == 1
+        assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+    finally:
+        out.unpersist()
+
+
+def test_persist_mode_is_replicated(spark, df):
+    _reset(spark)
+    spark.conf.set(PIN_MODE_KEY, "persist")
+    try:
+        out = df.transform(pin)
+        # MEMORY_AND_DISK_2: replicated so a lost executor's blocks
+        # survive on the replica (the cluster story of the r15 verdict)
+        assert out.storageLevel.replication == 2
+        assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+        out.unpersist()
+    finally:
+        _reset(spark)
+
+
+def test_reliable_mode_checkpoints_to_dir(spark, df, tmp_path):
+    _reset(spark)
+    spark.conf.set(PIN_MODE_KEY, "reliable")
+    spark.conf.set(PIN_DIR_KEY, str(tmp_path / "ck"))
+    try:
+        out = df.transform(pin)
+        assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+        ckdirs = list((tmp_path / "ck").rglob("*"))
+        assert ckdirs, "reliable pin wrote nothing under the configured dir"
+    finally:
+        _reset(spark)
+
+
+def test_unknown_mode_raises(spark, df):
+    _reset(spark)
+    spark.conf.set(PIN_MODE_KEY, "banana")
+    try:
+        with pytest.raises(ValueError, match="banana"):
+            df.transform(pin)
+    finally:
+        _reset(spark)
