@@ -3,10 +3,11 @@
 Every multi-consumer BOUNDED frame in the registry is pinned so its
 plan stops re-deriving the fact scan per consumer (the r14/r15
 scan-audit remediation). Until r16 each site spelled the idiom raw
-(``.localCheckpoint(eager=True)``, 87 call sites); this module
-centralizes it behind one name so (a) the checkpoint-inventory test
-pins a single greppable site, and (b) the CLUSTER story is a config
-switch instead of an 87-site rewrite.
+(``.localCheckpoint(eager=True)``); this module centralizes it behind
+one name so (a) the checkpoint-inventory test derives the live
+call-site count (the only canonical number — don't restate it here),
+and (b) the CLUSTER story is a config switch instead of a
+per-site rewrite.
 
 Cluster story (the r15 verdict's structural note): a local checkpoint
 is **executor-local and non-replicated** — it severs lineage, so an
@@ -56,6 +57,7 @@ def pin(
     *,
     storage: StorageLevel | None = None,
     fact_scale: bool = False,
+    eager: bool = False,
 ) -> DataFrame:
     """Materialize ``df`` once so every downstream consumer reads the
     stored frame instead of re-deriving its lineage.
@@ -64,21 +66,40 @@ def pin(
     behavior to the pre-r16 raw idiom, byte-for-byte the same plans
     (the adoption was verified scan-audit-histogram-identical). See the
     module docstring for the cluster modes and the per-site knobs.
+
+    ``eager=True`` guarantees the frame is FULLY materialized before
+    this call returns in EVERY mode. Persist-based paths (mode
+    ``persist``, and ``fact_scale=True`` in any mode) are otherwise
+    lazy — callers that delete the source files right after pinning
+    (the streaming scratch-dir reclaims) would hand back a frame whose
+    first action reads already-deleted inputs. Those read-then-delete
+    sites must pass ``eager=True``.
     """
     if fact_scale:
         # Lineage-recoverable in every mode: a fact-sized frame must
         # never sit solely in unreplicated executor storage.
-        return df.persist(storage or StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(storage or StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
     mode = df.sparkSession.conf.get(PIN_MODE_KEY, "local")
     if mode == "local":
         return df.localCheckpoint(eager=True, storageLevel=storage)
     if mode == "persist":
-        return df.persist(storage or StorageLevel.MEMORY_AND_DISK_2)
+        out = df.persist(storage or StorageLevel.MEMORY_AND_DISK_2)
+        if eager:
+            out.count()
+        return out
     if mode == "reliable":
         spark = df.sparkSession
         ckdir = spark.conf.get(PIN_DIR_KEY, None)
         if ckdir:
             spark.sparkContext.setCheckpointDir(ckdir)
+        elif spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{PIN_MODE_KEY}=reliable requires a checkpoint directory: "
+                f"set {PIN_DIR_KEY} (or SparkContext.setCheckpointDir)"
+            )
         return df.checkpoint(eager=True)
     raise ValueError(
         f"{PIN_MODE_KEY}={mode!r}: expected 'local', 'persist', or 'reliable'"

@@ -798,9 +798,14 @@ def _ivf_bucket_tile_fn(threshold: float, row_chunk: int = _TILE_ROW_CHUNK):
         for c0 in range(0, len(a), row_chunk):
             ac = a.iloc[c0 : c0 + row_chunk]
             MA = stack_embeddings(ac["embedding"])
-            cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), nrm_b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), nrm_b)
             ids_a = ids_a_all[c0 : c0 + row_chunk]
-            mask = cos > threshold
+            # NaN (a zero-norm embedding: 0/0) must PASS the filter —
+            # both the JVM comparison this kernel replaced and the
+            # DuckDB oracle treat NaN as greater than any number,
+            # whereas numpy's `>` is False for NaN.
+            mask = np.isnan(cos) | (cos > threshold)
             # same-block tile: strict upper triangle; cross-block tiles
             # see each (x, y) exactly once (blk(x)=bi, blk(y)=bj), so
             # only self-pairs need excluding before orienting a < b.
@@ -939,8 +944,10 @@ def embedding_pairs_blocked(
             )
         MA, MB = stack_embeddings(a["embedding"]), stack_embeddings(b["embedding"])
         ids_a, ids_b = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
-        cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), fold_norms(MB))
-        mask = cos > threshold
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = fold_dot(MA, MB) / np.outer(fold_norms(MA), fold_norms(MB))
+        # NaN-is-greatest parity with the JVM/DuckDB comparison (see tile()).
+        mask = np.isnan(cos) | (cos > threshold)
         if bi == bj:
             # same block on both sides: keep the strict upper triangle
             mask &= ids_a[:, None] < ids_b[None, :]
@@ -990,9 +997,13 @@ def embedding_pairs_broadcast(
             if not len(batch):
                 continue
             M = stack_embeddings(batch["embedding"])
-            cos = fold_dot(M, all_mat) / np.outer(fold_norms(M), all_nrm)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = fold_dot(M, all_mat) / np.outer(fold_norms(M), all_nrm)
             vids = batch["vec_id"].to_numpy()
-            mask = (cos > threshold) & (vids[:, None] < all_ids[None, :])
+            # NaN-is-greatest parity with the JVM/DuckDB comparison.
+            mask = (np.isnan(cos) | (cos > threshold)) & (
+                vids[:, None] < all_ids[None, :]
+            )
             ia, ib = np.nonzero(mask)
             yield pd.DataFrame(
                 {

@@ -97,7 +97,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #         record-don't-blanket-fix rule.
 #       NOT window-triggering (mechanical, value-preserving, verified
 #       scan-audit-histogram-identical): the r16 pin() refactor that
-#       replaced all 87 raw localCheckpoint sites (the r15 verdict's
+#       replaced every raw localCheckpoint site (87 at refactor time;
+#       the inventory test derives the live count) (the r15 verdict's
 #       own task-5 done-criterion is "no plan change") and the
 #       DISK_ONLY storage level on the largest CC/LPA round pins (a
 #       storage knob, not a plan/value change; its consumers

@@ -653,7 +653,7 @@ def stream_incremental_minhash(
         q.awaitTermination(30)
     # materialize the result, then reclaim the run-scoped scratch dirs —
     # repeated gate/test runs must not grow /tmp unboundedly
-    out = spark.read.parquet(matches_path).transform(pin)
+    out = spark.read.parquet(matches_path).transform(pin, eager=True)
     for d in (store_path, matches_path, ckpt_path):
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -875,7 +875,8 @@ def stream_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("bigint").alias("char_checksum"),
             )
         )
-    result = functools.reduce(lambda a, b: a.unionByName(b), outs).transform(pin)
+    merged = functools.reduce(lambda a, b: a.unionByName(b), outs)
+    result = merged.transform(pin, eager=True)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
@@ -1077,7 +1078,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("keep").cast("int")) * 1.0 / F.count(F.lit(1)), 6
             ).alias("keep_rate"),
         )
-        .transform(pin)
+        .transform(pin, eager=True)
     )
     shutil.rmtree(out_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -77,6 +77,22 @@ def test_persist_mode_is_replicated(spark, df):
         _reset(spark)
 
 
+def test_reliable_mode_without_dir_raises_naming_the_key(spark, df):
+    """r16 ADVICE: a reliable pin with no dir configured anywhere must
+    fail with the repo's config key in the message, not Spark's generic
+    'checkpoint directory has not been set'. Must run BEFORE any test
+    that sets a session checkpoint dir (it can't be unset)."""
+    _reset(spark)
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a session-level checkpoint dir is already set")
+    spark.conf.set(PIN_MODE_KEY, "reliable")
+    try:
+        with pytest.raises(ValueError, match=PIN_DIR_KEY):
+            df.transform(pin)
+    finally:
+        _reset(spark)
+
+
 def test_reliable_mode_checkpoints_to_dir(spark, df, tmp_path):
     _reset(spark)
     spark.conf.set(PIN_MODE_KEY, "reliable")
@@ -96,5 +112,26 @@ def test_unknown_mode_raises(spark, df):
     try:
         with pytest.raises(ValueError, match="banana"):
             df.transform(pin)
+    finally:
+        _reset(spark)
+
+
+def test_persist_mode_eager_materializes_before_return(spark, df, tmp_path):
+    """r16 ADVICE (medium): the streaming read-then-delete sites pin a
+    parquet read and then rmtree the source; in persist mode a lazy pin
+    would read deleted files on first action. eager=True must fully
+    materialize in EVERY mode — verified here by deleting the source
+    and still collecting."""
+    import shutil
+
+    _reset(spark)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    spark.conf.set(PIN_MODE_KEY, "persist")
+    try:
+        out = spark.read.parquet(src).transform(pin, eager=True)
+        shutil.rmtree(src)
+        assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
+        out.unpersist()
     finally:
         _reset(spark)
