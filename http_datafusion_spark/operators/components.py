@@ -1382,7 +1382,12 @@ PL_DMIN = 2  # tail cutoff: fit nodes with degree >= this
     tags=("graph", "dedup"),
 )
 def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    # LSH-bounded candidate-pair list (the LPA edge-pin precedent):
+    # the 2-branch endpoint union re-derived the WHOLE minhash pipeline
+    # per branch unpinned (4 executed documents scans, r16 4x-class
+    # triage); pinned, the pipeline runs once and both branches read
+    # the stored pairs.
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
     edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
         pairs.select(F.col("doc_b").alias("u"))
     )

@@ -783,16 +783,26 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2")
     )
     uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
-    uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n1 = uni.count()
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n2 = bi.count()
+    # Two passes total (was 5 — r16 derive-don't-rescan triage): the
+    # unigram/bigram COUNT TABLES are pinned, and the corpus totals
+    # n1/n2 are derived as sum(c) over them (1-row broadcast aggs, the
+    # quality_drift_psi pattern) instead of separate uni.count() /
+    # bi.count() driver actions that re-exploded every document's
+    # token stream / re-ran the lead-window bigram pass.
+    uc = uni.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(pin)
+    un = uc.agg(F.sum("c").cast("bigint").alias("n1"))
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(pin)
+    bn = bc.agg(F.sum("c").cast("bigint").alias("n2"))
     a = uc.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
     b = uc.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
     pmi = F.round(
         F.log2(
-            (F.col("c") * 1.0 / F.lit(n2))
-            / ((F.col("ca") * 1.0 / F.lit(n1)) * (F.col("cb") * 1.0 / F.lit(n1)))
+            (F.col("c") * 1.0 / F.col("n2"))
+            / ((F.col("ca") * 1.0 / F.col("n1")) * (F.col("cb") * 1.0 / F.col("n1")))
         ),
         4,
     )
@@ -802,6 +812,8 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.filter(F.col("c") >= PMI_MIN_COUNT)
         .join(a, "w1")
         .join(b, "w2")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
         .select("w1", "w2", F.col("c").alias("n_pair"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
@@ -2281,7 +2293,12 @@ def embedding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    # LSH-bounded candidate-pair list pinned (r16 4x-class triage):
+    # the band self-join inside the pipeline derives the signature
+    # lineage twice; pinning the pair output here keeps this plan's
+    # own documents scans to the two pruned (doc_id, source) source
+    # lookups instead of stacking the pipeline's scans on top.
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     # sa/sb project (doc_id, source) for EVERY document — corpus-linear,
@@ -2571,7 +2588,13 @@ def orders_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
     idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
     activity = o.select("o_custkey", idx)
-    firsts = activity.groupBy("o_custkey").agg(F.min("idx").alias("first_idx"))
+    # customer-grain first-order frame (the RFM pin precedent): the
+    # cohort-size agg and the activity join both consumed it; unpinned
+    # each re-derived the orders scan (3 executed scans, r16 3x-class
+    # triage). The 2 remaining passes are the cohort shape's floor.
+    firsts = activity.groupBy("o_custkey").agg(
+        F.min("idx").alias("first_idx")
+    ).transform(pin)
     sizes = firsts.groupBy("first_idx").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
     joined = (
         activity.join(firsts, "o_custkey")
@@ -3900,6 +3923,13 @@ ATTR_SWEEP_WINDOWS = (300, 900, 1800, 3600)  # candidate windows, seconds
 )
 def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # clicks feed the purchase join and the denominator count (3
+    # executed events scans with the purchase side, r16 sweep-grid
+    # triage). A fact_scale persist of the click frame was TRIED and
+    # A/B-measured SLOWER at sf0.1 and sf1 (1.41->1.63 s sf1): both
+    # re-scans are pushed event_type filters over 3 pruned columns —
+    # cheaper than building and reading the cache. Measured-negative
+    # disposition; the re-scan stays.
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", F.unix_timestamp("ts").cast("bigint").alias("t")
     )
@@ -4169,6 +4199,11 @@ def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("ssq"),
         )
         .filter(F.col("n_months") >= 6)
+        # part-grain profile: the two-phase global rank (bucket sketch
+        # + per-bucket window + offsets) and the total-revenue agg each
+        # re-derived the lineitem monthly aggregation unpinned
+        # (3 executed scans, r16 3x-class triage). One pass now.
+        .transform(pin)
     )
     # Global revenue cumsum WITHOUT an Exchange SinglePartition: the
     # naive `sum() OVER (ORDER BY total_rev DESC)` serializes every part

@@ -534,7 +534,11 @@ MIX_SCALE = 1_000_000  # hash-gate resolution for per-source keep rates
 )
 def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # |sources| count table: the min agg and the rate join both
+    # consumed it; unpinned each re-derived the documents scan
+    # (3 executed scans, r16 3x-class triage). The remaining 2 passes
+    # (count pass + gate-filter pass) are the shape's floor.
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).transform(pin)
     min_n = counts.agg(F.min("n").alias("mn"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         "source", "n", F.sqrt(F.col("mn").cast("double") / F.col("n")).alias("q")
@@ -2432,6 +2436,8 @@ DECON_SWEEP = (1, 2, 3, 5)  # candidate shared-shingle thresholds
 def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import shingled_docs
 
+    from http_datafusion_spark.operators.dedup import _words
+
     sh = shingled_docs(spark, sf_dir)
     is_bench = F.col("doc_id") % DECON_MOD == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
@@ -2441,7 +2447,18 @@ def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared"))
     )
-    ncorpus = corpus.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    # Corpus-doc denominator WITHOUT a third gram-stream pass (r16
+    # sweep-grid triage): a doc appears in the shingle stream iff it
+    # has >= 3 words (shingles_of's lead-window null filter), so
+    # countDistinct(doc_id) over the exploded corpus stream equals the
+    # distinct non-bench >=3-word doc count read straight off the
+    # documents table — per-row tokenize + filter, no explode, no
+    # doc_id-window shuffle.
+    ncorpus = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(~is_bench & (F.size(_words(F.col("text"))) >= 3))
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    )
     thresholds = spark.createDataFrame([(t,) for t in DECON_SWEEP], "thr bigint")
     hit = F.count(F.when(F.col("n_shared") >= F.col("thr"), 1))
     return (
@@ -2822,7 +2839,11 @@ def table_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"scan{i}"
             ),
         ]
-    tot = z.agg(*tot_aggs)
+    # ONE wide 1-row agg over the zone table feeds a union branch per
+    # cutoff; unpinned each branch re-derived the full orders scan +
+    # zone aggregation (3 executed scans, r16 3x-class triage — the
+    # table_stats_profile pattern). One pass now.
+    tot = z.agg(*tot_aggs).transform(pin)
     zone_target = F.ceil(F.col("n_rows") * 1.0 / F.col("n_zones"))
     per_cut = [
         tot.select(
@@ -4107,10 +4128,17 @@ def train_shuffle_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     h = md5_int(F.concat(F.lit(f"{SHUFFLE_EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+    # doc-grain (doc_id, source, hash) frame feeds both adjacency
+    # phases and the permutation-expectation agg; unpinned each
+    # re-derived the documents scan (3 executed scans, r16 3x-class
+    # triage). Doc-grain == FACT-SCALE, so the events_ks fact_scale
+    # pin: lineage-recoverable persist, never an unreplicated local
+    # checkpoint. Narrow (3 small columns), so the persist is cheap.
     base = (
         d.select("doc_id", "source", h.alias("h"))
         .withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
         .withColumn("hb", F.shiftright(F.col("h"), _SUBBUCKET_SHIFT))
+        .transform(pin, fact_scale=True)
     )
     # Phase 1: within-sub-bucket adjacency (1024 bounded sort keys).
     wl = W.partitionBy("shard", "hb").orderBy("h", "doc_id")

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql
+from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -90,8 +91,22 @@ def privacy_kanonymity_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ONE fact pass (was 3 — one orders⋈customer re-aggregation per
+    # lattice level, the r16 derive-don't-rescan triage): every coarser
+    # level's QI is a subset of level 0's, so its cells roll up EXACTLY
+    # from the pinned finest-level cell table (drop-a-column regroup
+    # summing integer cell sizes — the quality_drift_psi pattern).
+    cells0 = joined.groupBy(*_QI_LEVELS[0]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_size")
+    ).transform(pin)
+
     def audit(level: int, cols: tuple[str, ...]) -> DataFrame:
-        cells = joined.groupBy(*cols).agg(F.count(F.lit(1)).cast("bigint").alias("cell_size"))
+        if cols == _QI_LEVELS[0]:
+            cells = cells0
+        else:
+            cells = cells0.groupBy(*cols).agg(
+                F.sum("cell_size").cast("bigint").alias("cell_size")
+            )
         small = F.col("cell_size") < KANON_K
         return cells.agg(
             F.lit(level).cast("bigint").alias("level"),
@@ -351,6 +366,11 @@ def privacy_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # enum-cell grid (nation x segment x priority): cell sizes,
+        # priority marginals, AND the zero-fill left join all consume
+        # it; unpinned each re-derived the orders⋈customer scan
+        # (4 executed scans, r16 4x-class triage)
+        .transform(pin)
     )
     cellsz = sc.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n").alias("cell_size"))
     glob = sc.groupBy("o_orderpriority").agg(F.sum("n").alias("gn"))

@@ -934,13 +934,18 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     sample = e.filter(F.col("vec_id") < JL_SAMPLE_IDS).select("vec_id", "embedding")
+    # sample-bounded component table (JL_SAMPLE_IDS vectors x 64 dims):
+    # the projection agg and the two sides of the original-distance
+    # self-join all consumed it; unpinned each re-derived the
+    # (range-pruned) embeddings scan (4 executed scans, r16 4x-class
+    # triage). One pushed-down sample scan now.
     comp = sample.select(
         "vec_id", F.posexplode("embedding").alias("p", "xf")
     ).select(
         "vec_id",
         (F.col("p") + 1).alias("i"),
         F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
-    )
+    ).transform(pin)
     dims = spark.range(1, JL_OUT_DIM + 1).select(F.col("id").alias("j"))
     sign = (
         md5_int(
@@ -1584,6 +1589,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dims))
         .select("qid", "vec_id", "dim", cos.alias("cos"))
     )
+    # k-bounded ranking table (|queries| x |dims| x K rows): the truth
+    # slice and the approx slice both consumed it; unpinned each
+    # re-derived the full corpus scan + query-broadcast + window
+    # (4 executed scans, r16 4x-class triage). The corpus pass and the
+    # vec_id-pushed query lookup run once now.
     rk = sc.select(
         "qid",
         "vec_id",
@@ -1591,7 +1601,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy("qid", "dim").orderBy(F.desc("cos"), F.asc("vec_id")))
         .alias("rk"),
-    ).filter(F.col("rk") <= MATRYOSHKA_K)
+    ).filter(F.col("rk") <= MATRYOSHKA_K).transform(pin)
     truth = rk.filter(F.col("dim") == MATRYOSHKA_FULL_DIM).select("qid", "vec_id")
     approx = rk.filter(F.col("dim") != MATRYOSHKA_FULL_DIM).select(
         "qid", "vec_id", "dim"
@@ -1850,7 +1860,12 @@ def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.anchor", "s.partner")
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
+    # (vec_id, bucket) IVF assignment pinned — literally the index-build
+    # materialization: the anchor join, the partner join, and the
+    # bucket-size agg all consumed it; unpinned each re-derived the
+    # embeddings scan + centroid assignment (3 executed scans, r16
+    # 3x-class triage). One embeddings pass now.
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket").transform(pin)
     j = (
         sym.join(asg.select(F.col("vec_id").alias("anchor"), F.col("bucket").alias("abkt")), "anchor")
         .join(asg.select(F.col("vec_id").alias("partner"), F.col("bucket").alias("pbkt")), "partner")

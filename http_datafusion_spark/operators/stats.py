@@ -766,7 +766,7 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy(F.col("n_chars").alias("score")).agg(
         F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
         F.sum(F.when(~en, 1).otherwise(0)).cast("bigint").alias("neg"),
-    )
+    ).transform(pin)  # score-grain: totals agg + cum window + 2 terms consumers re-derived the doc scan unpinned (4 scans, r16 4x triage)
     tot = s.agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum("neg").cast("bigint").alias("n_neg"),
@@ -1511,10 +1511,15 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_hat"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
+    # score-grain (distinct p_hat) table: totals agg + decomposition
+    # terms both re-derived the stats+scoring passes over documents
+    # unpinned (4 executed scans, r16 4x-class triage). Two passes
+    # remain after the pin — the moments pass and the scoring pass are
+    # inherently ordered (mu/sigma before p_hat).
     g = scored.groupBy("p_hat").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_k"),
         F.sum("y").cast("bigint").alias("s_k"),
-    )
+    ).transform(pin)
     tot = g.agg(
         F.sum("n_k").cast("bigint").alias("n"),
         F.sum("s_k").cast("bigint").alias("s"),
@@ -2207,7 +2212,7 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy(F.col("n_chars").alias("score")).agg(
         F.count(F.lit(1)).cast("bigint").alias("tot"),
         F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("pos"),
-    )
+    ).transform(pin)  # score-grain: totals + decile window + IV/final consumers re-derived the doc scan unpinned (4 scans, r16 4x triage)
     n = s.agg(
         F.sum("tot").cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),
@@ -2449,12 +2454,21 @@ LN2 = 0.6931471805599453
 def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     day = F.to_date("ts")
+    # Two events passes (was 4, r16 4x-class triage): the days-grain
+    # offset table is pinned, so the n0 base branch and the regression
+    # points read it instead of each re-running the cohort⋈active join
+    # (which re-derived BOTH events scans per consumer). A fact_scale
+    # persist of the user-day frame itself was A/B-measured SLOWER at
+    # sf0.1 AND sf1 (0.75->1.01 s sf1) — cache overhead exceeds the
+    # pushed 2-column re-scan — so the cohort/active passes keep their
+    # lineage and only the bounded aggregate is pinned.
     cohort = e.groupBy("user_id").agg(F.min(day).alias("c_day"))
     active = e.select("user_id", day.alias("a_day")).distinct()
     offs = (
         cohort.join(active, "user_id")
         .groupBy(F.datediff("a_day", "c_day").cast("bigint").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        .transform(pin)
     )
     base = offs.filter(F.col("t") == 0).select(F.col("n_t").alias("n0"))
     pts = (

@@ -1045,11 +1045,23 @@ WAU_DAYS = 7
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # Two events passes (was 4, r16 4x-class triage): the day list is
+    # read off the pinned days-grain DAU table (one row per distinct
+    # day — grouping the user-day frame by day IS the distinct-day
+    # set) instead of a third user-day derivation, and the final join
+    # reads the same pin. A fact_scale persist of the whole user-day
+    # frame was A/B-measured SLOWER at sf0.1 AND sf1 (0.95->1.22 s
+    # sf1): the cache build/read overhead exceeds re-running the
+    # pushed 2-column scan + map-side-combined distinct, so only the
+    # bounded aggregate is pinned and the user-day frame is derived
+    # twice (DAU pass + WAU pass).
     ud = e.select(
         "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
     ).distinct()
-    days = ud.select("day").distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    ).transform(pin)
+    days = dau.select("day")
     u = ud.select(F.col("user_id").alias("u_user"), F.col("day").alias("u_day"))
     wau = (
         days.join(
@@ -2211,6 +2223,11 @@ def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("y")
         )
+        # nation x month cells: the bounds agg, the zero-fill grid's
+        # nation list, and the series left join all consumed it;
+        # unpinned each re-derived the 2-join orders aggregation
+        # (3 executed scans, r16 3x-class triage). One pass now.
+        .transform(pin)
     )
     bounds = g.agg(F.min("mi").alias("mn"), F.max("mi").alias("mx"))
     grid = (
@@ -2497,9 +2514,13 @@ SAX_BP = (-0.6745, 0.0, 0.6745)
 def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
     q6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    # days-grain series: the min-day agg and the PAA segmenting both
+    # consumed it, and paa's two consumers (moments + symbolization)
+    # compounded the re-derivation to 4 executed orders scans (r16
+    # 4x-class triage). One pass after the pin.
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(q6(F.col("o_totalprice").cast("double"))).cast("double").alias("rev")
-    )
+    ).transform(pin)
     mn = daily.agg(F.min("day").alias("d0"))
     paa = (
         daily.crossJoin(F.broadcast(mn))
@@ -2616,7 +2637,14 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mi"),
         F.col("o_totalprice").cast("double").alias("rev"),
     )
-    first = o.groupBy("o_custkey").agg(F.min("mi").cast("bigint").alias("mi0"))
+    # customer-grain first-order frame (the RFM pin precedent): the
+    # cohort-size agg and the revenue-cell join both consumed it;
+    # unpinned each re-derived the orders scan (3 executed scans, r16
+    # 3x-class triage). The remaining 2 passes (first-order + revenue
+    # cells) are the cohort shape's floor.
+    first = o.groupBy("o_custkey").agg(
+        F.min("mi").cast("bigint").alias("mi0")
+    ).transform(pin)
     sizes = first.groupBy("mi0").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )

@@ -628,21 +628,27 @@ BROADCAST_GUARD_ALLOWED = {
     "events_transition_coverage": "event_type pair coverage (bounded key pairs)",
     # calendar-bounded group keys
     "customer_survival_curve": "per-lifetime-month counts (months bounded)",
-    "orders_cohort_matrix": "per-cohort-month sizes (calendar-bounded)",
+    # orders_cohort_matrix dropped r17: the customer-grain first-order
+    # frame is now pinned (3x-class fix), so the cohort-size broadcast
+    # reads an RDD leaf — same mechanism as the r15 drops.
     # sketch/config-bounded structures
     "cms_heavy_hitters": "d x w CMS cell table (constant by construction)",
     "cms_error_audit": "d x w CMS cell table (constant by construction — same sketch as cms_heavy_hitters)",
     "dedup_minhash_threshold_sweep": "group by n_match in 0..k (bounded)",
     "supplier_concentration_hhi": "per-p_type totals (p_type is a closed enum)",
     "weighted_median_price": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
-    "parts_abc_xyz": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
+    # parts_abc_xyz dropped r17: the part-grain profile is now pinned
+    # (3x-class fix), so the ordstats offsets broadcast reads an RDD
+    # leaf and the guard sees no fact lineage.
     # visible since r8's localCheckpoint drop exposed the sample lineage
     "histogram_equi_depth": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
     # curriculum_stage_plan dropped r9: its localCheckpoint (one token
     # pass, VERDICT r8 task 6) cuts the lineage the guard used to see,
     # so the ordstats broadcast there now reads an ExistingRDD
     "events_mannwhitney_u": "ordstats per-__bkt offsets (ORD_BUCKETS=32 constant)",
-    "privacy_tcloseness_audit": "per-o_orderpriority totals for the zero-fill grid (closed 5-value enum)",
+    # privacy_tcloseness_audit dropped r17: the enum-cell grid is now
+    # pinned (4x-class fix), so the priority-marginal broadcasts read
+    # RDD leaves.
     # benchmark probe sets: the bench suite is a constant of the pipeline
     # (decontamination checks corpus AGAINST a fixed eval set), not a
     # function of corpus size — formally doc-derived, hence flagged
@@ -655,7 +661,9 @@ BROADCAST_GUARD_ALLOWED = {
     # bounded by construction; the bound is a group-key cardinality or a
     # rank filter the plan text can't show.
     "embedding_pq_train": "per-(subspace, cluster) codebook (M x K constant)",
-    "mix_sources_temperature": "per-source mixture weights (source is a closed enum)",
+    # mix_sources_temperature dropped r17: the |sources| count table is
+    # now pinned (3x-class fix), so the rate broadcast reads an RDD
+    # leaf.
     # embedding_centroid_shift dropped r16: the label x dim centroid
     # table is now pinned (4x-class fix), cutting the lineage the
     # guard walked — same mechanism as the r15 drops below.
@@ -676,11 +684,9 @@ BROADCAST_GUARD_ALLOWED = {
         "Aggregate's group key is dim <= EMB_DIM=64 (dimension constant, "
         "the embedding_pca_power_iteration bound)"
     ),
-    "events_retention_halflife": (
-        "cohort-size base frame: the offset-grain aggregate filtered to "
-        "t=0 — exactly one row by construction (offset 0 always exists "
-        "and is unique in the day-offset grain)"
-    ),
+    # events_retention_halflife dropped r17: the day-offset table is
+    # now pinned (4x-class fix), so the t=0 base broadcast reads an
+    # RDD leaf.
 }
 
 # The eight operators the round-6 verdict called out by file:line — their
@@ -913,6 +919,35 @@ def test_local_checkpoint_inventory_is_pinned():
       the cells, not a fourth corpus pass), table_stats_profile's 1-row
       wide-agg stats frame (six union branches re-scanned lineitem;
       zero exchange reuse measured before fixing).
+    - r17 scan-triage remediation (OPTIMIZATION_r17.md; the named
+      3x/4x-class pin backlog from BASELINE r16, all bounded frames):
+      score-grain tables (ml_pr_auc, ml_brier_decomposition,
+      feature_woe_iv), enum/QI cell grids (privacy_tcloseness_audit,
+      privacy_kanonymity_joint — coarser lattice levels now roll up
+      from the pinned finest cells), calendar-grain series
+      (ts_sax_motifs daily, orders_holt_backtest nation x month,
+      events_retention_halflife day-offsets), customer/part-grain
+      frames (orders_cohort_ltv + orders_cohort_matrix first-order,
+      parts_abc_xyz per-part profile), LSH-bounded pair lists
+      (graph_degree_powerlaw, dedup_cross_source_matrix), k/sample-
+      bounded frames (sim_matryoshka_recall rankings,
+      embedding_jl_projection components, sim_contrastive_pair_mining
+      IVF assignments), |sources| counts (mix_sources_temperature),
+      1-row wide aggs (table_zonemap_audit), and vocabulary count
+      tables (ngram_pmi_bigrams uc/bc — n1/n2 now derived as sum(c)
+      over them instead of two extra corpus-sized count actions).
+      events_dau_wau pins its days-grain DAU table (the day list and
+      the final join read it); events_retention_halflife pins its
+      days-grain offset table (base + regression consumers). The ONE
+      fact-scale r17 pin (fact_scale=True, lineage-recoverable
+      persist): train_shuffle_autocorr's doc-grain hash frame —
+      measured -9% at sf1 because three window/agg phases reuse it.
+      Fact-scale persists of the user-day/click frames in
+      events_dau_wau / events_retention_halflife /
+      attribution_window_sweep were TRIED and A/B-measured SLOWER at
+      sf0.1 and sf1 (cache build/read overhead vs pushed narrow
+      re-scans); those carry measured-negative dispositions in their
+      comments instead.
     histogram_equi_depth / weighted_median_price deliberately carry NO
     checkpoint (deterministic hash-gate re-scan; see their comments);
     text_kneser_ney_bigram / text_keyness_g2 keep their MEASURED
@@ -947,15 +982,16 @@ def test_local_checkpoint_inventory_is_pinned():
     # mechanical r16 adoption normalized them. streaming/queries.py
     # gained 1 the same way (a multiline call).
     assert sites == {
-        "operators/components.py": 19,
-        "operators/curation.py": 16,
+        "operators/components.py": 20,
+        "operators/curation.py": 21,
         "operators/dedup.py": 9,
         "operators/multimodal.py": 1,
-        "operators/pipeline.py": 12,
-        "operators/similarity.py": 9,
-        "operators/stats.py": 4,
+        "operators/pipeline.py": 15,
+        "operators/privacy.py": 2,
+        "operators/similarity.py": 12,
+        "operators/stats.py": 8,
         "operators/text.py": 12,
-        "operators/timeseries.py": 7,
+        "operators/timeseries.py": 11,
         "plans/events.py": 3,
         "streaming/queries.py": 4,
     }, f"pin() inventory drifted — audit the new/removed site: {sites}"
@@ -1074,8 +1110,14 @@ def test_retrieval_eval_windows_prune_map_side(spark, sf_dir):
     # embeddings scans), so only the fusion ranking remains in the
     # final plan; lr/sr keep their literal bounds and WindowGroupLimit
     # at materialization time.
+    # sim_matryoshka_recall dropped from 2 windows to 0 in r17: the
+    # k-bounded ranking table rk is now pinned (4x-class scan fix), so
+    # the truth/approx slices read an RDD leaf; the ranking windows —
+    # which keep their literal rank bounds and therefore their Partial
+    # WindowGroupLimit pruning — run once at materialization time (the
+    # rag_rrf_fusion_eval lr/sr r15 precedent).
     for name, n_windows in (
-        ("sim_matryoshka_recall", 2),
+        ("sim_matryoshka_recall", 0),
         ("rag_chunk_retrieval_eval", 2),
         ("rag_rrf_fusion_eval", 1),
     ):
