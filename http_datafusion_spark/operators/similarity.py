@@ -1863,9 +1863,13 @@ def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, bucket) IVF assignment pinned — literally the index-build
     # materialization: the anchor join, the partner join, and the
     # bucket-size agg all consumed it; unpinned each re-derived the
-    # embeddings scan + centroid assignment (3 executed scans, r16
-    # 3x-class triage). One embeddings pass now.
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket").transform(pin)
+    # embeddings scan + centroid assignment (3 executed mapInPandas
+    # passes, r16 3x-class triage — opaque Python subtrees get no AQE
+    # exchange reuse). One embeddings pass now. The frame is
+    # CORPUS-LINEAR (one row per vector), so fact_scale per the
+    # pinning rule: a lineage-recoverable persist, never an
+    # unreplicated local checkpoint of a fact-sized frame.
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket").transform(pin, fact_scale=True)
     j = (
         sym.join(asg.select(F.col("vec_id").alias("anchor"), F.col("bucket").alias("abkt")), "anchor")
         .join(asg.select(F.col("vec_id").alias("partner"), F.col("bucket").alias("pbkt")), "partner")
