@@ -39,6 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from http_datafusion_spark.functions.pinning import pin_scope  # noqa: E402
 from http_datafusion_spark.plans.registry import all_queries  # noqa: E402
 from http_datafusion_spark.session import get_spark  # noqa: E402
 
@@ -68,32 +69,72 @@ def main() -> None:
     # sampling.
     warmups = int(os.environ.get("BENCH_WARMUP", "3"))
 
-    timings: dict[str, float] = {}
-    bands: dict[str, list[float]] = {}
-    for name in names:
-        spec = registry[name]
-        for _ in range(warmups):
-            materialize(spec.spark(spark, sf_dir))
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            materialize(spec.spark(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
-        bands[name] = [
-            round(min(samples), 4),
-            timings[name],
-            round(max(samples), 4),
-        ]
-        print(
-            f"# {name}: {timings[name]:.3f}s "
-            f"[{bands[name][0]:.3f}..{bands[name][2]:.3f}]",
-            file=sys.stderr,
-        )
+    def time_set(qnames: list[str], n_warm: int, n_runs: int):
+        """bench protocol for one query set: per query, n_warm warmup
+        executions, then the median of n_runs timed executions. The
+        timed region covers plan build + pin materialization + the noop
+        write (t0 precedes spec.spark); each execution is wrapped in a
+        pin_scope so the PREVIOUS execution's pinned blocks are released
+        OUTSIDE the timed region (r17-verdict pin-lifecycle fix —
+        storage stays flat across the run; the measured work per sample
+        is unchanged: every sample still builds and pins from scratch).
+        """
+        t: dict[str, float] = {}
+        b: dict[str, list[float]] = {}
+        for name in qnames:
+            spec = registry[name]
+            for _ in range(n_warm):
+                with pin_scope():
+                    materialize(spec.spark(spark, sf_dir))
+            samples = []
+            for _ in range(n_runs):
+                with pin_scope():
+                    t0 = time.perf_counter()
+                    materialize(spec.spark(spark, sf_dir))
+                    samples.append(time.perf_counter() - t0)
+            t[name] = round(statistics.median(samples), 4)
+            b[name] = [round(min(samples), 4), t[name], round(max(samples), 4)]
+            print(
+                f"# {name}: {t[name]:.3f}s [{b[name][0]:.3f}..{b[name][2]:.3f}]",
+                file=sys.stderr,
+            )
+        return t, b
+
+    timings, bands = time_set(names, warmups, runs)
 
     total = round(sum(timings.values()), 4)
     total_min = round(sum(b[0] for b in bands.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Additions-only evidence channel (r17 verdict task 6): the
+    # optimization rounds' touched queries carry a "bench_extra" tag; a
+    # full bench run times them with the same sink/warmup/median
+    # protocol and emits them as their OWN JSON line so the driver's
+    # PERF comparison can score optimized queries round-over-round.
+    # The headline set and the compact LAST line are untouched.
+    if not only:
+        extra = sorted(
+            n
+            for n, spec in registry.items()
+            if "bench_extra" in spec.tags and n not in set(names)
+        )
+        if extra:
+            ew = int(os.environ.get("BENCH_EXTRA_WARMUP", "1"))
+            er = int(os.environ.get("BENCH_EXTRA_RUNS", "3"))
+            et, _eb = time_set(extra, ew, er)
+            print(
+                json.dumps(
+                    {
+                        "metric": "optimized_queries_sec",
+                        "value": round(sum(et.values()), 4),
+                        "unit": "sec",
+                        "queries": et,
+                        "runs": er,
+                        "warmups": ew,
+                        "sf": sf_val,
+                    }
+                )
+            )
     # Two stdout lines, BOTH valid JSON. The driver tail-captures stdout
     # with a bounded window and parses the LAST line, so the last line
     # must stay compact: headline + per-query medians only. The variance

@@ -41,15 +41,94 @@ Per-site escape hatches:
 
 Call style: ``df.transform(pin)`` (chain-preserving), or
 ``df.transform(pin, storage=...)`` / ``pin(df)`` directly.
+
+Lifecycle (r17 verdict, What's-wrong #2): a pin's storage outlives the
+query that created it — nothing unpersists a localCheckpoint's blocks
+or a persist's cache except driver GC + ContextCleaner, whose timing
+is a JVM-GC accident (``spark.cleaner.periodicGC.interval`` defaults
+to 30 MINUTES). In a long-lived service session executing hundreds of
+pin-bearing queries, executor storage grows until a GC cycle happens
+to run. ``pin_scope()`` bounds that: harness code wraps each query
+execution (plan build + action) in a scope, and on scope exit every
+pin created inside it is unpersisted immediately. Tracking is OPT-IN —
+``pin()`` outside any scope behaves exactly as before (GC-reclaimed),
+so library consumers that hold pinned frames across calls are
+unaffected. Scopes are thread-local: concurrent service threads each
+release only their own query's pins (releasing another in-flight
+query's local checkpoint would kill it — lineage is severed).
 """
 
 from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 PIN_MODE_KEY = "spark.http_datafusion.pin.mode"  # local | persist | reliable
 PIN_DIR_KEY = "spark.http_datafusion.pin.dir"  # reliable-mode checkpoint dir
+
+_SCOPES = threading.local()
+
+
+def _scope_stack() -> list:
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    return stack
+
+
+def _track(release) -> None:
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(release)
+
+
+def _persist_release(df: DataFrame):
+    def release() -> None:
+        df.unpersist(blocking=False)
+
+    return release
+
+
+def _checkpoint_release(df: DataFrame):
+    # A checkpointed Dataset's logical plan IS the RDD leaf (LogicalRDD);
+    # capture the JVM RDD now — DataFrame.unpersist goes through the
+    # CacheManager and cannot see checkpoint blocks.
+    jrdd = df._jdf.queryExecution().logical().rdd()
+
+    def release() -> None:
+        jrdd.unpersist(False)
+
+    return release
+
+
+@contextmanager
+def pin_scope():
+    """Release every pin created (by this thread) inside the ``with``
+    block when it exits — AFTER the consuming action has run.
+
+    Releasing is best-effort: the query's results are already out when
+    the scope exits, so a failed unpersist (stopped session, lost
+    executor) logs nothing and raises nothing — the blocks fall back to
+    the pre-scope GC + ContextCleaner path. Reliable-mode pins
+    (``df.checkpoint()`` files) are not tracked: their storage is
+    filesystem-managed (``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` reclaims on GC), and deleting files under a
+    frame someone may still hold is not this scope's call."""
+    stack = _scope_stack()
+    entries: list = []
+    stack.append(entries)
+    try:
+        yield
+    finally:
+        stack.pop()
+        for release in reversed(entries):
+            try:
+                release()
+            except Exception:  # noqa: BLE001 — best-effort cleanup only
+                pass
 
 
 def pin(
@@ -81,14 +160,18 @@ def pin(
         out = df.persist(storage or StorageLevel.MEMORY_AND_DISK)
         if eager:
             out.count()
+        _track(_persist_release(out))
         return out
     mode = df.sparkSession.conf.get(PIN_MODE_KEY, "local")
     if mode == "local":
-        return df.localCheckpoint(eager=True, storageLevel=storage)
+        out = df.localCheckpoint(eager=True, storageLevel=storage)
+        _track(_checkpoint_release(out))
+        return out
     if mode == "persist":
         out = df.persist(storage or StorageLevel.MEMORY_AND_DISK_2)
         if eager:
             out.count()
+        _track(_persist_release(out))
         return out
     if mode == "reliable":
         spark = df.sparkSession

@@ -1379,15 +1379,18 @@ PL_DMIN = 2  # tail cutoff: fit nodes with degree >= this
     f"domain-bounded grain with the 6dp-round-then-decimal-sum "
     f"discipline; everything upstream is integer group-bys on the "
     f"LSH edge list",
-    tags=("graph", "dedup"),
+    tags=("graph", "dedup", "bench_extra"),
 )
 def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-bounded candidate-pair list (the LPA edge-pin precedent):
     # the 2-branch endpoint union re-derived the WHOLE minhash pipeline
     # per branch unpinned (4 executed documents scans, r16 4x-class
     # triage); pinned, the pipeline runs once and both branches read
-    # the stored pairs.
-    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
+    # the stored pairs. fact_scale: the pair list grows with the corpus
+    # (worst-case superlinear in skewed band buckets), so it gets the
+    # lineage-recoverable persist, never an unreplicated local
+    # checkpoint of a corpus-growing frame (r17 ADVICE).
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin, fact_scale=True)
     edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
         pairs.select(F.col("doc_b").alias("u"))
     )

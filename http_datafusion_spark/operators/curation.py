@@ -769,7 +769,7 @@ PMI_TOPK = 15
     "joins are hint-free — AQE broadcasts only when runtime-small; the min-count-"
     "filtered bigram side stays compact, and the token stream is aggregated before "
     "any join (north-star text analysis)",
-    tags=("text",),
+    tags=("text", "bench_extra",),
 )
 def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -789,13 +789,18 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality_drift_psi pattern) instead of separate uni.count() /
     # bi.count() driver actions that re-exploded every document's
     # token stream / re-ran the lead-window bigram pass.
+    # uc (vocabulary) grows SUBLINEARLY in the corpus (Heaps' law) —
+    # bounded-frame pin; bc (distinct bigrams) is near-LINEAR in
+    # natural text, so per the pinning rule it gets the
+    # lineage-recoverable fact_scale persist, never an unreplicated
+    # local checkpoint (r17 ADVICE). A/B at sf0.1/sf1: flat.
     uc = uni.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).transform(pin)
     un = uc.agg(F.sum("c").cast("bigint").alias("n1"))
     bc = bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).transform(pin)
+    ).transform(pin, fact_scale=True)
     bn = bc.agg(F.sum("c").cast("bigint").alias("n2"))
     a = uc.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
     b = uc.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
@@ -2289,7 +2294,7 @@ def embedding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins of the doc->source dimension onto the (sub-quadratic) pair list and a "
     "|sources|^2-bounded aggregation; the symmetric cell is canonicalized with "
     "least/greatest so each pair counts once (north-star dedup / analytics)",
-    tags=("dedup", "agg"),
+    tags=("dedup", "agg", "bench_extra"),
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
@@ -2298,7 +2303,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage twice; pinning the pair output here keeps this plan's
     # own documents scans to the two pruned (doc_id, source) source
     # lookups instead of stacking the pipeline's scans on top.
-    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
+    # fact_scale: corpus-growing pair list -> lineage-recoverable
+    # persist, matching graph_degree_powerlaw (r17 ADVICE).
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin, fact_scale=True)
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     # sa/sb project (doc_id, source) for EVERY document — corpus-linear,
@@ -2582,7 +2589,7 @@ COHORT_MAX_MONTHS = 6
     "min, then the activity join — co-partitioned, so AQE fuses them) + one bounded "
     "agg; output is months x horizon bounded at any scale "
     "(north-star analytics; complements events_retention's event-day variant)",
-    tags=("agg", "events"),
+    tags=("agg", "events", "bench_extra"),
 )
 def orders_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
@@ -4172,7 +4179,7 @@ XYZ_X, XYZ_Y = 0.05, 0.15  # demand-CV class boundaries
     "distributed two-phase prefix sum (no Exchange SinglePartition even "
     "though part is merely SF-linear); CV moments quantize-then-sum "
     "(north-star statistics / inventory management)",
-    tags=("agg", "window"),
+    tags=("agg", "window", "bench_extra"),
 )
 def parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

@@ -45,6 +45,11 @@ from http_datafusion_spark.plans.tables import load_tables
 
 N_MINHASH = 8  # permutations
 N_BANDS = 4  # bands of 2 -> candidate recall ~J^2 per band
+# Word-n-gram width of shingles_of / _SHINGLES_SQL. Consumers that
+# reason "a doc emits >=1 shingle iff it has >= SHINGLE_WIDTH words"
+# (decontaminate_threshold_sweep's denominator) must derive from this
+# constant, not a literal 3 (r17 ADVICE).
+SHINGLE_WIDTH = 3
 
 _WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 _SHINGLES_SQL = (

@@ -530,7 +530,7 @@ MIX_SCALE = 1_000_000  # hash-gate resolution for per-source keep rates
     FROM gated GROUP BY source
     """,
     doc=f"temperature-based source mixing (alpha=0.5): per-source keep rate sqrt(min_n/n_s) flattens the source distribution toward the smallest source — the corpus-mixing stage of multi-source training sets; sqrt is IEEE-correctly-rounded so the rates (and the hash gate at 1/{MIX_SCALE} resolution) are engine-exact (north-star pipeline)",
-    tags=("pipeline", "sampling"),
+    tags=("pipeline", "sampling", "bench_extra"),
 )
 def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -2431,12 +2431,14 @@ DECON_SWEEP = (1, 2, 3, 5)  # candidate shared-shingle thresholds
     "leaks eval items; the flagged-fraction-vs-threshold elbow decides). The "
     "minhash/attribution sweep discipline applied to leakage control "
     "(north-star pipeline / decontamination calibration)",
-    tags=("pipeline", "dedup", "agg"),
+    tags=("pipeline", "dedup", "agg", "bench_extra"),
 )
 def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from http_datafusion_spark.operators.dedup import shingled_docs
-
-    from http_datafusion_spark.operators.dedup import _words
+    from http_datafusion_spark.operators.dedup import (
+        SHINGLE_WIDTH,
+        _words,
+        shingled_docs,
+    )
 
     sh = shingled_docs(spark, sf_dir)
     is_bench = F.col("doc_id") % DECON_MOD == 0
@@ -2449,14 +2451,14 @@ def decontaminate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # Corpus-doc denominator WITHOUT a third gram-stream pass (r16
     # sweep-grid triage): a doc appears in the shingle stream iff it
-    # has >= 3 words (shingles_of's lead-window null filter), so
-    # countDistinct(doc_id) over the exploded corpus stream equals the
-    # distinct non-bench >=3-word doc count read straight off the
-    # documents table — per-row tokenize + filter, no explode, no
-    # doc_id-window shuffle.
+    # has >= SHINGLE_WIDTH words (shingles_of's lead-window null
+    # filter), so countDistinct(doc_id) over the exploded corpus stream
+    # equals the distinct non-bench >=SHINGLE_WIDTH-word doc count read
+    # straight off the documents table — per-row tokenize + filter, no
+    # explode, no doc_id-window shuffle.
     ncorpus = (
         load_tables(spark, sf_dir, "documents")["documents"]
-        .filter(~is_bench & (F.size(_words(F.col("text"))) >= 3))
+        .filter(~is_bench & (F.size(_words(F.col("text"))) >= SHINGLE_WIDTH))
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     )
     thresholds = spark.createDataFrame([(t,) for t in DECON_SWEEP], "thr bigint")
@@ -2812,7 +2814,7 @@ def _zonemap_oracle() -> str:
     "layout-maintenance signal that decides whether to re-cluster a table — "
     "data skipping is the single biggest scan lever at that scale "
     "(north-star pipeline / lake maintenance)",
-    tags=("pipeline", "agg"),
+    tags=("pipeline", "agg", "bench_extra"),
 )
 def table_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
@@ -4121,7 +4123,7 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"pair set to the oracle's single per-shard window, at "
     f"{N_SHARDS}x{N_SHARD_SUBBUCKETS}-way sort parallelism. Counts stay "
     f"integer until the final division (north-star pipeline)",
-    tags=("pipeline", "sampling"),
+    tags=("pipeline", "sampling", "bench_extra"),
 )
 def train_shuffle_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

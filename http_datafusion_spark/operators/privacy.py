@@ -75,7 +75,7 @@ _QI_LEVELS: tuple[tuple[str, ...], ...] = (
     "(3 partial-agg shuffles over QI-cardinality-bounded cells); customer joins "
     "broadcast. Output is lattice-bounded: 3 rows at any corpus size "
     "(north-star pipeline / privacy)",
-    tags=("pipeline", "agg"),
+    tags=("pipeline", "agg", "bench_extra"),
 )
 def privacy_kanonymity_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders")
@@ -354,7 +354,7 @@ TCLOSE_T = 0.2  # max ordered-EMD between a cell's sensitive distribution
     "window and the final fold are all constant-sized. Completes the "
     "release-gate family (k-anonymity -> l-diversity -> this -> dp_counts) "
     "(north-star pipeline / privacy)",
-    tags=("pipeline", "agg", "window"),
+    tags=("pipeline", "agg", "window", "bench_extra"),
 )
 def privacy_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

@@ -927,7 +927,7 @@ def _jl_sign_sql(i: str, j: str) -> str:
     "projection itself is one (vec, out-dim) partial-agg shuffle — the audit "
     "pair set is bounded, the PROJECTION path is corpus-scalable "
     "(north-star similarity / dimensionality reduction)",
-    tags=("similarity", "pipeline"),
+    tags=("similarity", "pipeline", "bench_extra"),
 )
 def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.functions.hashing import md5_int
@@ -1566,7 +1566,7 @@ _PREFIX_NORM_SQL = (
     "100 TB this runs as the eval-sample calibration before a service truncates "
     "its stored vectors — the production serving path stays IVF "
     "(north-star similarity / embedding ops)",
-    tags=("similarity",),
+    tags=("similarity", "bench_extra",),
 )
 def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1840,7 +1840,7 @@ def _contrastive_oracle() -> str:
     f"pair list is LSH-candidate-bounded; bucket assignment joins are "
     f"vec_id-keyed; the {N_CENTROIDS}-row bucket-size table joins hint-free "
     f"— never an all-pairs product (north-star similarity / training data)",
-    tags=("similarity", "dedup", "pipeline"),
+    tags=("similarity", "dedup", "pipeline", "bench_extra"),
 )
 def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import dedup_minhash_pairs

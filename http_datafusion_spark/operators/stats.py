@@ -756,7 +756,7 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded grain, a 313-row top-1 (TakeOrderedAndProject). AP terms "
     "are 6dp-decimal quantized before summing (order-independent); "
     "tp/fp are pure integers so precision inputs are engine-identical",
-    tags=("stats", "pipeline"),
+    tags=("stats", "pipeline", "bench_extra"),
 )
 def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1486,7 +1486,7 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain-bounded math at ANY corpus size; y-sums stay integer, every "
     "double term is 6dp-decimal quantized before summing "
     "(order-independent across partitions and engines)",
-    tags=("stats", "pipeline"),
+    tags=("stats", "pipeline", "bench_extra"),
 )
 def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -2202,7 +2202,7 @@ WOE_SMOOTH = 0.5  # Laplace half-count so empty cells stay finite
     f"6dp-rounded BEFORE ln and the WOE after, IV terms 6dp-decimal "
     f"before summing; everything upstream integer. Bounded-grain "
     f"windows only; one fact scan",
-    tags=("stats", "pipeline"),
+    tags=("stats", "pipeline", "bench_extra"),
 )
 def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -2449,7 +2449,7 @@ LN2 = 0.6931471805599453
     "that bounded grain. Two user-keyed aggregates are the only "
     "corpus-sized work — identical scale shape to events_retention "
     "itself",
-    tags=("events", "stats"),
+    tags=("events", "stats", "bench_extra"),
 )
 def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]

@@ -1041,7 +1041,7 @@ WAU_DAYS = 7
     "never events x window, and per-day counts are exact (no HLL needed at "
     "this reduction; swap in hll_sketch_union for multi-year horizons) "
     "(north-star events / product analytics)",
-    tags=("events", "agg", "join"),
+    tags=("events", "agg", "join", "bench_extra"),
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
@@ -2204,7 +2204,7 @@ HOLT_HOLDOUT = 3  # backtest horizon (months)
     f"the fact scan is the only corpus-sized stage; everything after the "
     f"(25 x months)-row aggregate is constant-bounded (north-star "
     f"timeseries)",
-    tags=("timeseries", "relational"),
+    tags=("timeseries", "relational", "bench_extra"),
 )
 def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
@@ -2509,7 +2509,7 @@ SAX_BP = (-0.6745, 0.0, 0.6745)
     f"bounded at any corpus size); z is 6dp-rounded BEFORE the "
     f"breakpoint compare so both engines bucket identically; lead() "
     f"is an offset window (not ranking) on that bounded grain",
-    tags=("timeseries", "text"),
+    tags=("timeseries", "text", "bench_extra"),
 )
 def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
@@ -2622,7 +2622,7 @@ _Q6LTV = "CAST(round({x}, 6) AS DECIMAL(18,6))"
     "runs on the |months|^2-bounded cohort x offset grain; revenue "
     "sums 6dp-decimal at both the cell and the cumulative step so the "
     "running sums are engine-identical",
-    tags=("orders", "timeseries"),
+    tags=("orders", "timeseries", "bench_extra"),
 )
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders")["orders"]

@@ -928,14 +928,20 @@ def test_local_checkpoint_inventory_is_pinned():
       (ts_sax_motifs daily, orders_holt_backtest nation x month,
       events_retention_halflife day-offsets), customer/part-grain
       frames (orders_cohort_ltv + orders_cohort_matrix first-order,
-      parts_abc_xyz per-part profile), LSH-bounded pair lists
-      (graph_degree_powerlaw, dedup_cross_source_matrix), k/sample-
+      parts_abc_xyz per-part profile), LSH pair lists
+      (graph_degree_powerlaw, dedup_cross_source_matrix — r18: both
+      switched to fact_scale=True lineage-recoverable persists per the
+      r17 ADVICE, since the candidate list grows with the corpus and
+      is worst-case superlinear in skewed band buckets), k/sample-
       bounded frames (sim_matryoshka_recall rankings,
       embedding_jl_projection components, sim_contrastive_pair_mining
       IVF assignments), |sources| counts (mix_sources_temperature),
       1-row wide aggs (table_zonemap_audit), and vocabulary count
       tables (ngram_pmi_bigrams uc/bc — n1/n2 now derived as sum(c)
-      over them instead of two extra corpus-sized count actions).
+      over them instead of two extra corpus-sized count actions; r18:
+      bc moved to a fact_scale persist per the r17 ADVICE — distinct
+      bigrams are near-linear in the corpus, uc stays a bounded pin
+      per Heaps' law).
       events_dau_wau pins its days-grain DAU table (the day list and
       the final join read it); events_retention_halflife pins its
       days-grain offset table (base + regression consumers). The ONE

@@ -39,8 +39,14 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
-    spark = get_spark("http_datafusion_spark-explain")
+    # Validate every name BEFORE paying Spark startup (r17 ADVICE): a
+    # typo'd name used to raise a bare KeyError mid-loop with earlier
+    # files already written.
     registry = all_queries()
+    unknown = sorted(set(args.queries) - set(registry))
+    if unknown:
+        sys.exit(f"unknown queries (not in registry): {unknown}")
+    spark = get_spark("http_datafusion_spark-explain")
     for name in args.queries:
         spec = registry[name]
         df = spec.spark(spark, args.sf_dir)

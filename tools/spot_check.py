@@ -32,6 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from http_datafusion_spark.functions.pinning import pin_scope  # noqa: E402
 from http_datafusion_spark.plans.registry import all_queries  # noqa: E402
 from http_datafusion_spark.session import get_spark  # noqa: E402
 
@@ -42,14 +43,19 @@ def materialize(df) -> None:
 
 
 def spot_check(spark, name: str, sf_dir: str, runs: int, warmups: int) -> dict:
+    # pin_scope releases each execution's pinned blocks OUTSIDE the
+    # timed region (bench.py's protocol) so back-to-back samples don't
+    # accumulate executor storage.
     spec = all_queries()[name]
     for _ in range(warmups):
-        materialize(spec.spark(spark, sf_dir))
+        with pin_scope():
+            materialize(spec.spark(spark, sf_dir))
     samples = []
     for _ in range(runs):
-        t0 = time.perf_counter()
-        materialize(spec.spark(spark, sf_dir))
-        samples.append(time.perf_counter() - t0)
+        with pin_scope():
+            t0 = time.perf_counter()
+            materialize(spec.spark(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
     med = round(statistics.median(samples), 4)
     return {
         "query": name,
