@@ -76,12 +76,33 @@ def shingles_of(docs: DataFrame) -> DataFrame:
     how few input files there are — and leaves the stream
     hash-partitioned on doc_id, so a following groupBy(doc_id) adds NO
     exchange.
+
+    The doc_id repartition happens BEFORE the explode (r18, guide
+    §2.3/§8 "shuffle the payload once, small rows decide"): the window
+    needs hashpartitioning(doc_id) either way, so the exchange count is
+    unchanged, but exploding first made the ONE exchange carry the
+    exploded token stream (sf5: 154 MB, vs 35 MB of raw text) AND ran
+    the whole tokenize+explode inside the scan task — a single task
+    when the input is one parquet file (6.6 s serial of a 16 s sf5
+    wall, task-histogram-measured). Repartitioning the (doc_id, text)
+    rows first moves tokenize+explode AFTER the exchange, where it runs
+    at full shuffle-partition parallelism regardless of input file
+    count.
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("pos")
+    # Explicit partition count (the session's shuffle-partition conf, so
+    # it scales with the deployment, not a local[32] constant): without
+    # it AQE coalesces the sub-advisory-size text exchange to ONE
+    # partition at small SF and the relocated tokenize+explode runs
+    # serially — the explicit N keeps tokenization at full width, which
+    # is the point of moving it.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        docs.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+        docs.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
         .withColumn("w1", F.lead("w", 1).over(w))
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull())
@@ -314,7 +335,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange — strictly fewer stages.
     # n_match is a pure function of (doc_a, doc_b), so distinct on the
     # triple equals distinct on the pair.
-    bands = banded_signature(minhash_signature(spark, sf_dir))
+    bands = banded_signature(minhash_signature(spark, sf_dir)).transform(
+        pin, fact_scale=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0) for i in range(N_MINHASH)

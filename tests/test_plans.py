@@ -857,9 +857,15 @@ def test_local_checkpoint_inventory_is_pinned():
       REVERTED: their repeated subtrees are identical, so runtime
       exchange reuse already dedupes them — the eager store measured
       slower (KN 12.1 -> 18.5 s at sf5) or flat (keyness).
-    - dedup.py (1): minhash signature table (1 row/doc, 64 ints)
+    - dedup.py (2): minhash signature table (1 row/doc, 64 ints)
       reused by probe + budget passes — the signature reuse IS the
-      minhash algorithm's point.
+      minhash algorithm's point; r18 adds dedup_minhash_pairs' banded
+      signature table (fact_scale persist — 4 rows/doc): the band
+      self-join's two signature subtrees both EXECUTED above the
+      AQE-reused scan exchange (window+minhash+banding twice, ~200 s
+      of 300 s sf5 CPU in the task histogram); the pin runs them once
+      (sf5 13.2 -> 3.5 s with the shingles_of repartition fix, sf0.1
+      1.35 -> 0.80 s).
     - similarity.py (3): TOP_K-row candidate set (bounded by literal
       k); one mapInPandas scoring pass feeding every sweep width;
       salted_bucket_groups' N_CENTROIDS-row bucket-size frame (r11 —
@@ -990,7 +996,7 @@ def test_local_checkpoint_inventory_is_pinned():
     assert sites == {
         "operators/components.py": 20,
         "operators/curation.py": 21,
-        "operators/dedup.py": 9,
+        "operators/dedup.py": 10,
         "operators/multimodal.py": 1,
         "operators/pipeline.py": 15,
         "operators/privacy.py": 2,

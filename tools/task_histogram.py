@@ -45,6 +45,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,7 +60,13 @@ def main() -> None:
     spark.stop()  # flush the event log
 
     stages: dict[tuple[int, int], dict] = {}
-    logfiles = [os.path.join(evdir, f) for f in os.listdir(evdir)]
+    # Spark 4's v2 event log is a DIRECTORY of event files — walk it.
+    logfiles = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(evdir)
+        for f in files
+        if "events" in f or f.startswith("local-")
+    ]
     for lf in logfiles:
         with open(lf) as fh:
             for line in fh:
