@@ -335,9 +335,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange — strictly fewer stages.
     # n_match is a pure function of (doc_a, doc_b), so distinct on the
     # triple equals distinct on the pair.
-    bands = banded_signature(minhash_signature(spark, sf_dir)).transform(
-        pin, fact_scale=True
-    )
+    sig_bands = banded_signature(minhash_signature(spark, sf_dir))
+    bands = sig_bands.transform(pin, fact_scale=True)
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0) for i in range(N_MINHASH)
