@@ -1303,7 +1303,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints on both (LSH-pair-bounded / node-bounded) pin the
     # plan to one candidate-pipeline run (graph_modularity_score
     # pattern, components.py:921).
-    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin)
+    pairs = dedup_minhash_pairs(spark, sf_dir).transform(pin, fact_scale=True)
     edges = pairs.select(F.col("doc_a").alias("u")).unionAll(
         pairs.select(F.col("doc_b").alias("u"))
     )

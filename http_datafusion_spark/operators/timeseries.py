@@ -74,6 +74,11 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_gapfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
+    # r18 sf5 probe (the r17 measured-negative family's "may cross over
+    # at sf5" carry): fact_scale persist of the user x slot aggregate —
+    # sf5 1.236 -> 1.219 s (flat), sf0.1 0.571 -> 0.862 s (+51%).
+    # REVERTED: the columnar cache build costs more than the grid
+    # branch's re-aggregation at every measured scale.
     hourly = (
         e.withColumn("slot", F.floor(F.unix_timestamp("ts") / GRID_SEC).cast("bigint"))
         .groupBy("user_id", "slot")
@@ -1054,7 +1059,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf1): the cache build/read overhead exceeds re-running the
     # pushed 2-column scan + map-side-combined distinct, so only the
     # bounded aggregate is pinned and the user-day frame is derived
-    # twice (DAU pass + WAU pass).
+    # twice (DAU pass + WAU pass). r18 sf5 re-probe (the verdict's
+    # crossover question): persist 1.73 -> 1.48 s at sf5 (-14%,
+    # overlapping bands) but 0.82 -> 1.46 s at sf0.1 (+78%) — still a
+    # net negative; REVERTED again.
     ud = e.select(
         "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
     ).distinct()
