@@ -773,6 +773,11 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_id"),
         )
     )
+    # r18 re-probe of the r16 measured-negative: pinning the
+    # VOCAB_SIZE-bounded vocab (it appears twice in the static plan)
+    # measured sf0.1 0.93 -> 1.00 s and sf5 12.6 -> 18.8 s (+49%) —
+    # the eager pin SERIALIZES the vocab build that Spark otherwise
+    # overlaps with the main stream's stages. Disposition re-confirmed.
     # Two bounded paths instead of one collect_list-of-everything (the
     # round-3 form shuffled EVERY (doc,pos,id) struct to sort per doc —
     # collect_list's partial state carried the whole token stream, and
