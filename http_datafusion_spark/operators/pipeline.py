@@ -1207,7 +1207,6 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", h.alias("h"))
         .withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
         .withColumn("hb", F.shiftright(F.col("h"), _SUBBUCKET_SHIFT))
-        .transform(pin, fact_scale=True)
     )
     counts = base.groupBy("shard", "hb").agg(F.count(F.lit(1)).alias("cnt"))
     off = F.coalesce(
@@ -1385,7 +1384,6 @@ def sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 0)
         .withColumn("hb", F.shiftright(F.col("h"), _SUBBUCKET_SHIFT))
-        .transform(pin, fact_scale=True)
     )
     counts = t.groupBy("source", "hb").agg(F.sum("n").alias("bsum"))
     off = F.coalesce(

@@ -2445,7 +2445,7 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = best.select(
         "qid", (F.col("best") >= SEMDEDUP_TAU).cast("long").alias("pruned")
     )
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket").transform(pin, fact_scale=True)
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket")
     return (
         asg.join(flags, asg["vec_id"] == flags["qid"], "left")
         .withColumn("pruned", F.coalesce(F.col("pruned"), F.lit(0)))
