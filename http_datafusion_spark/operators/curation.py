@@ -984,7 +984,7 @@ def dedup_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> Dat
     "one scores containment_a=1.0 while its Jaccard stays low. Exact set intersection is "
     "computed ONLY for the (sub-quadratic) MinHash candidates via a shingle equi-join — "
     "the candidate-then-verify shape, never all-pairs (north-star dedup)",
-    tags=("dedup", "text"),
+    tags=("dedup", "text", "bench_extra"),
 )
 def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.operators.dedup import shingled_docs
@@ -3944,7 +3944,7 @@ ATTR_SWEEP_WINDOWS = (300, 900, 1800, 3600)  # candidate windows, seconds
     "read every window off it for free). The click->purchase join is "
     "per-user co-keyed; deltas reduce to one row per click before the "
     "windows-bounded sweep (north-star events / calibration)",
-    tags=("events", "join", "agg"),
+    tags=("events", "join", "agg", "bench_extra"),
 )
 def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]

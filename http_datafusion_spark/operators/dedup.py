@@ -386,7 +386,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
     """,
     doc="exact n-gram Jaccard near-dup pairs via inverted-index self-join (north-star dedup)",
-    tags=("dedup",),
+    tags=("dedup", "bench_extra"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingled_docs ends in distinct() — an Exchange Catalyst reuses
@@ -539,7 +539,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
     """,
     doc="apply near-dedup: drop the higher-id member of every MinHash near-dup pair, keep survivors (north-star dedup end-to-end)",
-    tags=("dedup",),
+    tags=("dedup", "bench_extra"),
 )
 def dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Greedy survivor selection (anti-join on the pair's doc_b side) —
