@@ -32,7 +32,11 @@ from pyspark.sql.window import Window
 from http_datafusion_spark.functions.hashing import md5_int, md5_int_sql, salted_hash, salted_hash_sql
 from http_datafusion_spark.operators.components import connected_components
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
-from http_datafusion_spark.operators.text import token_count, whitespace_tokens
+from http_datafusion_spark.operators.text import (
+    partitioned_docs,
+    token_count,
+    whitespace_tokens,
+)
 from http_datafusion_spark.functions.pinning import pin
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
@@ -775,14 +779,21 @@ def ngram_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
+    # One text exchange feeds BOTH token streams (r18 partitioned_docs:
+    # the bigram window needed the doc_id exchange anyway; carrying raw
+    # text across it and exploding after runs tokenize at full width).
+    # Measured sf5 13.12 -> 2.68 s; sf0.1 1.05 -> 1.65 s (32-task floor
+    # cost at the smallest SF — the sax-motifs fixed-cost-vs-linear-win
+    # trade).
+    dp = partitioned_docs(d)
+    dw = dp.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     bi = (
         dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("w1", "w2")
     )
-    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uni = dp.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     # Two passes total (was 5 — r16 derive-don't-rescan triage): the
     # unigram/bigram COUNT TABLES are pinned, and the corpus totals
     # n1/n2 are derived as sum(c) over them (1-row broadcast aggs, the
@@ -1578,14 +1589,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
+    # r18 partitioned_docs: one raw-text exchange feeds the bigram
+    # window AND the unigram stream; tokenize runs at full width.
+    # Measured sf5 12.14 -> 4.83 s; sf0.1 1.18 -> 1.51 s (floor cost).
+    dp = partitioned_docs(d)
+    dw = dp.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1"))
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     bi = (
         dw.withColumn("w2", F.lead("w1", 1).over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
     )
-    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uni = dp.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     vsize = uc.count()
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
@@ -4445,7 +4460,10 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select(
+    # r18 partitioned_docs: text crosses the window's exchange raw;
+    # tokenize runs post-exchange at full width. Measured sf5
+    # 6.89 -> 3.35 s; sf0.1 0.98 -> 1.62 s (floor cost).
+    dw = partitioned_docs(d, "source").select(
         "doc_id", "source", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1")
     )
     wdoc = W.partitionBy("doc_id").orderBy("pos")
@@ -4745,7 +4763,11 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select(
+    # r18 partitioned_docs: one raw-text exchange feeds the bigram
+    # window AND the unigram stream; tokenize runs at full width.
+    # Measured sf5 9.83 -> 5.00 s; sf0.1 1.13 -> 2.21 s (floor cost).
+    dp = partitioned_docs(d, "source")
+    dw = dp.select(
         "doc_id", "source", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w1")
     )
     wdoc = W.partitionBy("doc_id").orderBy("pos")
@@ -4754,7 +4776,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "source", "w1", "w2")
     )
-    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uni = dp.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     uc = uni.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
     # bc feeds four consumers (fw, pcn, t, the score join) as an
     # IDENTICAL subtree, which Spark's exchange reuse dedupes at
@@ -5616,8 +5638,11 @@ def _fh_bucket_sql(k: int) -> str:
 def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # r18 partitioned_docs: text crosses the window's exchange raw;
+    # tokenize runs post-exchange at full width (sf5 7.01 -> 1.69 s).
     toks = (
-        d.select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"))
+        partitioned_docs(d)
+        .select("doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"))
         .withColumn("w1", F.lead("w", 1).over(wdoc))
         .filter(F.col("w1").isNotNull())
         .select(F.concat_ws(" ", F.lower("w"), F.lower("w1")).alias("tok"))

@@ -45,6 +45,44 @@ def bpe_ish_token_estimate(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
+def partitioned_docs(df: DataFrame, *cols: str) -> DataFrame:
+    """(doc_id[, cols...], text) hash-partitioned by doc_id at the
+    session's shuffle width — for the posexplode + window(doc_id) token
+    shapes (bigram/shingle streams). The window forces this exchange
+    anyway; taking it BEFORE the explode makes it carry raw text
+    instead of the exploded token stream (strictly fewer bytes at every
+    scale) and runs tokenize at full width instead of inside the scan
+    task (the r18 shingles_of fix: one 6.6 s serial map task at sf5
+    became 32-way). Explicit N because AQE would coalesce the small
+    text exchange back to one partition at bench SFs. Sibling token
+    streams in the same query should derive from THIS frame so the one
+    exchange feeds them all."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.select("doc_id", *cols, "text").repartition(n_part, "doc_id")
+
+
+def spread_docs(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Scale-ADAPTIVE spread for CPU-heavy per-row map work (tokenize /
+    regex / explode): when the source scan yields fewer partitions than
+    the session's parallelism — one small parquet file at bench SFs, or
+    one unsplittable file in production (guide §2.5 "input skew") — the
+    whole tokenize pass runs in that handful of scan tasks while the
+    rest of the cluster idles (task-histogram measured: a single 6.6 s
+    map task for text_token_stats at sf5). A deterministic hash
+    repartition on ``key`` spreads it; the explicit width (the
+    session's shuffle-partition conf) stops AQE coalescing the small
+    text exchange straight back to one partition. When the scan is
+    already at least core-wide (the many-file 100 TB layout), this is a
+    NO-OP — no exchange is added, so it is never a cluster-scale
+    pessimization. Pass only the columns the map work needs before
+    calling (the exchange carries every column given to it)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n_part, key)
+
+
 @query(
     "text_token_stats",
     oracle="""
@@ -64,7 +102,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize once in its own projection — Catalyst does not
     # subexpression-eliminate the split across select-list items
     # (measured on bm25: 2.46 s vs 1.59 s at sf1 for a 4-use list).
-    pre = d.select(
+    # spread_docs (r18): this is a pure map query, so a narrow scan ran
+    # the whole regex pass serially (sf5: one 6.6 s task). Measured
+    # sf5 6.60 -> 2.64 s, sf0.1 0.48 -> 0.34 s.
+    pre = spread_docs(d.select("doc_id", "text")).select(
         "doc_id",
         "text",
         token_count(F.col("text")).alias("n_toks"),
@@ -250,8 +291,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     w = W.partitionBy("doc_id").orderBy("pos")
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    # r18 partitioned_docs: text crosses the window's exchange raw;
+    # tokenize runs post-exchange at full width (sf5 6.67 -> 1.27 s).
     return (
-        d.select("doc_id", F.posexplode(words).alias("pos", "w"))
+        partitioned_docs(d)
+        .select("doc_id", F.posexplode(words).alias("pos", "w"))
         .withColumn("w1", F.lead("w", 1).over(w))
         .filter(F.col("w1").isNotNull())
         .select(F.concat_ws(" ", F.lower("w"), F.lower("w1")).alias("bigram"))
@@ -537,8 +581,18 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit Exchange (not .cache()) so the exploded token stream is
     # computed once per execution via exchange reuse — zero pinned
     # state, honest re-execution on every run.
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).repartition(
-        "doc_id"
+    # r18: the repartition moved BEFORE the explode (the shingles_of
+    # pattern): the exchange needed hashpartitioning(doc_id) either
+    # way, but it now carries raw text instead of the exploded token
+    # stream (fewer bytes at every scale) and tokenize+explode runs at
+    # full shuffle width instead of inside the scan task; explicit N
+    # stops AQE coalescing the small text exchange back to one
+    # partition. Measured sf5 8.76 -> 2.58 s, sf0.1 0.94 -> 0.72 s.
+    _n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dw = (
+        d.select("doc_id", "text")
+        .repartition(_n_part, "doc_id")
+        .select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
     )
     tf = dw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     dfreq = dw.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
@@ -652,7 +706,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split the text ONCE in its own projection: with the split inlined
     # into all four consumers Catalyst did NOT subexpression-eliminate
     # it across the select list (measured 2.46 s vs 1.59 s at sf1).
-    pre = d.select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
+    # spread_docs (r18): the tokenize+tf map work ran in the scan task
+    # (sf5 5.53 -> 1.63 s, sf0.1 0.75 -> 0.65 s); the doc_id exchange
+    # below stays narrow (6 ints/doc) at every scale.
+    pre = spread_docs(d.select("doc_id", "text")).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+    )
     base = pre.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("doclen"),
@@ -758,7 +817,16 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same columns, keeping the exchange subtrees canonically equal so
     # Catalyst MAY feed both from one shuffle. Measured 17.6 -> 12.7 s
     # at sf5 together with the bounded-prefix rewrite below.
-    tok_by_word = base.select(
+    # The explicit isnotnull(doc_id) is vacuous on data (doc_id is the
+    # key) but load-bearing for the plan (r18): the final inner join
+    # pushes an isnotnull(doc_id) constraint into the counts branch
+    # ONLY, so the two otherwise-identical token-stream subtrees no
+    # longer canonicalize equal and ReuseExchange never fires — the
+    # scan+tokenize+explode+shuffle ran TWICE (two 0.9 s single-task
+    # map stages in the task histogram). Carrying the filter from the
+    # shared frame restores the equality: one ReusedExchange, one
+    # tokenize pass (sf5 12.63 -> 10.35 s, sf0.1 flat).
+    tok_by_word = base.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode("words").alias("word")
     ).repartition("word")
     freq = tok_by_word.groupBy("word").agg(F.count("doc_id").alias("freq"))
@@ -773,6 +841,11 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_id"),
         )
     )
+    # r18 re-probe of the r16 measured-negative: pinning the
+    # VOCAB_SIZE-bounded vocab (it appears twice in the static plan)
+    # measured sf0.1 0.93 -> 1.00 s and sf5 12.6 -> 18.8 s (+49%) —
+    # the eager pin SERIALIZES the vocab build that Spark otherwise
+    # overlaps with the main stream's stages. Disposition re-confirmed.
     # r18 re-probe of the r16 measured-negative: pinning the
     # VOCAB_SIZE-bounded vocab (it appears twice in the static plan)
     # measured sf0.1 0.93 -> 1.00 s and sf5 12.6 -> 18.8 s (+49%) —
@@ -2231,7 +2304,11 @@ HEAPS_CHECKPOINTS = 10
 )
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    # spread_docs (r18): the lower+tokenize+explode pass ran serially
+    # in the scan task (sf5 11.11 -> 1.56 s, sf0.1 flat); the
+    # (word, doc_id) partial agg still collapses map-side before the
+    # word exchange.
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
     nd = d.agg(F.max("doc_id").cast("bigint").alias("mx"))
@@ -2511,7 +2588,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    # r18 partitioned_docs: text crosses the segment window's exchange
+    # raw; tokenize runs post-exchange at full width (sf5 33 -> 13 s).
+    toks = partitioned_docs(d).select(
         "doc_id",
         F.posexplode(whitespace_tokens(F.lower(F.col("text")))).alias("pos", "word"),
     )
