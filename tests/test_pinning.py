@@ -155,8 +155,11 @@ def test_pin_scope_releases_local_checkpoint_blocks(spark, df):
         assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
         assert _cached_rdd_ids(spark) - base, "pin cached no RDD blocks"
     # scope exit unpersisted the checkpoint's blocks immediately — no
-    # waiting on driver GC + ContextCleaner (periodicGC is 30 min)
-    assert _cached_rdd_ids(spark) == base
+    # waiting on driver GC + ContextCleaner (periodicGC is 30 min).
+    # Subset, not equality: blocks leaked by EARLIER tests in the shared
+    # session can be reclaimed asynchronously at any moment, shrinking
+    # `base` out from under a strict == (observed flake).
+    assert _cached_rdd_ids(spark) <= base
 
 
 def test_pin_scope_releases_fact_scale_persist(spark, df):
@@ -168,7 +171,7 @@ def test_pin_scope_releases_fact_scale_persist(spark, df):
         out = df.transform(pin, fact_scale=True)
         assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
         assert _cached_rdd_ids(spark) - base
-    assert _cached_rdd_ids(spark) == base
+    assert _cached_rdd_ids(spark) <= base
     # the DataFrame's persist mark is gone too, not just the blocks
     assert not out.storageLevel.useMemory and not out.storageLevel.useDisk
 
@@ -187,7 +190,7 @@ def test_pin_outside_scope_is_untracked(spark, df):
     assert held, "unscoped pin must keep its blocks"
     # cleanup so later storage-sensitive tests see a clean slate
     _checkpoint_release(out)()
-    assert _cached_rdd_ids(spark) == base
+    assert _cached_rdd_ids(spark) <= base
 
 
 def test_pin_scope_is_thread_local(spark, df):
@@ -215,4 +218,4 @@ def test_pin_scope_is_thread_local(spark, df):
         # worker's scope released its pin; ours survives
         assert _cached_rdd_ids(spark) - base == mine
         assert sorted(r.v for r in out.collect()) == [2 * i for i in range(10)]
-    assert _cached_rdd_ids(spark) == base
+    assert _cached_rdd_ids(spark) <= base
