@@ -34,6 +34,7 @@ from http_datafusion_spark.operators.components import connected_components
 from http_datafusion_spark.operators.dedup import _minhash_pairs_sql, dedup_minhash_pairs
 from http_datafusion_spark.operators.text import (
     partitioned_docs,
+    spread_docs,
     token_count,
     whitespace_tokens,
 )
@@ -168,7 +169,9 @@ def _cms_bucket_sql(d: int) -> str:
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    toks = spread_docs(d.select("doc_id", "text")).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
     cells = toks.select(
         F.explode(
             F.array(
@@ -2170,7 +2173,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    uni = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    uni = spread_docs(d.select("doc_id", "text")).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     topv = (
         uni.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -4884,7 +4889,9 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    w = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    w = spread_docs(d.select("doc_id", "source", "text")).select(
+        "source", F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     # (source, word) counts — all three marginals derive from sc by
     # summation, so the whole contingency hangs off ONE identical
     # sc subtree that Spark's runtime exchange reuse dedupes (an eager
@@ -5090,7 +5097,9 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    toks = spread_docs(d.select("doc_id", "text")).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
     cells = toks.select(
         F.explode(
             F.array(

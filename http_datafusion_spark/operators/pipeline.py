@@ -2701,10 +2701,12 @@ def curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_global_rank,
         ntile_from_rank,
     )
-    from http_datafusion_spark.operators.text import whitespace_tokens
+    from http_datafusion_spark.operators.text import spread_docs, whitespace_tokens
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    dw = spread_docs(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     n = counts.agg(F.sum("c").cast("bigint").alias("total"))
     nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")

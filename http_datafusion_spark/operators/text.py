@@ -477,7 +477,11 @@ def text_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct's Exchange is reused per execution (measured 4.8 s ->
     # 1.6 s at sf1 when the double pass was first removed — exchange
     # reuse keeps that win without .cache()'s cross-invocation pinning).
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")).distinct()
+    dw = (
+        spread_docs(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
     df_tab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     rare = F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0))
     return (
@@ -525,7 +529,9 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    words = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    words = spread_docs(d.select("doc_id", "text")).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     f = words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     tot = f.agg(F.sum("freq").cast("bigint").alias("total"))
     top = f.orderBy(F.desc("freq"), "word").limit(VOCAB_SIZE)
@@ -1038,7 +1044,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an executor OOM at web scale. AQE still broadcasts it when
     runtime stats say it's small."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dw = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    dw = spread_docs(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     counts = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     n = counts.agg(F.sum("c").cast("bigint").alias("total"))
     nll = F.round(-F.log(F.col("c") * 1.0 / F.col("total")), 6).cast("decimal(18,6)")
@@ -1084,7 +1092,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    dc = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    dc = spread_docs(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
     cnt = dc.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
     p = F.col("c") * 1.0 / F.col("n")
@@ -1134,7 +1144,9 @@ OOV_VOCAB_SIZE = 20  # deliberately < corpus vocabulary so OOV is non-trivial
 )
 def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    w = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+    w = spread_docs(d.select("doc_id", "source", "text")).select(
+        "source", F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
     vocab = (
         w.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1292,7 +1304,7 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((md5_int(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001) - 1000)
          / 1000.0).cast("decimal(18,3)").alias("w"),
     )
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
     )
@@ -1494,7 +1506,7 @@ def quality_model_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((md5_int(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001) - 1000)
          / 1000.0).cast("decimal(18,3)").alias("w"),
     )
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
     )
     feats = (
@@ -1619,7 +1631,8 @@ def _bpe_pairs_sql(src: str) -> str:
 def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     vocab = (
-        d.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
+        spread_docs(d.select("doc_id", "text"))
+        .select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
         .filter(F.length("word") >= 2)
@@ -1728,7 +1741,8 @@ def _bpe_train_oracle(k: int = BPE_TRAIN_MERGES) -> str:
 def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     vocab = (
-        d.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
+        spread_docs(d.select("doc_id", "text"))
+        .select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
         .filter(F.length("word") >= 2)
@@ -1828,7 +1842,7 @@ def _bpe_apply_oracle(k: int = BPE_TRAIN_MERGES) -> str:
 def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [r.merge_pair for r in bpe_merge_train(spark, sf_dir).orderBy("step").collect()]
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
         F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
@@ -1908,7 +1922,7 @@ JSD_VOCAB = 50  # top-V corpus words define the comparison support
 )
 def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "source", "text")).select(
         "source", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
     # One checkpointed (source, word) count table feeds BOTH the
@@ -2008,7 +2022,7 @@ BURST_VOCAB = 30  # top-V corpus words profiled
 )
 def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
     vocab = (
@@ -2152,7 +2166,7 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
     # The (doc, word, tf) table IS the BM25 index, and both scoring
@@ -2413,7 +2427,7 @@ STOPWORD_MAX_VMR = 2.0  # and spreads evenly (low burstiness)
 )
 def text_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "text")).select(
         "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
     )
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2822,7 +2836,7 @@ def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from http_datafusion_spark.functions.hashing import md5_int
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "source", "text")).select(
         "source",
         "doc_id",
         F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word"),
@@ -2900,7 +2914,8 @@ def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_chao1_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     f = (
-        d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        spread_docs(d.select("doc_id", "source", "text"))
+        .select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -3212,7 +3227,7 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+    toks = spread_docs(d.select("doc_id", "source", "text")).select(
         "source", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
     )
     wc = toks.groupBy("source", "tok").agg(
@@ -3324,7 +3339,9 @@ _Q9BD = "CAST(round({x}, 9) AS DECIMAL(18,9))"
 )
 def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    toks = spread_docs(d.select("doc_id", "source", "text")).select(
+        "source", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
     # ONE corpus token pass — physically, not just logically: the
     # (source, tok) count table feeds THREE branches (top-word list,
     # per-source totals, count grid), and without a lineage cut

@@ -1465,3 +1465,21 @@ def test_collect_inventory_is_pinned():
         "sources/ingest_queries.py": 1,
         "streaming/queries.py": 1,
     }, f"collect() inventory drifted — audit the new/removed site: {sites}"
+
+
+def test_spread_docs_is_scale_adaptive(spark, sf_dir):
+    """spread_docs must repartition ONLY when the scan is narrower than
+    the cluster's parallelism (the single-file bench-SF case) and be a
+    strict no-op on already-wide inputs — the property that makes the
+    r18 tokenize-spread adoptions safe at the many-file 100 TB layout
+    (guide §2.5: fix input skew without pessimizing parallel scans)."""
+    from http_datafusion_spark.operators.text import spread_docs
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    narrow = d.coalesce(1)
+    spread = spread_docs(narrow)
+    assert spread.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    wide = d.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    assert spread_docs(wide) is wide, "no-op expected on core-wide inputs"
