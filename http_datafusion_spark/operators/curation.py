@@ -1377,7 +1377,8 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     # checkpointed exploded frame; every 64-row / per-vec iterate is
     # checkpointed so no shuffle runs twice (_lpa_label_frame pattern).
     dims = (
-        e.select(
+        spread_docs(e.select("vec_id", "embedding"), "vec_id")
+        .select(
             "vec_id",
             F.posexplode(F.col("embedding")).alias("j0", "xf"),
         )
@@ -1933,7 +1934,8 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the columnar cache build+read. 3-pass MAD floor disposition
     # CONFIRMED by measurement.
     norms = (
-        e.select("vec_id", "label", F.explode("embedding").alias("x"))
+        spread_docs(e.select("vec_id", "label", "embedding"), "vec_id")
+        .select("vec_id", "label", F.explode("embedding").alias("x"))
         .groupBy("vec_id", "label")
         .agg(
             F.sqrt(

@@ -632,8 +632,12 @@ def pq_codes(spark: SparkSession, e: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    from http_datafusion_spark.operators.text import spread_docs
+
+    # spread (r18): the 256-fold ADC distance grid per vector ran inside
+    # the single-row-group scan task at bench SFs; no-op on wide layouts.
     return (
-        e.select("vec_id", emb.alias("x"))
+        spread_docs(e.select("vec_id", emb.alias("x")), "vec_id")
         .crossJoin(F.broadcast(ms))
         .crossJoin(F.broadcast(cb))
         .select("vec_id", "m", "k", dist.alias("dist"))
@@ -832,8 +836,10 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds both the refit and the before-counts — cache them so each
     # Lloyd stage is computed once (the standard iterative-algorithm
     # pattern; at cluster scale this is the per-iteration checkpoint).
+    from http_datafusion_spark.operators.text import spread_docs
+
     sub = (
-        e.select("vec_id", emb.alias("x"))
+        spread_docs(e.select("vec_id", emb.alias("x")), "vec_id")
         .crossJoin(ms)
         .select("vec_id", "m", F.slice("x", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sx"))
         .cache()

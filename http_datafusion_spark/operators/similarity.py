@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from http_datafusion_spark.functions.veclib import fold_norms, fold_sqdist
 from http_datafusion_spark.functions.pinning import pin
+from http_datafusion_spark.operators.text import spread_docs
 from http_datafusion_spark.plans.registry import query
 from http_datafusion_spark.plans.tables import load_tables
 
@@ -156,16 +157,28 @@ def _assign_score_fn(cids: list[int], C: np.ndarray, qv: np.ndarray | None):
     return fn
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assignments(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """(vec_id, label, embedding, bucket): every vector labeled with its
     nearest centroid. One Arrow-batched pass; at scale the output is
     written partitioned by ``bucket`` so probes become partition-pruned
-    scans."""
+    scans.
+
+    ``spread`` (r18): the single-row-group bench-SF scan fed this
+    Python kernel ONE input partition — one Arrow worker assigned every
+    vector; the scale-adaptive repartition parallelizes it (no-op on
+    file-parallel layouts). sim_contrastive_pair_mining opts OUT: it
+    pins the (vec_id, bucket) projection with a fact-scale persist, and
+    the pre-assignment exchange measured SLOWER through that persist at
+    sf5 (11.7 s vs 7.3 s) while every unpinned consumer measured faster
+    (silhouette −77%, ivf_buckets −54%, semdedup_prune −26%)."""
     cents = _fetch_vectors(spark, sf_dir, CENTROID_VEC_IDS)
     cids = sorted(cents)
     C = np.stack([cents[c] for c in cids])
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return e.select("vec_id", "label", "embedding").mapInPandas(
+    pts = e.select("vec_id", "label", "embedding")
+    if spread:
+        pts = spread_docs(pts, "vec_id")
+    return pts.mapInPandas(
         _assign_score_fn(cids, C, None),
         schema="vec_id bigint, label bigint, embedding array<float>, bucket bigint",
     )
@@ -372,7 +385,8 @@ def sim_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     emb = F.col("embedding").cast("array<double>")
-    base = e.select("vec_id", emb.alias("x"))
+    # spread (r18): both Lloyd passes inherit base's partitioning.
+    base = spread_docs(e.select("vec_id", emb.alias("x")), "vec_id")
 
     def assign_kernel(points: DataFrame, cids: np.ndarray, C: np.ndarray) -> DataFrame:
         def fn(batches):
@@ -833,7 +847,8 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (norms + both dot-join sides); unpinned, each re-derived the
     # embeddings scan (r16 4x-class triage) — pin it: one corpus pass.
     cent = (
-        e.crossJoin(dims)
+        spread_docs(e.select("vec_id", "label", "embedding"), "vec_id")
+        .crossJoin(dims)
         .select(
             "label",
             "dim",
@@ -1210,7 +1225,7 @@ def _label_centroids_micro(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     dims) index-time constant (the codebook-on-the-driver pattern of
     _fetch_vectors). Every rounding happens in Spark; the micro ints
     are exact."""
-    comp = e.select(
+    comp = spread_docs(e.select("vec_id", "label", "embedding"), "vec_id").select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("p", "xf")
     ).select(
         "label",
@@ -1249,7 +1264,9 @@ def _scaled_components(e: DataFrame) -> DataFrame:
         lambda v: (F.round(v.cast("double"), 6).cast("decimal(18,6)") * 1_000_000)
         .cast("long"),
     )
-    return e.select("vec_id", "label", xi.alias("xi"))
+    return spread_docs(e.select("vec_id", "label", "embedding"), "vec_id").select(
+        "vec_id", "label", xi.alias("xi")
+    )
 
 
 def _int64_sqdist(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -1584,7 +1601,8 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_p = F.slice(F.col("qv"), F.lit(1), F.col("dim"))
     cos = _dot(a_p, b_p) / (_norm(a_p) * _norm(b_p))
     sc = (
-        base.crossJoin(F.broadcast(q))
+        spread_docs(base, "vec_id")  # base stays narrow for q's pushed lookup
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .crossJoin(F.broadcast(dims))
         .select("qid", "vec_id", "dim", cos.alias("cos"))
@@ -1869,7 +1887,11 @@ def sim_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CORPUS-LINEAR (one row per vector), so fact_scale per the
     # pinning rule: a lineage-recoverable persist, never an
     # unreplicated local checkpoint of a fact-sized frame.
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "bucket").transform(pin, fact_scale=True)
+    asg = (
+        ivf_assignments(spark, sf_dir, spread=False)  # measured: see ivf_assignments docstring
+        .select("vec_id", "bucket")
+        .transform(pin, fact_scale=True)
+    )
     j = (
         sym.join(asg.select(F.col("vec_id").alias("anchor"), F.col("bucket").alias("abkt")), "anchor")
         .join(asg.select(F.col("vec_id").alias("partner"), F.col("bucket").alias("pbkt")), "partner")
@@ -2897,7 +2919,8 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     x = F.col("embedding").cast("array<double>")
     ed = (
-        e.select(
+        spread_docs(e.select("vec_id", "embedding"), "vec_id")
+        .select(
             "vec_id",
             x.alias("x"),
             F.sqrt(
@@ -3178,7 +3201,9 @@ def sim_srp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = bits[0]
     for b in bits[1:]:
         code = code + b
-    coded = e.select("vec_id", emb.alias("emb"), _norm(emb).alias("nrm"), code.alias("code"))
+    coded = spread_docs(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", emb.alias("emb"), _norm(emb).alias("nrm"), code.alias("code")
+    )
     # Pin the bucket-bounded multi-probe candidate set: its two
     # consumers (the count and the exact rerank) each re-derived the
     # full coded projection — 2 of the 5 embeddings scans the r15 scan
@@ -3537,7 +3562,7 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q6(c: Column) -> Column:
         return F.round(c, 6).cast("decimal(18,6)")
 
-    ed = e.select(
+    ed = spread_docs(e.select("vec_id", "label", "embedding"), "vec_id").select(
         F.when(F.col("label") < MMD_SPLIT_LABEL, 1).otherwise(0).alias("gx"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
     ).select(
