@@ -1838,12 +1838,18 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The df-gated gram table feeds both sides of the seed self-join;
     # unpinned, a and b each re-derived grams + keyed (8x documents
-    # scans, r14 scan audit). Checkpointing gk pins the plan at TWO
-    # corpus scans — the induce-then-apply floor (keyed needs the df
-    # histogram before gk can filter) — while materializing only the
-    # df-in-[2,cap] grams, never the full gram stream (which is ~5x
-    # corpus bytes and would be the wrong trade at 100 TB).
-    gk = grams.join(keyed, "gram").transform(pin)
+    # scans, r14 scan audit). Pinning gk fixes the plan at TWO corpus
+    # scans — the induce-then-apply floor (keyed needs the df histogram
+    # before gk can filter) — while materializing only the df-in-[2,cap]
+    # grams, never the full gram stream (which is ~5x corpus bytes and
+    # would be the wrong trade at 100 TB). fact_scale (r18): gk is
+    # CORPUS-LINEAR, and the checkpoint's size-blind stats let the
+    # planner BROADCAST it into the seed self-join at every scale — at
+    # sf5 a ~12M-row hash relation in every task's heap (GCLocker
+    # thrash, 45 s sort tasks). The persist's accurate size stats make
+    # AQE keep the broadcast only while gk is genuinely small
+    # (sf5: 54 -> 23 s; the seed join becomes a shuffle join at scale).
+    gk = grams.join(keyed, "gram").transform(pin, fact_scale=True)
     a = gk.select(
         F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("gram")
     )
